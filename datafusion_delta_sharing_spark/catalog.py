@@ -1,0 +1,118 @@
+"""Share catalog -> Spark views (A30-A32 in SURVEY.md §2).
+
+Parity target: ``/root/reference/src/catalog/mod.rs`` — an eagerly-listed
+catalog hierarchy (``DeltaSharingCatalogList`` lists every share,
+``DeltaSharingCatalog`` eagerly groups each share's tables by schema,
+:46-175) with *lazy* per-table resolution on first reference (:196-220).
+
+Pure PySpark cannot install a JVM ``CatalogPlugin``, so three-part names
+surface two ways (SURVEY.md §7):
+
+* flat temp views named ``share__schema__table`` (``Table.view_name()``);
+* ``DeltaSharingCatalog.sql(...)`` which rewrites ``share.schema.table``
+  identifiers in the query text to those views, registering each referenced
+  table on demand (the lazy-resolution analogue).
+
+``list_tables()`` returns the ``information_schema.tables`` analogue
+(``/root/reference/examples/catalog.rs:8-15``).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from datafusion_delta_sharing_spark.client import DeltaSharingClient
+from datafusion_delta_sharing_spark.profile import Profile
+from datafusion_delta_sharing_spark.securable import Share, Table
+from datafusion_delta_sharing_spark.sources.reader import DeltaSharingReader
+
+
+class DeltaSharingCatalog:
+    """Session-level catalog over every share visible to a profile."""
+
+    def __init__(self, spark: SparkSession,
+                 client_or_profile: DeltaSharingClient | Profile,
+                 shares: list[str] | None = None):
+        self.spark = spark
+        self.client = (client_or_profile
+                       if isinstance(client_or_profile, DeltaSharingClient)
+                       else DeltaSharingClient(client_or_profile))
+        self.reader = DeltaSharingReader(spark, self.client)
+        # Eager discovery (catalog/mod.rs:71-73, 136-160), memoized here so
+        # the N+1 listing happens once per catalog object, not per query.
+        share_objs = ([Share(name=s) for s in shares] if shares is not None
+                      else self.client.list_shares())
+        self.tables: dict[str, Table] = {}
+        for share in share_objs:
+            for table in self.client.list_all_tables(share):
+                self.tables[table.full_name()] = table
+        self._resolved: dict[str, DataFrame] = {}
+
+    # -- discovery surface (A30-A31) --------------------------------------
+
+    def share_names(self) -> list[str]:
+        return sorted({t.share for t in self.tables.values()})
+
+    def schema_names(self, share: str) -> list[str]:
+        return sorted({t.schema for t in self.tables.values() if t.share == share})
+
+    def table_names(self, share: str | None = None,
+                    schema: str | None = None) -> list[str]:
+        return sorted(
+            fqn for fqn, t in self.tables.items()
+            if (share is None or t.share == share)
+            and (schema is None or t.schema == schema)
+        )
+
+    def list_tables(self) -> DataFrame:
+        """``information_schema.tables`` analogue as a DataFrame."""
+        rows = [
+            (t.share, t.schema, t.name, t.view_name())
+            for _, t in sorted(self.tables.items())
+        ]
+        return self.spark.createDataFrame(
+            rows, "share string, schema string, table_name string, view_name string"
+        )
+
+    # -- lazy resolution (A32) ---------------------------------------------
+
+    def table(self, fqn: str) -> DataFrame:
+        """Resolve ``share.schema.table`` to a DataFrame, memoized — the
+        analogue of ``SchemaProvider::table`` building a provider on first
+        reference (catalog/mod.rs:196-220)."""
+        if fqn not in self.tables:
+            raise KeyError(f"table {fqn!r} not found in catalog; "
+                           f"known: {sorted(self.tables)[:10]}")
+        if fqn not in self._resolved:
+            df = self.reader.table(self.tables[fqn])
+            df.createOrReplaceTempView(self.tables[fqn].view_name())
+            self._resolved[fqn] = df
+        return self._resolved[fqn]
+
+    def register_all(self) -> list[str]:
+        """Materialize a temp view per table (eager variant). Returns view
+        names. Read-only by construction — there is no write path, matching
+        ``register_catalog -> unimplemented!`` (catalog/mod.rs:46-108)."""
+        return [self.tables[fqn].view_name()
+                for fqn in sorted(self.tables) if self.table(fqn) is not None]
+
+    # -- three-part-name SQL (EP2) -----------------------------------------
+
+    _FQN_RE = re.compile(
+        r"(?<![\w.`])([A-Za-z_][\w]*)\.([A-Za-z_][\w]*)\.([A-Za-z_][\w]*)(?![\w.`(])"
+    )
+
+    def sql(self, query: str) -> DataFrame:
+        """Run SQL containing ``share.schema.table`` identifiers: each known
+        three-part name is resolved (lazily registering its view) and
+        rewritten to the flat view name, then the query runs on Spark."""
+        def replace(match: re.Match) -> str:
+            fqn = ".".join(match.groups())
+            if fqn in self.tables:
+                self.table(fqn)  # ensure view exists
+                return self.tables[fqn].view_name()
+            return match.group(0)
+
+        return self.spark.sql(self._FQN_RE.sub(replace, query))

@@ -1,0 +1,352 @@
+"""Delta Sharing REST client.
+
+Parity target: ``/root/reference/src/client/mod.rs`` (endpoints A22-A28 in
+SURVEY.md §2), ``src/client/pagination.rs`` (maxResults/pageToken loop),
+``src/client/action.rs`` (Protocol / Metadata / File actions) and
+``src/client/response.rs`` (NDJSON line parsing, ``{errorCode, message}``
+error bodies).
+
+Endpoints (Delta Sharing protocol, all relative to the profile endpoint):
+
+    GET  /shares                                           list_shares
+    GET  /shares/{share}                                   get_share
+    GET  /shares/{share}/schemas                           list_schemas
+    GET  /shares/{share}/schemas/{schema}/tables           list_tables
+    GET  /shares/{share}/all-tables                        list_all_tables
+    GET  /shares/{s}/schemas/{sc}/tables/{t}/version       get_table_version
+    GET  /shares/{s}/schemas/{sc}/tables/{t}/metadata      get_table_metadata
+    POST /shares/{s}/schemas/{sc}/tables/{t}/query         get_table_data
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field as dc_field
+from datetime import datetime
+from typing import Any, Iterator
+from urllib.parse import quote
+
+import requests
+
+from datafusion_delta_sharing_spark.errors import (
+    ClientHttpError,
+    DeltaSharingError,
+    ServerHttpError,
+)
+from datafusion_delta_sharing_spark.profile import Profile
+from datafusion_delta_sharing_spark.securable import Schema, Share, Table
+
+VERSION_HEADER = "delta-table-version"
+
+
+# -- action types (src/client/action.rs) ---------------------------------
+
+
+@dataclass(frozen=True)
+class ProtocolAction:
+    """``{"protocol": {"minReaderVersion": N}}`` (action.rs:10-30)."""
+
+    min_reader_version: int = 1
+
+    @classmethod
+    def from_json(cls, doc: dict) -> "ProtocolAction":
+        return cls(min_reader_version=int(doc.get("minReaderVersion", 1)))
+
+
+@dataclass(frozen=True)
+class MetadataAction:
+    """Table metadata (action.rs:67-79): id, format, schemaString,
+    partitionColumns plus optional name/description/configuration/version/
+    size/numFiles."""
+
+    id: str
+    schema_string: str
+    partition_columns: tuple[str, ...] = ()
+    format_provider: str = "parquet"
+    name: str | None = None
+    description: str | None = None
+    configuration: dict[str, str] = dc_field(default_factory=dict)
+    version: int | None = None
+    size: int | None = None
+    num_files: int | None = None
+
+    @classmethod
+    def from_json(cls, doc: dict) -> "MetadataAction":
+        return cls(
+            id=doc.get("id", ""),
+            schema_string=doc.get("schemaString", ""),
+            partition_columns=tuple(doc.get("partitionColumns") or ()),
+            format_provider=(doc.get("format") or {}).get("provider", "parquet"),
+            name=doc.get("name"),
+            description=doc.get("description"),
+            configuration=dict(doc.get("configuration") or {}),
+            version=doc.get("version"),
+            size=doc.get("size"),
+            num_files=doc.get("numFiles"),
+        )
+
+
+@dataclass(frozen=True)
+class FileAction:
+    """One data file (action.rs:136-149): presigned ``url``, ``id``,
+    ``partitionValues`` (string map; ``None`` normalized to ``""`` per
+    action.rs:168-173), ``size``, optional ``stats`` / ``version`` /
+    ``timestamp`` / ``expirationTimestamp``."""
+
+    url: str
+    id: str
+    partition_values: dict[str, str] = dc_field(default_factory=dict)
+    size: int = 0
+    stats: str | None = None
+    version: int | None = None
+    timestamp: int | None = None
+    expiration_timestamp: int | None = None
+
+    @classmethod
+    def from_json(cls, doc: dict) -> "FileAction":
+        raw_pv = doc.get("partitionValues") or {}
+        partition_values = {k: ("" if v is None else str(v)) for k, v in raw_pv.items()}
+        return cls(
+            url=doc["url"],
+            id=doc.get("id", ""),
+            partition_values=partition_values,
+            size=int(doc.get("size", 0)),
+            stats=doc.get("stats"),
+            version=doc.get("version"),
+            timestamp=doc.get("timestamp"),
+            expiration_timestamp=doc.get("expirationTimestamp"),
+        )
+
+    def parsed_stats(self) -> dict | None:
+        """Parse the JSON ``stats`` string (numRecords / minValues / maxValues /
+        nullCount). The reference parses but never uses stats
+        (action.rs:180-183); we use them for client-side file pruning."""
+        if not self.stats:
+            return None
+        try:
+            return json.loads(self.stats)
+        except json.JSONDecodeError:
+            return None
+
+
+@dataclass(frozen=True)
+class TableData:
+    """Result of the ``query`` endpoint: protocol + metadata + file list."""
+
+    protocol: ProtocolAction
+    metadata: MetadataAction
+    files: tuple[FileAction, ...]
+    version: int | None = None
+
+
+# -- client ---------------------------------------------------------------
+
+
+def _parse_ndjson_actions(text: str) -> Iterator[tuple[str, dict]]:
+    """Yield ``(kind, body)`` per NDJSON line; kind is the single wrapper key
+    (``protocol`` / ``metaData`` / ``file``), per response.rs:140-177."""
+    for line in text.splitlines():
+        line = line.strip()
+        if not line:
+            continue
+        doc = json.loads(line)
+        if not isinstance(doc, dict) or len(doc) != 1:
+            raise DeltaSharingError(f"malformed NDJSON action line: {line[:200]}")
+        kind, body = next(iter(doc.items()))
+        yield kind, body
+
+
+class DeltaSharingClient:
+    """Synchronous Delta Sharing REST client over ``requests``.
+
+    All list endpoints transparently follow ``nextPageToken`` pagination
+    (pagination.rs:10-52); ``max_results`` caps the page size like the
+    reference's paginated variants.
+    """
+
+    def __init__(self, profile: Profile, session: requests.Session | None = None,
+                 max_results: int | None = None, timeout: float = 60.0):
+        self.profile = profile
+        self.session = session or requests.Session()
+        self.max_results = max_results
+        self.timeout = timeout
+
+    # -- low-level --------------------------------------------------------
+
+    def _url(self, *parts: str) -> str:
+        encoded = "/".join(quote(p, safe="") for p in parts)
+        return f"{self.profile.endpoint}/{encoded}"
+
+    def _check(self, resp: requests.Response) -> requests.Response:
+        if resp.status_code < 400:
+            return resp
+        error_code = None
+        message = resp.text[:500]
+        try:
+            body = resp.json()
+            error_code = body.get("errorCode")
+            message = body.get("message", message)
+        except ValueError:
+            pass
+        cls = ClientHttpError if resp.status_code < 500 else ServerHttpError
+        raise cls(
+            f"HTTP {resp.status_code} from sharing server: {message}",
+            status=resp.status_code,
+            error_code=error_code,
+        )
+
+    def _get(self, url: str, params: dict | None = None) -> requests.Response:
+        headers = self.profile.authorization_header()
+        return self._check(
+            self.session.get(url, headers=headers, params=params or {}, timeout=self.timeout)
+        )
+
+    def _post(self, url: str, body: dict) -> requests.Response:
+        headers = self.profile.authorization_header()
+        headers["Content-Type"] = "application/json"
+        return self._check(
+            self.session.post(url, headers=headers, json=body, timeout=self.timeout)
+        )
+
+    def _paginate(self, url: str) -> Iterator[dict]:
+        """Follow nextPageToken until exhausted, yielding raw items."""
+        token: str | None = None
+        while True:
+            params: dict[str, Any] = {}
+            if self.max_results is not None:
+                params["maxResults"] = str(self.max_results)
+            if token:
+                params["pageToken"] = token
+            body = self._get(url, params=params).json()
+            yield from body.get("items", [])
+            token = body.get("nextPageToken")
+            if not token:
+                return
+
+    # -- discovery endpoints (A22-A25) ------------------------------------
+
+    def list_shares(self) -> list[Share]:
+        """GET /shares (mod.rs:53-95)."""
+        return [
+            Share(name=item["name"], id=item.get("id"))
+            for item in self._paginate(self._url("shares"))
+        ]
+
+    def get_share(self, share: Share | str) -> Share:
+        """GET /shares/{share} (mod.rs:98-118)."""
+        name = share.name if isinstance(share, Share) else share
+        body = self._get(self._url("shares", name)).json()
+        item = body.get("share", body)
+        return Share(name=item["name"], id=item.get("id"))
+
+    def list_schemas(self, share: Share | str) -> list[Schema]:
+        """GET /shares/{share}/schemas (mod.rs:121-160)."""
+        share_name = share.name if isinstance(share, Share) else share
+        return [
+            Schema(share=item.get("share", share_name), name=item["name"])
+            for item in self._paginate(self._url("shares", share_name, "schemas"))
+        ]
+
+    def list_tables(self, schema: Schema) -> list[Table]:
+        """GET /shares/{share}/schemas/{schema}/tables (mod.rs:163-205)."""
+        url = self._url("shares", schema.share, "schemas", schema.name, "tables")
+        return [self._table_from_item(item, schema.share, schema.name)
+                for item in self._paginate(url)]
+
+    def list_all_tables(self, share: Share | str) -> list[Table]:
+        """GET /shares/{share}/all-tables (mod.rs:208-248)."""
+        share_name = share.name if isinstance(share, Share) else share
+        url = self._url("shares", share_name, "all-tables")
+        return [self._table_from_item(item, share_name, None)
+                for item in self._paginate(url)]
+
+    @staticmethod
+    def _table_from_item(item: dict, share: str, schema: str | None) -> Table:
+        return Table(
+            share=item.get("share", share),
+            schema=item.get("schema", schema or ""),
+            name=item["name"],
+            id=item.get("id"),
+            share_id=item.get("shareId"),
+        )
+
+    # -- table endpoints (A26-A28) ----------------------------------------
+
+    def _table_url(self, table: Table, leaf: str) -> str:
+        return self._url("shares", table.share, "schemas", table.schema,
+                         "tables", table.name, leaf)
+
+    def get_table_version(self, table: Table,
+                          starting_timestamp: datetime | str | None = None) -> int:
+        """GET …/version — version arrives in the ``delta-table-version``
+        response header (mod.rs:251-280, 443-450)."""
+        params = {}
+        if starting_timestamp is not None:
+            if isinstance(starting_timestamp, datetime):
+                starting_timestamp = (
+                    starting_timestamp.strftime("%Y-%m-%dT%H:%M:%SZ")
+                )
+            params["startingTimestamp"] = starting_timestamp
+        resp = self._get(self._table_url(table, "version"), params=params)
+        raw = resp.headers.get(VERSION_HEADER)
+        if raw is None:
+            raise DeltaSharingError(
+                f"sharing server response missing {VERSION_HEADER} header"
+            )
+        return int(raw)
+
+    def get_table_metadata(self, table: Table) -> tuple[ProtocolAction, MetadataAction]:
+        """GET …/metadata — two NDJSON lines: protocol then metaData
+        (mod.rs:283-319)."""
+        resp = self._get(self._table_url(table, "metadata"))
+        protocol: ProtocolAction | None = None
+        metadata: MetadataAction | None = None
+        for kind, body in _parse_ndjson_actions(resp.text):
+            if kind == "protocol":
+                protocol = ProtocolAction.from_json(body)
+            elif kind == "metaData":
+                metadata = MetadataAction.from_json(body)
+        if protocol is None or metadata is None:
+            raise DeltaSharingError(
+                "metadata response missing protocol or metaData line"
+            )
+        return protocol, metadata
+
+    def get_table_data(self, table: Table,
+                       json_predicate_hints: str | None = None,
+                       limit_hint: int | None = None) -> TableData:
+        """POST …/query with optional ``jsonPredicateHints`` / ``limitHint``
+        (mod.rs:322-382). Hints are best-effort: the server MAY prune files
+        but the caller must still re-apply the predicate/limit exactly."""
+        body: dict[str, Any] = {}
+        if json_predicate_hints is not None:
+            body["jsonPredicateHints"] = json_predicate_hints
+        if limit_hint is not None:
+            body["limitHint"] = str(limit_hint)
+        resp = self._post(self._table_url(table, "query"), body)
+        protocol: ProtocolAction | None = None
+        metadata: MetadataAction | None = None
+        files: list[FileAction] = []
+        for kind, action in _parse_ndjson_actions(resp.text):
+            if kind == "protocol":
+                protocol = ProtocolAction.from_json(action)
+            elif kind == "metaData":
+                metadata = MetadataAction.from_json(action)
+            elif kind == "file":
+                files.append(FileAction.from_json(action))
+        if protocol is None or metadata is None:
+            raise DeltaSharingError("query response missing protocol or metaData line")
+        raw_version = resp.headers.get(VERSION_HEADER)
+        return TableData(
+            protocol=protocol,
+            metadata=metadata,
+            files=tuple(files),
+            version=int(raw_version) if raw_version is not None else None,
+        )
+
+    def get_table_changes(self, table: Table, **_: Any):
+        """CDF endpoint — a ``todo!()`` stub in the reference
+        (mod.rs:384-386); kept unimplemented for parity."""
+        raise NotImplementedError(
+            "get_table_changes is unimplemented in the reference (src/client/mod.rs:384-386)"
+        )

@@ -1,0 +1,142 @@
+"""Client-side file pruning from Delta file statistics.
+
+The reference parses each ``File.stats`` JSON (numRecords / minValues /
+maxValues / nullCount) but never uses it (``/root/reference/src/client/
+action.rs:180-183``; ``statistics()`` reports unknown at
+``src/datasource/table.rs:215-217``). We go further: before handing the file
+list to Spark, evaluate the pushed predicate against per-file min/max stats
+and drop files that cannot contain matching rows. At 100 TB this is the
+difference between listing 10⁶ files and scanning the 10³ that matter.
+
+Semantics are strictly conservative: ``may_match`` returns False only when
+the file *provably* contains no matching row. Unknown columns, missing
+stats, unparseable values, and un-analyzable subtrees all return True.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from typing import Any
+
+from datafusion_delta_sharing_spark.plans.predicates import Op, ValueType
+
+
+def _coerce(raw: Any, value_type: ValueType) -> Any:
+    """Parse a stats/literal value into a comparable Python scalar."""
+    if raw is None:
+        return None
+    if value_type in (ValueType.INT, ValueType.LONG):
+        return int(raw)
+    if value_type in (ValueType.FLOAT, ValueType.DOUBLE):
+        return float(raw)
+    if value_type == ValueType.BOOL:
+        if isinstance(raw, bool):
+            return raw
+        return str(raw).strip().lower() in ("true", "1")
+    if value_type == ValueType.DATE:
+        if isinstance(raw, _dt.date):
+            return raw
+        return _dt.date.fromisoformat(str(raw)[:10])
+    if value_type == ValueType.TIMESTAMP:
+        if isinstance(raw, _dt.datetime):
+            return raw.replace(tzinfo=None)
+        text = str(raw).strip().replace(" ", "T", 1)
+        if text.endswith("Z"):
+            text = text[:-1]
+        # normalize to naive microseconds for ordering purposes
+        return _dt.datetime.fromisoformat(text.split("+")[0])
+    return str(raw)
+
+
+def _column_and_literal(node: Op) -> tuple[str, Any, ValueType] | None:
+    """For a binary comparison, extract (column_name, literal_value, type) if
+    it has the canonical ``column <op> literal`` shape; None otherwise."""
+    if len(node.children) != 2:
+        return None
+    left, right = node.children
+    if left.op == "column" and right.op == "literal":
+        try:
+            return left.name, _coerce(right.value, right.value_type), right.value_type
+        except (ValueError, TypeError):
+            return None
+    return None
+
+
+def _stat(stats: dict, section: str, column: str, value_type: ValueType) -> Any:
+    values = stats.get(section)
+    if not isinstance(values, dict) or column not in values:
+        return None
+    try:
+        return _coerce(values[column], value_type)
+    except (ValueError, TypeError):
+        return None
+
+
+def may_match(node: Op | None, stats: dict | None) -> bool:
+    """Could a file with these stats contain a row matching the predicate?"""
+    if node is None or not stats:
+        return True
+    try:
+        return _may_match(node, stats)
+    except Exception:
+        return True  # never prune on an analysis failure
+
+
+def _may_match(node: Op, stats: dict) -> bool:
+    if node.op == "and":
+        return all(_may_match(c, stats) for c in node.children)
+    if node.op == "or":
+        return any(_may_match(c, stats) for c in node.children)
+    if node.op == "isNull":
+        child = node.children[0]
+        if child.op == "column":
+            null_count = _stat_raw_null_count(stats, child.name)
+            if null_count == 0:
+                return False
+        return True
+    if node.op == "not":
+        inner = node.children[0]
+        # Only analyze not(isNull(col)) == isNotNull; general negation of a
+        # min/max verdict is unsound (may_match is one-sided).
+        if inner.op == "isNull" and inner.children and inner.children[0].op == "column":
+            col = inner.children[0].name
+            null_count = _stat_raw_null_count(stats, col)
+            num_records = stats.get("numRecords")
+            if (null_count is not None and num_records is not None
+                    and null_count >= num_records > 0):
+                return False  # every row is NULL -> isNotNull matches nothing
+        return True
+    if node.op in ("equal", "lessThan", "lessThanOrEqual",
+                   "greaterThan", "greaterThanOrEqual"):
+        extracted = _column_and_literal(node)
+        if extracted is None:
+            return True
+        column, literal, value_type = extracted
+        lo = _stat(stats, "minValues", column, value_type)
+        hi = _stat(stats, "maxValues", column, value_type)
+        if node.op == "equal":
+            if lo is not None and literal < lo:
+                return False
+            if hi is not None and literal > hi:
+                return False
+        elif node.op == "lessThan":
+            if lo is not None and lo >= literal:
+                return False
+        elif node.op == "lessThanOrEqual":
+            if lo is not None and lo > literal:
+                return False
+        elif node.op == "greaterThan":
+            if hi is not None and hi <= literal:
+                return False
+        elif node.op == "greaterThanOrEqual":
+            if hi is not None and hi < literal:
+                return False
+        return True
+    return True  # unknown op: keep the file
+
+
+def _stat_raw_null_count(stats: dict, column: str) -> int | None:
+    values = stats.get("nullCount")
+    if isinstance(values, dict) and isinstance(values.get(column), int):
+        return values[column]
+    return None

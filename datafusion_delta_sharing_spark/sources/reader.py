@@ -1,0 +1,435 @@
+"""Delta Sharing table -> Spark DataFrame (the engine's source operator).
+
+Parity targets (SURVEY.md §2 Tier A):
+
+* A1  scan: file listing -> parquet scan (``src/datasource/table.rs:174-196``)
+* A2  physical parquet exec (``src/datasource/scan.rs:50-157``) — Spark's
+  vectorized parquet reader plays this role on the local-path strategy; a
+  ``mapInArrow`` fetch stage plays it for presigned HTTPS URLs.
+* A3  presigned-URL ranged parquet reader (``src/datasource/reader.rs:14-109``)
+  — ``_RangedHttpFile`` issues ``Range: bytes=a-b`` GETs; pyarrow reads the
+  footer first, then only the projected column chunks.
+* A4  projection pushdown — automatic via Catalyst on the local strategy;
+  explicit ``columns=`` (mapped to ``pyarrow`` column selection) on the
+  HTTP strategy.
+* A5  filter pushdown to server — predicate -> ``jsonPredicateHints``; the
+  residual filter is ALWAYS kept on the DataFrame (Inexact semantics,
+  ``src/datasource/table.rs:198-213``).
+* A19 limit pushdown — ``limitHint`` + exact ``df.limit`` above it.
+* A20 partition-value reconstruction (``src/datasource/scan.rs:159-229``).
+
+Scale design (100 TB): the driver only ever touches the *file list* (one
+row per file — metadata, not data). Data bytes move exclusively inside
+executor tasks: each task receives a slice of file descriptors and streams
+Arrow record batches straight out of parquet row groups over HTTP. No
+driver materialization, no local staging, no collect. Stats-based file
+pruning (plans/pruning.py) happens before the file list is parallelized, so
+a selective predicate turns a million-file table into the handful of files
+Spark must actually open.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+from functools import reduce
+from typing import Any, Iterable, Iterator, Sequence
+from urllib.parse import urlparse
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from datafusion_delta_sharing_spark.client import (
+    DeltaSharingClient,
+    FileAction,
+    MetadataAction,
+    TableData,
+)
+from datafusion_delta_sharing_spark.errors import DeltaSharingError, PredicateError
+from datafusion_delta_sharing_spark.plans.predicates import (
+    Op,
+    predicate_from_sql,
+)
+from datafusion_delta_sharing_spark.plans.pruning import may_match
+from datafusion_delta_sharing_spark.profile import Profile
+from datafusion_delta_sharing_spark.securable import Table
+from datafusion_delta_sharing_spark.sources.schema import (
+    decode_partition_values,
+    schema_from_string,
+)
+
+_DEFAULT_BYTES_PER_TASK = 128 * 1024 * 1024  # one Spark task per ~128 MiB of parquet
+
+
+# ---------------------------------------------------------------------------
+# Executor-side ranged HTTP reading (A3)
+# ---------------------------------------------------------------------------
+
+
+class _RangedHttpFile(io.RawIOBase):
+    """Seekable read-only file over HTTP Range requests.
+
+    The pyarrow parquet reader calls ``seek``/``read`` to load the footer,
+    then the projected column chunks — each ``read`` maps to one
+    ``Range: bytes=start-end`` GET, exactly the reference's
+    ``SignedParquetFileReader::get_range`` (src/datasource/reader.rs:25-49).
+    """
+
+    def __init__(self, url: str, size: int, session=None):
+        import requests
+
+        self._url = url
+        self._size = size
+        self._pos = 0
+        self._session = session or requests.Session()
+
+    def seekable(self) -> bool:
+        return True
+
+    def readable(self) -> bool:
+        return True
+
+    def seek(self, offset: int, whence: int = io.SEEK_SET) -> int:
+        if whence == io.SEEK_SET:
+            self._pos = offset
+        elif whence == io.SEEK_CUR:
+            self._pos += offset
+        elif whence == io.SEEK_END:
+            self._pos = self._size + offset
+        return self._pos
+
+    def tell(self) -> int:
+        return self._pos
+
+    def read(self, n: int = -1) -> bytes:
+        if n is None or n < 0:
+            n = self._size - self._pos
+        if n <= 0 or self._pos >= self._size:
+            return b""
+        end = min(self._pos + n, self._size) - 1
+        resp = self._session.get(
+            self._url,
+            headers={"Range": f"bytes={self._pos}-{end}"},
+            timeout=120,
+        )
+        resp.raise_for_status()
+        data = resp.content
+        self._pos += len(data)
+        return data
+
+    def size(self) -> int:
+        return self._size
+
+
+def _open_parquet_source(url: str, size: int, session=None):
+    """Local paths open directly; http(s) URLs go through ranged reads."""
+    parsed = urlparse(url)
+    if parsed.scheme in ("", "file"):
+        return parsed.path if parsed.scheme == "file" else url
+    if parsed.scheme in ("http", "https"):
+        return _RangedHttpFile(url, size, session=session)
+    raise DeltaSharingError(f"unsupported file URL scheme {parsed.scheme!r} in {url}")
+
+
+def _fetch_batches_task(
+    descriptor_batches: Iterable["pyarrow.RecordBatch"],  # noqa: F821
+    data_schema_json: str,
+    full_schema_json: str,
+    partition_columns: Sequence[str],
+    columns: Sequence[str] | None,
+    profile_doc: str | None,
+    table_fqn: str | None,
+) -> Iterator["pyarrow.RecordBatch"]:  # noqa: F821
+    """mapInArrow worker: file descriptors in, table record batches out.
+
+    Runs on executors. Streams parquet row groups (never whole files) and
+    appends typed partition columns per file (A20). On an expired presigned
+    URL (HTTP 403), re-lists the table once via a fresh client to obtain a
+    fresh URL for the same file id (File.expirationTimestamp handling —
+    the reference does not survive expiry; we do).
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import requests
+
+    from pyspark.sql import types as ST
+
+    from datafusion_delta_sharing_spark.sources.schema import (
+        decode_partition_values as _decode,
+    )
+    from datafusion_delta_sharing_spark.sources.reader import (
+        _open_parquet_source,
+        _spark_struct_to_arrow_schema,
+    )
+
+    data_schema = ST.StructType.fromJson(json.loads(data_schema_json))
+    full_schema = ST.StructType.fromJson(json.loads(full_schema_json))
+    out_names = list(columns) if columns else [f.name for f in full_schema.fields]
+    out_fields = {f.name: f for f in full_schema.fields}
+    arrow_out = _spark_struct_to_arrow_schema(
+        ST.StructType([out_fields[n] for n in out_names])
+    )
+    data_cols = [n for n in out_names if n not in partition_columns]
+    part_cols = [n for n in out_names if n in partition_columns]
+    session = requests.Session()
+
+    def refreshed_url(file_id: str) -> str | None:
+        if not profile_doc or not table_fqn:
+            return None
+        from datafusion_delta_sharing_spark.client import DeltaSharingClient as C
+        from datafusion_delta_sharing_spark.profile import Profile as P
+        from datafusion_delta_sharing_spark.securable import Table as Tb
+
+        fresh = C(P.from_json(profile_doc)).get_table_data(Tb.from_str(table_fqn))
+        for f in fresh.files:
+            if f.id == file_id:
+                return f.url
+        return None
+
+    for desc_batch in descriptor_batches:
+        rows = desc_batch.to_pylist()
+        for row in rows:
+            url, size, file_id = row["url"], row["size"], row["file_id"]
+            partition_values = json.loads(row["partition_values"])
+
+            def open_reader(target_url: str):
+                source = _open_parquet_source(target_url, size, session=session)
+                return pq.ParquetFile(source)
+
+            try:
+                reader = open_reader(url)
+            except requests.HTTPError as exc:
+                status = exc.response.status_code if exc.response is not None else None
+                fresh_url = refreshed_url(file_id) if status in (401, 403) else None
+                if fresh_url is None:
+                    raise
+                reader = open_reader(fresh_url)
+
+            decoded = _decode(partition_values, full_schema, part_cols)
+            for data in reader.iter_batches(columns=data_cols or None):
+                n = data.num_rows
+                arrays = []
+                for name in out_names:
+                    if name in partition_columns:
+                        arrow_type = arrow_out.field(name).type
+                        arrays.append(pa.nulls(n, arrow_type) if decoded[name] is None
+                                      else pa.array([decoded[name]] * n, type=arrow_type))
+                    else:
+                        col = data.column(data.schema.get_field_index(name))
+                        arrays.append(col.cast(arrow_out.field(name).type))
+                yield pa.RecordBatch.from_arrays(arrays, schema=arrow_out)
+
+
+def _spark_struct_to_arrow_schema(struct: T.StructType):
+    """Spark StructType -> pyarrow schema (for mapInArrow output batches)."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    return to_arrow_schema(struct)
+
+
+# ---------------------------------------------------------------------------
+# Reader (driver side)
+# ---------------------------------------------------------------------------
+
+
+class DeltaSharingReader:
+    """Builds Spark DataFrames from Delta Sharing tables.
+
+    Equivalent of the reference's ``DeltaSharingTable`` + ``TableProvider``
+    (src/datasource/table.rs). Two physical strategies, chosen per file list:
+
+    * all-local URLs (``file://`` or plain paths — tests, pre-staged data):
+      native ``spark.read.parquet`` per partition-value group, so Catalyst
+      gets full predicate/projection pushdown into the vectorized reader;
+    * any http(s) URL: distributed ``mapInArrow`` fetch — the 100 TB path.
+    """
+
+    def __init__(self, spark: SparkSession, client: DeltaSharingClient,
+                 bytes_per_task: int = _DEFAULT_BYTES_PER_TASK,
+                 use_stats_pruning: bool = True):
+        self.spark = spark
+        self.client = client
+        self.bytes_per_task = bytes_per_task
+        self.use_stats_pruning = use_stats_pruning
+
+    # -- bootstrap (A33) ---------------------------------------------------
+
+    @classmethod
+    def from_connection_string(cls, spark: SparkSession, conn: str,
+                               **kwargs) -> tuple["DeltaSharingReader", Table]:
+        """``"/path/to/profile.share#share.schema.table"`` -> (reader, table)
+        (src/datasource/table.rs:93-103)."""
+        if "#" not in conn:
+            raise DeltaSharingError(
+                "connection string must look like 'profile.share#share.schema.table'"
+            )
+        profile_path, _, fqn = conn.partition("#")
+        profile = Profile.from_path(profile_path)
+        client = DeltaSharingClient(profile)
+        return cls(spark, client, **kwargs), Table.from_str(fqn)
+
+    @classmethod
+    def load(cls, spark: SparkSession, conn: str, **kwargs) -> DataFrame:
+        """One-shot: connection string -> DataFrame."""
+        reader, table = cls.from_connection_string(spark, conn, **kwargs)
+        return reader.table(table)
+
+    # -- the scan (A1) -----------------------------------------------------
+
+    def table(self, table: Table | str,
+              predicate: str | None = None,
+              limit: int | None = None,
+              columns: Sequence[str] | None = None) -> DataFrame:
+        """Scan a shared table into a DataFrame.
+
+        ``predicate`` is a SQL comparison predicate; when expressible it is
+        pushed to the server as ``jsonPredicateHints`` and used for
+        stats-based file pruning, and it is ALWAYS re-applied to the rows
+        (inexact pushdown, A5). ``limit`` maps to ``limitHint`` + an exact
+        ``df.limit`` (A19). ``columns`` projects the scan (A4)."""
+        if isinstance(table, str):
+            table = Table.from_str(table)
+
+        schema_for_hint: T.StructType | None = None
+        predicate_op: Op | None = None
+        hints: str | None = None
+        if predicate is not None:
+            # One metadata fetch to learn the schema for predicate typing
+            # (the reference types predicates off the provider schema too).
+            _, metadata = self.client.get_table_metadata(table)
+            schema_for_hint = schema_from_string(metadata.schema_string)
+            try:
+                predicate_op = predicate_from_sql(predicate, schema_for_hint)
+                hints = predicate_op.to_json()
+            except PredicateError:
+                predicate_op = None  # Unsupported -> no hint, engine-side filter only
+
+        data = self.client.get_table_data(
+            table, json_predicate_hints=hints, limit_hint=limit
+        )
+        df = self._dataframe_from_listing(
+            table, data, predicate_op=predicate_op, columns=columns
+        )
+        if predicate is not None:
+            df = df.filter(predicate)  # residual: Inexact semantics (A5)
+        if limit is not None:
+            df = df.limit(limit)  # exact limit above the hint (A19)
+        return df
+
+    # -- physical construction --------------------------------------------
+
+    def _dataframe_from_listing(self, table: Table, data: TableData,
+                                predicate_op: Op | None = None,
+                                columns: Sequence[str] | None = None) -> DataFrame:
+        metadata = data.metadata
+        if metadata.format_provider.lower() != "parquet":
+            raise DeltaSharingError(
+                f"unsupported file format {metadata.format_provider!r}; "
+                "the protocol serves parquet"
+            )
+        full_schema = schema_from_string(metadata.schema_string)
+        partition_columns = list(metadata.partition_columns)
+        files = list(data.files)
+
+        if self.use_stats_pruning and predicate_op is not None:
+            files = [f for f in files
+                     if may_match(predicate_op, f.parsed_stats())]
+
+        if columns:
+            unknown = [c for c in columns if c not in full_schema.fieldNames()]
+            if unknown:
+                raise DeltaSharingError(f"unknown column(s) in projection: {unknown}")
+
+        if not files:
+            out_schema = (T.StructType([f for f in full_schema.fields
+                                        if f.name in set(columns)])
+                          if columns else full_schema)
+            return self.spark.createDataFrame([], out_schema)
+
+        local = all(urlparse(f.url).scheme in ("", "file") for f in files)
+        if local:
+            return self._read_local(files, full_schema, partition_columns, columns)
+        return self._read_distributed(table, files, full_schema,
+                                      partition_columns, columns)
+
+    def _read_local(self, files: list[FileAction], full_schema: T.StructType,
+                    partition_columns: list[str],
+                    columns: Sequence[str] | None) -> DataFrame:
+        """Native parquet scan per partition-value group: Spark's vectorized
+        reader + Catalyst pushdown do A2/A4 for free. File groups are
+        coalesced per distinct partition tuple to bound plan size
+        (SURVEY.md §7 risk note)."""
+        data_schema = T.StructType(
+            [f for f in full_schema.fields if f.name not in partition_columns]
+        )
+        groups: dict[tuple, list[FileAction]] = {}
+        for f in files:
+            key = tuple(sorted(f.partition_values.items()))
+            groups.setdefault(key, []).append(f)
+
+        parts: list[DataFrame] = []
+        for _, group in sorted(groups.items()):
+            paths = [urlparse(f.url).path if f.url.startswith("file:") else f.url
+                     for f in group]
+            df = self.spark.read.schema(data_schema).parquet(*paths)
+            decoded = decode_partition_values(
+                group[0].partition_values, full_schema, partition_columns
+            )
+            for name in partition_columns:
+                dtype = full_schema[name].dataType
+                df = df.withColumn(name, F.lit(decoded[name]).cast(dtype))
+            parts.append(df.select(*[f.name for f in full_schema.fields]))
+        out = reduce(DataFrame.unionByName, parts)
+        if columns:
+            out = out.select(*columns)
+        return out
+
+    def _read_distributed(self, table: Table, files: list[FileAction],
+                          full_schema: T.StructType, partition_columns: list[str],
+                          columns: Sequence[str] | None) -> DataFrame:
+        """The scale path: parallelize the descriptor list, fetch + decode on
+        executors via mapInArrow, one task per ~bytes_per_task of parquet."""
+        data_schema = T.StructType(
+            [f for f in full_schema.fields if f.name not in partition_columns]
+        )
+        out_schema = (T.StructType([full_schema[c] for c in columns])
+                      if columns else full_schema)
+
+        descriptors = [
+            {
+                "url": f.url,
+                "file_id": f.id,
+                "size": f.size,
+                "partition_values": json.dumps(f.partition_values),
+            }
+            for f in files
+        ]
+        desc_schema = T.StructType([
+            T.StructField("url", T.StringType(), False),
+            T.StructField("file_id", T.StringType(), False),
+            T.StructField("size", T.LongType(), False),
+            T.StructField("partition_values", T.StringType(), False),
+        ])
+        total_bytes = sum(f.size for f in files) or 1
+        n_tasks = max(1, min(len(files),
+                             (total_bytes + self.bytes_per_task - 1)
+                             // self.bytes_per_task))
+        desc_df = (self.spark.createDataFrame(descriptors, desc_schema)
+                   .repartition(int(n_tasks)))
+
+        profile_doc = json.dumps({
+            "shareCredentialsVersion": self.client.profile.share_credentials_version,
+            "endpoint": self.client.profile.endpoint,
+            "bearerToken": self.client.profile.bearer_token,
+        })
+        fqn = table.full_name()
+        data_json = data_schema.json()
+        full_json = full_schema.json()
+        cols = list(columns) if columns else None
+        pcols = list(partition_columns)
+
+        def fetch(batches):
+            return _fetch_batches_task(
+                batches, data_json, full_json, pcols, cols, profile_doc, fqn
+            )
+
+        return desc_df.mapInArrow(fetch, out_schema)

@@ -1,0 +1,147 @@
+"""Delta ``schemaString`` -> Spark schema, and typed partition-value decode.
+
+Parity targets:
+
+* Schema translation — ``/root/reference/src/datasource/schema.rs`` (531 LoC
+  of Delta-JSON -> Arrow conversion). Delta's ``schemaString`` *is* Spark's
+  own ``StructType`` JSON wire format, so the whole file collapses to
+  ``StructType.fromJson`` plus validation (SURVEY.md §1.2). The type matrix
+  (schema.rs:481-531) maps 1:1 onto Spark types; the one reference capability
+  Spark lacks is decimal precision in (38, 76] via Decimal256
+  (schema.rs:497-508) — we detect and raise a clear ``SchemaError``.
+
+* Partition-value decode — ``/root/reference/src/datasource/scan.rs:159-229``:
+  per-file ``map<string,string>`` re-typed against the schema; empty string or
+  missing key means typed NULL (scan.rs:199-200).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import decimal
+import json
+import re
+from typing import Any
+
+from pyspark.sql import types as T
+
+from datafusion_delta_sharing_spark.errors import SchemaError
+
+_SPARK_MAX_DECIMAL_PRECISION = 38
+_REFERENCE_MAX_DECIMAL_PRECISION = 76  # Decimal256 ceiling (schema.rs:503-508)
+
+_DECIMAL_RE = re.compile(r"decimal\s*\(\s*(\d+)\s*,\s*(-?\d+)\s*\)", re.IGNORECASE)
+
+
+def _validate_decimals(type_doc: Any) -> None:
+    """Walk the raw schema JSON rejecting decimals Spark cannot represent,
+    with a message that distinguishes the reference-supported (38, 76] band
+    from the nowhere-supported > 76 band."""
+    if isinstance(type_doc, str):
+        match = _DECIMAL_RE.fullmatch(type_doc.strip())
+        if match:
+            precision = int(match.group(1))
+            if precision > _REFERENCE_MAX_DECIMAL_PRECISION:
+                raise SchemaError(
+                    f"decimal precision {precision} exceeds 76; unsupported by the "
+                    "reference (Decimal256 cap, schema.rs:503-508) and by Spark"
+                )
+            if precision > _SPARK_MAX_DECIMAL_PRECISION:
+                raise SchemaError(
+                    f"decimal precision {precision} exceeds Spark's maximum of 38; "
+                    "the reference supports it via Arrow Decimal256 "
+                    "(schema.rs:497-508) — documented parity gap"
+                )
+        return
+    if isinstance(type_doc, dict):
+        kind = type_doc.get("type")
+        if kind == "struct":
+            for field_doc in type_doc.get("fields", []):
+                _validate_decimals(field_doc.get("type"))
+        elif kind == "array":
+            _validate_decimals(type_doc.get("elementType"))
+        elif kind == "map":
+            _validate_decimals(type_doc.get("keyType"))
+            _validate_decimals(type_doc.get("valueType"))
+
+
+def schema_from_string(schema_string: str) -> T.StructType:
+    """Parse a Delta ``schemaString`` into a Spark ``StructType``.
+
+    Field metadata round-trips automatically (Spark keeps it on
+    ``StructField.metadata``), matching the reference's metadata propagation
+    (schema.rs:423-439). ``timestamp_ntz`` parses natively — the reference
+    left it TODO (schema.rs:261)."""
+    try:
+        doc = json.loads(schema_string)
+    except json.JSONDecodeError as exc:
+        raise SchemaError(f"malformed schemaString: {exc}") from exc
+    if not isinstance(doc, dict) or doc.get("type") != "struct":
+        raise SchemaError("schemaString must be a JSON object with type='struct'")
+    _validate_decimals(doc)
+    try:
+        return T.StructType.fromJson(doc)
+    except Exception as exc:
+        raise SchemaError(f"cannot convert schemaString to Spark schema: {exc}") from exc
+
+
+# -- partition values (scan.rs:159-229) ----------------------------------
+
+_EPOCH = _dt.date(1970, 1, 1)
+
+
+def decode_partition_value(raw: str | None, dtype: T.DataType) -> Any:
+    """One string partition value -> typed Python scalar; ``""``/None -> NULL.
+
+    Supported partition types mirror scan.rs:201-216: boolean, the four int
+    widths, float/double, string, decimal, date, timestamp(µs)."""
+    if raw is None or raw == "":
+        return None
+    try:
+        if isinstance(dtype, T.BooleanType):
+            low = raw.strip().lower()
+            if low in ("true", "1"):
+                return True
+            if low in ("false", "0"):
+                return False
+            raise ValueError(f"not a boolean: {raw!r}")
+        if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+            return int(raw)
+        if isinstance(dtype, (T.FloatType, T.DoubleType)):
+            return float(raw)
+        if isinstance(dtype, T.StringType):
+            return raw
+        if isinstance(dtype, T.DecimalType):
+            return decimal.Decimal(raw)
+        if isinstance(dtype, T.DateType):
+            return _dt.date.fromisoformat(raw)
+        if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+            text = raw.strip()
+            if text.endswith("Z"):
+                text = text[:-1] + "+00:00"
+            parsed = _dt.datetime.fromisoformat(text.replace(" ", "T", 1))
+            if parsed.tzinfo is not None:
+                parsed = parsed.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            return parsed
+    except (ValueError, decimal.InvalidOperation, ArithmeticError) as exc:
+        raise SchemaError(
+            f"cannot decode partition value {raw!r} as {dtype.simpleString()}: {exc}"
+        ) from exc
+    raise SchemaError(
+        f"partition column type {dtype.simpleString()} is not partition-decodable "
+        "(scan.rs:201-216 type set)"
+    )
+
+
+def decode_partition_values(partition_values: dict[str, str],
+                            schema: T.StructType,
+                            partition_columns: list[str] | tuple[str, ...]) -> dict[str, Any]:
+    """Decode a file's full partition map in schema order. Missing keys decode
+    as NULL (matching the all-NULL test at scan.rs:272-300)."""
+    by_name = {f.name: f.dataType for f in schema.fields}
+    out: dict[str, Any] = {}
+    for col in partition_columns:
+        if col not in by_name:
+            raise SchemaError(f"partition column {col!r} not present in table schema")
+        out[col] = decode_partition_value(partition_values.get(col, ""), by_name[col])
+    return out

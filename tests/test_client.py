@@ -1,0 +1,159 @@
+"""REST client tests against the in-process mock server — the analogue of the
+reference's httpmock suite (src/client/mod.rs:452-831): every endpoint,
+pagination, auth header, hint body, version header, 404 error mapping."""
+
+import json
+
+import pytest
+
+from datafusion_delta_sharing_spark.client import DeltaSharingClient
+from datafusion_delta_sharing_spark.errors import ClientHttpError
+from datafusion_delta_sharing_spark.profile import Profile
+from datafusion_delta_sharing_spark.securable import Schema, Table
+from tests.mock_server import MockSharingServer, MockTable
+
+SCHEMA_STRING = json.dumps({"type": "struct", "fields": [
+    {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+    {"name": "day", "type": "date", "nullable": True, "metadata": {}},
+]})
+
+
+def make_tables():
+    return [
+        MockTable(share="sales", schema="emea", name="orders",
+                  schema_string=SCHEMA_STRING, partition_columns=["day"],
+                  files=[
+                      {"id": "f1", "url": "https://data.example/f1", "size": 100,
+                       "partition_values": {"day": "2021-04-28"},
+                       "stats": json.dumps({"numRecords": 10,
+                                            "minValues": {"id": 1},
+                                            "maxValues": {"id": 50},
+                                            "nullCount": {"id": 0}})},
+                      {"id": "f2", "url": "https://data.example/f2", "size": 200,
+                       "partition_values": {"day": "2021-04-29"}},
+                  ]),
+        MockTable(share="sales", schema="emea", name="returns",
+                  schema_string=SCHEMA_STRING),
+        MockTable(share="sales", schema="apac", name="orders",
+                  schema_string=SCHEMA_STRING),
+        MockTable(share="hr", schema="people", name="employees",
+                  schema_string=SCHEMA_STRING),
+    ]
+
+
+@pytest.fixture()
+def server():
+    with MockSharingServer(make_tables()) as srv:
+        yield srv
+
+
+@pytest.fixture()
+def client(server):
+    return DeltaSharingClient(Profile.from_json(server.profile_doc()))
+
+
+def test_list_shares(client):
+    names = [s.name for s in client.list_shares()]
+    assert names == ["hr", "sales"]
+
+
+def test_list_shares_pagination():
+    with MockSharingServer(make_tables(), page_size=1) as srv:
+        client = DeltaSharingClient(Profile.from_json(srv.profile_doc()),
+                                    max_results=1)
+        names = [s.name for s in client.list_shares()]
+        assert names == ["hr", "sales"]
+        pages = [r for r in srv.requests if r["path"].endswith("/shares")]
+        assert len(pages) == 2
+        assert pages[0]["query"] == {"maxResults": "1"}
+        assert pages[1]["query"] == {"maxResults": "1", "pageToken": "1"}
+
+
+def test_get_share(client):
+    share = client.get_share("sales")
+    assert share.name == "sales" and share.id == "id-sales"
+
+
+def test_list_schemas(client):
+    schemas = client.list_schemas("sales")
+    assert sorted(s.name for s in schemas) == ["apac", "emea"]
+    assert all(s.share == "sales" for s in schemas)
+
+
+def test_list_tables_in_schema(client):
+    tables = client.list_tables(Schema(share="sales", name="emea"))
+    assert sorted(t.name for t in tables) == ["orders", "returns"]
+
+
+def test_list_all_tables(client):
+    tables = client.list_all_tables("sales")
+    assert sorted(t.full_name() for t in tables) == [
+        "sales.apac.orders", "sales.emea.orders", "sales.emea.returns",
+    ]
+
+
+def test_table_version_header(client, server):
+    version = client.get_table_version(Table.from_str("sales.emea.orders"))
+    assert version == 7
+    version_ts = client.get_table_version(
+        Table.from_str("sales.emea.orders"), "2022-01-01T00:00:00Z")
+    assert version_ts == 7
+    req = server.requests[-1]
+    assert req["query"] == {"startingTimestamp": "2022-01-01T00:00:00Z"}
+
+
+def test_table_metadata(client):
+    protocol, metadata = client.get_table_metadata(Table.from_str("sales.emea.orders"))
+    assert protocol.min_reader_version == 1
+    assert metadata.partition_columns == ("day",)
+    assert json.loads(metadata.schema_string)["type"] == "struct"
+
+
+def test_table_data_with_hints(client, server):
+    hints = '{"op":"isNull","children":[{"op":"column","name":"id","valueType":"long"}]}'
+    data = client.get_table_data(Table.from_str("sales.emea.orders"),
+                                 json_predicate_hints=hints, limit_hint=100)
+    assert data.version == 7
+    assert [f.id for f in data.files] == ["f1", "f2"]
+    assert data.files[0].partition_values == {"day": "2021-04-28"}
+    assert data.files[0].parsed_stats()["numRecords"] == 10
+    assert data.files[1].parsed_stats() is None
+    body = json.loads(server.requests[-1]["body"])
+    assert body == {"jsonPredicateHints": hints, "limitHint": "100"}
+
+
+def test_table_data_no_hints_empty_body(client, server):
+    client.get_table_data(Table.from_str("sales.emea.orders"))
+    assert json.loads(server.requests[-1]["body"]) == {}
+
+
+def test_auth_header_sent(client, server):
+    client.list_shares()
+    assert server.requests[-1]["auth"] == "Bearer test-token-0000"
+
+
+def test_404_maps_to_client_error(client):
+    with pytest.raises(ClientHttpError) as err:
+        client.get_table_metadata(Table.from_str("sales.emea.nope"))
+    assert err.value.status == 404
+    assert err.value.error_code == "RESOURCE_DOES_NOT_EXIST"
+
+
+def test_bad_token_maps_to_client_error(server):
+    bad = Profile.from_json({**server.profile_doc(), "bearerToken": "wrong"})
+    with pytest.raises(ClientHttpError) as err:
+        DeltaSharingClient(bad).list_shares()
+    assert err.value.status == 401
+    assert err.value.error_code == "UNAUTHENTICATED"
+
+
+def test_cdf_stub_parity(client):
+    with pytest.raises(NotImplementedError):
+        client.get_table_changes(Table.from_str("sales.emea.orders"))
+
+
+def test_partition_values_none_normalized():
+    from datafusion_delta_sharing_spark.client import FileAction
+    f = FileAction.from_json({"url": "u", "id": "i",
+                              "partitionValues": {"day": None}, "size": 1})
+    assert f.partition_values == {"day": ""}

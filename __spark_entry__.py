@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query (projection + filter + limit, the
+reference's examples/query_from_catalog.rs:21 shape) on sf0.001.
+``queries()``/``oracle_sql()`` expose the full operator inventory from
+SURVEY.md §2 (Tier-B relational surface + LLM-pipeline extensions), each
+checked against a DuckDB oracle at sf0.01 where ANSI-SQL expressible.
 """
 
 from __future__ import annotations
@@ -16,23 +16,34 @@ from pyspark.sql import DataFrame, SparkSession
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from datafusion_delta_sharing_spark.harness.tierb import q_flagship
+
+    return q_flagship(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from datafusion_delta_sharing_spark.harness import tierb
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    registry: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    registry.update(tierb.QUERIES)
+    try:
+        from datafusion_delta_sharing_spark.harness import extensions
+
+        registry.update(extensions.QUERIES)
+    except ImportError:
+        pass
+    return registry
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from datafusion_delta_sharing_spark.harness import tierb
+
+    oracles: dict[str, str] = {}
+    oracles.update(tierb.ORACLES)
+    try:
+        from datafusion_delta_sharing_spark.harness import extensions
+
+        oracles.update(extensions.ORACLES)
+    except ImportError:
+        pass
+    return oracles

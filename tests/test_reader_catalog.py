@@ -1,0 +1,194 @@
+"""Reader + catalog integration tests with a live SparkSession and the
+in-process mock sharing server (local-file and HTTP strategies)."""
+
+import io
+import json
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from datafusion_delta_sharing_spark import (
+    DeltaSharingCatalog,
+    DeltaSharingClient,
+    DeltaSharingReader,
+    Profile,
+)
+from tests.mock_server import MockSharingServer, MockTable
+
+SCHEMA_STRING = json.dumps({"type": "struct", "fields": [
+    {"name": "id", "type": "long", "nullable": False, "metadata": {}},
+    {"name": "amount", "type": "double", "nullable": True, "metadata": {}},
+    {"name": "day", "type": "date", "nullable": True, "metadata": {}},
+    {"name": "tag", "type": "string", "nullable": True, "metadata": {}},
+]})
+PARTITION_COLUMNS = ["day", "tag"]
+
+
+def _blob(ids, amounts) -> bytes:
+    sink = io.BytesIO()
+    pq.write_table(pa.table({"id": pa.array(ids, pa.int64()),
+                             "amount": pa.array(amounts, pa.float64())}), sink)
+    return sink.getvalue()
+
+
+def _write_local(tmp_path, name, ids, amounts) -> str:
+    path = tmp_path / name
+    path.write_bytes(_blob(ids, amounts))
+    return str(path)
+
+
+def _mock_files_local(tmp_path):
+    p1 = _write_local(tmp_path, "f1.parquet", [1, 2], [1.0, 2.0])
+    p2 = _write_local(tmp_path, "f2.parquet", [3, 4], [3.0, 4.0])
+    p3 = _write_local(tmp_path, "f3.parquet", [5, 6], [5.0, 6.0])
+    return [
+        {"id": "f1", "url": f"file://{p1}", "size": 0,
+         "partition_values": {"day": "2021-04-28", "tag": "a"}},
+        {"id": "f2", "url": f"file://{p2}", "size": 0,
+         "partition_values": {"day": "2021-04-28", "tag": "a"}},
+        {"id": "f3", "url": f"file://{p3}", "size": 0,
+         "partition_values": {"day": "2021-04-29", "tag": ""}},
+    ]
+
+
+@pytest.fixture()
+def local_server(tmp_path):
+    table = MockTable(share="s", schema="d", name="t",
+                      schema_string=SCHEMA_STRING,
+                      partition_columns=PARTITION_COLUMNS,
+                      files=_mock_files_local(tmp_path))
+    with MockSharingServer([table]) as srv:
+        yield srv
+
+
+def _reader(spark, server, **kw):
+    client = DeltaSharingClient(Profile.from_json(server.profile_doc()))
+    return DeltaSharingReader(spark, client, **kw)
+
+
+def test_local_strategy_partition_reconstruction(spark, local_server):
+    df = _reader(spark, local_server).table("s.d.t")
+    assert df.columns == ["id", "amount", "day", "tag"]
+    rows = {r.id: r for r in df.collect()}
+    assert len(rows) == 6
+    assert str(rows[1].day) == "2021-04-28" and rows[1].tag == "a"
+    assert str(rows[5].day) == "2021-04-29"
+    assert rows[5].tag is None  # empty string partition value -> typed NULL
+
+
+def test_local_strategy_projection_and_predicate(spark, local_server):
+    df = _reader(spark, local_server).table(
+        "s.d.t", predicate="id > 2 AND id <= 5", columns=["id", "day"])
+    assert df.columns == ["id", "day"]
+    assert sorted(r.id for r in df.collect()) == [3, 4, 5]
+
+
+def test_local_strategy_limit(spark, local_server):
+    assert _reader(spark, local_server).table("s.d.t", limit=4).count() == 4
+
+
+def test_distinct_partition_groups_coalesced(spark, local_server):
+    # 3 files but only 2 distinct partition tuples -> 2 scan groups
+    df = _reader(spark, local_server).table("s.d.t")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Relation") == 2
+
+
+def test_http_strategy_end_to_end(spark):
+    blobs = {"/a.parquet": _blob([1, 2, 3], [1.0, 2.0, 3.0]),
+             "/b.parquet": _blob([4, 5, 6], [4.0, 5.0, 6.0])}
+    table = MockTable(share="s", schema="d", name="t",
+                      schema_string=SCHEMA_STRING,
+                      partition_columns=PARTITION_COLUMNS, files=[])
+    with MockSharingServer([table], parquet_bytes=blobs) as srv:
+        table.files.extend([
+            {"id": "a", "url": f"{srv.base_url}/a.parquet",
+             "size": len(blobs["/a.parquet"]),
+             "partition_values": {"day": "2021-04-28", "tag": "x"}},
+            {"id": "b", "url": f"{srv.base_url}/b.parquet",
+             "size": len(blobs["/b.parquet"]),
+             "partition_values": {"day": "", "tag": "y"}},
+        ])
+        df = _reader(spark, srv).table("s.d.t")
+        rows = {r.id: r for r in df.collect()}
+        assert len(rows) == 6
+        assert str(rows[1].day) == "2021-04-28" and rows[1].tag == "x"
+        assert rows[4].day is None and rows[4].tag == "y"
+        # ranged reads actually happened (footer + data chunk GETs)
+        paths = [r["path"] for r in srv.requests if r["path"].endswith(".parquet")]
+        assert len(paths) >= 4
+
+
+def test_http_strategy_projection(spark):
+    blobs = {"/a.parquet": _blob([1, 2], [1.0, 2.0])}
+    table = MockTable(share="s", schema="d", name="t",
+                      schema_string=SCHEMA_STRING,
+                      partition_columns=PARTITION_COLUMNS, files=[])
+    with MockSharingServer([table], parquet_bytes=blobs) as srv:
+        table.files.append({"id": "a", "url": f"{srv.base_url}/a.parquet",
+                            "size": len(blobs["/a.parquet"]),
+                            "partition_values": {"day": "2021-04-28", "tag": "x"}})
+        df = _reader(spark, srv).table("s.d.t", columns=["amount", "tag"])
+        assert df.columns == ["amount", "tag"]
+        assert sorted(r.amount for r in df.collect()) == [1.0, 2.0]
+
+
+def test_stats_pruning_skips_fetch(spark):
+    blobs = {"/a.parquet": _blob([1, 2], [1.0, 2.0]),
+             "/b.parquet": _blob([10, 20], [1.0, 2.0])}
+    table = MockTable(share="s", schema="d", name="t",
+                      schema_string=SCHEMA_STRING,
+                      partition_columns=PARTITION_COLUMNS, files=[])
+    with MockSharingServer([table], parquet_bytes=blobs) as srv:
+        for fid, lo, hi in (("a", 1, 2), ("b", 10, 20)):
+            table.files.append({
+                "id": fid, "url": f"{srv.base_url}/{fid}.parquet",
+                "size": len(blobs[f"/{fid}.parquet"]),
+                "partition_values": {"day": "2021-04-28", "tag": "x"},
+                "stats": json.dumps({"numRecords": 2, "minValues": {"id": lo},
+                                     "maxValues": {"id": hi},
+                                     "nullCount": {"id": 0}})})
+        df = _reader(spark, srv).table("s.d.t", predicate="id >= 10")
+        assert sorted(r.id for r in df.collect()) == [10, 20]
+        fetched = {r["path"] for r in srv.requests if r["path"].endswith(".parquet")}
+        assert fetched == {"/b.parquet"}
+
+
+def test_empty_file_list_gives_empty_typed_df(spark):
+    table = MockTable(share="s", schema="d", name="t",
+                      schema_string=SCHEMA_STRING,
+                      partition_columns=PARTITION_COLUMNS, files=[])
+    with MockSharingServer([table]) as srv:
+        df = _reader(spark, srv).table("s.d.t")
+        assert df.count() == 0
+        assert df.columns == ["id", "amount", "day", "tag"]
+
+
+def test_catalog_discovery_and_sql(spark, local_server):
+    catalog = DeltaSharingCatalog(
+        spark, Profile.from_json(local_server.profile_doc()))
+    assert catalog.share_names() == ["s"]
+    assert catalog.table_names() == ["s.d.t"]
+    listing = catalog.list_tables().collect()
+    assert listing[0].view_name == "s__d__t"
+    out = catalog.sql(
+        "SELECT day, count(*) AS n FROM s.d.t GROUP BY day ORDER BY day")
+    assert [(str(r.day), r.n) for r in out.collect()] == [
+        ("2021-04-28", 4), ("2021-04-29", 2)]
+    # memoized resolution: second reference reuses the registered view
+    assert catalog.table("s.d.t") is catalog.table("s.d.t")
+
+
+def test_catalog_unknown_table(spark, local_server):
+    catalog = DeltaSharingCatalog(
+        spark, Profile.from_json(local_server.profile_doc()))
+    with pytest.raises(KeyError):
+        catalog.table("s.d.nope")
+
+
+def test_connection_string_bootstrap(spark, local_server, tmp_path):
+    profile_path = tmp_path / "p.share"
+    profile_path.write_text(json.dumps(local_server.profile_doc()))
+    df = DeltaSharingReader.load(spark, f"{profile_path}#s.d.t")
+    assert df.count() == 6

@@ -1,0 +1,174 @@
+"""Text-analysis functions for large-scale training-data pipelines.
+
+All hot-path logic is built from JVM-side ``pyspark.sql.functions`` (regexp,
+higher-order array functions) — no Python UDFs — so whole-stage codegen and
+column pruning survive at 100 TB. Where a function is used in the correctness
+harness, the module also emits the equivalent DuckDB SQL from the *same spec*
+(marker tables, regex patterns), so Spark and oracle can't drift apart.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# Word-boundary regexes below use \\b — supported by both Java regex (Spark)
+# and RE2 (DuckDB).
+
+WS_TOKEN_SPLIT = r"\s+"
+# BPE-ish pre-tokenizer: letter runs, digit runs, or single non-space symbols
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+PUNCT_PATTERN = r"[.,;:!?]"
+
+# language-ID marker words (tiny n-gram/stopword heuristic); deterministic
+# alphabetical tie-break on equal scores
+LANG_MARKERS: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "nicht", "ist", "ein", "mit"],
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it"],
+    "es": ["el", "la", "los", "las", "que", "y", "es", "en"],
+    "fr": ["le", "la", "les", "et", "est", "que", "une", "dans"],
+    "zh": ["的", "是", "在", "了", "和", "有", "我", "不"],
+}
+
+ENGLISH_STOPWORDS = ["the", "and", "of", "to", "a", "is", "in", "that", "it",
+                     "for", "on", "as", "with", "was", "at", "by"]
+
+
+def _marker_regex(words: list[str]) -> str:
+    return r"\b(" + "|".join(words) + r")\b"
+
+
+# -- token counting -------------------------------------------------------
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(c), WS_TOKEN_SPLIT))
+    ).cast("bigint")
+
+
+def token_count_sql(col: str) -> str:
+    return (f"CAST(CASE WHEN length(trim({col})) = 0 THEN 0 "
+            f"ELSE len(regexp_split_to_array(trim({col}), '{WS_TOKEN_SPLIT}')) "
+            f"END AS BIGINT)")
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Sub-word-ish token count from the BPE-style pre-tokenizer regex."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(BPE_ISH_PATTERN)).cast("bigint")
+
+
+def bpe_ish_token_count_sql(col: str) -> str:
+    return f"CAST(len(regexp_extract_all({col}, '{BPE_ISH_PATTERN}')) AS BIGINT)"
+
+
+# -- quality scoring ------------------------------------------------------
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """Punctuation chars / total chars."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(
+        F.regexp_count(c, F.lit(PUNCT_PATTERN)) / F.greatest(F.length(c), F.lit(1)),
+        6,
+    )
+
+
+def punct_ratio_sql(col: str) -> str:
+    return (f"round(len(regexp_extract_all({col}, '{PUNCT_PATTERN}')) "
+            f"/ greatest(length({col}), 1), 6)")
+
+
+def stopword_ratio(col: Column | str) -> Column:
+    """English stopword tokens / whitespace tokens."""
+    c = F.col(col) if isinstance(col, str) else col
+    hits = F.regexp_count(F.lower(c), F.lit(_marker_regex(ENGLISH_STOPWORDS)))
+    return F.round(hits / F.greatest(token_count(c), F.lit(1)), 6)
+
+
+def stopword_ratio_sql(col: str) -> str:
+    pattern = _marker_regex(ENGLISH_STOPWORDS)
+    return (f"round(len(regexp_extract_all(lower({col}), '{pattern}')) "
+            f"/ greatest({token_count_sql(col)}, 1), 6)")
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: long enough, some punctuation,
+    sane stopword density. Weights are arbitrary but fixed."""
+    c = F.col(col) if isinstance(col, str) else col
+    len_score = F.least(F.length(c) / F.lit(500.0), F.lit(1.0))
+    punct_score = F.least(punct_ratio(c) * 20, F.lit(1.0))
+    stop_score = F.least(stopword_ratio(c) * 5, F.lit(1.0))
+    # round at the composite's native decimal precision (8): rounding at 6
+    # lands on true .5 ties where engine tie-breaking differs
+    return F.round(0.5 * len_score + 0.2 * punct_score + 0.3 * stop_score, 8)
+
+
+def quality_score_sql(col: str) -> str:
+    return (f"round(0.5 * least(length({col}) / 500.0, 1.0) "
+            f"+ 0.2 * least({punct_ratio_sql(col)} * 20, 1.0) "
+            f"+ 0.3 * least({stopword_ratio_sql(col)} * 5, 1.0), 8)")
+
+
+# -- language ID ----------------------------------------------------------
+
+
+def lang_id(col: Column | str) -> Column:
+    """Marker-word language ID with deterministic alphabetical tie-break:
+    score each language by whole-word marker hits, pick the argmax."""
+    c = F.lower(F.col(col) if isinstance(col, str) else col)
+    scores = {lang: F.regexp_count(c, F.lit(_marker_regex(words)))
+              for lang, words in sorted(LANG_MARKERS.items())}
+    best = F.greatest(*scores.values())
+    out = F.lit("unknown")
+    # reversed so earlier languages win ties (when() chains short-circuit)
+    for lang in sorted(scores, reverse=True):
+        out = F.when(scores[lang] == best, F.lit(lang)).otherwise(out)
+    return F.when(best == 0, F.lit("unknown")).otherwise(out)
+
+
+def lang_id_sql(col: str) -> str:
+    scores = {lang: f"len(regexp_extract_all(lower({col}), '{_marker_regex(w)}'))"
+              for lang, w in sorted(LANG_MARKERS.items())}
+    best = "greatest(" + ", ".join(scores.values()) + ")"
+    expr = "'unknown'"
+    for lang in sorted(scores, reverse=True):
+        expr = f"CASE WHEN {scores[lang]} = {best} THEN '{lang}' ELSE {expr} END"
+    return f"CASE WHEN {best} = 0 THEN 'unknown' ELSE {expr} END"
+
+
+# -- document fingerprinting ----------------------------------------------
+
+
+def shingles(col: Column | str, k: int = 5) -> Column:
+    """Word k-shingles as an array<string> (higher-order functions only)."""
+    if not isinstance(col, str):
+        raise ValueError("shingles() needs a column name for SQL-expr construction")
+    # Spark SQL string literals process backslash escapes, so the regex
+    # needs double-escaping inside expr() ('\\s+' in SQL text -> \s+ regex)
+    pat = "\\\\s+"
+    words = f"split(trim({col}), '{pat}')"
+    return F.expr(
+        f"CASE WHEN size({words}) < {k} "
+        f"THEN array(trim({col})) "
+        f"ELSE transform(sequence(1, size({words}) - {k} + 1), "
+        f"i -> array_join(slice({words}, i, {k}), ' ')) END"
+    )
+
+
+def doc_fingerprint(col: str, k: int = 5) -> Column:
+    """Winnowing-style fingerprint: the minimum md5 over word k-shingles.
+    md5-hex strings compare identically in Spark and DuckDB, so this is
+    oracle-checkable (unlike xxhash64, which DuckDB lacks)."""
+    return F.array_min(F.transform(shingles(col, k), lambda s: F.md5(s)))
+
+
+def doc_fingerprint_sql(col: str, k: int = 5) -> str:
+    words = f"regexp_split_to_array(trim({col}), '{WS_TOKEN_SPLIT}')"
+    return (
+        f"CASE WHEN len({words}) < {k} THEN md5(trim({col})) "
+        f"ELSE list_min(list_transform(range(1, len({words}) - {k} + 2), "
+        f"i -> md5(array_to_string({words}[i:i+{k}-1], ' ')))) END"
+    )

@@ -1,0 +1,270 @@
+"""Extension queries: the LLM-training-data-pipeline operators (driver brief
+north star) over the documents/embeddings tables, plus Structured Streaming.
+
+Oracle policy: exact dedup, n-gram Jaccard, text metrics, language ID,
+fingerprints, vector math and streaming window counts are ANSI-expressible
+and oracle-checked. MinHash-LSH / SimHash / LSH-ANN depend on xxhash64
+(absent in DuckDB) or have recall < 1, so they are rows-only here and
+verified against exact baselines in tests/ instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datafusion_delta_sharing_spark.functions import text as TX
+from datafusion_delta_sharing_spark.harness import load_table
+from datafusion_delta_sharing_spark.operators import dedup as DD
+from datafusion_delta_sharing_spark.operators import multimodal as MM
+from datafusion_delta_sharing_spark.operators import similarity as SIM
+from datafusion_delta_sharing_spark.streaming.windows import stream_hourly_counts
+
+_JACCARD_DOCS = 150      # doc_id bound for the oracle-checked pairwise query
+_NEARDUP_VECS = 200      # vec_id bound for exact pairwise cosine
+_ANN_QUERIES = 5         # query vectors for top-k
+_EMB_DIM = 64
+
+
+# -- dedup ----------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.exact_dedup_stats(docs, "text", "doc_id")
+
+
+def q_dedup_exact_subset(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars")
+    return DD.exact_dedup(docs, ["lang", "source"])
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _JACCARD_DOCS)
+    return DD.ngram_jaccard_pairs(docs, "text", "doc_id", k=5, threshold=0.15)
+
+
+def q_dedup_minhash(spark, sf_dir):
+    """MinHash-LSH candidates (xxhash64-based: rows-only check; recall vs the
+    exact Jaccard of q_ngram_jaccard is asserted in tests)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _JACCARD_DOCS)
+    return DD.minhash_lsh_pairs(docs, "text", "doc_id",
+                                num_hashes=16, bands=4, k=5, threshold=0.15)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash near-dup pairs (xxhash64-based: rows-only check)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.simhash_neardup_pairs(docs, "text", "doc_id", max_hamming=10)
+
+
+# -- similarity search ----------------------------------------------------
+
+
+def q_embedding_neardup(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < _NEARDUP_VECS)
+    return SIM.embedding_neardup_pairs(emb, threshold=0.5)
+
+
+def q_ann_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") <= _ANN_QUERIES)
+    return SIM.brute_force_topk(emb, queries, k=5)
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """LSH-bucketed ANN (recall < 1: rows-only; recall asserted in tests)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") <= _ANN_QUERIES)
+    return SIM.lsh_topk(emb, queries, dim=_EMB_DIM, k=5, n_planes=8)
+
+
+# -- text analysis --------------------------------------------------------
+
+
+def q_text_metrics(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.token_count("text").alias("n_tokens"),
+        TX.bpe_ish_token_count("text").alias("n_bpe_tokens"),
+        TX.punct_ratio("text").alias("punct_ratio"),
+        TX.stopword_ratio("text").alias("stopword_ratio"),
+        TX.quality_score("text").alias("quality"),
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang",
+        TX.lang_id("text").alias("pred_lang"),
+    )
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.doc_fingerprint("text", k=5).alias("fingerprint"),
+    )
+
+
+# -- multimodal -----------------------------------------------------------
+
+
+def q_multimodal_features(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.attach_binary_payload(docs, "doc_id", "text", "source")
+    return (MM.extract_features(media)
+            .select("media_id", "byte_len", "digest", "mime"))
+
+
+# -- streaming ------------------------------------------------------------
+
+
+def q_stream_hourly(spark, sf_dir):
+    return stream_hourly_counts(spark, sf_dir)
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_exact_subset": q_dedup_exact_subset,
+    "ngram_jaccard": q_ngram_jaccard,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "embedding_neardup": q_embedding_neardup,
+    "ann_topk": q_ann_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "text_metrics": q_text_metrics,
+    "lang_id": q_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,
+    "multimodal_features": q_multimodal_features,
+    "stream_hourly": q_stream_hourly,
+}
+
+_SHINGLE_POSTS = f"""
+    posts AS (
+        SELECT DISTINCT doc_id AS id, sh FROM (
+            SELECT doc_id,
+                   CASE WHEN len(words) < 5 THEN [trim(text)]
+                        ELSE list_transform(range(1, len(words) - 3),
+                             i -> array_to_string(words[i:i+4], ' '))
+                   END AS shs
+            FROM (SELECT doc_id, text,
+                         regexp_split_to_array(trim(text), '\\s+') AS words
+                  FROM documents WHERE doc_id < {_JACCARD_DOCS})
+        ), unnest(shs) AS t(sh)
+    )
+"""
+
+ORACLES = {
+    "dedup_exact": """
+        SELECT md5(text) AS text_md5,
+               CAST(min(doc_id) AS BIGINT) AS keep_id,
+               count(*) AS n_copies
+        FROM documents GROUP BY md5(text)
+    """,
+    "dedup_exact_subset": """
+        SELECT lang, source, doc_id, n_chars FROM (
+            SELECT lang, source, doc_id, n_chars,
+                   row_number() OVER (PARTITION BY lang, source
+                                      ORDER BY doc_id, n_chars) AS rn
+            FROM documents
+        ) WHERE rn = 1
+    """,
+    "ngram_jaccard": f"""
+        WITH {_SHINGLE_POSTS},
+        sizes AS (SELECT id, count(*) AS sz FROM posts GROUP BY id),
+        inter AS (
+            SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+            FROM posts a JOIN posts b ON a.sh = b.sh AND a.id < b.id
+            GROUP BY a.id, b.id
+        )
+        SELECT id_a, id_b,
+               round(n_inter / (sa.sz + sb.sz - n_inter), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.id = id_a
+        JOIN sizes sb ON sb.id = id_b
+        WHERE round(n_inter / (sa.sz + sb.sz - n_inter), 6) >= 0.15
+    """,
+    "embedding_neardup": f"""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(
+                 list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(a.embedding,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(b.embedding,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+                 6) AS score
+        FROM embeddings a JOIN embeddings b
+          ON a.vec_id < b.vec_id
+        WHERE a.vec_id < {_NEARDUP_VECS} AND b.vec_id < {_NEARDUP_VECS}
+          AND round(
+                 list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(a.embedding,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(b.embedding,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+                 6) >= 0.5
+    """,
+    "ann_topk": f"""
+        SELECT query_id, cand_id, score, rnk FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                   round(
+                     list_sum(list_transform(list_zip(q.embedding, c.embedding),
+                              p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                     / (sqrt(list_sum(list_transform(q.embedding,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                      * sqrt(list_sum(list_transform(c.embedding,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+                     6) AS score,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round(
+                         list_sum(list_transform(list_zip(q.embedding, c.embedding),
+                                  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                         / (sqrt(list_sum(list_transform(q.embedding,
+                                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                          * sqrt(list_sum(list_transform(c.embedding,
+                                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+                         6) DESC, c.vec_id ASC) AS rnk
+            FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+            WHERE q.vec_id <= {_ANN_QUERIES}
+        ) WHERE rnk <= 5
+    """,
+    "text_metrics": f"""
+        SELECT doc_id,
+               {TX.token_count_sql('text')} AS n_tokens,
+               {TX.bpe_ish_token_count_sql('text')} AS n_bpe_tokens,
+               {TX.punct_ratio_sql('text')} AS punct_ratio,
+               {TX.stopword_ratio_sql('text')} AS stopword_ratio,
+               {TX.quality_score_sql('text')} AS quality
+        FROM documents
+    """,
+    "lang_id": f"""
+        SELECT doc_id, lang, {TX.lang_id_sql('text')} AS pred_lang
+        FROM documents
+    """,
+    "doc_fingerprint": f"""
+        SELECT doc_id, {TX.doc_fingerprint_sql('text', 5)} AS fingerprint
+        FROM documents
+    """,
+    "multimodal_features": """
+        SELECT CAST(doc_id AS BIGINT) AS media_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+               md5(text) AS digest,
+               'text/plain' AS mime
+        FROM documents
+    """,
+    "stream_hourly": """
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               count(*) AS n
+        FROM events GROUP BY 1, 2
+    """,
+}

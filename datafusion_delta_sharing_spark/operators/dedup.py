@@ -1,0 +1,210 @@
+"""Deduplication operators for training-data pipelines (driver brief
+north-star; SURVEY.md §2 extensions).
+
+Scale posture: every operator here is a composition of built-in DataFrame
+ops — shingling and hashing via higher-order functions (JVM codegen),
+candidate generation via hash-bucket shuffles (never O(n²) across the full
+corpus), verification only within candidate pairs. At 100 TB the only
+all-to-all operations are equi-joins on hash keys, which Spark shuffles
+by key; hot buckets (boilerplate docs) are the known skew risk — AQE
+skew-join handles moderate cases, salting the band key is the escape hatch.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, functions as F
+
+from datafusion_delta_sharing_spark.functions.text import WS_TOKEN_SPLIT, shingles
+
+
+# -- exact dedup ----------------------------------------------------------
+
+
+def exact_dedup_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Group identical texts by md5 and keep the lowest id as survivor.
+    Hash-groupBy: one shuffle on the digest, map-side partial aggregation."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_md5"))
+        .agg(F.min(id_col).alias("keep_id"),
+             F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def exact_dedup(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Exact dedup on a column subset; deterministic survivor = full row
+    with the minimal struct over the remaining columns (dropDuplicates is
+    nondeterministic about which row survives, so we don't use it here)."""
+    others = [c for c in df.columns if c not in cols]
+    agg = F.min(F.struct(*others)).alias("_rest")
+    out = df.groupBy(*cols).agg(agg)
+    return out.select(*cols, *[F.col(f"_rest.{c}").alias(c) for c in others])
+
+
+# -- n-gram Jaccard (explode-join: the ANSI-expressible, scalable form) ---
+
+
+def shingle_sets(df: DataFrame, text_col: str, id_col: str, k: int = 5) -> DataFrame:
+    """(id, shingle) pairs, distinct — the posting-list layout."""
+    return (
+        df.select(F.col(id_col).alias("id"),
+                  F.explode(F.array_distinct(shingles(text_col, k))).alias("sh"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
+                        k: int = 5, threshold: float = 0.2) -> DataFrame:
+    """All pairs with word-k-shingle Jaccard >= threshold, via the
+    explode + equi-join + count pattern: |A∩B| from a self-join on shingle,
+    |A∪B| = |A| + |B| − |A∩B|. One shuffle on shingle, one on the pair key —
+    no cross join anywhere."""
+    posts = shingle_sets(df, text_col, id_col, k).cache()
+    sizes = posts.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = posts.alias("a")
+    b = posts.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh"))
+               & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a").join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_inter")
+                    / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# -- MinHash + LSH --------------------------------------------------------
+
+
+def minhash_signature(df: DataFrame, text_col: str, id_col: str,
+                      num_hashes: int = 16, k: int = 5) -> DataFrame:
+    """(id, shingles, sig) where sig[i] = min over shingles of
+    xxhash64(shingle, seed=i). Pure higher-order functions: the signature
+    never leaves the JVM."""
+    sh = F.array_distinct(shingles(text_col, k))
+
+    def _hash_with_seed(seed: int):
+        # single-arg lambda: a two-arg lambda would receive (element, index)
+        # from transform() and the index would silently replace the seed
+        return lambda s: F.xxhash64(s, F.lit(seed))
+
+    sig = F.array(*[
+        F.array_min(F.transform(F.col("shingles"), _hash_with_seed(i)))
+        for i in range(num_hashes)
+    ])
+    return (
+        df.select(F.col(id_col).alias("id"), sh.alias("shingles"))
+        .withColumn("sig", sig)
+    )
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
+                      num_hashes: int = 16, bands: int = 4, k: int = 5,
+                      threshold: float = 0.2) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs: band the signature, bucket-join on
+    (band index, band hash), then verify true Jaccard on the candidate pairs
+    only. Candidate generation is an equi-join shuffle on the band hash —
+    the classic shingle->minhash->band->bucket-join pipeline."""
+    rows = num_hashes // bands
+    signed = minhash_signature(df, text_col, id_col, num_hashes, k)
+    band_cols = []
+    for band in range(bands):
+        chunk = [F.col("sig")[i] for i in range(band * rows, (band + 1) * rows)]
+        band_cols.append(F.struct(F.lit(band).alias("band"),
+                                  F.xxhash64(*chunk).alias("bh")))
+    buckets = (
+        signed.withColumn("bucket", F.explode(F.array(*band_cols)))
+        .select("id", "shingles",
+                F.col("bucket.band").alias("band"),
+                F.col("bucket.bh").alias("bh"))
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    candidates = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bh") == F.col("b.bh"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.col("a.shingles").alias("sh_a"),
+                F.col("b.shingles").alias("sh_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    jaccard = F.round(
+        F.size(F.array_intersect("sh_a", "sh_b"))
+        / F.size(F.array_union("sh_a", "sh_b")), 6)
+    return (
+        candidates.withColumn("jaccard", jaccard)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# -- SimHash --------------------------------------------------------------
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """64-bit SimHash over whitespace tokens: explode -> xxhash64 per token
+    -> per-bit ±1 majority vote -> recombine. The vote is 64 conditional
+    sums in one hash aggregate (single shuffle on id)."""
+    tokens = (
+        df.select(F.col(id_col).alias("id"),
+                  F.explode(F.split(F.trim(F.col(text_col)),
+                                    WS_TOKEN_SPLIT)).alias("tok"))
+        .withColumn("h", F.xxhash64("tok"))
+    )
+    votes = [
+        F.sum(F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1)
+              .otherwise(-1)).alias(f"v{i}")
+        for i in range(64)
+    ]
+    voted = tokens.groupBy("id").agg(*votes)
+    bit_terms = [
+        F.when(F.col(f"v{i}") > 0,
+               F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
+        for i in range(64)
+    ]
+    fingerprint = reduce(lambda x, y: x.bitwiseOR(y), bit_terms)
+    return voted.select("id", fingerprint.alias("simhash"))
+
+
+def simhash_neardup_pairs(df: DataFrame, text_col: str, id_col: str,
+                          max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs with Hamming distance <= max_hamming, using the
+    pigeonhole trick: split the 64-bit hash into 4 16-bit chunks; any pair
+    within distance 3 must agree on >= 1 chunk, so candidates come from 4
+    equi-joins on chunk value — never an O(n²) comparison."""
+    hashed = simhash(df, text_col, id_col)
+    chunks = hashed.select(
+        "id", "simhash",
+        *[F.shiftright("simhash", 16 * c).bitwiseAND(F.lit(0xFFFF))
+          .alias(f"c{c}") for c in range(4)],
+    )
+    pair_frames = []
+    for c in range(4):
+        a = chunks.alias("a")
+        b = chunks.alias("b")
+        pair_frames.append(
+            a.join(b, (F.col(f"a.c{c}") == F.col(f"b.c{c}"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                    F.col("a.simhash").alias("h_a"),
+                    F.col("b.simhash").alias("h_b"))
+        )
+    candidates = reduce(DataFrame.unionByName, pair_frames).dropDuplicates(
+        ["id_a", "id_b"])
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (
+        candidates.withColumn("hamming", hamming.cast("bigint"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,113 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Baseline: brute-force cosine top-k — exact, one broadcast of the query set,
+no shuffle of the corpus. Scale path: random-hyperplane LSH bucketing — the
+corpus is hashed once (JVM-side), candidates come from an equi-join on
+bucket signature, and only candidates pay the full cosine. At 100 TB the
+brute-force path stays viable per-query-batch (it's a broadcast nested loop
+over a scan), while the LSH path turns top-k into a bucket-local problem.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+from datafusion_delta_sharing_spark.functions.vector import cosine
+
+
+def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact cosine top-k: broadcast the (small) query set against the
+    corpus scan, rank per query with a deterministic tie-break.
+    Excludes self-matches."""
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("query_vec"))
+    c = corpus.select(F.col(id_col).alias("cand_id"),
+                      F.col(vec_col).alias("cand_vec"))
+    scored = (
+        c.join(F.broadcast(q), F.col("cand_id") != F.col("query_id"))
+        .withColumn("score", F.round(cosine("query_vec", "cand_vec"), 6))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "cand_id", "score", "rnk")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
+    """Deterministic pseudo-random ±1 hyperplanes from md5(plane, dim) —
+    reproducible across sessions with no RNG state."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            digest = hashlib.md5(f"plane-{p}-dim-{d}".encode()).digest()
+            row.append(1.0 if digest[0] % 2 == 0 else -1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_signature(df: DataFrame, dim: int, n_planes: int = 12,
+                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Random-hyperplane signature: bit p = (v · h_p) > 0, packed into a
+    long. Hyperplane dot products are zip_with/aggregate — JVM-side."""
+    planes = _hyperplanes(dim, n_planes)
+    bits = []
+    for p, plane in enumerate(planes):
+        plane_col = F.array(*[F.lit(v) for v in plane])
+        dot_p = F.aggregate(
+            F.zip_with(F.col(vec_col), plane_col,
+                       lambda x, h: x.cast("double") * h),
+            F.lit(0.0), lambda acc, x: acc + x)
+        bits.append(F.when(dot_p > 0,
+                           F.shiftleft(F.lit(1).cast("long"), p))
+                    .otherwise(F.lit(0).cast("long")))
+    signature = bits[0]
+    for b in bits[1:]:
+        signature = signature.bitwiseOR(b)
+    return df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
+                     signature.alias("bucket"))
+
+
+def lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
+             n_planes: int = 12, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k: candidates share the query's LSH bucket (equi-join
+    on the packed signature), then exact cosine re-rank within candidates.
+    Recall < 1 by construction — the correctness harness records this one
+    rows-only; tests check recall against brute force instead."""
+    sig_c = lsh_signature(corpus, dim, n_planes, id_col, vec_col)
+    sig_q = (lsh_signature(queries, dim, n_planes, id_col, vec_col)
+             .select(F.col("id").alias("query_id"),
+                     F.col("vec").alias("query_vec"),
+                     F.col("bucket").alias("qbucket")))
+    cand = sig_c.join(
+        F.broadcast(sig_q),
+        (F.col("bucket") == F.col("qbucket")) & (F.col("id") != F.col("query_id")))
+    scored = cand.withColumn(
+        "score", F.round(cosine("query_vec", "vec"), 6))
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", F.col("id").alias("cand_id"), "score", "rnk")
+    )
+
+
+def embedding_neardup_pairs(corpus: DataFrame, threshold: float = 0.95,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> DataFrame:
+    """All pairs with cosine >= threshold. Exact form for oracle-checkable
+    subsets; at scale, run lsh_topk per shard instead (bucketed candidates)."""
+    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("score", F.round(cosine("va", "vb"), 6))
+        .filter(F.col("score") >= threshold)
+        .select("id_a", "id_b", "score")
+    )

@@ -1,0 +1,195 @@
+"""Extension-operator tests: dedup recall vs exact baselines, ANN recall vs
+brute force, text functions, multimodal plumbing, streaming windows."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_delta_sharing_spark.functions import text as TX
+from datafusion_delta_sharing_spark.functions.vector import cosine, dot, l2_norm
+from datafusion_delta_sharing_spark.operators import dedup as DD
+from datafusion_delta_sharing_spark.operators import multimodal as MM
+from datafusion_delta_sharing_spark.operators import similarity as SIM
+from datafusion_delta_sharing_spark.streaming.windows import stream_hourly_counts
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .cache()
+    )
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+def make_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# -- exact dedup ----------------------------------------------------------
+
+
+def test_exact_dedup_stats_counts_copies(spark):
+    df = make_docs(spark, [(1, "a b c"), (2, "a b c"), (3, "x y z")])
+    out = {r.keep_id: r.n_copies for r in
+           DD.exact_dedup_stats(df, "text", "doc_id").collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_exact_dedup_deterministic_survivor(spark):
+    df = spark.createDataFrame(
+        [(5, "en", "s1"), (2, "en", "s1"), (9, "fr", "s2")],
+        "doc_id long, lang string, source string")
+    out = DD.exact_dedup(df, ["lang", "source"]).collect()
+    survivors = {(r.lang, r.source): r.doc_id for r in out}
+    assert survivors == {("en", "s1"): 2, ("fr", "s2"): 9}
+
+
+# -- near-dup: minhash recall vs exact jaccard ----------------------------
+
+
+def test_minhash_finds_planted_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 10
+    near = base.replace("lazy", "sleepy")
+    rows = [(1, base), (2, near), (3, "completely different words here " * 12)]
+    # repeated text -> small distinct-shingle sets; true jaccard of the
+    # planted pair is 4/14 ≈ 0.286
+    exact = DD.ngram_jaccard_pairs(make_docs(spark, rows), "text", "doc_id",
+                                   k=5, threshold=0.25)
+    # 16 bands of 1 row: candidate probability 1-(1-j)^16 ≈ 0.995 at j=0.286
+    lsh = DD.minhash_lsh_pairs(make_docs(spark, rows), "text", "doc_id",
+                               num_hashes=16, bands=16, k=5, threshold=0.25)
+    exact_pairs = {(r.id_a, r.id_b) for r in exact.collect()}
+    lsh_pairs = {(r.id_a, r.id_b) for r in lsh.collect()}
+    assert (1, 2) in exact_pairs
+    assert lsh_pairs == exact_pairs  # banded LSH recovers the exact pairs here
+
+
+def test_minhash_recall_on_testdata(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exact = {(r.id_a, r.id_b) for r in DD.ngram_jaccard_pairs(
+        docs, "text", "doc_id", k=5, threshold=0.15).collect()}
+    lsh = {(r.id_a, r.id_b) for r in DD.minhash_lsh_pairs(
+        docs, "text", "doc_id", num_hashes=16, bands=4, k=5,
+        threshold=0.15).collect()}
+    # LSH verification step computes true jaccard, so lsh ⊆ exact always
+    assert lsh <= exact
+    if exact:
+        assert len(lsh) / len(exact) >= 0.5  # banding recall
+
+
+def test_simhash_identical_and_near_texts(spark):
+    rows = [(1, "alpha beta gamma delta " * 20),
+            (2, "alpha beta gamma delta " * 20),
+            (3, "unrelated totally different content " * 20)]
+    pairs = DD.simhash_neardup_pairs(make_docs(spark, rows), "text", "doc_id",
+                                     max_hamming=3).collect()
+    by_pair = {(r.id_a, r.id_b): r.hamming for r in pairs}
+    assert by_pair.get((1, 2)) == 0
+    assert (1, 3) not in by_pair and (2, 3) not in by_pair
+
+
+# -- similarity -----------------------------------------------------------
+
+
+def test_vector_functions(spark):
+    df = spark.createDataFrame([([3.0, 4.0], [1.0, 0.0])], "a array<float>, b array<float>")
+    row = df.select(dot("a", "b").alias("d"), l2_norm("a").alias("n"),
+                    F.round(cosine("a", "b"), 6).alias("c")).head()
+    assert row.d == 3.0 and row.n == 5.0 and row.c == 0.6
+
+
+def test_brute_force_topk_shape_and_order(spark, emb):
+    out = SIM.brute_force_topk(emb, emb.filter("vec_id <= 2"), k=3).collect()
+    by_query = {}
+    for r in out:
+        by_query.setdefault(r.query_id, []).append(r)
+    for qid, rows in by_query.items():
+        assert [r.rnk for r in rows] == [1, 2, 3]
+        scores = [r.score for r in rows]
+        assert scores == sorted(scores, reverse=True)
+        assert all(r.cand_id != qid for r in rows)
+
+
+def test_lsh_topk_recall_vs_brute_force(spark, emb):
+    queries = emb.filter("vec_id <= 10")
+    brute = SIM.brute_force_topk(emb, queries, k=5).collect()
+    approx = SIM.lsh_topk(emb, queries, dim=64, k=5, n_planes=8).collect()
+    brute_set = {(r.query_id, r.cand_id) for r in brute}
+    approx_set = {(r.query_id, r.cand_id) for r in approx}
+    # approximate: same-bucket candidates only; sanity: every query answered
+    # and a nonzero fraction of true neighbors recovered
+    assert {r.query_id for r in approx} == {r.query_id for r in brute}
+    assert len(approx_set & brute_set) > 0
+
+
+# -- text functions -------------------------------------------------------
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([("hello world foo",), ("",), ("a,b!c",)],
+                               "text string")
+    rows = df.select(TX.token_count("text").alias("n"),
+                     TX.bpe_ish_token_count("text").alias("b")).collect()
+    assert [r.n for r in rows] == [3, 0, 1]
+    assert [r.b for r in rows] == [3, 0, 5]  # a , b ! c
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [("the cat and the dog is in that house",),
+         ("el perro y la casa que es en madrid",),
+         ("der hund und die katze ist nicht ein haus mit",),
+         ("xyzzy qwerty plugh",)], "text string")
+    langs = [r.p for r in df.select(TX.lang_id("text").alias("p")).collect()]
+    assert langs == ["en", "es", "de", "unknown"]
+
+
+def test_shingles_and_fingerprint(spark):
+    df = spark.createDataFrame([("one two three four five six",), ("tiny",)],
+                               "text string")
+    rows = df.select(TX.shingles("text", 5).alias("sh"),
+                     TX.doc_fingerprint("text", 5).alias("fp")).collect()
+    assert rows[0].sh == ["one two three four five", "two three four five six"]
+    assert rows[1].sh == ["tiny"]
+    assert len(rows[0].fp) == 32  # md5 hex
+
+
+# -- multimodal -----------------------------------------------------------
+
+
+def test_multimodal_plumbing(spark, docs):
+    media = MM.attach_binary_payload(docs.limit(20), "doc_id", "text", "source")
+    assert [f.dataType.simpleString() for f in media.schema.fields][1] == "binary"
+    feats = MM.extract_features(media, dim=8).collect()
+    assert len(feats) == 20
+    for r in feats:
+        assert r.byte_len > 0 and len(r.digest) == 32
+        assert r.mime == "text/plain" and r.feat_dim == 8
+        assert 0.0 <= r.feat_mean <= 1.0
+
+
+def test_multimodal_features_deterministic(spark):
+    payload = b"some bytes"
+    assert MM.fake_features(payload) == MM.fake_features(payload)
+    with pytest.raises(NotImplementedError):
+        MM.decode_image(payload)
+
+
+# -- streaming ------------------------------------------------------------
+
+
+def test_stream_hourly_matches_batch(spark, sf_dir):
+    from datafusion_delta_sharing_spark.harness import load_table
+
+    streamed = {(r.window_start, r.event_type): r.n
+                for r in stream_hourly_counts(spark, sf_dir).collect()}
+    batch = {(r.window_start, r.event_type): r.n
+             for r in load_table(spark, sf_dir, "events")
+             .groupBy(F.date_trunc("hour", "ts").alias("window_start"),
+                      "event_type")
+             .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert streamed == batch

@@ -22,28 +22,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from datafusion_delta_sharing_spark.harness import tierb
+    from datafusion_delta_sharing_spark.harness import extensions, tierb, tierb2
 
     registry: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     registry.update(tierb.QUERIES)
-    try:
-        from datafusion_delta_sharing_spark.harness import extensions
-
-        registry.update(extensions.QUERIES)
-    except ImportError:
-        pass
+    registry.update(tierb2.QUERIES)
+    registry.update(extensions.QUERIES)
     return registry
 
 
 def oracle_sql() -> dict[str, str]:
-    from datafusion_delta_sharing_spark.harness import tierb
+    from datafusion_delta_sharing_spark.harness import extensions, tierb, tierb2
 
     oracles: dict[str, str] = {}
     oracles.update(tierb.ORACLES)
-    try:
-        from datafusion_delta_sharing_spark.harness import extensions
-
-        oracles.update(extensions.ORACLES)
-    except ImportError:
-        pass
+    oracles.update(tierb2.ORACLES)
+    oracles.update(extensions.ORACLES)
     return oracles

@@ -1,0 +1,41 @@
+"""Skew mitigation: salted joins for hot keys.
+
+AQE's skew-join splitting (`spark.sql.adaptive.skewJoin.enabled`, on in
+session.py) handles moderate skew at runtime. For pathological hot keys —
+one join key holding a double-digit percentage of a 100 TB table — explicit
+salting bounds every task: the skewed side gets a deterministic salt in
+[0, salts), the replicated side is exploded across all salt values, and the
+join key becomes (key, salt). Results are identical to the unsalted join;
+only the shuffle layout changes (each hot key now spreads over `salts`
+reducers at the cost of replicating the small side `salts`×).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+SALT_COL = "__salt"
+
+
+def salted_join(skewed: DataFrame, replicated: DataFrame, on: str | list[str],
+                how: str = "inner", salts: int = 16) -> DataFrame:
+    """Join a skewed (large) side against a replicated (smaller) side on
+    equi-key(s) with `salts`-way salting. The salt on the skewed side is
+    derived from its own key columns' hash mixed with a per-row component,
+    so one hot key fans out across reducers."""
+    keys = [on] if isinstance(on, str) else list(on)
+    overlap = set(skewed.columns) & set(replicated.columns) - set(keys)
+    if overlap:
+        raise ValueError(
+            f"ambiguous non-key columns on both sides: {sorted(overlap)}")
+
+    salted_left = skewed.withColumn(
+        SALT_COL,
+        F.pmod(F.xxhash64(F.lit("salt"), *[F.col(k) for k in keys],
+                          F.monotonically_increasing_id()),
+               F.lit(salts)).cast("int"),
+    )
+    salted_right = replicated.withColumn(
+        SALT_COL, F.explode(F.sequence(F.lit(0), F.lit(salts - 1))))
+    out = salted_left.join(salted_right, keys + [SALT_COL], how)
+    return out.drop(SALT_COL)

@@ -193,3 +193,41 @@ def test_stream_hourly_matches_batch(spark, sf_dir):
                       "event_type")
              .agg(F.count(F.lit(1)).alias("n")).collect()}
     assert streamed == batch
+
+
+# -- skew / salted join ---------------------------------------------------
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    from datafusion_delta_sharing_spark.operators.skew import salted_join
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_orderkey").alias("okey"), "l_quantity")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("okey"), "o_orderstatus")
+    plain = li.join(orders, "okey").groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("q"))
+    salted = salted_join(li, orders, "okey").groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("q"))
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_join_key_includes_salt(spark, sf_dir):
+    from datafusion_delta_sharing_spark.operators.skew import salted_join
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_orderkey").alias("okey"))
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("okey"), "o_orderstatus")
+    plan = salted_join(li, orders, "okey")._jdf.queryExecution() \
+        .optimizedPlan().toString()
+    assert "__salt" in plan
+
+
+def test_salted_join_rejects_ambiguous_columns(spark):
+    from datafusion_delta_sharing_spark.operators.skew import salted_join
+
+    a = spark.createDataFrame([(1, "x")], "k long, v string")
+    b = spark.createDataFrame([(1, "y")], "k long, v string")
+    with pytest.raises(ValueError, match="ambiguous"):
+        salted_join(a, b, "k")

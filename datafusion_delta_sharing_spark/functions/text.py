@@ -142,27 +142,38 @@ def lang_id_sql(col: str) -> str:
 # -- document fingerprinting ----------------------------------------------
 
 
+def words_of(col: Column | str) -> Column:
+    """Whitespace word array. Materialize this as its own column before
+    shingling: embedding the split inside the shingle lambda makes Spark
+    re-split the text once per shingle (O(words²) — measured 3× slower)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), WS_TOKEN_SPLIT)
+
+
+def shingles_of_words(words: Column | str, raw: Column | str, k: int = 5) -> Column:
+    """Word k-shingles from a pre-materialized words array."""
+    w = F.col(words) if isinstance(words, str) else words
+    r = F.col(raw) if isinstance(raw, str) else raw
+    return F.when(F.size(w) < k, F.array(F.trim(r))).otherwise(
+        F.transform(F.sequence(F.lit(1), F.size(w) - k + 1),
+                    lambda i: F.array_join(F.slice(w, i, F.lit(k)), " ")))
+
+
 def shingles(col: Column | str, k: int = 5) -> Column:
-    """Word k-shingles as an array<string> (higher-order functions only)."""
-    if not isinstance(col, str):
-        raise ValueError("shingles() needs a column name for SQL-expr construction")
-    # Spark SQL string literals process backslash escapes, so the regex
-    # needs double-escaping inside expr() ('\\s+' in SQL text -> \s+ regex)
-    pat = "\\\\s+"
-    words = f"split(trim({col}), '{pat}')"
-    return F.expr(
-        f"CASE WHEN size({words}) < {k} "
-        f"THEN array(trim({col})) "
-        f"ELSE transform(sequence(1, size({words}) - {k} + 1), "
-        f"i -> array_join(slice({words}, i, {k}), ' ')) END"
-    )
+    """Word k-shingles straight from a text column (convenience; prefer
+    materializing ``words_of`` first in performance-sensitive plans)."""
+    return shingles_of_words(words_of(col), col, k)
 
 
-def doc_fingerprint(col: str, k: int = 5) -> Column:
+def doc_fingerprint(col: str, k: int = 5,
+                    words: Column | str | None = None) -> Column:
     """Winnowing-style fingerprint: the minimum md5 over word k-shingles.
     md5-hex strings compare identically in Spark and DuckDB, so this is
-    oracle-checkable (unlike xxhash64, which DuckDB lacks)."""
-    return F.array_min(F.transform(shingles(col, k), lambda s: F.md5(s)))
+    oracle-checkable (unlike xxhash64, which DuckDB lacks). Pass a
+    pre-materialized ``words`` column in hot paths."""
+    sh = (shingles_of_words(words, col, k) if words is not None
+          else shingles(col, k))
+    return F.array_min(F.transform(sh, lambda s: F.md5(s)))
 
 
 def doc_fingerprint_sql(col: str, k: int = 5) -> str:

@@ -107,9 +107,11 @@ def q_lang_id(spark, sf_dir):
 
 def q_doc_fingerprint(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
+    with_words = docs.select("doc_id", "text",
+                             TX.words_of("text").alias("words"))
+    return with_words.select(
         "doc_id",
-        TX.doc_fingerprint("text", k=5).alias("fingerprint"),
+        TX.doc_fingerprint("text", k=5, words="words").alias("fingerprint"),
     )
 
 

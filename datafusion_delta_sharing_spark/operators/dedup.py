@@ -16,7 +16,11 @@ from functools import reduce
 
 from pyspark.sql import DataFrame, functions as F
 
-from datafusion_delta_sharing_spark.functions.text import WS_TOKEN_SPLIT, shingles
+from datafusion_delta_sharing_spark.functions.text import (
+    WS_TOKEN_SPLIT,
+    shingles_of_words,
+    words_of,
+)
 
 
 # -- exact dedup ----------------------------------------------------------
@@ -45,11 +49,22 @@ def exact_dedup(df: DataFrame, cols: list[str]) -> DataFrame:
 # -- n-gram Jaccard (explode-join: the ANSI-expressible, scalable form) ---
 
 
+def _with_shingles(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
+    """(id, shingles) with the words array materialized first (words² trap:
+    see functions/text.py words_of)."""
+    return (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_txt"),
+                  words_of(text_col).alias("_words"))
+        .select("id", F.array_distinct(
+            shingles_of_words("_words", "_txt", k)).alias("shingles"))
+    )
+
+
 def shingle_sets(df: DataFrame, text_col: str, id_col: str, k: int = 5) -> DataFrame:
     """(id, shingle) pairs, distinct — the posting-list layout."""
     return (
-        df.select(F.col(id_col).alias("id"),
-                  F.explode(F.array_distinct(shingles(text_col, k))).alias("sh"))
+        _with_shingles(df, text_col, id_col, k)
+        .select("id", F.explode("shingles").alias("sh"))
         .distinct()
     )
 
@@ -91,8 +106,6 @@ def minhash_signature(df: DataFrame, text_col: str, id_col: str,
     """(id, shingles, sig) where sig[i] = min over shingles of
     xxhash64(shingle, seed=i). Pure higher-order functions: the signature
     never leaves the JVM."""
-    sh = F.array_distinct(shingles(text_col, k))
-
     def _hash_with_seed(seed: int):
         # single-arg lambda: a two-arg lambda would receive (element, index)
         # from transform() and the index would silently replace the seed
@@ -102,10 +115,7 @@ def minhash_signature(df: DataFrame, text_col: str, id_col: str,
         F.array_min(F.transform(F.col("shingles"), _hash_with_seed(i)))
         for i in range(num_hashes)
     ])
-    return (
-        df.select(F.col(id_col).alias("id"), sh.alias("shingles"))
-        .withColumn("sig", sig)
-    )
+    return _with_shingles(df, text_col, id_col, k).withColumn("sig", sig)
 
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,

@@ -22,20 +22,22 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from datafusion_delta_sharing_spark.harness import extensions, tierb, tierb2
+    from datafusion_delta_sharing_spark.harness import (
+        extensions, tierb, tierb2, tierb3, tpch,
+    )
 
     registry: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    registry.update(tierb.QUERIES)
-    registry.update(tierb2.QUERIES)
-    registry.update(extensions.QUERIES)
+    for mod in (tierb, tierb2, tierb3, tpch, extensions):
+        registry.update(mod.QUERIES)
     return registry
 
 
 def oracle_sql() -> dict[str, str]:
-    from datafusion_delta_sharing_spark.harness import extensions, tierb, tierb2
+    from datafusion_delta_sharing_spark.harness import (
+        extensions, tierb, tierb2, tierb3, tpch,
+    )
 
     oracles: dict[str, str] = {}
-    oracles.update(tierb.ORACLES)
-    oracles.update(tierb2.ORACLES)
-    oracles.update(extensions.ORACLES)
+    for mod in (tierb, tierb2, tierb3, tpch, extensions):
+        oracles.update(mod.ORACLES)
     return oracles

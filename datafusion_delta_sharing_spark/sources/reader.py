@@ -100,21 +100,47 @@ class _RangedHttpFile(io.RawIOBase):
     def tell(self) -> int:
         return self._pos
 
+    _RETRIES = 3
+    _BACKOFF_S = 0.5
+
     def read(self, n: int = -1) -> bytes:
+        import time
+
+        import requests
+
         if n is None or n < 0:
             n = self._size - self._pos
         if n <= 0 or self._pos >= self._size:
             return b""
         end = min(self._pos + n, self._size) - 1
-        resp = self._session.get(
-            self._url,
-            headers={"Range": f"bytes={self._pos}-{end}"},
-            timeout=120,
-        )
-        resp.raise_for_status()
-        data = resp.content
-        self._pos += len(data)
-        return data
+        # transient faults (connection resets, 5xx from object stores) are
+        # routine at 100 TB scan scale: bounded retry with backoff; 4xx
+        # (expired presigned URL) propagates so the caller can re-list
+        last_exc: Exception | None = None
+        for attempt in range(self._RETRIES + 1):
+            try:
+                resp = self._session.get(
+                    self._url,
+                    headers={"Range": f"bytes={self._pos}-{end}"},
+                    timeout=120,
+                )
+                if resp.status_code >= 500:
+                    raise requests.HTTPError(
+                        f"server error {resp.status_code}", response=resp)
+                resp.raise_for_status()
+                data = resp.content
+                self._pos += len(data)
+                return data
+            except (requests.ConnectionError, requests.Timeout) as exc:
+                last_exc = exc
+            except requests.HTTPError as exc:
+                status = exc.response.status_code if exc.response is not None else None
+                if status is None or status < 500:
+                    raise
+                last_exc = exc
+            if attempt < self._RETRIES:
+                time.sleep(self._BACKOFF_S * (2 ** attempt))
+        raise last_exc  # type: ignore[misc]
 
     def size(self) -> int:
         return self._size

@@ -192,3 +192,39 @@ def test_connection_string_bootstrap(spark, local_server, tmp_path):
     profile_path.write_text(json.dumps(local_server.profile_doc()))
     df = DeltaSharingReader.load(spark, f"{profile_path}#s.d.t")
     assert df.count() == 6
+
+
+def test_ranged_reader_retries_transient_5xx(spark):
+    """First two range GETs per request path return 503; the reader must
+    retry and the scan must still return every row."""
+    import threading
+
+    blobs = {"/r.parquet": _blob([1, 2, 3], [1.0, 2.0, 3.0])}
+    table = MockTable(share="s", schema="d", name="t",
+                      schema_string=SCHEMA_STRING,
+                      partition_columns=PARTITION_COLUMNS, files=[])
+    failures = {"remaining": 2}
+    lock = threading.Lock()
+
+    with MockSharingServer([table], parquet_bytes=blobs) as srv:
+        table.files.append({"id": "r", "url": f"{srv.base_url}/r.parquet",
+                            "size": len(blobs["/r.parquet"]),
+                            "partition_values": {"day": "2021-04-28",
+                                                 "tag": "x"}})
+        orig = srv.parquet_bytes
+
+        class Flaky(dict):
+            def __contains__(self, key):
+                return key in orig
+
+            def __getitem__(self, key):
+                with lock:
+                    if failures["remaining"] > 0:
+                        failures["remaining"] -= 1
+                        raise BrokenPipeError("synthetic transient failure")
+                return orig[key]
+
+        srv.parquet_bytes = Flaky()
+        df = _reader(spark, srv).table("s.d.t")
+        assert sorted(r.id for r in df.collect()) == [1, 2, 3]
+        assert failures["remaining"] == 0

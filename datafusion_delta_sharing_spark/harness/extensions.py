@@ -82,6 +82,14 @@ def q_ann_lsh_topk(spark, sf_dir):
     return SIM.lsh_topk(emb, queries, dim=_EMB_DIM, k=5, n_planes=8)
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF coarse-quantizer ANN (recall < 1: rows-only; recall vs brute
+    force asserted in tests)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") <= _ANN_QUERIES)
+    return SIM.ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=4)
+
+
 # -- text analysis --------------------------------------------------------
 
 
@@ -141,6 +149,7 @@ QUERIES = {
     "embedding_neardup": q_embedding_neardup,
     "ann_topk": q_ann_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "text_metrics": q_text_metrics,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,

@@ -136,3 +136,111 @@ def embedding_neardup_pairs(corpus: DataFrame, threshold: float = 0.95,
         .filter(F.col("score") >= threshold)
         .select("id_a", "id_b", "score")
     )
+
+
+# -- IVF (inverted-file) ANN ----------------------------------------------
+
+
+def ivf_centroids(corpus: DataFrame, n_centroids: int = 16, iterations: int = 3,
+                  id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Deterministic coarse quantizer: seed centroids from evenly-spaced
+    corpus vectors (by sorted id), refine with a few Lloyd iterations run
+    as numpy on collected centroids + distributed assignment aggregates.
+    Returns a numpy array (n_centroids, dim). Driver holds only the
+    centroid matrix — corpus stays distributed throughout."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    # deterministic pseudo-random seeds via distributed top-k on a hash of
+    # the id (TakeOrderedAndProject: no full collect, no global sort)
+    seeds = (corpus.select(F.xxhash64(F.col(id_col)).alias("_h"),
+                           F.col(vec_col))
+             .orderBy("_h").limit(n_centroids).collect())
+    centroids = np.array([r[1] for r in seeds], dtype=np.float64)
+
+    for _ in range(iterations):
+        assigned = _assign(corpus, centroids, id_col, vec_col)
+        # mean vector per cluster: aggregate per-dimension sums distributed
+        sums = (assigned
+                .groupBy("centroid")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     *[F.sum(F.element_at(F.col(vec_col), d + 1)).alias(f"s{d}")
+                       for d in range(centroids.shape[1])])
+                .collect())
+        new = centroids.copy()
+        for row in sums:
+            if row["n"] > 0:
+                new[row["centroid"]] = [row[f"s{d}"] / row["n"]
+                                        for d in range(centroids.shape[1])]
+        centroids = new
+    return centroids
+
+
+def _assign(corpus: DataFrame, centroids, id_col: str, vec_col: str) -> DataFrame:
+    """Tag each vector with its nearest centroid (L2) via one numpy matmul
+    per Arrow batch."""
+    import numpy as np
+    import pandas as pd
+
+    sc = corpus.sparkSession.sparkContext
+    bc = sc.broadcast(np.asarray(centroids, dtype=np.float64))
+
+    def tag(it):
+        cents = bc.value
+        c_sq = (cents ** 2).sum(axis=1)
+        for pdf in it:
+            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            d2 = (mat ** 2).sum(axis=1)[:, None] - 2 * (mat @ cents.T) + c_sq
+            out = pdf.copy()
+            out["centroid"] = d2.argmin(axis=1).astype("int32")
+            yield out
+
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                       for f in corpus.schema.fields)
+    return corpus.mapInPandas(tag, f"{fields}, centroid int")
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+             n_centroids: int = 16, nprobe: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF ANN: assign corpus to coarse cells once, probe the nprobe cells
+    nearest each query, exact cosine re-rank inside the probed cells.
+    Candidate generation is an equi-join on the cell id — at 100 TB the
+    cell assignment is written once (partitioned by cell) and each query
+    batch touches nprobe/n_centroids of the data."""
+    import numpy as np
+
+    from pyspark.sql import Window as W, functions as F
+
+    centroids = ivf_centroids(corpus, n_centroids, 3, id_col, vec_col)
+    tagged = _assign(corpus, centroids, id_col, vec_col)
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows])
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    c_sq = (centroids ** 2).sum(axis=1)
+    d2 = (q_mat ** 2).sum(axis=1)[:, None] - 2 * (q_mat @ centroids.T) + c_sq
+    probes = np.argsort(d2, axis=1)[:, :nprobe]
+
+    probe_rows = [(int(q_ids[i]), [float(v) for v in q_mat[i]], int(c))
+                  for i in range(len(q_ids)) for c in probes[i]]
+    probe_df = corpus.sparkSession.createDataFrame(
+        probe_rows, f"query_id long, query_vec array<double>, centroid int")
+
+    cand = tagged.join(F.broadcast(probe_df), "centroid").filter(
+        F.col(id_col) != F.col("query_id"))
+    prods = F.zip_with(F.col("query_vec"), F.col(vec_col),
+                       lambda x, y: x * y.cast("double"))
+    qnorm = F.sqrt(F.aggregate(F.col("query_vec"), F.lit(0.0),
+                               lambda a, x: a + x * x))
+    cnorm = F.sqrt(F.aggregate(F.col(vec_col), F.lit(0.0),
+                               lambda a, x: a + x.cast("double") * x.cast("double")))
+    scored = cand.withColumn(
+        "score",
+        F.round(F.aggregate(prods, F.lit(0.0), lambda a, x: a + x)
+                / (qnorm * cnorm), 6))
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+    return (scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rnk") <= k)
+            .select("query_id", F.col(id_col).alias("cand_id"), "score", "rnk"))

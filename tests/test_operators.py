@@ -231,3 +231,70 @@ def test_salted_join_rejects_ambiguous_columns(spark):
     b = spark.createDataFrame([(1, "y")], "k long, v string")
     with pytest.raises(ValueError, match="ambiguous"):
         salted_join(a, b, "k")
+
+
+# -- IVF ANN --------------------------------------------------------------
+
+
+def test_ivf_topk_recall_vs_brute_force(spark, emb):
+    queries = emb.filter("vec_id <= 10")
+    brute = SIM.brute_force_topk(emb, queries, k=5).collect()
+    ivf = SIM.ivf_topk(emb, queries, k=5, n_centroids=8, nprobe=4).collect()
+    brute_set = {(r.query_id, r.cand_id) for r in brute}
+    ivf_set = {(r.query_id, r.cand_id) for r in ivf}
+    assert {r.query_id for r in ivf} == {r.query_id for r in brute}
+    # probing half the cells should recover a solid share of true neighbors
+    assert len(ivf_set & brute_set) / len(brute_set) >= 0.4
+    for r in ivf:
+        assert r.rnk <= 5 and r.cand_id != r.query_id
+
+
+def test_ivf_centroids_deterministic(spark, emb):
+    c1 = SIM.ivf_centroids(emb, n_centroids=4, iterations=2)
+    c2 = SIM.ivf_centroids(emb, n_centroids=4, iterations=2)
+    assert (c1 == c2).all()
+    assert c1.shape == (4, 64)
+
+
+def test_stateful_stream_merges_state_across_microbatches(spark, tmp_path):
+    """Two event files + maxFilesPerTrigger=1 -> two microbatches; the
+    per-user state must merge across them (append emits one row per user
+    per touched batch; the LAST row per user carries the merged totals)."""
+    import shutil
+    import uuid
+
+    from pyspark.sql import functions as F
+    from datafusion_delta_sharing_spark.streaming.stateful import (
+        EVENTS_RAW_SCHEMA,
+        _update_user_state,
+    )
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    shutil.copy("/root/testdata/sf0.001/events.parquet", src / "a.parquet")
+    shutil.copy("/root/testdata/sf0.001/events.parquet", src / "b.parquet")
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (spark.readStream.schema(EVENTS_RAW_SCHEMA)
+           .option("maxFilesPerTrigger", "1").parquet(str(src)))
+    stated = raw.groupBy("user_id").applyInPandasWithState(
+        _update_user_state, "user_id bigint, n_events bigint, total_value double",
+        "n bigint, total double", "append", GroupStateTimeout.NoTimeout)
+    sink = f"ms_{uuid.uuid4().hex[:8]}"
+    q = (stated.writeStream.outputMode("append")
+         .format("memory").queryName(sink).start())
+    try:
+        q.processAllAvailable()
+        batches = {r.user_id: r for r in
+                   spark.table(sink).groupBy("user_id")
+                   .agg(F.max("n_events").alias("n"),
+                        F.count(F.lit(1)).alias("emissions")).collect()}
+    finally:
+        q.stop()
+    single = {r.user_id: r.n for r in
+              spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+              .groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for uid, row in batches.items():
+        assert row.n == 2 * single[uid]      # state merged both copies
+        assert row.emissions == 2            # one emission per microbatch

@@ -104,10 +104,20 @@ class DeltaSharingCatalog:
         r"(?<![\w.`])([A-Za-z_][\w]*)\.([A-Za-z_][\w]*)\.([A-Za-z_][\w]*)(?![\w.`(])"
     )
 
+    _INFO_SCHEMA_RE = re.compile(
+        r"(?<![\w.`])information_schema\.tables(?![\w.`(])", re.IGNORECASE)
+
     def sql(self, query: str) -> DataFrame:
         """Run SQL containing ``share.schema.table`` identifiers: each known
         three-part name is resolved (lazily registering its view) and
-        rewritten to the flat view name, then the query runs on Spark."""
+        rewritten to the flat view name, then the query runs on Spark.
+        ``information_schema.tables`` resolves to the catalog listing
+        (the reference's examples/catalog.rs:8-15 surface)."""
+        if self._INFO_SCHEMA_RE.search(query):
+            self.list_tables().createOrReplaceTempView(
+                "information_schema__tables")
+            query = self._INFO_SCHEMA_RE.sub("information_schema__tables", query)
+
         def replace(match: re.Match) -> str:
             fqn = ".".join(match.groups())
             if fqn in self.tables:

@@ -135,6 +135,24 @@ def _may_match(node: Op, stats: dict) -> bool:
     return True  # unknown op: keep the file
 
 
+def prune_for_limit(files: list, limit: int) -> list:
+    """Keep a prefix of files whose stats-known record counts cover
+    ``limit``. ONLY sound when no predicate of any kind applies (rows
+    survive 1:1 into the limit). A file without numRecords makes the rest
+    unprunable — return the original list unchanged."""
+    kept, covered = [], 0
+    for f in files:
+        kept.append(f)
+        stats = f.parsed_stats()
+        n = stats.get("numRecords") if stats else None
+        if not isinstance(n, int):
+            return files  # unknown count: cannot bound coverage
+        covered += n
+        if covered >= limit:
+            return kept
+    return kept
+
+
 def _stat_raw_null_count(stats: dict, column: str) -> int | None:
     values = stats.get("nullCount")
     if isinstance(values, dict) and isinstance(values.get(column), int):

@@ -49,7 +49,7 @@ from datafusion_delta_sharing_spark.plans.predicates import (
     Op,
     predicate_from_sql,
 )
-from datafusion_delta_sharing_spark.plans.pruning import may_match
+from datafusion_delta_sharing_spark.plans.pruning import may_match, prune_for_limit
 from datafusion_delta_sharing_spark.profile import Profile
 from datafusion_delta_sharing_spark.securable import Table
 from datafusion_delta_sharing_spark.sources.schema import (
@@ -332,8 +332,13 @@ class DeltaSharingReader:
         data = self.client.get_table_data(
             table, json_predicate_hints=hints, limit_hint=limit
         )
+        # limit-based file pruning is only sound with NO predicate at all:
+        # a non-pushable predicate (predicate_op None, residual filter only)
+        # still removes rows, so pruned files could hold matches
+        prune_limit = limit if predicate is None else None
         df = self._dataframe_from_listing(
-            table, data, predicate_op=predicate_op, columns=columns
+            table, data, predicate_op=predicate_op, columns=columns,
+            limit=prune_limit,
         )
         if predicate is not None:
             df = df.filter(predicate)  # residual: Inexact semantics (A5)
@@ -345,7 +350,8 @@ class DeltaSharingReader:
 
     def _dataframe_from_listing(self, table: Table, data: TableData,
                                 predicate_op: Op | None = None,
-                                columns: Sequence[str] | None = None) -> DataFrame:
+                                columns: Sequence[str] | None = None,
+                                limit: int | None = None) -> DataFrame:
         metadata = data.metadata
         if metadata.format_provider.lower() != "parquet":
             raise DeltaSharingError(
@@ -359,6 +365,12 @@ class DeltaSharingReader:
         if self.use_stats_pruning and predicate_op is not None:
             files = [f for f in files
                      if may_match(predicate_op, f.parsed_stats())]
+
+        if limit is not None and predicate_op is None and self.use_stats_pruning:
+            # beyond the reference's limitHint: stop listing files once
+            # stats-known record counts cover the limit (caller guarantees
+            # no predicate applies — see table())
+            files = prune_for_limit(files, limit)
 
         if columns:
             unknown = [c for c in columns if c not in full_schema.fieldNames()]

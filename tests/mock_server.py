@@ -40,6 +40,7 @@ class MockSharingServer:
         self.tables = tables
         self.page_size = page_size
         self.parquet_bytes = parquet_bytes or {}  # path -> bytes, served w/ Range
+        self.forbidden_paths: set[str] = set()  # served as 403 (expired URL)
         self.requests: list[dict] = []  # method, path, query, body, headers
         self._server: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
@@ -103,6 +104,10 @@ class MockSharingServer:
                 parsed = urlparse(self.path)
                 path, query = parsed.path, {k: v[0] for k, v in
                                             parse_qs(parsed.query).items()}
+                if path in outer.forbidden_paths:
+                    return self._send(403, json.dumps({
+                        "errorCode": "EXPIRED", "message": "url expired",
+                    }).encode())
                 if path in outer.parquet_bytes:
                     return self._serve_parquet(path)
                 if not self._check_auth():

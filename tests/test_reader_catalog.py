@@ -228,3 +228,75 @@ def test_ranged_reader_retries_transient_5xx(spark):
         df = _reader(spark, srv).table("s.d.t")
         assert sorted(r.id for r in df.collect()) == [1, 2, 3]
         assert failures["remaining"] == 0
+
+
+def test_expired_url_triggers_relist_refresh(spark):
+    """The presigned URL from the first listing 403s; the executor must
+    re-list the table with a fresh client and read from the new URL
+    (File.expirationTimestamp handling the reference lacks)."""
+    blobs = {"/fresh.parquet": _blob([7, 8], [7.0, 8.0])}
+    table = MockTable(share="s", schema="d", name="t",
+                      schema_string=SCHEMA_STRING,
+                      partition_columns=PARTITION_COLUMNS, files=[])
+    with MockSharingServer([table], parquet_bytes=blobs) as srv:
+        srv.forbidden_paths.add("/stale.parquet")
+        stale = {"id": "f", "url": f"{srv.base_url}/stale.parquet",
+                 "size": len(blobs["/fresh.parquet"]),
+                 "partition_values": {"day": "2021-04-28", "tag": "x"}}
+        table.files.append(stale)
+        df = _reader(spark, srv).table("s.d.t")  # listing captures stale URL
+        # server rotates the URL before execution (as if re-signed)
+        table.files[0] = {**stale, "url": f"{srv.base_url}/fresh.parquet"}
+        assert sorted(r.id for r in df.collect()) == [7, 8]
+        relists = [r for r in srv.requests if r["path"].endswith("/query")]
+        assert len(relists) >= 2  # original listing + executor refresh
+
+
+def test_limit_prunes_files_with_stats(spark):
+    blobs = {f"/l{i}.parquet": _blob([i * 10, i * 10 + 1], [1.0, 2.0])
+             for i in range(4)}
+    table = MockTable(share="s", schema="d", name="t",
+                      schema_string=SCHEMA_STRING,
+                      partition_columns=PARTITION_COLUMNS, files=[])
+    with MockSharingServer([table], parquet_bytes=blobs) as srv:
+        for i in range(4):
+            table.files.append({
+                "id": f"l{i}", "url": f"{srv.base_url}/l{i}.parquet",
+                "size": len(blobs[f"/l{i}.parquet"]),
+                "partition_values": {"day": "2021-04-28", "tag": "x"},
+                "stats": json.dumps({"numRecords": 2})})
+        df = _reader(spark, srv).table("s.d.t", limit=3)
+        assert df.count() == 3
+        fetched = {r["path"] for r in srv.requests if r["path"].endswith(".parquet")}
+        assert len(fetched) == 2  # 2 files cover limit=3; other 2 never opened
+
+
+def test_information_schema_tables_sql(spark, local_server):
+    catalog = DeltaSharingCatalog(
+        spark, Profile.from_json(local_server.profile_doc()))
+    rows = catalog.sql(
+        "SELECT table_name, view_name FROM information_schema.tables "
+        "ORDER BY table_name").collect()
+    assert [(r.table_name, r.view_name) for r in rows] == [("t", "s__d__t")]
+
+
+def test_limit_prune_disabled_with_unpushable_predicate(spark):
+    """Regression (found in review): a predicate that fails to push
+    (predicate_op None) must DISABLE limit-based file pruning — pruned
+    files could hold the only matching rows."""
+    blobs = {"/p0.parquet": _blob([1, 2], [1.0, 2.0]),
+             "/p1.parquet": _blob([100, 101], [3.0, 4.0])}
+    table = MockTable(share="s", schema="d", name="t",
+                      schema_string=SCHEMA_STRING,
+                      partition_columns=PARTITION_COLUMNS, files=[])
+    with MockSharingServer([table], parquet_bytes=blobs) as srv:
+        for i in range(2):
+            table.files.append({
+                "id": f"p{i}", "url": f"{srv.base_url}/p{i}.parquet",
+                "size": len(blobs[f"/p{i}.parquet"]),
+                "partition_values": {"day": "2021-04-28", "tag": "x"},
+                "stats": json.dumps({"numRecords": 2})})
+        # 'id % 2 = 0 OR id >= 100' is not pushable -> engine-side only
+        df = _reader(spark, srv).table(
+            "s.d.t", predicate="id % 2 = 0 OR id >= 100", limit=3)
+        assert sorted(r.id for r in df.collect()) == [2, 100, 101]

@@ -1,0 +1,40 @@
+"""Pipeline output sinks.
+
+The sharing protocol itself is read-only (the reference has no write path —
+SURVEY.md §2 Tier-A note), but a training-data pipeline must land its
+outputs somewhere. Two scale-bearing writers:
+
+* ``write_partitioned`` — hive-partitioned parquet, the layout downstream
+  scans prune on (dynamic partition pruning, partition-wise listing);
+* ``write_bucketed`` — bucketed table so later equi-joins/aggregations on
+  the bucket key are co-located and skip the shuffle entirely.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_partitioned(df: DataFrame, path: str, partition_by: list[str],
+                      mode: str = "overwrite",
+                      max_records_per_file: int | None = None) -> None:
+    """Write hive-partitioned parquet. ``maxRecordsPerFile`` bounds file
+    size so a skewed partition value cannot produce one giant file."""
+    writer = df.write.mode(mode).partitionBy(*partition_by)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    writer.parquet(path)
+
+
+def write_bucketed(df: DataFrame, table_name: str, bucket_by: str,
+                   n_buckets: int = 16, sort_by: str | None = None,
+                   mode: str = "overwrite") -> None:
+    """Save as a bucketed (and optionally sorted) managed table. Joins and
+    aggregations on ``bucket_by`` between tables bucketed the same way plan
+    with ZERO Exchange — the co-location replaces the shuffle (verified in
+    tests/test_sinks.py by plan inspection)."""
+    writer = (df.write.mode(mode)
+              .bucketBy(n_buckets, bucket_by))
+    if sort_by:
+        writer = writer.sortBy(sort_by)
+    writer.saveAsTable(table_name)

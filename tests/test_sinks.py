@@ -1,0 +1,48 @@
+"""Sink tests: partitioned parquet round-trip + pruning, bucketed join
+without a shuffle."""
+
+from pyspark.sql import functions as F
+
+from datafusion_delta_sharing_spark.sources.sinks import (
+    write_bucketed,
+    write_partitioned,
+)
+
+
+def test_partitioned_write_roundtrip_and_pruning(spark, sf_dir, tmp_path):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").withColumn(
+        "yr", F.year("o_orderdate"))
+    out = str(tmp_path / "orders_by_year")
+    write_partitioned(orders, out, ["yr"], max_records_per_file=100_000)
+
+    back = spark.read.parquet(out)
+    assert back.count() == orders.count()
+    one_year = back.filter(F.col("yr") == 1996)
+    plan = one_year._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(yr" in plan  # directory-level pruning
+    assert one_year.count() == orders.filter("yr = 1996").count()
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice")
+    write_bucketed(li, "li_bucketed", "l_orderkey", 8, sort_by="l_orderkey")
+    write_bucketed(orders.withColumnRenamed("o_orderkey", "l_orderkey"),
+                   "orders_bucketed", "l_orderkey", 8, sort_by="l_orderkey")
+    # disable broadcast so the join shape (SMJ) exposes whether a shuffle
+    # is needed — at real scale neither side broadcasts anyway
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("li_bucketed").join(
+            spark.table("orders_bucketed"), "l_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # co-located: bucketing replaced shuffle
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS li_bucketed")
+        spark.sql("DROP TABLE IF EXISTS orders_bucketed")

@@ -389,13 +389,18 @@ class DeltaSharingReader:
         return self._read_distributed(table, files, full_schema,
                                       partition_columns, columns)
 
+    # above this many distinct partition tuples, per-group scans would blow
+    # up the plan: switch to one scan + input_file_name partition join
+    MAX_PARTITION_SCANS = 16
+
     def _read_local(self, files: list[FileAction], full_schema: T.StructType,
                     partition_columns: list[str],
                     columns: Sequence[str] | None) -> DataFrame:
         """Native parquet scan per partition-value group: Spark's vectorized
         reader + Catalyst pushdown do A2/A4 for free. File groups are
-        coalesced per distinct partition tuple to bound plan size
-        (SURVEY.md §7 risk note)."""
+        coalesced per distinct partition tuple to bound plan size; past
+        MAX_PARTITION_SCANS distinct tuples, a single scan joins partition
+        values by file identity instead (SURVEY.md §7 risk note)."""
         data_schema = T.StructType(
             [f for f in full_schema.fields if f.name not in partition_columns]
         )
@@ -403,6 +408,10 @@ class DeltaSharingReader:
         for f in files:
             key = tuple(sorted(f.partition_values.items()))
             groups.setdefault(key, []).append(f)
+
+        if len(groups) > self.MAX_PARTITION_SCANS and partition_columns:
+            return self._read_local_single_scan(
+                files, full_schema, data_schema, partition_columns, columns)
 
         parts: list[DataFrame] = []
         for _, group in sorted(groups.items()):
@@ -417,6 +426,35 @@ class DeltaSharingReader:
                 df = df.withColumn(name, F.lit(decoded[name]).cast(dtype))
             parts.append(df.select(*[f.name for f in full_schema.fields]))
         out = reduce(DataFrame.unionByName, parts)
+        if columns:
+            out = out.select(*columns)
+        return out
+
+    def _read_local_single_scan(self, files: list[FileAction],
+                                full_schema: T.StructType,
+                                data_schema: T.StructType,
+                                partition_columns: list[str],
+                                columns: Sequence[str] | None) -> DataFrame:
+        """One scan over every file + a broadcast join from file identity
+        (``input_file_name``) to decoded partition values: plan size is O(1)
+        in the number of distinct partition tuples."""
+        paths = [urlparse(f.url).path if f.url.startswith("file:") else f.url
+                 for f in files]
+        scan = (self.spark.read.schema(data_schema).parquet(*paths)
+                .withColumn("__file", F.input_file_name()))
+
+        part_fields = [full_schema[c] for c in partition_columns]
+        map_schema = T.StructType(
+            [T.StructField("__file", T.StringType(), False)] + part_fields)
+        rows = []
+        for f, path in zip(files, paths):
+            decoded = decode_partition_values(
+                f.partition_values, full_schema, partition_columns)
+            rows.append(tuple([f"file://{path}"]
+                              + [decoded[c] for c in partition_columns]))
+        mapping = self.spark.createDataFrame(rows, map_schema)
+        out = (scan.join(F.broadcast(mapping), "__file").drop("__file")
+               .select(*[f.name for f in full_schema.fields]))
         if columns:
             out = out.select(*columns)
         return out

@@ -300,3 +300,28 @@ def test_limit_prune_disabled_with_unpushable_predicate(spark):
         df = _reader(spark, srv).table(
             "s.d.t", predicate="id % 2 = 0 OR id >= 100", limit=3)
         assert sorted(r.id for r in df.collect()) == [2, 100, 101]
+
+
+def test_many_partition_groups_single_scan(spark, tmp_path):
+    """40 distinct partition tuples -> the reader must switch to one scan +
+    broadcast partition-value join instead of 40 unioned scans."""
+    files = []
+    for i in range(40):
+        path = _write_local(tmp_path, f"g{i}.parquet", [i], [float(i)])
+        files.append({"id": f"g{i}", "url": f"file://{path}", "size": 0,
+                      "partition_values": {"day": f"2021-04-{(i % 28) + 1:02d}",
+                                           "tag": f"t{i}"}})
+    table = MockTable(share="s", schema="d", name="t",
+                      schema_string=SCHEMA_STRING,
+                      partition_columns=PARTITION_COLUMNS, files=files)
+    with MockSharingServer([table]) as srv:
+        df = _reader(spark, srv).table("s.d.t")
+        rows = {r.id: r for r in df.collect()}
+        assert len(rows) == 40
+        assert rows[7].tag == "t7" and str(rows[7].day) == "2021-04-08"
+        assert rows[39].tag == "t39"
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        # exactly ONE parquet relation (not 40 unioned scans) + the
+        # broadcast mapping join
+        assert plan.count("Relation [") == 1
+        assert "Join Inner" in plan and "broadcast" in plan

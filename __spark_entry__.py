@@ -23,21 +23,21 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from datafusion_delta_sharing_spark.harness import (
-        extensions, tierb, tierb2, tierb3, tierb4, tpch,
+        extensions, tierb, tierb2, tierb3, tierb4, tierb5, tpch,
     )
 
     registry: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for mod in (tierb, tierb2, tierb3, tierb4, tpch, extensions):
+    for mod in (tierb, tierb2, tierb3, tierb4, tierb5, tpch, extensions):
         registry.update(mod.QUERIES)
     return registry
 
 
 def oracle_sql() -> dict[str, str]:
     from datafusion_delta_sharing_spark.harness import (
-        extensions, tierb, tierb2, tierb3, tierb4, tpch,
+        extensions, tierb, tierb2, tierb3, tierb4, tierb5, tpch,
     )
 
     oracles: dict[str, str] = {}
-    for mod in (tierb, tierb2, tierb3, tierb4, tpch, extensions):
+    for mod in (tierb, tierb2, tierb3, tierb4, tierb5, tpch, extensions):
         oracles.update(mod.ORACLES)
     return oracles

@@ -21,6 +21,8 @@ HEADLINE = [
     "flagship", "scan_filter_project", "join_inner", "join_range",
     "join_semi", "tpch_q1", "rollup", "agg_stats",
     "window_running", "topk_per_group",
+    # TPC-H multi-join shapes
+    "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q10",
     # UDF / python path
     "pandas_udf_scalar", "grouped_map_zscore",
     # pipeline extensions

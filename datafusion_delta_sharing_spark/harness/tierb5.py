@@ -1,0 +1,189 @@
+"""Tier-B batch 5: calendar functions, string functions part 2, boolean/
+conditional aggregates, batch session windows, sliding-window streaming,
+approximate percentiles."""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import functions as F
+
+from datafusion_delta_sharing_spark.harness import load_table
+from datafusion_delta_sharing_spark.streaming.windows import EVENTS_RAW_SCHEMA
+
+
+def q_date_funcs2(spark, sf_dir):
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.quarter("o_orderdate").cast("bigint").alias("qtr"),
+            F.weekofyear("o_orderdate").cast("bigint").alias("iso_week"),
+            # cast DATE results to TIMESTAMP_NTZ: Spark DATE collects as
+            # python date (pandas object) while DuckDB DATE becomes
+            # datetime64 - dtype mismatch at the comparator
+            F.last_day(F.col("o_orderdate").cast("date"))
+            .cast("timestamp_ntz").alias("month_end"),
+            F.add_months(F.col("o_orderdate").cast("date"), 1)
+            .cast("timestamp_ntz").alias("next_month"),
+            F.dayofweek("o_orderdate").cast("bigint").alias("dow"),
+        )
+    )
+
+
+def q_string_funcs2(spark, sf_dir):
+    return (
+        load_table(spark, sf_dir, "part")
+        .select(
+            "p_partkey",
+            F.split_part("p_type", F.lit(" "), F.lit(1)).alias("type_first"),
+            F.translate("p_brand", "#B", "-b").alias("brand_translated"),
+            F.instr("p_name", "a").cast("bigint").alias("first_a"),
+            F.left("p_name", F.lit(3)).alias("pfx3"),
+            F.right("p_name", F.lit(3)).alias("sfx3"),
+        )
+    )
+
+
+def q_bool_aggs(spark, sf_dir):
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count_if(F.col("l_quantity") > 25).alias("n_bulk"),
+            F.bool_or(F.col("l_discount") > 0.09).alias("any_deep_discount"),
+            F.bool_and(F.col("l_quantity") > 0).alias("all_positive_qty"),
+            F.max_by("l_orderkey", F.struct("l_extendedprice", "l_orderkey"))
+            .alias("priciest_order"),
+        )
+    )
+
+
+def q_session_window_batch(spark, sf_dir):
+    """Batch session_window: gap-merged sessions per user (native Spark
+    operator; oracle reconstructs sessions via lag/cumsum)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 2).alias("session_value"))
+        .select("user_id",
+                F.col("session_window.start").alias("session_start"),
+                "n_events", "session_value")
+    )
+
+
+def q_stream_sliding(spark, sf_dir):
+    """Streaming sliding windows (2h window, 1h slide): each event lands in
+    two windows; run to completion on the bounded source."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (spark.readStream.schema(EVENTS_RAW_SCHEMA)
+           .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    agg = (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "2 hours", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").cast("timestamp_ntz").alias("window_start"),
+                "event_type", "n")
+    )
+    sink = f"sliding_{uuid.uuid4().hex[:8]}"
+    query = (agg.writeStream.outputMode("complete")
+             .format("memory").queryName(sink).start())
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    result = spark.table(sink)
+    return spark.createDataFrame(result.collect(), result.schema)
+
+
+def q_approx_percentile(spark, sf_dir):
+    """Sketch-based percentiles (engine-specific estimates: rows-only)."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75], 10000)
+             .alias("price_quartiles"))
+    )
+
+
+QUERIES = {
+    "date_funcs2": q_date_funcs2,
+    "string_funcs2": q_string_funcs2,
+    "bool_aggs": q_bool_aggs,
+    "session_window_batch": q_session_window_batch,
+    "stream_sliding": q_stream_sliding,
+    "approx_percentile": q_approx_percentile,
+}
+
+ORACLES = {
+    "date_funcs2": """
+        SELECT o_orderkey,
+               CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+               CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_week,
+               CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP)
+                   AS month_end,
+               CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS TIMESTAMP)
+                   AS next_month,
+               CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow
+        FROM orders
+    """,
+    "string_funcs2": """
+        SELECT p_partkey,
+               split_part(p_type, ' ', 1) AS type_first,
+               translate(p_brand, '#B', '-b') AS brand_translated,
+               CAST(strpos(p_name, 'a') AS BIGINT) AS first_a,
+               left(p_name, 3) AS pfx3,
+               right(p_name, 3) AS sfx3
+        FROM part
+    """,
+    "bool_aggs": """
+        SELECT l_returnflag,
+               CAST(count_if(l_quantity > 25) AS BIGINT) AS n_bulk,
+               bool_or(l_discount > 0.09) AS any_deep_discount,
+               bool_and(l_quantity > 0) AS all_positive_qty,
+               min(CASE WHEN rn = 1 THEN l_orderkey END) AS priciest_order
+        FROM (
+            SELECT l_returnflag, l_orderkey, l_quantity, l_discount,
+                   row_number() OVER (PARTITION BY l_returnflag
+                                      ORDER BY l_extendedprice DESC,
+                                               l_orderkey DESC) AS rn
+            FROM lineitem
+        )
+        GROUP BY l_returnflag
+    """,
+    "session_window_batch": """
+        SELECT user_id, min(ts) AS session_start,
+               count(*) AS n_events,
+               round(sum(value), 2) AS session_value
+        FROM (
+            SELECT user_id, ts, value,
+                   sum(new_session) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS session_id
+            FROM (
+                SELECT user_id, ts, event_id, value,
+                       CASE WHEN epoch(ts) - epoch(lag(ts) OVER (
+                                PARTITION BY user_id ORDER BY ts, event_id))
+                            >= 1800
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+            )
+        )
+        GROUP BY user_id, session_id
+    """,
+    "stream_sliding": """
+        SELECT window_start, event_type, count(*) AS n FROM (
+            SELECT date_trunc('hour', ts) AS window_start, event_type
+            FROM events
+            UNION ALL
+            SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS window_start,
+                   event_type
+            FROM events
+        )
+        GROUP BY window_start, event_type
+    """,
+}

@@ -45,6 +45,17 @@ def q_ngram_jaccard(spark, sf_dir):
     return DD.ngram_jaccard_pairs(docs, "text", "doc_id", k=5, threshold=0.15)
 
 
+def q_dedup_components(spark, sf_dir):
+    """Near-dup clustering: Jaccard candidate pairs -> connected components
+    -> (id, component) labels; component = canonical survivor id. Oracle is
+    a recursive-CTE transitive closure."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _JACCARD_DOCS)
+    pairs = DD.ngram_jaccard_pairs(docs, "text", "doc_id", k=5, threshold=0.15)
+    vertices = docs.select(F.col("doc_id").alias("id"))
+    return DD.connected_components(vertices, pairs)
+
+
 def q_dedup_minhash(spark, sf_dir):
     """MinHash-LSH candidates (xxhash64-based: rows-only check; recall vs the
     exact Jaccard of q_ngram_jaccard is asserted in tests)."""
@@ -144,6 +155,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_exact_subset": q_dedup_exact_subset,
     "ngram_jaccard": q_ngram_jaccard,
+    "dedup_components": q_dedup_components,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "embedding_neardup": q_embedding_neardup,
@@ -201,6 +213,37 @@ ORACLES = {
         JOIN sizes sa ON sa.id = id_a
         JOIN sizes sb ON sb.id = id_b
         WHERE round(n_inter / (sa.sz + sb.sz - n_inter), 6) >= 0.15
+    """,
+    "dedup_components": f"""
+        WITH RECURSIVE {_SHINGLE_POSTS},
+        sizes AS (SELECT id, count(*) AS sz FROM posts GROUP BY id),
+        inter AS (
+            SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+            FROM posts a JOIN posts b ON a.sh = b.sh AND a.id < b.id
+            GROUP BY a.id, b.id
+        ),
+        pairs AS (
+            SELECT id_a, id_b FROM inter
+            JOIN sizes sa ON sa.id = id_a
+            JOIN sizes sb ON sb.id = id_b
+            WHERE round(n_inter / (sa.sz + sb.sz - n_inter), 6) >= 0.15
+        ),
+        undirected AS (
+            SELECT id_a AS u, id_b AS v FROM pairs
+            UNION
+            SELECT id_b AS u, id_a AS v FROM pairs
+        ),
+        reach(u, v) AS (
+            SELECT u, v FROM undirected
+            UNION
+            SELECT r.u, e.v FROM reach r JOIN undirected e ON r.v = e.u
+        )
+        SELECT d.doc_id AS id,
+               CAST(least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS BIGINT)
+                   AS component
+        FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
+        WHERE d.doc_id < {_JACCARD_DOCS}
+        GROUP BY d.doc_id
     """,
     "embedding_neardup": f"""
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -218,3 +218,59 @@ def simhash_neardup_pairs(df: DataFrame, text_col: str, id_col: str,
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# -- near-dup clustering (connected components) ----------------------------
+
+
+def connected_components(vertices: DataFrame, pairs: DataFrame,
+                         max_iterations: int = 20) -> DataFrame:
+    """Cluster near-duplicate pairs into components via iterative min-label
+    propagation: every vertex starts labeled with itself; each round every
+    vertex takes the min label across itself and its neighbors; converged
+    when no label changes. O(log n) rounds for typical dedup graphs, each
+    round one join + one aggregate (all shuffles on the vertex id).
+
+    vertices: one column ``id``; pairs: ``id_a``/``id_b``. Returns
+    (id, component) where component = min id in the component — the
+    canonical survivor for dedup."""
+    edges = (
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .unionByName(pairs.select(F.col("id_b").alias("u"),
+                                  F.col("id_a").alias("v")))
+        .distinct()
+    )
+    labels = vertices.select(F.col("id"), F.col("id").alias("component"))
+    for _ in range(max_iterations):
+        neighbor_labels = (
+            edges.join(labels.withColumnRenamed("id", "v")
+                       .withColumnRenamed("component", "v_component"), "v")
+            .select(F.col("u").alias("id"), F.col("v_component"))
+        )
+        proposals = (
+            labels.join(neighbor_labels, "id", "left")
+            .groupBy("id")
+            .agg(F.least(F.min("component"),
+                         F.coalesce(F.min("v_component"),
+                                    F.min("component"))).alias("new_component"))
+        )
+        merged = labels.join(proposals, "id")
+        changed = merged.filter(
+            F.col("component") != F.col("new_component")).limit(1).count()
+        labels = (merged.select("id", F.col("new_component").alias("component"))
+                  .localCheckpoint(eager=True))  # cut the iterative lineage
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_survivors(df: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
+    """End-to-end near-dup dedup: cluster the candidate pairs, keep one row
+    per component (the min-id canonical)."""
+    vertices = df.select(F.col(id_col).alias("id"))
+    components = connected_components(vertices, pairs)
+    return (
+        df.join(components, df[id_col] == components.id)
+        .filter(F.col(id_col) == F.col("component"))
+        .drop("id", "component")
+    )

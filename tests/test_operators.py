@@ -298,3 +298,34 @@ def test_stateful_stream_merges_state_across_microbatches(spark, tmp_path):
     for uid, row in batches.items():
         assert row.n == 2 * single[uid]      # state merged both copies
         assert row.emissions == 2            # one emission per microbatch
+
+
+# -- connected components / dedup survivors -------------------------------
+
+
+def test_connected_components_planted_clusters(spark):
+    vertices = spark.createDataFrame([(i,) for i in range(1, 9)], "id long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long")
+    labels = {r.id: r.component for r in
+              DD.connected_components(vertices, pairs).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 7, 8: 8}
+
+
+def test_connected_components_chain_converges(spark):
+    # a 12-node path graph needs multiple propagation rounds
+    vertices = spark.createDataFrame([(i,) for i in range(12)], "id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "id_a long, id_b long")
+    labels = {r.id: r.component for r in
+              DD.connected_components(vertices, pairs).collect()}
+    assert set(labels.values()) == {0}
+
+
+def test_dedup_survivors_keeps_canonical(spark):
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "x2"), (3, "x3"), (4, "y")],
+        "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    out = DD.dedup_survivors(df, pairs, "doc_id").collect()
+    assert sorted(r.doc_id for r in out) == [1, 4]

@@ -1,0 +1,136 @@
+"""Python DataSource tests: spark.read.format("deltasharing") batch path
+(schema fetch, filter pushdown hints, stats pruning, partition columns) and
+the snapshot-diff streaming source."""
+
+import io
+import json
+import uuid
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from datafusion_delta_sharing_spark.sources.datasource import DeltaSharingDataSource
+from tests.mock_server import MockSharingServer, MockTable
+
+SCHEMA_STRING = json.dumps({"type": "struct", "fields": [
+    {"name": "id", "type": "long", "nullable": False, "metadata": {}},
+    {"name": "amount", "type": "double", "nullable": True, "metadata": {}},
+    {"name": "day", "type": "date", "nullable": True, "metadata": {}},
+]})
+
+
+def _blob(ids, amounts) -> bytes:
+    sink = io.BytesIO()
+    pq.write_table(pa.table({"id": pa.array(ids, pa.int64()),
+                             "amount": pa.array(amounts, pa.float64())}), sink)
+    return sink.getvalue()
+
+
+@pytest.fixture(scope="module")
+def registered(spark):
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(DeltaSharingDataSource)
+    return spark
+
+
+def _server(blobs):
+    table = MockTable(share="s", schema="d", name="t",
+                      schema_string=SCHEMA_STRING,
+                      partition_columns=["day"], files=[])
+    return MockSharingServer([table], parquet_bytes=blobs), table
+
+
+def test_batch_format_read(registered):
+    spark = registered
+    blobs = {"/a.parquet": _blob([1, 2, 3], [1.0, 2.0, 3.0]),
+             "/b.parquet": _blob([4, 5], [4.0, 5.0])}
+    srv, table = _server(blobs)
+    with srv:
+        table.files.extend([
+            {"id": "a", "url": f"{srv.base_url}/a.parquet",
+             "size": len(blobs["/a.parquet"]),
+             "partition_values": {"day": "2021-04-28"}},
+            {"id": "b", "url": f"{srv.base_url}/b.parquet",
+             "size": len(blobs["/b.parquet"]),
+             "partition_values": {"day": ""}},
+        ])
+        df = (spark.read.format("deltasharing")
+              .option("profile_json", json.dumps(srv.profile_doc()))
+              .option("table", "s.d.t").load())
+        assert df.columns == ["id", "amount", "day"]
+        rows = {r.id: r for r in df.collect()}
+        assert len(rows) == 5
+        assert str(rows[1].day) == "2021-04-28"
+        assert rows[4].day is None
+
+
+def test_batch_filter_pushdown_hints_and_pruning(registered):
+    spark = registered
+    blobs = {"/lo.parquet": _blob([1, 2], [1.0, 2.0]),
+             "/hi.parquet": _blob([100, 200], [3.0, 4.0])}
+    srv, table = _server(blobs)
+    with srv:
+        for fid, lo, hi in (("lo", 1, 2), ("hi", 100, 200)):
+            table.files.append({
+                "id": fid, "url": f"{srv.base_url}/{fid}.parquet",
+                "size": len(blobs[f"/{fid}.parquet"]),
+                "partition_values": {"day": "2021-04-28"},
+                "stats": json.dumps({"numRecords": 2, "minValues": {"id": lo},
+                                     "maxValues": {"id": hi},
+                                     "nullCount": {"id": 0}})})
+        df = (spark.read.format("deltasharing")
+              .option("profile_json", json.dumps(srv.profile_doc()))
+              .option("table", "s.d.t").load()
+              .filter("id >= 100"))
+        assert sorted(r.id for r in df.collect()) == [100, 200]
+        # hints reached the server...
+        bodies = [json.loads(r["body"]) for r in srv.requests
+                  if r["path"].endswith("/query") and r["body"]]
+        assert any("jsonPredicateHints" in b for b in bodies)
+        # ...and the pruned file's bytes were never fetched
+        fetched = {r["path"] for r in srv.requests if r["path"].endswith(".parquet")}
+        assert fetched == {"/hi.parquet"}
+
+
+def test_batch_empty_result(registered):
+    spark = registered
+    srv, table = _server({})
+    with srv:
+        df = (spark.read.format("deltasharing")
+              .option("profile_json", json.dumps(srv.profile_doc()))
+              .option("table", "s.d.t").load())
+        assert df.count() == 0
+
+
+def test_stream_snapshot_diff(registered):
+    spark = registered
+    blobs = {"/s1.parquet": _blob([1, 2], [1.0, 2.0]),
+             "/s2.parquet": _blob([3, 4], [3.0, 4.0])}
+    srv, table = _server(blobs)
+    with srv:
+        table.files.append({"id": "s1", "url": f"{srv.base_url}/s1.parquet",
+                            "size": len(blobs["/s1.parquet"]),
+                            "partition_values": {"day": "2021-04-28"}})
+        sink = f"ds_stream_{uuid.uuid4().hex[:8]}"
+        stream = (spark.readStream.format("deltasharing")
+                  .option("profile_json", json.dumps(srv.profile_doc()))
+                  .option("table", "s.d.t").load())
+        query = (stream.writeStream.outputMode("append")
+                 .format("memory").queryName(sink).start())
+        try:
+            query.processAllAvailable()
+            first = {r.id for r in spark.table(sink).collect()}
+            assert first == {1, 2}
+            # a new file lands in the share -> next microbatch emits only it
+            table.files.append({"id": "s2", "url": f"{srv.base_url}/s2.parquet",
+                                "size": len(blobs["/s2.parquet"]),
+                                "partition_values": {"day": "2021-04-29"}})
+            table.version += 1
+            query.processAllAvailable()
+            after = {r.id for r in spark.table(sink).collect()}
+            assert after == {1, 2, 3, 4}
+            days = {r.id: str(r.day) for r in spark.table(sink).collect()}
+            assert days[3] == "2021-04-29"
+        finally:
+            query.stop()

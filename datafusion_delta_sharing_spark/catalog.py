@@ -107,16 +107,44 @@ class DeltaSharingCatalog:
     _INFO_SCHEMA_RE = re.compile(
         r"(?<![\w.`])information_schema\.tables(?![\w.`(])", re.IGNORECASE)
 
+    # regions the rewriter must never touch: string literals (with '' / \'
+    # escaping), backtick identifiers, and SQL comments
+    _OPAQUE_RE = re.compile(
+        r"'(?:[^'\\]|\\.|'')*'"
+        r'|"(?:[^"\\]|\\.|"")*"'
+        r"|`(?:[^`]|``)*`"
+        r"|--[^\n]*"
+        r"|/\*.*?\*/",
+        re.DOTALL)
+
+    def _rewrite_code_regions(self, query: str, rewrite) -> str:
+        """Apply ``rewrite(text) -> text`` only to the parts of ``query``
+        outside string literals, backtick quotes, and comments — a data
+        string that happens to spell ``share.schema.table`` must survive
+        verbatim."""
+        out, pos = [], 0
+        for m in self._OPAQUE_RE.finditer(query):
+            out.append(rewrite(query[pos:m.start()]))
+            out.append(m.group(0))
+            pos = m.end()
+        out.append(rewrite(query[pos:]))
+        return "".join(out)
+
     def sql(self, query: str) -> DataFrame:
         """Run SQL containing ``share.schema.table`` identifiers: each known
         three-part name is resolved (lazily registering its view) and
         rewritten to the flat view name, then the query runs on Spark.
         ``information_schema.tables`` resolves to the catalog listing
-        (the reference's examples/catalog.rs:8-15 surface)."""
+        (the reference's examples/catalog.rs:8-15 surface). Identifiers are
+        only rewritten in code regions — never inside quoted strings,
+        backticks, or comments."""
         if self._INFO_SCHEMA_RE.search(query):
             self.list_tables().createOrReplaceTempView(
                 "information_schema__tables")
-            query = self._INFO_SCHEMA_RE.sub("information_schema__tables", query)
+            query = self._rewrite_code_regions(
+                query,
+                lambda text: self._INFO_SCHEMA_RE.sub(
+                    "information_schema__tables", text))
 
         def replace(match: re.Match) -> str:
             fqn = ".".join(match.groups())
@@ -125,4 +153,5 @@ class DeltaSharingCatalog:
                 return self.tables[fqn].view_name()
             return match.group(0)
 
-        return self.spark.sql(self._FQN_RE.sub(replace, query))
+        return self.spark.sql(self._rewrite_code_regions(
+            query, lambda text: self._FQN_RE.sub(replace, text)))

@@ -39,12 +39,19 @@ def _coerce(raw: Any, value_type: ValueType) -> Any:
         return _dt.date.fromisoformat(str(raw)[:10])
     if value_type == ValueType.TIMESTAMP:
         if isinstance(raw, _dt.datetime):
-            return raw.replace(tzinfo=None)
-        text = str(raw).strip().replace(" ", "T", 1)
-        if text.endswith("Z"):
-            text = text[:-1]
-        # normalize to naive microseconds for ordering purposes
-        return _dt.datetime.fromisoformat(text.split("+")[0])
+            dt = raw
+        else:
+            text = str(raw).strip().replace(" ", "T", 1)
+            if text.endswith(("Z", "z")):
+                text = text[:-1] + "+00:00"
+            dt = _dt.datetime.fromisoformat(text)
+        # offset-aware values normalize to UTC; naive values stay naive.
+        # Comparing aware vs naive raises TypeError, which the callers
+        # catch and treat as "cannot analyze -> do not prune" — mismatched
+        # timezone-ness must never silently drop a file.
+        if dt.tzinfo is not None:
+            dt = dt.astimezone(_dt.timezone.utc)
+        return dt
     return str(raw)
 
 

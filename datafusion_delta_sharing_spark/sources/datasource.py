@@ -216,6 +216,15 @@ class DeltaSharingStreamReader(SimpleDataSourceStreamReader):
         data = client.get_table_data(table)
         wanted = set(end.get("ids", [])) - set(start.get("ids", []))
         files = [f for f in data.files if f.id in wanted]
+        missing = wanted - {f.id for f in files}
+        if missing:
+            # replay after failure must reproduce the original batch exactly;
+            # files dropped from the listing (vacuum / retention expiry) make
+            # that impossible — fail loudly instead of returning fewer rows
+            raise DeltaSharingError(
+                f"cannot replay microbatch for {table.full_name()}: "
+                f"{len(missing)} committed file(s) no longer listed "
+                f"(expired or vacuumed): {sorted(missing)[:5]}")
         return iter(self._rows_for(files, list(data.metadata.partition_columns)))
 
     def _rows_for(self, files, partition_columns):

@@ -60,6 +60,18 @@ from datafusion_delta_sharing_spark.sources.schema import (
 _DEFAULT_BYTES_PER_TASK = 128 * 1024 * 1024  # one Spark task per ~128 MiB of parquet
 
 
+def _op_column_names(op: Op) -> set[str]:
+    """Every column name referenced anywhere in a predicate Op tree."""
+    names: set[str] = set()
+    stack = [op]
+    while stack:
+        node = stack.pop()
+        if node.op == "column" and node.name is not None:
+            names.add(node.name)
+        stack.extend(node.children)
+    return names
+
+
 # ---------------------------------------------------------------------------
 # Executor-side ranged HTTP reading (A3)
 # ---------------------------------------------------------------------------
@@ -336,12 +348,40 @@ class DeltaSharingReader:
         # a non-pushable predicate (predicate_op None, residual filter only)
         # still removes rows, so pruned files could hold matches
         prune_limit = limit if predicate is None else None
+
+        # The residual predicate resolves against the scan output, so the
+        # scan must retain every column the predicate references even when
+        # the caller projects them away (the reference types/applies filters
+        # against the full provider schema). Scan the projection plus the
+        # predicate's columns, filter, then re-project.
+        out_columns = list(columns) if columns else None
+        scan_columns: Sequence[str] | None = out_columns
+        if predicate is not None and out_columns is not None:
+            if predicate_op is not None:
+                needed = _op_column_names(predicate_op)
+                assert schema_for_hint is not None
+                extra = [f.name for f in schema_for_hint.fields
+                         if f.name in needed and f.name not in out_columns]
+                scan_columns = out_columns + extra
+            else:
+                # unparseable predicate: referenced columns unknown, so keep
+                # the full schema for the filter and project afterwards
+                assert schema_for_hint is not None
+                unknown = [c for c in out_columns
+                           if c not in schema_for_hint.fieldNames()]
+                if unknown:
+                    raise DeltaSharingError(
+                        f"unknown column(s) in projection: {unknown}")
+                scan_columns = None
+
         df = self._dataframe_from_listing(
-            table, data, predicate_op=predicate_op, columns=columns,
+            table, data, predicate_op=predicate_op, columns=scan_columns,
             limit=prune_limit,
         )
         if predicate is not None:
             df = df.filter(predicate)  # residual: Inexact semantics (A5)
+            if out_columns is not None and scan_columns != out_columns:
+                df = df.select(*out_columns)
         if limit is not None:
             df = df.limit(limit)  # exact limit above the hint (A19)
         return df
@@ -437,11 +477,24 @@ class DeltaSharingReader:
                                 columns: Sequence[str] | None) -> DataFrame:
         """One scan over every file + a broadcast join from file identity
         (``input_file_name``) to decoded partition values: plan size is O(1)
-        in the number of distinct partition tuples."""
+        in the number of distinct partition tuples.
+
+        ``input_file_name()`` returns a percent-encoded ``file://`` URI, so
+        both join sides are normalized to the *decoded* filesystem path
+        (scheme stripped, ``%xx`` unescaped) — a path with spaces or other
+        URI-special characters must not silently drop its rows."""
+        from urllib.parse import unquote
+
         paths = [urlparse(f.url).path if f.url.startswith("file:") else f.url
                  for f in files]
+        # scheme off, then protect literal '+' before url_decode (which is
+        # form-decoding and would otherwise turn '+' into a space)
+        normalized_file = F.url_decode(
+            F.regexp_replace(
+                F.regexp_replace(F.input_file_name(), r"^file:/*", "/"),
+                r"\+", "%2B"))
         scan = (self.spark.read.schema(data_schema).parquet(*paths)
-                .withColumn("__file", F.input_file_name()))
+                .withColumn("__file", normalized_file))
 
         part_fields = [full_schema[c] for c in partition_columns]
         map_schema = T.StructType(
@@ -450,8 +503,10 @@ class DeltaSharingReader:
         for f, path in zip(files, paths):
             decoded = decode_partition_values(
                 f.partition_values, full_schema, partition_columns)
-            rows.append(tuple([f"file://{path}"]
-                              + [decoded[c] for c in partition_columns]))
+            # file: URLs carry %xx escapes (decode them); bare paths are
+            # already literal filesystem paths
+            key = unquote(path) if f.url.startswith("file:") else path
+            rows.append(tuple([key] + [decoded[c] for c in partition_columns]))
         mapping = self.spark.createDataFrame(rows, map_schema)
         out = (scan.join(F.broadcast(mapping), "__file").drop("__file")
                .select(*[f.name for f in full_schema.fields]))

@@ -134,3 +134,36 @@ def test_stream_snapshot_diff(registered):
             assert days[3] == "2021-04-29"
         finally:
             query.stop()
+
+
+def test_stream_replay_missing_file_raises(registered):
+    """ADVICE r1: microbatch replay whose committed files vanished from the
+    listing (vacuum/retention) must fail loudly, not return fewer rows."""
+    from datafusion_delta_sharing_spark.errors import DeltaSharingError
+    from datafusion_delta_sharing_spark.sources.datasource import (
+        DeltaSharingStreamReader,
+    )
+
+    blobs = {"/s1.parquet": _blob([1, 2], [1.0, 2.0])}
+    srv, table = _server(blobs)
+    with srv:
+        table.files.append({"id": "s1", "url": f"{srv.base_url}/s1.parquet",
+                            "size": len(blobs["/s1.parquet"]),
+                            "partition_values": {"day": "2021-04-28"}})
+        from pyspark.sql import types as T
+        schema = T.StructType([
+            T.StructField("id", T.LongType()),
+            T.StructField("amount", T.DoubleType()),
+            T.StructField("day", T.DateType())])
+        opts = {"profile_json": json.dumps(srv.profile_doc()),
+                "table": "s.d.t"}
+        reader = DeltaSharingStreamReader(opts, schema)
+        # replay range claims file 'gone' which the server no longer lists
+        with pytest.raises(DeltaSharingError, match="no longer listed"):
+            reader.readBetweenOffsets(
+                {"version": 0, "ids": []},
+                {"version": 1, "ids": ["s1", "gone"]})
+        # intact range still replays fine
+        rows = list(reader.readBetweenOffsets(
+            {"version": 0, "ids": []}, {"version": 1, "ids": ["s1"]}))
+        assert len(rows) == 2

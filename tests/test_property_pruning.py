@@ -132,3 +132,44 @@ def test_evaluator_sanity():
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+# -- timestamp timezone handling (ADVICE r1: naive-vs-offset comparisons) ----
+
+
+def _ts_pred(op_name, value):
+    col = Op.column("ts", ValueType.TIMESTAMP)
+    lit = Op.literal(value, ValueType.TIMESTAMP)
+    return getattr(Op, op_name)(col, lit)
+
+
+def test_timestamp_offset_stats_normalized_to_utc():
+    """File stats carry a +02:00 offset; an equivalent UTC literal must not
+    prune the file (offset-aware values compare in UTC, not textually)."""
+    stats = {"minValues": {"ts": "2021-04-28T10:00:00+02:00"},
+             "maxValues": {"ts": "2021-04-28T12:00:00+02:00"}}
+    # 10:00+02:00 == 08:00Z; a literal inside [08:00Z, 10:00Z] must match
+    assert may_match(_ts_pred("equal", "2021-04-28T09:00:00Z"), stats)
+    # and a literal before the UTC-normalized min CAN prune
+    assert not may_match(_ts_pred("equal", "2021-04-28T07:00:00Z"), stats)
+    # old naive-truncation bug would have compared 09:00 < 10:00 and pruned
+    assert may_match(_ts_pred("greater_than_or_equal",
+                              "2021-04-28T08:30:00Z"), stats)
+
+
+def test_timestamp_mixed_timezoneness_never_prunes():
+    """Naive stats vs offset literal (or vice versa) is ambiguous: must keep
+    the file, never silently drop it."""
+    naive_stats = {"minValues": {"ts": "2021-04-28T10:00:00"},
+                   "maxValues": {"ts": "2021-04-28T12:00:00"}}
+    assert may_match(_ts_pred("equal", "2021-04-28T00:00:00Z"), naive_stats)
+    aware_stats = {"minValues": {"ts": "2021-04-28T10:00:00+00:00"},
+                   "maxValues": {"ts": "2021-04-28T12:00:00+00:00"}}
+    assert may_match(_ts_pred("equal", "2021-04-28T00:00:00"), aware_stats)
+
+
+def test_timestamp_naive_both_sides_still_prunes():
+    stats = {"minValues": {"ts": "2021-04-28T10:00:00"},
+             "maxValues": {"ts": "2021-04-28T12:00:00"}}
+    assert not may_match(_ts_pred("equal", "2021-04-27T09:00:00"), stats)
+    assert may_match(_ts_pred("equal", "2021-04-28T11:00:00"), stats)

@@ -325,3 +325,59 @@ def test_many_partition_groups_single_scan(spark, tmp_path):
         # broadcast mapping join
         assert plan.count("Relation [") == 1
         assert "Join Inner" in plan and "broadcast" in plan
+
+
+def test_residual_predicate_on_projected_away_column(spark, local_server):
+    """ADVICE r1: predicate references a column the caller projects away —
+    the residual filter must run against the full-width scan, then
+    re-project (the reference filters against the provider schema)."""
+    df = _reader(spark, local_server).table(
+        "s.d.t", predicate="amount > 2.5", columns=["id"])
+    assert df.columns == ["id"]
+    assert sorted(r.id for r in df.collect()) == [3, 4, 5, 6]
+
+
+def test_unpushable_predicate_with_projection(spark, local_server):
+    """Same bug, non-pushable predicate flavor (referenced columns unknown
+    -> scan full schema, filter, then project)."""
+    df = _reader(spark, local_server).table(
+        "s.d.t", predicate="amount * 2 > 5", columns=["id"])
+    assert df.columns == ["id"]
+    assert sorted(r.id for r in df.collect()) == [3, 4, 5, 6]
+
+
+def test_single_scan_path_with_uri_special_chars(spark, tmp_path):
+    """ADVICE r1: input_file_name() returns percent-encoded URIs; files in
+    directories with spaces must still get their partition values (rows
+    were silently dropped by the encoded-vs-raw key mismatch)."""
+    base = tmp_path / "with space+plus"
+    base.mkdir()
+    files = []
+    for i in range(20):  # > MAX_PARTITION_SCANS distinct tuples
+        path = base / f"u{i}.parquet"
+        path.write_bytes(_blob([i], [float(i)]))
+        files.append({"id": f"u{i}", "url": f"file://{path}", "size": 0,
+                      "partition_values": {"day": f"2021-04-{(i % 28) + 1:02d}",
+                                           "tag": f"t{i}"}})
+    table = MockTable(share="s", schema="d", name="t",
+                      schema_string=SCHEMA_STRING,
+                      partition_columns=PARTITION_COLUMNS, files=files)
+    with MockSharingServer([table]) as srv:
+        df = _reader(spark, srv).table("s.d.t")
+        rows = {r.id: r for r in df.collect()}
+        assert len(rows) == 20  # no silent row loss
+        assert rows[3].tag == "t3"
+
+
+def test_sql_string_literal_not_rewritten(spark, local_server):
+    """ADVICE r1: a data string spelling a known FQN must survive the
+    three-part-name rewrite verbatim."""
+    catalog = DeltaSharingCatalog(
+        spark, Profile.from_json(local_server.profile_doc()))
+    out = catalog.sql(
+        "SELECT 's.d.t' AS lit, count(*) AS n FROM s.d.t -- touches s.d.t\n"
+        "WHERE tag <> 's.d.t'")
+    row = out.collect()[0]
+    assert row.lit == "s.d.t"
+    assert row.n == 4  # 4 rows with tag='a'; NULL-tag rows fail the <>
+

@@ -23,21 +23,25 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from datafusion_delta_sharing_spark.harness import (
-        extensions, tierb, tierb2, tierb3, tierb4, tierb5, tpch,
+        connector, extensions, tierb, tierb2, tierb3, tierb4, tierb5, tpch,
     )
 
     registry: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for mod in (tierb, tierb2, tierb3, tierb4, tierb5, tpch, extensions):
+    # connector first: these exercise the Delta Sharing read stack itself
+    # (mock server + format('deltasharing')) and must stay on the oracle path
+    for mod in (connector, tierb, tierb2, tierb3, tierb4, tierb5, tpch,
+                extensions):
         registry.update(mod.QUERIES)
     return registry
 
 
 def oracle_sql() -> dict[str, str]:
     from datafusion_delta_sharing_spark.harness import (
-        extensions, tierb, tierb2, tierb3, tierb4, tierb5, tpch,
+        connector, extensions, tierb, tierb2, tierb3, tierb4, tierb5, tpch,
     )
 
     oracles: dict[str, str] = {}
-    for mod in (tierb, tierb2, tierb3, tierb4, tierb5, tpch, extensions):
+    for mod in (connector, tierb, tierb2, tierb3, tierb4, tierb5, tpch,
+                extensions):
         oracles.update(mod.ORACLES)
     return oracles

@@ -1,0 +1,221 @@
+"""Connector queries ON the oracle path (VERDICT r1, next-round item #1).
+
+Round 1 verified the Delta Sharing connector only through pytest + mock
+server; every CORRECTNESS row loaded parquet via ``spark.read.parquet``.
+These queries close that gap: each one serves the driver's own sf parquet
+through the in-process mock Delta Sharing server (``tests/mock_server.py``)
+and reads it back through the *real* connector stack —
+``DeltaSharingReader.table()`` (reference ``src/datasource/table.rs:174-196``)
+and ``spark.read.format("deltasharing")`` — so the DuckDB oracle checks the
+whole pipeline end-to-end: REST discovery, NDJSON listing, presigned-URL
+ranged HTTP fetch (``mapInArrow``), predicate hints + residual filters,
+typed partition-value reconstruction, and catalog SQL rewriting.
+
+Two physical shapes are exercised:
+
+* ``customer`` served as HTTP parquet bytes with ``Range`` support — the
+  distributed executor-side fetch path (A1–A3);
+* ``orders`` re-staged as a *partitioned* share (partitionBy o_orderstatus,
+  data files without the partition column, ``file://`` URLs) — the native
+  vectorized scan + per-file partition-value decode path (A20,
+  reference ``src/datasource/scan.rs:159-229``).
+
+The mock server lives for the process lifetime (daemon threads), cached per
+sf_dir, because the returned DataFrames are lazy: executors contact the
+server again at collect time.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+_SHARE, _SCHEMA = "bench", "tpch"
+_STAGE_ROOT = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), ".harness_tmp")
+
+_SERVED: dict[str, dict] = {}  # sf_dir -> {"server", "profile_json"}
+
+
+def _stage_partitioned_orders(spark: SparkSession, sf_dir: str) -> str:
+    """Write sf orders partitioned by o_orderstatus (one file per status,
+    data files WITHOUT the partition column — Delta Sharing semantics where
+    partition values travel in file metadata, not parquet data)."""
+    label = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = os.path.join(_STAGE_ROOT, label, "orders_by_status")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        (spark.read.parquet(f"{sf_dir}/orders.parquet")
+         .repartition(1)
+         .write.mode("overwrite").partitionBy("o_orderstatus").parquet(out))
+    return out
+
+
+def _ensure_served(spark: SparkSession, sf_dir: str) -> dict:
+    if sf_dir in _SERVED:
+        return _SERVED[sf_dir]
+    import json
+
+    from tests.mock_server import MockSharingServer, MockTable
+
+    customer_path = f"{sf_dir}/customer.parquet"
+    with open(customer_path, "rb") as fh:
+        customer_blob = fh.read()
+    customer_schema = spark.read.parquet(customer_path).schema.json()
+
+    orders_dir = _stage_partitioned_orders(spark, sf_dir)
+    orders_schema = spark.read.parquet(f"{sf_dir}/orders.parquet").schema.json()
+    order_files = []
+    for path in sorted(glob.glob(os.path.join(
+            orders_dir, "o_orderstatus=*", "*.parquet"))):
+        status = os.path.basename(os.path.dirname(path)).split("=", 1)[1]
+        order_files.append({
+            "id": f"orders-{status}-{os.path.basename(path)}",
+            "url": f"file://{path}",
+            "size": os.path.getsize(path),
+            "partition_values": {"o_orderstatus": status},
+        })
+
+    server = MockSharingServer(
+        [
+            MockTable(share=_SHARE, schema=_SCHEMA, name="customer",
+                      schema_string=customer_schema,
+                      files=[{"id": "customer-0",
+                              "url": None,  # filled below (needs base_url)
+                              "size": len(customer_blob),
+                              "partition_values": {}}]),
+            MockTable(share=_SHARE, schema=_SCHEMA, name="orders",
+                      schema_string=orders_schema,
+                      partition_columns=["o_orderstatus"],
+                      files=order_files),
+        ],
+        parquet_bytes={"/customer.parquet": customer_blob},
+    )
+    server.__enter__()  # stays up for the process lifetime (daemon thread)
+    server.tables[0].files[0]["url"] = f"{server.base_url}/customer.parquet"
+    state = {"server": server,
+             "profile_json": json.dumps(server.profile_doc())}
+    _SERVED[sf_dir] = state
+    return state
+
+
+def _reader(spark: SparkSession, sf_dir: str):
+    from datafusion_delta_sharing_spark.client import DeltaSharingClient
+    from datafusion_delta_sharing_spark.profile import Profile
+    from datafusion_delta_sharing_spark.sources.reader import DeltaSharingReader
+
+    state = _ensure_served(spark, sf_dir)
+    profile = Profile.from_json(state["profile_json"])
+    return DeltaSharingReader(spark, DeltaSharingClient(profile))
+
+
+# -- queries ---------------------------------------------------------------
+
+
+def q_connector_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate + projection through DeltaSharingReader.table() over
+    HTTP-served parquet: hints pushed to the server, ranged executor fetch,
+    residual filter re-applied (A1-A5)."""
+    return _reader(spark, sf_dir).table(
+        f"{_SHARE}.{_SCHEMA}.customer",
+        predicate="c_acctbal >= 1000.0",
+        columns=["c_custkey", "c_name", "c_acctbal", "c_mktsegment"],
+    )
+
+
+def q_connector_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned share over file:// URLs: per-file partition-value decode
+    re-attaches o_orderstatus (absent from the data files), predicate on the
+    partition column prunes the listing server-side + stats-side (A20)."""
+    df = _reader(spark, sf_dir).table(
+        f"{_SHARE}.{_SCHEMA}.orders",
+        predicate="o_orderstatus = 'F'",
+    )
+    return df.filter(F.col("o_totalprice") > 150000.0).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        F.col("o_orderdate").cast("timestamp_ntz").alias("o_orderdate"),
+        "o_orderpriority",
+    )
+
+
+def q_connector_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """spark.read.format("deltasharing") (Python DataSource V2 path):
+    pushFilters -> jsonPredicateHints, per-file input partitions, Arrow
+    batch read on executors; aggregation on top proves the rows compose
+    with the relational engine."""
+    from datafusion_delta_sharing_spark.sources.datasource import (
+        DeltaSharingDataSource,
+    )
+
+    state = _ensure_served(spark, sf_dir)
+    spark.dataSource.register(DeltaSharingDataSource)
+    df = (spark.read.format("deltasharing")
+          .option("profile_json", state["profile_json"])
+          .option("table", f"{_SHARE}.{_SCHEMA}.customer")
+          .load())
+    return (df.filter(F.col("c_acctbal") > 0)
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_customers"),
+                 F.round(F.sum("c_acctbal"), 4).alias("sum_acctbal"),
+                 F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal")))
+
+
+def q_connector_catalog_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-part-name SQL through DeltaSharingCatalog: lazy view
+    registration over the connector scan, FQN rewrite outside string
+    literals, then a join+agg across TWO shared tables (reference
+    examples/query_from_catalog.rs:21)."""
+    from datafusion_delta_sharing_spark.catalog import DeltaSharingCatalog
+    from datafusion_delta_sharing_spark.profile import Profile
+
+    state = _ensure_served(spark, sf_dir)
+    catalog = DeltaSharingCatalog(spark, Profile.from_json(state["profile_json"]))
+    return catalog.sql(f"""
+        SELECT c.c_mktsegment,
+               count(*) AS n_orders,
+               round(sum(o.o_totalprice), 4) AS revenue
+        FROM {_SHARE}.{_SCHEMA}.orders o
+        JOIN {_SHARE}.{_SCHEMA}.customer c ON c.c_custkey = o.o_custkey
+        WHERE o.o_orderstatus = 'O'
+        GROUP BY c.c_mktsegment
+    """)
+
+
+QUERIES = {
+    "connector_flagship": q_connector_flagship,
+    "connector_partitioned": q_connector_partitioned,
+    "connector_datasource": q_connector_datasource,
+    "connector_catalog_sql": q_connector_catalog_sql,
+}
+
+ORACLES = {
+    "connector_flagship": """
+        SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+        FROM customer WHERE c_acctbal >= 1000.0
+    """,
+    "connector_partitioned": """
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
+               o_orderpriority
+        FROM orders
+        WHERE o_orderstatus = 'F' AND o_totalprice > 150000.0
+    """,
+    "connector_datasource": """
+        SELECT c_mktsegment,
+               count(*) AS n_customers,
+               round(CAST(sum(c_acctbal) AS DOUBLE), 4) AS sum_acctbal,
+               round(CAST(avg(c_acctbal) AS DOUBLE), 4) AS avg_acctbal
+        FROM customer WHERE c_acctbal > 0
+        GROUP BY c_mktsegment
+    """,
+    "connector_catalog_sql": """
+        SELECT c.c_mktsegment,
+               count(*) AS n_orders,
+               round(CAST(sum(o.o_totalprice) AS DOUBLE), 4) AS revenue
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        WHERE o.o_orderstatus = 'O'
+        GROUP BY c.c_mktsegment
+    """,
+}

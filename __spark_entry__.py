@@ -21,27 +21,33 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_flagship(spark, "/root/testdata/sf0.001")
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from datafusion_delta_sharing_spark.harness import (
-        connector, extensions, tierb, tierb2, tierb3, tierb4, tierb5, tpch,
-    )
+# The driver's CORRECTNESS harness checks the FIRST 50 registry entries.
+# Order management (VERDICT r2 structural note): connector + extensions +
+# tpch + tierb5 + tierb4 + tierb3 + tierb2 first — these either exercise the
+# Delta Sharing stack itself or have never had a driver CORRECTNESS row —
+# and the tierb core last (every tierb query already has a green r1/r2 row
+# on record).
+_MODULE_ORDER = ("connector", "extensions", "tpch", "tierb5", "tierb4",
+                 "tierb3", "tierb2", "tierb")
 
+
+def _modules():
+    import importlib
+
+    return [importlib.import_module(
+        f"datafusion_delta_sharing_spark.harness.{name}")
+        for name in _MODULE_ORDER]
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     registry: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    # connector first: these exercise the Delta Sharing read stack itself
-    # (mock server + format('deltasharing')) and must stay on the oracle path
-    for mod in (connector, tierb, tierb2, tierb3, tierb4, tierb5, tpch,
-                extensions):
+    for mod in _modules():
         registry.update(mod.QUERIES)
     return registry
 
 
 def oracle_sql() -> dict[str, str]:
-    from datafusion_delta_sharing_spark.harness import (
-        connector, extensions, tierb, tierb2, tierb3, tierb4, tierb5, tpch,
-    )
-
     oracles: dict[str, str] = {}
-    for mod in (connector, tierb, tierb2, tierb3, tierb4, tierb5, tpch,
-                extensions):
+    for mod in _modules():
         oracles.update(mod.ORACLES)
     return oracles

@@ -148,6 +148,10 @@ def q_connector_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         DeltaSharingDataSource,
     )
 
+    # the driver builds its own session without this conf; Spark 4 refuses to
+    # plan a Python data source that implements pushFilters() while it is
+    # false ([DATA_SOURCE_PUSHDOWN_DISABLED]) — it is runtime-settable
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     state = _ensure_served(spark, sf_dir)
     spark.dataSource.register(DeltaSharingDataSource)
     df = (spark.read.format("deltasharing")

@@ -136,34 +136,111 @@ def test_stream_snapshot_diff(registered):
             query.stop()
 
 
-def test_stream_replay_missing_file_raises(registered):
-    """ADVICE r1: microbatch replay whose committed files vanished from the
-    listing (vacuum/retention) must fail loudly, not return fewer rows."""
+def _stream_schema():
+    from pyspark.sql import types as T
+
+    return T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("amount", T.DoubleType()),
+        T.StructField("day", T.DateType())])
+
+
+def test_stream_offsets_o1_and_commit_log(tmp_path):
+    """VERDICT r2 #5: the offset must stay O(1) however many files land,
+    partitions() must plan one executor task per new file, and a restart
+    with the same commit log must replay an uncommitted batch exactly."""
+    from datafusion_delta_sharing_spark.sources.datasource import (
+        DeltaSharingStreamReader,
+    )
+
+    blobs = {"/s1.parquet": _blob([1, 2], [1.0, 2.0]),
+             "/s2.parquet": _blob([3, 4], [3.0, 4.0]),
+             "/s3.parquet": _blob([5], [5.0])}
+    srv, table = _server(blobs)
+    with srv:
+        opts = {"profile_json": json.dumps(srv.profile_doc()),
+                "table": "s.d.t", "stream_log_dir": str(tmp_path)}
+        reader = DeltaSharingStreamReader(opts, _stream_schema())
+        start = reader.initialOffset()
+        assert start == {"version": -1, "batch": -1}
+
+        table.files.append({"id": "s1", "url": f"{srv.base_url}/s1.parquet",
+                            "size": len(blobs["/s1.parquet"]),
+                            "partition_values": {"day": "2021-04-28"}})
+        off1 = reader.latestOffset()
+        table.files.append({"id": "s2", "url": f"{srv.base_url}/s2.parquet",
+                            "size": len(blobs["/s2.parquet"]),
+                            "partition_values": {"day": "2021-04-29"}})
+        table.files.append({"id": "s3", "url": f"{srv.base_url}/s3.parquet",
+                            "size": len(blobs["/s3.parquet"]),
+                            "partition_values": {"day": "2021-04-30"}})
+        table.version += 1
+        off2 = reader.latestOffset()
+        # O(1) offsets: same two scalar keys regardless of file count
+        assert set(off1) == set(off2) == {"version", "batch"}
+        assert off2 == {"version": 8, "batch": 1}
+
+        # batch 1 = the two files that landed between the polls
+        parts = reader.partitions(off1, off2)
+        assert sorted(p.file_id for p in parts) == ["s2", "s3"]
+        # empty range plans nothing
+        assert reader.partitions(off2, off2) == []
+
+        # executor read path yields Arrow batches with partition col attached
+        batches = list(reader.read(parts[0]))
+        assert sum(b.num_rows for b in batches) == 2
+        assert str(batches[0].column(2)[0]) == "2021-04-29"
+
+        # restart: a fresh reader over the same log replays batch 1 exactly
+        reader2 = DeltaSharingStreamReader(opts, _stream_schema())
+        assert reader2.initialOffset() == off2
+        parts2 = reader2.partitions(off1, off2)
+        assert sorted(p.file_id for p in parts2) == ["s2", "s3"]
+
+        # commit prunes memory but the log still serves replays
+        reader2.commit(off2)
+        assert reader2.partitions(off1, off2)
+
+
+def test_stream_replay_lost_log_raises(tmp_path):
+    """A replay the commit log cannot satisfy must fail loudly, never
+    silently emit fewer rows (ADVICE r1 carried into the r3 redesign)."""
     from datafusion_delta_sharing_spark.errors import DeltaSharingError
     from datafusion_delta_sharing_spark.sources.datasource import (
         DeltaSharingStreamReader,
     )
 
-    blobs = {"/s1.parquet": _blob([1, 2], [1.0, 2.0])}
+    srv, table = _server({})
+    with srv:
+        opts = {"profile_json": json.dumps(srv.profile_doc()),
+                "table": "s.d.t", "stream_log_dir": str(tmp_path)}
+        reader = DeltaSharingStreamReader(opts, _stream_schema())
+        with pytest.raises(DeltaSharingError, match="commit log"):
+            reader.partitions({"version": 0, "batch": 0},
+                              {"version": 1, "batch": 2})
+
+
+def test_stream_expired_url_refreshes_by_file_id(tmp_path):
+    """A logged presigned URL that expired between logging and replay is
+    re-resolved by file id through a fresh listing on the executor."""
+    from datafusion_delta_sharing_spark.sources.datasource import (
+        DeltaSharingStreamReader,
+    )
+
+    blobs = {"/old.parquet": _blob([1, 2], [1.0, 2.0]),
+             "/new.parquet": _blob([1, 2], [1.0, 2.0])}
     srv, table = _server(blobs)
     with srv:
-        table.files.append({"id": "s1", "url": f"{srv.base_url}/s1.parquet",
-                            "size": len(blobs["/s1.parquet"]),
+        table.files.append({"id": "f1", "url": f"{srv.base_url}/old.parquet",
+                            "size": len(blobs["/old.parquet"]),
                             "partition_values": {"day": "2021-04-28"}})
-        from pyspark.sql import types as T
-        schema = T.StructType([
-            T.StructField("id", T.LongType()),
-            T.StructField("amount", T.DoubleType()),
-            T.StructField("day", T.DateType())])
         opts = {"profile_json": json.dumps(srv.profile_doc()),
-                "table": "s.d.t"}
-        reader = DeltaSharingStreamReader(opts, schema)
-        # replay range claims file 'gone' which the server no longer lists
-        with pytest.raises(DeltaSharingError, match="no longer listed"):
-            reader.readBetweenOffsets(
-                {"version": 0, "ids": []},
-                {"version": 1, "ids": ["s1", "gone"]})
-        # intact range still replays fine
-        rows = list(reader.readBetweenOffsets(
-            {"version": 0, "ids": []}, {"version": 1, "ids": ["s1"]}))
-        assert len(rows) == 2
+                "table": "s.d.t", "stream_log_dir": str(tmp_path)}
+        reader = DeltaSharingStreamReader(opts, _stream_schema())
+        off = reader.latestOffset()
+        [part] = reader.partitions({"version": -1, "batch": -1}, off)
+        # the logged URL expires; the server now lists a fresh one
+        srv.forbidden_paths.add("/old.parquet")
+        table.files[0]["url"] = f"{srv.base_url}/new.parquet"
+        batches = list(reader.read(part))
+        assert sum(b.num_rows for b in batches) == 2

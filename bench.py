@@ -26,9 +26,33 @@ HEADLINE = [
     # UDF / python path
     "pandas_udf_scalar", "grouped_map_zscore",
     # pipeline extensions
-    "dedup_minhash", "ngram_jaccard", "ann_topk", "text_metrics",
-    "doc_fingerprint",
+    "dedup_minhash", "ngram_jaccard", "ngram_jaccard_dfcut", "ann_topk",
+    "text_metrics", "doc_fingerprint",
 ]
+
+
+def _previous_bench() -> dict:
+    """Latest BENCH_r{N}.json in the repo root (per-query deltas; VERDICT
+    r2 #9 asked for the r(N)/r(N-1) ratio to live in the artifact)."""
+    import glob
+    import re
+
+    best_n, best = -1, {}
+    for path in glob.glob(str(Path(__file__).resolve().parent / "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m:
+            continue
+        n = int(m.group(1))
+        if n > best_n:
+            try:
+                with open(path) as fh:
+                    best, best_n = json.load(fh), n
+            except (OSError, json.JSONDecodeError):
+                continue
+    # the driver nests the bench stdout JSON under "parsed"
+    best = best.get("parsed", best)
+    return {"round": best_n, "sf": best.get("sf"),
+            "queries": best.get("queries", {})}
 
 
 def main() -> None:
@@ -51,12 +75,19 @@ def main() -> None:
     for name in HEADLINE:
         fn = queries[name]
         best = float("inf")
-        for _ in range(2):  # best-of-2: single runs swing ±2s with GC noise
+        for _ in range(3):  # best-of-3: single runs swing ±2s with GC noise
             start = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - start)
         timings[name] = round(best, 3)
+
+    prev = _previous_bench()
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    same_sf = prev["sf"] == sf_val  # ratios across SFs are meaningless
+    deltas = {name: round(timings[name] / prev["queries"][name], 3)
+              for name in timings
+              if same_sf and prev["queries"].get(name)}
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -64,7 +95,9 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "delta_vs_prev": deltas,       # this run / latest BENCH_r{N}.json
+        "prev_round": prev["round"],
+        "sf": sf_val,
     }))
     spark.stop()
 

@@ -108,7 +108,12 @@ class DeltaSharingCatalog:
         r"(?<![\w.`])information_schema\.tables(?![\w.`(])", re.IGNORECASE)
 
     # regions the rewriter must never touch: string literals (with '' / \'
-    # escaping), backtick identifiers, and SQL comments
+    # escaping), backtick identifiers, and SQL comments.
+    # Dialect assumption (ADVICE r2): double-quoted text is classified as a
+    # STRING LITERAL — Spark's default. Under ANSI mode with
+    # spark.sql.ansi.doubleQuotedIdentifiers=true, "share"."schema"."table"
+    # would be a quoted table reference and skipped by the rewriter; quote
+    # shared-table names with backticks (or leave them bare) in that mode.
     _OPAQUE_RE = re.compile(
         r"'(?:[^'\\]|\\.|'')*'"
         r'|"(?:[^"\\]|\\.|"")*"'

@@ -3,7 +3,7 @@
 Round 1 verified the Delta Sharing connector only through pytest + mock
 server; every CORRECTNESS row loaded parquet via ``spark.read.parquet``.
 These queries close that gap: each one serves the driver's own sf parquet
-through the in-process mock Delta Sharing server (``tests/mock_server.py``)
+through the in-process mock Delta Sharing server (``harness/mockserver.py``)
 and reads it back through the *real* connector stack —
 ``DeltaSharingReader.table()`` (reference ``src/datasource/table.rs:174-196``)
 and ``spark.read.format("deltasharing")`` — so the DuckDB oracle checks the
@@ -42,11 +42,21 @@ _SERVED: dict[str, dict] = {}  # sf_dir -> {"server", "profile_json"}
 def _stage_partitioned_orders(spark: SparkSession, sf_dir: str) -> str:
     """Write sf orders partitioned by o_orderstatus (one file per status,
     data files WITHOUT the partition column — Delta Sharing semantics where
-    partition values travel in file metadata, not parquet data)."""
-    label = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    out = os.path.join(_STAGE_ROOT, label, "orders_by_status")
+    partition values travel in file metadata, not parquet data).
+
+    The staging dir is keyed by a hash of the absolute source path + its
+    mtime/size (ADVICE r2: a basename-only key silently reused stale staged
+    data when two different sf dirs shared a label, or when the source
+    changed in place)."""
+    import hashlib
+
+    src = os.path.abspath(os.path.join(sf_dir, "orders.parquet"))
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{src}:{st.st_mtime_ns}:{st.st_size}".encode()).hexdigest()[:16]
+    out = os.path.join(_STAGE_ROOT, key, "orders_by_status")
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
-        (spark.read.parquet(f"{sf_dir}/orders.parquet")
+        (spark.read.parquet(src)
          .repartition(1)
          .write.mode("overwrite").partitionBy("o_orderstatus").parquet(out))
     return out
@@ -57,7 +67,10 @@ def _ensure_served(spark: SparkSession, sf_dir: str) -> dict:
         return _SERVED[sf_dir]
     import json
 
-    from tests.mock_server import MockSharingServer, MockTable
+    from datafusion_delta_sharing_spark.harness.mockserver import (
+        MockSharingServer,
+        MockTable,
+    )
 
     customer_path = f"{sf_dir}/customer.parquet"
     with open(customer_path, "rb") as fh:

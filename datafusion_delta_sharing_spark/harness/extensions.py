@@ -23,6 +23,24 @@ _JACCARD_DOCS = 150      # doc_id bound for the oracle-checked pairwise query
 _NEARDUP_VECS = 200      # vec_id bound for exact pairwise cosine
 _ANN_QUERIES = 5         # query vectors for top-k
 _EMB_DIM = 64
+_AUG_OFFSET = 1_000_000  # id offset for planted near-duplicate copies
+_AUG_SUFFIX = " xq yq zq wq"  # 4 appended words -> Jaccard (w-4)/w vs original
+_MAX_DOC_FREQ = 40       # posting-list cut for the dfcut demonstration
+
+
+def _docs_with_near_copies(spark, sf_dir):
+    """Planted near-duplicates (VERDICT r2 #3): every doc in the subset gets
+    a copy with 4 extra words appended, so the pairwise dedup checks push
+    >= subset-size true near-dup pairs through the math instead of the 0-1
+    pairs the synthetic corpus happens to contain at sf0.01. The same
+    derivation is mirrored in the DuckDB oracle (docs_aug CTE), so the
+    checks stay hash-exact."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _JACCARD_DOCS).select("doc_id", "text")
+    copies = docs.select(
+        (F.col("doc_id") + F.lit(_AUG_OFFSET)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(_AUG_SUFFIX)).alias("text"))
+    return docs.unionByName(copies)
 
 
 # -- dedup ----------------------------------------------------------------
@@ -40,9 +58,18 @@ def q_dedup_exact_subset(spark, sf_dir):
 
 
 def q_ngram_jaccard(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents").filter(
-        F.col("doc_id") < _JACCARD_DOCS)
+    docs = _docs_with_near_copies(spark, sf_dir)
     return DD.ngram_jaccard_pairs(docs, "text", "doc_id", k=5, threshold=0.15)
+
+
+def q_ngram_jaccard_dfcut(spark, sf_dir):
+    """Jaccard with the posting-list df-cut engaged (VERDICT r2 #7): shingles
+    shared by more than _MAX_DOC_FREQ docs are dropped before the self-join,
+    bounding per-shingle fan-out to _MAX_DOC_FREQ² at any corpus size. The
+    oracle emulates the cut with a count-over-window on the posting list."""
+    docs = _docs_with_near_copies(spark, sf_dir)
+    return DD.ngram_jaccard_pairs(docs, "text", "doc_id", k=5, threshold=0.15,
+                                  max_doc_freq=_MAX_DOC_FREQ)
 
 
 def q_dedup_components(spark, sf_dir):
@@ -58,9 +85,10 @@ def q_dedup_components(spark, sf_dir):
 
 def q_dedup_minhash(spark, sf_dir):
     """MinHash-LSH candidates (xxhash64-based: rows-only check; recall vs the
-    exact Jaccard of q_ngram_jaccard is asserted in tests)."""
-    docs = load_table(spark, sf_dir, "documents").filter(
-        F.col("doc_id") < _JACCARD_DOCS)
+    exact Jaccard of q_ngram_jaccard is asserted in tests). Runs over the
+    planted near-copies so the banding + verification path processes ~150
+    true pairs, not the 1 pair the raw corpus contains."""
+    docs = _docs_with_near_copies(spark, sf_dir)
     return DD.minhash_lsh_pairs(docs, "text", "doc_id",
                                 num_hashes=16, bands=4, k=5, threshold=0.15)
 
@@ -75,9 +103,15 @@ def q_dedup_simhash(spark, sf_dir):
 
 
 def q_embedding_neardup(spark, sf_dir):
+    """Exact pairwise cosine with planted duplicates: each vector gets an
+    identical copy at vec_id + _AUG_OFFSET (cosine exactly 1.0), so the
+    pair math proves itself on ~200 true pairs (VERDICT r2 #3: the raw
+    corpus has 0 pairs above the threshold at sf0.01)."""
     emb = load_table(spark, sf_dir, "embeddings").filter(
-        F.col("vec_id") < _NEARDUP_VECS)
-    return SIM.embedding_neardup_pairs(emb, threshold=0.5)
+        F.col("vec_id") < _NEARDUP_VECS).select("vec_id", "embedding")
+    copies = emb.select(
+        (F.col("vec_id") + F.lit(_AUG_OFFSET)).alias("vec_id"), "embedding")
+    return SIM.embedding_neardup_pairs(emb.unionByName(copies), threshold=0.5)
 
 
 def q_ann_topk(spark, sf_dir):
@@ -155,6 +189,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_exact_subset": q_dedup_exact_subset,
     "ngram_jaccard": q_ngram_jaccard,
+    "ngram_jaccard_dfcut": q_ngram_jaccard_dfcut,
     "dedup_components": q_dedup_components,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
@@ -169,7 +204,10 @@ QUERIES = {
     "stream_hourly": q_stream_hourly,
 }
 
-_SHINGLE_POSTS = f"""
+def _posts_cte(source_sql: str) -> str:
+    """DuckDB posting-list CTE (id, shingle) over an arbitrary doc source —
+    the SQL mirror of operators/dedup.shingle_sets."""
+    return f"""
     posts AS (
         SELECT DISTINCT doc_id AS id, sh FROM (
             SELECT doc_id,
@@ -179,9 +217,38 @@ _SHINGLE_POSTS = f"""
                    END AS shs
             FROM (SELECT doc_id, text,
                          regexp_split_to_array(trim(text), '\\s+') AS words
-                  FROM documents WHERE doc_id < {_JACCARD_DOCS})
+                  FROM {source_sql})
         ), unnest(shs) AS t(sh)
     )
+"""
+
+
+_SHINGLE_POSTS = _posts_cte(f"documents WHERE doc_id < {_JACCARD_DOCS}")
+
+# planted near-copies: the SQL mirror of _docs_with_near_copies
+_DOCS_AUG = f"""
+    docs_aug AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < {_JACCARD_DOCS}
+        UNION ALL
+        SELECT doc_id + {_AUG_OFFSET} AS doc_id,
+               text || '{_AUG_SUFFIX}' AS text
+        FROM documents WHERE doc_id < {_JACCARD_DOCS}
+    )
+"""
+
+_JACCARD_TAIL = """
+    sizes AS (SELECT id, count(*) AS sz FROM {posts} GROUP BY id),
+    inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+        FROM {posts} a JOIN {posts} b ON a.sh = b.sh AND a.id < b.id
+        GROUP BY a.id, b.id
+    )
+    SELECT id_a, id_b,
+           round(n_inter / (sa.sz + sb.sz - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE round(n_inter / (sa.sz + sb.sz - n_inter), 6) >= 0.15
 """
 
 ORACLES = {
@@ -200,19 +267,18 @@ ORACLES = {
         ) WHERE rn = 1
     """,
     "ngram_jaccard": f"""
-        WITH {_SHINGLE_POSTS},
-        sizes AS (SELECT id, count(*) AS sz FROM posts GROUP BY id),
-        inter AS (
-            SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
-            FROM posts a JOIN posts b ON a.sh = b.sh AND a.id < b.id
-            GROUP BY a.id, b.id
-        )
-        SELECT id_a, id_b,
-               round(n_inter / (sa.sz + sb.sz - n_inter), 6) AS jaccard
-        FROM inter
-        JOIN sizes sa ON sa.id = id_a
-        JOIN sizes sb ON sb.id = id_b
-        WHERE round(n_inter / (sa.sz + sb.sz - n_inter), 6) >= 0.15
+        WITH {_DOCS_AUG}, {_posts_cte('docs_aug')},
+        {_JACCARD_TAIL.format(posts='posts')}
+    """,
+    "ngram_jaccard_dfcut": f"""
+        WITH {_DOCS_AUG}, {_posts_cte('docs_aug')},
+        cut AS (
+            SELECT id, sh FROM (
+                SELECT id, sh, count(*) OVER (PARTITION BY sh) AS df
+                FROM posts
+            ) WHERE df <= {_MAX_DOC_FREQ}
+        ),
+        {_JACCARD_TAIL.format(posts='cut')}
     """,
     "dedup_components": f"""
         WITH RECURSIVE {_SHINGLE_POSTS},
@@ -246,26 +312,25 @@ ORACLES = {
         GROUP BY d.doc_id
     """,
     "embedding_neardup": f"""
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               round(
-                 list_sum(list_transform(list_zip(a.embedding, b.embedding),
-                          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
-                 / (sqrt(list_sum(list_transform(a.embedding,
-                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-                  * sqrt(list_sum(list_transform(b.embedding,
-                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
-                 6) AS score
-        FROM embeddings a JOIN embeddings b
-          ON a.vec_id < b.vec_id
-        WHERE a.vec_id < {_NEARDUP_VECS} AND b.vec_id < {_NEARDUP_VECS}
-          AND round(
-                 list_sum(list_transform(list_zip(a.embedding, b.embedding),
-                          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
-                 / (sqrt(list_sum(list_transform(a.embedding,
-                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-                  * sqrt(list_sum(list_transform(b.embedding,
-                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
-                 6) >= 0.5
+        WITH emb_aug AS (
+            SELECT vec_id, embedding FROM embeddings
+            WHERE vec_id < {_NEARDUP_VECS}
+            UNION ALL
+            SELECT vec_id + {_AUG_OFFSET} AS vec_id, embedding
+            FROM embeddings WHERE vec_id < {_NEARDUP_VECS}
+        )
+        SELECT id_a, id_b, score FROM (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(
+                     list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                              p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                     / (sqrt(list_sum(list_transform(a.embedding,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                      * sqrt(list_sum(list_transform(b.embedding,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+                     6) AS score
+            FROM emb_aug a JOIN emb_aug b ON a.vec_id < b.vec_id
+        ) WHERE score >= 0.5
     """,
     "ann_topk": f"""
         SELECT query_id, cand_id, score, rnk FROM (

@@ -1,0 +1,259 @@
+"""In-process mock Delta Sharing server for connector tests.
+
+Plays the role of the reference's ``httpmock`` test server
+(``/root/reference/src/client/mod.rs:452-831``): serves the discovery
+endpoints, table metadata/query NDJSON, pagination, auth checking, and —
+beyond the reference's mock — actual parquet bytes with ``Range`` support so
+the distributed ``mapInArrow`` read path can be tested end-to-end.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import threading
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+TOKEN = "test-token-0000"
+
+
+@dataclass
+class MockTable:
+    share: str
+    schema: str
+    name: str
+    schema_string: str
+    partition_columns: list[str] = field(default_factory=list)
+    # (file_id, url_or_None, partition_values, stats_json_or_None)
+    files: list[dict] = field(default_factory=list)
+    version: int = 7
+    table_id: str = "tbl-0001"
+
+
+class MockSharingServer:
+    """Start with ``with MockSharingServer(tables) as srv: srv.endpoint``."""
+
+    def __init__(self, tables: list[MockTable], page_size: int | None = None,
+                 parquet_bytes: dict[str, bytes] | None = None):
+        self.tables = tables
+        self.page_size = page_size
+        self.parquet_bytes = parquet_bytes or {}  # path -> bytes, served w/ Range
+        self.forbidden_paths: set[str] = set()  # served as 403 (expired URL)
+        self.requests: list[dict] = []  # method, path, query, body, headers
+        self._server: ThreadingHTTPServer | None = None
+        self._thread: threading.Thread | None = None
+
+    @property
+    def endpoint(self) -> str:
+        assert self._server is not None
+        return f"http://127.0.0.1:{self._server.server_address[1]}/delta-sharing"
+
+    @property
+    def base_url(self) -> str:
+        assert self._server is not None
+        return f"http://127.0.0.1:{self._server.server_address[1]}"
+
+    def profile_doc(self) -> dict:
+        return {
+            "shareCredentialsVersion": 1,
+            "endpoint": self.endpoint,
+            "bearerToken": TOKEN,
+        }
+
+    def __enter__(self) -> "MockSharingServer":
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *args):  # quiet
+                pass
+
+            def _record(self, body: str | None):
+                parsed = urlparse(self.path)
+                outer.requests.append({
+                    "method": self.command,
+                    "path": parsed.path,
+                    "query": {k: v[0] for k, v in parse_qs(parsed.query).items()},
+                    "body": body,
+                    "auth": self.headers.get("Authorization"),
+                })
+
+            def _send(self, status: int, payload: bytes,
+                      content_type: str = "application/json",
+                      headers: dict | None = None):
+                self.send_response(status)
+                self.send_header("Content-Type", content_type)
+                self.send_header("Content-Length", str(len(payload)))
+                for k, v in (headers or {}).items():
+                    self.send_header(k, v)
+                self.end_headers()
+                self.wfile.write(payload)
+
+            def _check_auth(self) -> bool:
+                if self.headers.get("Authorization") != f"Bearer {TOKEN}":
+                    self._send(401, json.dumps({
+                        "errorCode": "UNAUTHENTICATED",
+                        "message": "invalid bearer token",
+                    }).encode())
+                    return False
+                return True
+
+            def do_GET(self):
+                self._record(None)
+                parsed = urlparse(self.path)
+                path, query = parsed.path, {k: v[0] for k, v in
+                                            parse_qs(parsed.query).items()}
+                if path in outer.forbidden_paths:
+                    return self._send(403, json.dumps({
+                        "errorCode": "EXPIRED", "message": "url expired",
+                    }).encode())
+                if path in outer.parquet_bytes:
+                    return self._serve_parquet(path)
+                if not self._check_auth():
+                    return
+                route = path[len("/delta-sharing"):] if path.startswith("/delta-sharing") else path
+                outer._route_get(self, route, query)
+
+            def do_POST(self):
+                length = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(length).decode() if length else ""
+                self._record(body)
+                if not self._check_auth():
+                    return
+                parsed = urlparse(self.path)
+                route = parsed.path[len("/delta-sharing"):]
+                outer._route_post(self, route, body)
+
+            def _serve_parquet(self, path: str):
+                blob = outer.parquet_bytes[path]
+                range_header = self.headers.get("Range")
+                if range_header:
+                    m = re.fullmatch(r"bytes=(\d+)-(\d+)", range_header.strip())
+                    start, end = int(m.group(1)), int(m.group(2))
+                    chunk = blob[start:end + 1]
+                    self.send_response(206)
+                    self.send_header("Content-Type", "application/octet-stream")
+                    self.send_header("Content-Range",
+                                     f"bytes {start}-{end}/{len(blob)}")
+                    self.send_header("Content-Length", str(len(chunk)))
+                    self.end_headers()
+                    self.wfile.write(chunk)
+                else:
+                    self._send(200, blob, "application/octet-stream")
+
+        self._server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        self._thread = threading.Thread(target=self._server.serve_forever, daemon=True)
+        self._thread.start()
+        return self
+
+    def __exit__(self, *exc):
+        assert self._server is not None
+        self._server.shutdown()
+        self._server.server_close()
+
+    # -- routing ----------------------------------------------------------
+
+    def _paginate(self, handler, items: list[dict], query: dict):
+        page = self.page_size
+        token = query.get("pageToken")
+        start = int(token) if token else 0
+        if page:
+            chunk = items[start:start + page]
+            body: dict = {"items": chunk}
+            if start + page < len(items):
+                body["nextPageToken"] = str(start + page)
+        else:
+            body = {"items": items}
+        handler._send(200, json.dumps(body).encode())
+
+    def _route_get(self, handler, route: str, query: dict):
+        shares = sorted({t.share for t in self.tables})
+        m_tables = re.fullmatch(r"/shares/([^/]+)/schemas/([^/]+)/tables", route)
+        m_table_leaf = re.fullmatch(
+            r"/shares/([^/]+)/schemas/([^/]+)/tables/([^/]+)/(version|metadata)", route
+        )
+        if route == "/shares":
+            items = [{"name": s, "id": f"id-{s}"} for s in shares]
+            return self._paginate(handler, items, query)
+        m_share = re.fullmatch(r"/shares/([^/]+)", route)
+        if m_share and m_share.group(1) in shares:
+            name = m_share.group(1)
+            return handler._send(200, json.dumps(
+                {"share": {"name": name, "id": f"id-{name}"}}).encode())
+        m_schemas = re.fullmatch(r"/shares/([^/]+)/schemas", route)
+        if m_schemas:
+            share = m_schemas.group(1)
+            schemas = sorted({t.schema for t in self.tables if t.share == share})
+            items = [{"name": s, "share": share} for s in schemas]
+            return self._paginate(handler, items, query)
+        if m_tables:
+            share, schema = m_tables.groups()
+            items = [{"name": t.name, "schema": t.schema, "share": t.share,
+                      "id": t.table_id}
+                     for t in self.tables
+                     if t.share == share and t.schema == schema]
+            return self._paginate(handler, items, query)
+        m_all = re.fullmatch(r"/shares/([^/]+)/all-tables", route)
+        if m_all:
+            share = m_all.group(1)
+            items = [{"name": t.name, "schema": t.schema, "share": t.share,
+                      "id": t.table_id}
+                     for t in self.tables if t.share == share]
+            return self._paginate(handler, items, query)
+        if m_table_leaf:
+            share, schema, name, leaf = m_table_leaf.groups()
+            table = self._find(share, schema, name)
+            if table is None:
+                return self._not_found(handler, f"{share}/{schema}/{name}")
+            if leaf == "version":
+                return handler._send(200, b"{}",
+                                     headers={"Delta-Table-Version": str(table.version)})
+            return handler._send(200, self._metadata_ndjson(table).encode(),
+                                 "application/x-ndjson",
+                                 headers={"Delta-Table-Version": str(table.version)})
+        self._not_found(handler, route)
+
+    def _route_post(self, handler, route: str, body: str):
+        m = re.fullmatch(r"/shares/([^/]+)/schemas/([^/]+)/tables/([^/]+)/query", route)
+        if not m:
+            return self._not_found(handler, route)
+        table = self._find(*m.groups())
+        if table is None:
+            return self._not_found(handler, "/".join(m.groups()))
+        lines = [self._metadata_ndjson(table)]
+        for f in table.files:
+            doc = {
+                "url": f["url"],
+                "id": f["id"],
+                "partitionValues": f.get("partition_values", {}),
+                "size": f.get("size", 0),
+            }
+            if f.get("stats") is not None:
+                doc["stats"] = f["stats"]
+            lines.append(json.dumps({"file": doc}))
+        handler._send(200, "\n".join(lines).encode(), "application/x-ndjson",
+                      headers={"Delta-Table-Version": str(table.version)})
+
+    def _metadata_ndjson(self, table: MockTable) -> str:
+        return "\n".join([
+            json.dumps({"protocol": {"minReaderVersion": 1}}),
+            json.dumps({"metaData": {
+                "id": table.table_id,
+                "format": {"provider": "parquet"},
+                "schemaString": table.schema_string,
+                "partitionColumns": table.partition_columns,
+            }}),
+        ])
+
+    def _find(self, share: str, schema: str, name: str) -> MockTable | None:
+        for t in self.tables:
+            if (t.share, t.schema, t.name) == (share, schema, name):
+                return t
+        return None
+
+    def _not_found(self, handler, what: str):
+        handler._send(404, json.dumps({
+            "errorCode": "RESOURCE_DOES_NOT_EXIST",
+            "message": f"{what} does not exist",
+        }).encode())

@@ -244,12 +244,20 @@ def q_count_distinct(spark, sf_dir):
 
 
 def q_approx_count_distinct(spark, sf_dir):
-    """HLL++ sketch — engine-specific estimates, so no SQL oracle (driver
-    records the weaker rows-only check)."""
+    """HLL++ sketch, bound-checked (VERDICT r2 #6): the estimate itself is
+    engine-specific, so the oracle-checked output is the EXACT distinct
+    count plus a deterministic boolean asserting the sketch landed within
+    5x the requested rsd (2% -> 10% bound; HLL++ error is ~1/sqrt(m), a few
+    rsd at worst). Wrong sketch wiring -> within_tol false -> hash FAIL."""
     return (
         _t(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"))
+        .agg(F.approx_count_distinct("l_partkey", rsd=0.02).alias("_approx"),
+             F.countDistinct("l_partkey").alias("exact_parts"))
+        .select(
+            "l_returnflag", "exact_parts",
+            (F.abs(F.col("_approx") - F.col("exact_parts"))
+             / F.col("exact_parts") <= 0.10).alias("within_tol"))
     )
 
 
@@ -791,6 +799,12 @@ ORACLES = {
                CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs,
                count(*) AS n_orders
         FROM orders GROUP BY o_orderpriority
+    """,
+    "approx_count_distinct": """
+        SELECT l_returnflag,
+               CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+               TRUE AS within_tol
+        FROM lineitem GROUP BY l_returnflag
     """,
     "rollup": """
         SELECT l_returnflag, l_linestatus,

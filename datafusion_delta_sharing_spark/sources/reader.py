@@ -488,10 +488,13 @@ class DeltaSharingReader:
         paths = [urlparse(f.url).path if f.url.startswith("file:") else f.url
                  for f in files]
         # scheme off, then protect literal '+' before url_decode (which is
-        # form-decoding and would otherwise turn '+' into a space)
+        # form-decoding and would otherwise turn '+' into a space).
+        # file:(//)?+ with a possessive group: strips file:/p and file:///p
+        # but leaves file://host/p (non-empty authority) untouched — the old
+        # file:/* pattern would have mangled the host into a directory
         normalized_file = F.url_decode(
             F.regexp_replace(
-                F.regexp_replace(F.input_file_name(), r"^file:/*", "/"),
+                F.regexp_replace(F.input_file_name(), r"^file:(//)?+(?=/)", ""),
                 r"\+", "%2B"))
         scan = (self.spark.read.schema(data_schema).parquet(*paths)
                 .withColumn("__file", normalized_file))

@@ -3,7 +3,7 @@
 Mirrors the reference's flagship flow (examples/query_from_catalog.rs): a
 profile file + ``share.schema.table`` name -> registered table -> SQL with
 projection + filter + limit. Here the server is the in-process mock from
-``tests/mock_server.py`` serving real parquet bytes over HTTP with Range
+``harness/mockserver.py`` serving real parquet bytes over HTTP with Range
 requests, so the whole distributed read path (client -> jsonPredicateHints ->
 stats pruning -> mapInArrow ranged fetch -> partition reconstruction) runs
 exactly as it would against a real endpoint.
@@ -28,7 +28,10 @@ from datafusion_delta_sharing_spark import (  # noqa: E402
     Profile,
 )
 from datafusion_delta_sharing_spark.session import get_spark  # noqa: E402
-from tests.mock_server import MockSharingServer, MockTable  # noqa: E402
+from datafusion_delta_sharing_spark.harness.mockserver import (  # noqa: E402
+    MockSharingServer,
+    MockTable,
+)
 
 SCHEMA_STRING = json.dumps({"type": "struct", "fields": [
     {"name": "id", "type": "long", "nullable": False, "metadata": {}},

@@ -322,6 +322,57 @@ def test_connected_components_chain_converges(spark):
     assert set(labels.values()) == {0}
 
 
+def test_connected_components_unconverged_raises(spark):
+    """VERDICT r2 #8: exiting at max_iterations with labels still moving
+    must raise, not silently return split components."""
+    import pytest
+
+    n = 12  # path graph: needs ~n rounds of min-label propagation
+    vertices = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        DD.connected_components(vertices, pairs, max_iterations=2)
+    # (convergence with enough rounds: test_connected_components_chain_converges)
+
+
+def test_simhash_pigeonhole_recall_at_guarantee_radius(spark):
+    """VERDICT r2 #4: with chunks = max_hamming + 1, recall must be 1.0 AT
+    the requested radius. Craft fingerprint pairs at exactly max_hamming
+    bit flips placed adversarially (one per chunk — the worst case for the
+    old fixed-4-chunk scheme) and at boundary-straddling positions."""
+    from datafusion_delta_sharing_spark.operators.dedup import (
+        _chunk_bounds,
+        pigeonhole_neardup_pairs,
+    )
+
+    for max_hamming in (3, 7, 10):
+        bounds = _chunk_bounds(64, max_hamming + 1)
+        assert sum(w for _, w in bounds) == 64
+        base = 0x5A5A_5A5A_5A5A_5A5A
+        rows = [(0, base)]
+        # pair 1: one flip in each of the first max_hamming chunks
+        flips_spread = [off for off, _ in bounds[:max_hamming]]
+        # pair 2: all flips packed at the low end (stresses chunk 0 width)
+        flips_packed = list(range(max_hamming))
+        # pair 3: flips at the highest bits
+        flips_high = list(range(64 - max_hamming, 64))
+        for i, flips in enumerate((flips_spread, flips_packed, flips_high)):
+            h = base
+            for b in flips:
+                h ^= 1 << b
+            # store as signed 64-bit long for Spark LongType
+            if h >= 1 << 63:
+                h -= 1 << 64
+            rows.append((i + 1, h))
+        hashed = spark.createDataFrame(rows, "id long, simhash long")
+        got = {(r.id_a, r.id_b): r.hamming
+               for r in pigeonhole_neardup_pairs(hashed, max_hamming).collect()}
+        for other in (1, 2, 3):
+            assert got.get((0, other)) == max_hamming, (
+                f"radius {max_hamming}: pair (0,{other}) missed: {got}")
+
+
 def test_dedup_survivors_keeps_canonical(spark):
     df = spark.createDataFrame(
         [(1, "x"), (2, "x2"), (3, "x3"), (4, "y")],

@@ -22,13 +22,39 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's CORRECTNESS harness checks the FIRST 50 registry entries.
-# Order management (VERDICT r2 structural note): connector + extensions +
-# tpch + tierb5 + tierb4 + tierb3 + tierb2 first — these either exercise the
-# Delta Sharing stack itself or have never had a driver CORRECTNESS row —
-# and the tierb core last (every tierb query already has a green r1/r2 row
-# on record).
+# Window management (VERDICT r2 structural note): entries named in _WINDOW
+# are pulled to the front, in order; everything else follows in module
+# order. r3 window = the connector_datasource fix + every LLM-pipeline
+# extension + the full TPC-H suite (17 queries incl. the 12 added r3) +
+# tierb5/tierb4 + most of tierb3 + the 4 tierb2 entries that have never had
+# a driver row. Deferred to r4 (judge-verified by hand r1+r2, lowest risk):
+# pad_case_funcs, trig_funcs, bitwise_funcs, and the r1-green tierb2 four
+# (agg_corr, explode_lateral, map_funcs, window_analytics).
 _MODULE_ORDER = ("connector", "extensions", "tpch", "tierb5", "tierb4",
                  "tierb3", "tierb2", "tierb")
+
+_WINDOW = (
+    "connector_datasource",
+    # extensions (16): every LLM-pipeline operator
+    "dedup_exact", "dedup_exact_subset", "ngram_jaccard",
+    "ngram_jaccard_dfcut", "dedup_components", "dedup_minhash",
+    "dedup_simhash", "embedding_neardup", "ann_topk", "ann_lsh_topk",
+    "ann_ivf_topk", "text_metrics", "lang_id", "doc_fingerprint",
+    "multimodal_features", "stream_hourly",
+    # tpch (17): full suite
+    "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7", "tpch_q8",
+    "tpch_q9", "tpch_q10", "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q15",
+    "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q21", "tpch_q22",
+    # tierb5 (6)
+    "date_funcs2", "string_funcs2", "bool_aggs", "session_window_batch",
+    "stream_sliding", "approx_percentile",
+    # tierb4 (4)
+    "cross_join", "null_safe_eq", "collect_agg", "min_max_by",
+    # tierb3 (2 of 5)
+    "regexp_funcs", "string_distance",
+    # tierb2: the 4 with no driver row in any round
+    "unpivot", "except_all", "python_udtf", "stateful_stream",
+)
 
 
 def _modules():
@@ -39,15 +65,21 @@ def _modules():
         for name in _MODULE_ORDER]
 
 
+def _windowed(merged: dict) -> dict:
+    front = {k: merged[k] for k in _WINDOW if k in merged}
+    front.update((k, v) for k, v in merged.items() if k not in front)
+    return front
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     registry: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for mod in _modules():
         registry.update(mod.QUERIES)
-    return registry
+    return _windowed(registry)
 
 
 def oracle_sql() -> dict[str, str]:
     oracles: dict[str, str] = {}
     for mod in _modules():
         oracles.update(mod.ORACLES)
-    return oracles
+    return _windowed(oracles)

@@ -30,8 +30,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # a driver row. Deferred to r4 (judge-verified by hand r1+r2, lowest risk):
 # pad_case_funcs, trig_funcs, bitwise_funcs, and the r1-green tierb2 four
 # (agg_corr, explode_lateral, map_funcs, window_analytics).
-_MODULE_ORDER = ("connector", "extensions", "tpch", "tierb5", "tierb4",
-                 "tierb3", "tierb2", "tierb")
+_MODULE_ORDER = ("connector", "extensions", "extensions2", "tpch", "tierb5",
+                 "tierb4", "tierb3", "tierb2", "tierb")
 
 _WINDOW = (
     "connector_datasource",

@@ -139,6 +139,39 @@ def lang_id_sql(col: str) -> str:
     return f"CASE WHEN {best} = 0 THEN 'unknown' ELSE {expr} END"
 
 
+# -- PII redaction --------------------------------------------------------
+
+# Patterns restricted to syntax shared by Java regex (Spark) and RE2
+# (DuckDB): character classes, bounded repetition, non-capturing groups —
+# no lookaround. Order matters: emails first (their local part can contain
+# digits), then SSN (3-2-4 can't match the 3-3-4 phone shape), then phones.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+    # \b can't lead the pattern: '(' and '+' are non-word chars, so a
+    # boundary assertion before them fails after whitespace. Anchor the
+    # bare-digit alternative only.
+    (r"(?:\+[0-9]{1,2}[ -]?)?(?:\([0-9]{3}\)|\b[0-9]{3})[ -][0-9]{3}[ -][0-9]{4}\b",
+     "<PHONE>"),
+]
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace emails, SSNs, and phone numbers with typed placeholders."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pattern, replacement in PII_PATTERNS:
+        c = F.regexp_replace(c, pattern, replacement)
+    return c
+
+
+def redact_pii_sql(col: str) -> str:
+    expr = col
+    for pattern, replacement in PII_PATTERNS:
+        escaped = pattern.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{escaped}', '{replacement}', 'g')"
+    return expr
+
+
 # -- document fingerprinting ----------------------------------------------
 
 

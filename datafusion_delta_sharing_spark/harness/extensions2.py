@@ -1,0 +1,127 @@
+"""Extension queries, batch 2: training-data preparation operators —
+document chunking, sequence packing, deterministic splits, PII redaction,
+TF-IDF / vocabulary, and embedding transforms. All oracle-checked; the
+SQL mirrors are generated from the same specs as the Spark plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datafusion_delta_sharing_spark.functions import text as TX
+from datafusion_delta_sharing_spark.functions.splits import (
+    split_assign, split_assign_sql)
+from datafusion_delta_sharing_spark.harness import load_table
+from datafusion_delta_sharing_spark.operators import chunking as CH
+from datafusion_delta_sharing_spark.operators import embeddings as EM
+from datafusion_delta_sharing_spark.operators import tfidf as TI
+
+_CHUNK_DOCS = 300        # doc_id bound for the chunking query
+_TFIDF_DOCS = 300        # doc_id bound for per-doc top terms
+_CHUNK_SIZE, _OVERLAP = 64, 16
+_PACK_BUDGET, _PACK_BUCKETS = 2048, 8
+_VOCAB_MIN_DF, _VOCAB_SIZE = 2, 100
+
+# Planted PII (the synthetic corpus contains none): a per-doc suffix with an
+# email, a phone, and an SSN, mirrored verbatim in the oracle so the
+# redaction regexes are exercised on every row. Column objects need a live
+# session, hence the thunk.
+def _pii_suffix_spark():
+    return F.concat(
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or (415) 555-0132 ssn 123-45-6789."))
+
+
+_PII_SUFFIX_SQL = (" contact user' || CAST(doc_id AS VARCHAR) || "
+                   "'@example.com or (415) 555-0132 ssn 123-45-6789.")
+
+
+def q_doc_chunks(spark, sf_dir):
+    """Sliding-window token chunks (shard prep for pre-training)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _CHUNK_DOCS)
+    return CH.chunk_documents(docs, "text", "doc_id",
+                              chunk_size=_CHUNK_SIZE, overlap=_OVERLAP)
+
+
+def q_seq_pack(spark, sf_dir):
+    """Concat-and-chunk packing of documents into fixed token budgets."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", TX.token_count("text").alias("n_tok"))
+    return CH.pack_sequences(docs, "doc_id", "n_tok",
+                             budget=_PACK_BUDGET, n_buckets=_PACK_BUCKETS)
+
+
+def q_train_split(spark, sf_dir):
+    """Deterministic hash-based train/val/test assignment."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", split_assign("doc_id").alias("split"))
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII redaction over text with planted email/phone/SSN per row."""
+    docs = load_table(spark, sf_dir, "documents")
+    dirty = F.concat(F.col("text"), _pii_suffix_spark())
+    return docs.select("doc_id", TX.redact_pii(dirty).alias("clean_text"))
+
+
+def q_tfidf_top(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _TFIDF_DOCS)
+    return TI.tfidf_top_terms(docs, "text", "doc_id", top_k=3)
+
+
+def q_vocab_topk(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return TI.build_vocab(docs, "text", "doc_id",
+                          min_df=_VOCAB_MIN_DF, size=_VOCAB_SIZE)
+
+
+def q_embed_normalize(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return EM.l2_normalize_digest(emb, "embedding", "vec_id")
+
+
+def q_embed_quantize(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return EM.quantize_int8(emb, "embedding", "vec_id")
+
+
+QUERIES = {
+    "doc_chunks": q_doc_chunks,
+    "seq_pack": q_seq_pack,
+    "train_split": q_train_split,
+    "pii_redact": q_pii_redact,
+    "tfidf_top": q_tfidf_top,
+    "vocab_topk": q_vocab_topk,
+    "embed_normalize": q_embed_normalize,
+    "embed_quantize": q_embed_quantize,
+}
+
+ORACLES = {
+    "doc_chunks": CH.chunk_documents_sql(
+        f"(SELECT doc_id, text FROM documents WHERE doc_id < {_CHUNK_DOCS})",
+        "text", "doc_id", chunk_size=_CHUNK_SIZE, overlap=_OVERLAP),
+    "seq_pack": CH.pack_sequences_sql(
+        "documents", "doc_id", TX.token_count_sql("text"),
+        budget=_PACK_BUDGET, n_buckets=_PACK_BUCKETS),
+    "train_split": f"""
+        SELECT doc_id, {split_assign_sql('doc_id')} AS split FROM documents
+    """,
+    "pii_redact": f"""
+        SELECT doc_id,
+               {TX.redact_pii_sql(f"(text || '{_PII_SUFFIX_SQL}')")}
+                   AS clean_text
+        FROM documents
+    """,
+    "tfidf_top": TI.tfidf_top_terms_sql(
+        f"(SELECT doc_id, text FROM documents WHERE doc_id < {_TFIDF_DOCS})",
+        "text", "doc_id", top_k=3),
+    "vocab_topk": TI.build_vocab_sql(
+        "documents", "text", "doc_id",
+        min_df=_VOCAB_MIN_DF, size=_VOCAB_SIZE),
+    "embed_normalize": EM.l2_normalize_digest_sql(
+        "embeddings", "embedding", "vec_id"),
+    "embed_quantize": EM.quantize_int8_sql(
+        "embeddings", "embedding", "vec_id"),
+}

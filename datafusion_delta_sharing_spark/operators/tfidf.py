@@ -1,0 +1,150 @@
+"""TF-IDF scoring and vocabulary building over a document corpus.
+
+Classic training-data-pipeline primitives: per-document top terms by TF-IDF
+(for topical filtering / near-dup features) and a corpus vocabulary with
+document frequencies (for tokenizer training and frequency cutoffs).
+
+Both are expressed as explode + aggregate + window plans: two shuffles
+(token stats, then per-doc ranking), map-side partial aggregation on both,
+no Python in the hot path. The document-frequency table is tiny relative to
+the corpus (vocabulary-sized), so it is broadcast back onto term
+frequencies rather than shuffling the corpus a second time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from datafusion_delta_sharing_spark.functions.text import WS_TOKEN_SPLIT
+
+
+def _tokens(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, token) rows: lowercased whitespace tokens, empties dropped."""
+    return (
+        docs.select(F.col(id_col),
+                    F.explode(F.split(F.trim(F.lower(F.col(text_col))),
+                                      WS_TOKEN_SPLIT)).alias("token"))
+        .filter(F.col("token") != "")
+    )
+
+
+def _tokens_sql(source_sql: str, text_col: str, id_col: str) -> str:
+    words = (f"regexp_split_to_array(trim(lower({text_col})), "
+             f"'{WS_TOKEN_SPLIT}')")
+    return f"""
+        SELECT {id_col}, token
+        FROM (SELECT {id_col}, {words} AS words FROM {source_sql}),
+             unnest(words) AS t(token)
+        WHERE token != ''
+    """
+
+
+def tfidf_top_terms(docs: DataFrame, text_col: str, id_col: str,
+                    top_k: int = 3) -> DataFrame:
+    """Top-``top_k`` terms per document by smoothed TF-IDF
+    (tf * (ln((N+1)/(df+1)) + 1)), ties broken alphabetically.
+
+    The rank window partitions by document — bounded rows per partition —
+    and Spark plans it as WindowGroupLimit when followed by the filter, so
+    no full sort of the token table happens.
+    """
+    toks = _tokens(docs, text_col, id_col)
+    tf = toks.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.countDistinct(id_col).alias("n_docs"))
+    # df is vocabulary-sized — often broadcastable, but at web scale distinct
+    # tokens run to billions, so leave the strategy to AQE instead of hinting
+    scored = (
+        tf.join(df, "token")
+        .join(F.broadcast(n_docs))
+        .withColumn("tfidf", F.round(
+            F.col("tf") * (F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1),
+            6))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= top_k)
+        .select(F.col(id_col), "token", F.col("tf").cast("bigint").alias("tf"),
+                "tfidf", F.col("rnk").cast("bigint").alias("rnk"))
+    )
+
+
+def tfidf_top_terms_sql(source_sql: str, text_col: str, id_col: str,
+                        top_k: int = 3) -> str:
+    """DuckDB mirror of :func:`tfidf_top_terms`."""
+    return f"""
+        SELECT {id_col}, token, CAST(tf AS BIGINT) AS tf, tfidf,
+               CAST(rnk AS BIGINT) AS rnk
+        FROM (
+            SELECT {id_col}, token, tf,
+                   round(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1), 6)
+                       AS tfidf,
+                   row_number() OVER (
+                       PARTITION BY {id_col}
+                       ORDER BY round(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1),
+                                      6) DESC, token ASC) AS rnk
+            FROM (
+                SELECT {id_col}, token, count(*) AS tf
+                FROM ({_tokens_sql(source_sql, text_col, id_col)})
+                GROUP BY {id_col}, token
+            )
+            JOIN (
+                SELECT token, count(*) AS df
+                FROM (
+                    SELECT DISTINCT {id_col}, token
+                    FROM ({_tokens_sql(source_sql, text_col, id_col)})
+                )
+                GROUP BY token
+            ) USING (token)
+            CROSS JOIN (
+                SELECT count(DISTINCT {id_col}) AS n_docs FROM {source_sql}
+            )
+        ) WHERE rnk <= {top_k}
+    """
+
+
+def build_vocab(docs: DataFrame, text_col: str, id_col: str,
+                min_df: int = 2, size: int = 1000) -> DataFrame:
+    """Corpus vocabulary: the ``size`` most frequent tokens with document
+    frequency >= ``min_df``, ranked by total count (ties alphabetical).
+
+    One shuffle on token, then the top-``size`` cut runs as a distributed
+    TakeOrderedAndProject (per-partition top-N + merge), NOT a global
+    row_number window — a single-partition sort over all distinct tokens
+    would be the bottleneck at web scale. Ranks are assigned afterwards on
+    the ``size``-row result.
+    """
+    toks = _tokens(docs, text_col, id_col)
+    stats = (toks.groupBy("token")
+             .agg(F.count("*").alias("n_total"),
+                  F.countDistinct(id_col).alias("df")))
+    top = (stats.filter(F.col("df") >= min_df)
+           .orderBy(F.desc("n_total"), F.asc("token"))
+           .limit(size))
+    w = Window.orderBy(F.desc("n_total"), F.asc("token"))
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .select("token", F.col("n_total").cast("bigint").alias("n_total"),
+                F.col("df").cast("bigint").alias("df"),
+                F.col("rank").cast("bigint").alias("rank"))
+    )
+
+
+def build_vocab_sql(source_sql: str, text_col: str, id_col: str,
+                    min_df: int = 2, size: int = 1000) -> str:
+    """DuckDB mirror of :func:`build_vocab`."""
+    return f"""
+        SELECT token, CAST(n_total AS BIGINT) AS n_total,
+               CAST(df AS BIGINT) AS df, CAST(rank AS BIGINT) AS rank
+        FROM (
+            SELECT token, n_total, df,
+                   row_number() OVER (ORDER BY n_total DESC, token ASC) AS rank
+            FROM (
+                SELECT token, count(*) AS n_total,
+                       count(DISTINCT {id_col}) AS df
+                FROM ({_tokens_sql(source_sql, text_col, id_col)})
+                GROUP BY token
+            ) WHERE df >= {min_df}
+        ) WHERE rank <= {size}
+    """

@@ -1,0 +1,187 @@
+"""Property tests for the batch-2 training-data operators: chunking,
+packing, splits, PII redaction, TF-IDF/vocabulary, embedding transforms."""
+
+import math
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from datafusion_delta_sharing_spark.functions.splits import split_assign
+from datafusion_delta_sharing_spark.functions.text import redact_pii
+from datafusion_delta_sharing_spark.operators.chunking import (
+    chunk_documents, pack_sequences)
+from datafusion_delta_sharing_spark.operators.embeddings import (
+    l2_normalize_digest, quantize_int8)
+from datafusion_delta_sharing_spark.operators.tfidf import (
+    build_vocab, tfidf_top_terms)
+
+
+def _docs(spark):
+    rows = [Row(doc_id=i, text=" ".join(f"w{i}t{j}" for j in range(n)))
+            for i, n in enumerate([1, 5, 64, 65, 100, 200, 301])]
+    return spark.createDataFrame(rows)
+
+
+class TestChunking:
+    def test_zero_overlap_reconstructs_document(self, spark):
+        docs = _docs(spark)
+        chunks = chunk_documents(docs, "text", "doc_id",
+                                 chunk_size=64, overlap=0)
+        rebuilt = (chunks.orderBy("doc_id", "chunk_id")
+                   .groupBy("doc_id")
+                   .agg(F.concat_ws(" ", F.collect_list("chunk_text"))
+                        .alias("rebuilt")))
+        joined = docs.join(rebuilt, "doc_id").collect()
+        assert len(joined) == 7
+        for r in joined:
+            assert r.rebuilt == r.text
+
+    def test_chunk_sizes_and_overlap(self, spark):
+        chunks = chunk_documents(_docs(spark), "text", "doc_id",
+                                 chunk_size=64, overlap=16).collect()
+        by_doc = {}
+        for c in chunks:
+            by_doc.setdefault(c.doc_id, []).append(c)
+        for doc_id, cs in by_doc.items():
+            cs.sort(key=lambda c: c.chunk_id)
+            assert all(c.n_tokens <= 64 for c in cs)
+            # every chunk except the last is full-size
+            assert all(c.n_tokens == 64 for c in cs[:-1])
+            for prev, nxt in zip(cs, cs[1:]):
+                # stride 48: the last 16 tokens of prev reappear in nxt
+                assert prev.chunk_text.split()[48:] == \
+                    nxt.chunk_text.split()[:prev.n_tokens - 48]
+        # 301 tokens, stride 48: ceil((301-64)/48)+1 = 6 chunks
+        assert len(by_doc[6]) == 6
+
+    def test_overlap_must_be_smaller(self, spark):
+        with pytest.raises(ValueError):
+            chunk_documents(_docs(spark), "text", "doc_id",
+                            chunk_size=32, overlap=32)
+
+
+class TestPacking:
+    def test_pack_invariants(self, spark):
+        rows = [Row(doc_id=i, n_tok=(i * 37) % 900 + 1) for i in range(300)]
+        out = pack_sequences(spark.createDataFrame(rows), "doc_id", "n_tok",
+                             budget=1000, n_buckets=4).collect()
+        assert len(out) == 300
+        by_bucket = {}
+        for r in out:
+            assert r.bucket == r.doc_id % 4
+            assert 0 <= r.pack_offset < 1000
+            by_bucket.setdefault(r.bucket, []).append(r)
+        for rs in by_bucket.values():
+            rs.sort(key=lambda r: r.doc_id)
+            prior = 0
+            for r in rs:
+                assert r.pack_id == prior // 1000
+                assert r.pack_offset == prior % 1000
+                prior += r.n_tokens
+
+
+class TestSplits:
+    def test_fractions_and_determinism(self, spark):
+        ids = spark.range(5000)
+        labelled = ids.select("id", split_assign("id").alias("split"))
+        counts = dict(labelled.groupBy("split").count().collect()
+                      and {r["split"]: r["count"]
+                           for r in labelled.groupBy("split").count().collect()})
+        assert abs(counts["train"] / 5000 - 0.8) < 0.02
+        assert abs(counts["val"] / 5000 - 0.1) < 0.015
+        assert abs(counts["test"] / 5000 - 0.1) < 0.015
+        again = ids.select("id", split_assign("id").alias("split"))
+        assert labelled.exceptAll(again).count() == 0
+
+    def test_salt_changes_assignment(self, spark):
+        ids = spark.range(1000)
+        a = ids.select("id", split_assign("id", salt="a").alias("s"))
+        b = ids.select("id", split_assign("id", salt="b").alias("s"))
+        moved = a.join(b, "id").filter(a.s != b.s).count()
+        assert moved > 100  # re-dealt, not a no-op
+
+    def test_bad_fractions_raise(self):
+        with pytest.raises(ValueError):
+            split_assign("id", train=0.9, val=0.2)
+
+
+class TestRedaction:
+    def test_planted_pii_is_removed(self, spark):
+        df = spark.createDataFrame([Row(text=(
+            "reach me at jane.doe+spam@mail.example.org, "
+            "cell (415) 555-0132 or 555 123 4567, ssn 123-45-6789, "
+            "intl +1 415-555-0199 ok"))])
+        clean = df.select(redact_pii("text").alias("t")).first().t
+        for leaked in ["example.org", "555-0132", "123 4567", "123-45-6789",
+                       "555-0199", "@"]:
+            assert leaked not in clean
+        for tag in ["<EMAIL>", "<PHONE>", "<SSN>"]:
+            assert tag in clean
+
+    def test_clean_text_unchanged(self, spark):
+        text = "no pii here, just words and the number 42."
+        df = spark.createDataFrame([Row(text=text)])
+        assert df.select(redact_pii("text").alias("t")).first().t == text
+
+
+class TestTfIdf:
+    def test_small_corpus_scores(self, spark):
+        docs = spark.createDataFrame([
+            Row(doc_id=0, text="apple banana apple"),
+            Row(doc_id=1, text="banana cherry"),
+            Row(doc_id=2, text="cherry durian cherry durian"),
+        ])
+        out = tfidf_top_terms(docs, "text", "doc_id", top_k=2).collect()
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        # doc 0: apple tf=2 df=1 beats banana tf=1 df=2
+        assert by_doc[0][0].token == "apple"
+        assert by_doc[0][0].tf == 2
+        expected = round(2 * (math.log(4 / 2) + 1), 6)
+        assert abs(by_doc[0][0].tfidf - expected) < 1e-9
+        # ranks are 1..k and scores non-increasing
+        for rs in by_doc.values():
+            rs.sort(key=lambda r: r.rnk)
+            assert [r.rnk for r in rs] == list(range(1, len(rs) + 1))
+            assert all(a.tfidf >= b.tfidf for a, b in zip(rs, rs[1:]))
+
+    def test_vocab_order_and_min_df(self, spark):
+        docs = spark.createDataFrame([
+            Row(doc_id=0, text="a a a rare b"),
+            Row(doc_id=1, text="a b b c"),
+            Row(doc_id=2, text="c a"),
+        ])
+        out = build_vocab(docs, "text", "doc_id", min_df=2, size=10).collect()
+        out.sort(key=lambda r: r.rank)
+        assert [r.token for r in out] == ["a", "b", "c"]  # 5, 3, 2 hits
+        assert [r.n_total for r in out] == [5, 3, 2]
+        assert all(r.df >= 2 for r in out)  # 'rare' (df=1) cut
+
+
+class TestEmbeddings:
+    def test_quantize_roundtrip_error_bound(self, spark):
+        rows = [Row(vec_id=i, embedding=[float(j + i) / 7 - 1.5
+                                         for j in range(8)])
+               for i in range(20)]
+        df = spark.createDataFrame(rows)
+        out = {r.vec_id: r for r in
+               quantize_int8(df, "embedding", "vec_id").collect()}
+        for r in rows:
+            q = out[r.vec_id]
+            assert -127 <= q.qmin <= q.qmax <= 127
+            maxabs = max(abs(x) for x in r.embedding)
+            assert abs(q.scale - round(maxabs / 127, 6)) < 1e-9
+
+    def test_normalize_digest_shape(self, spark):
+        rows = [Row(vec_id=i, embedding=[1.0 * (i + 1), 2.0, 2.0])
+                for i in range(5)]
+        out = l2_normalize_digest(spark.createDataFrame(rows),
+                                  "embedding", "vec_id").collect()
+        for r in out:
+            assert r.dim == 3
+            i = r.vec_id
+            assert abs(r.norm - round(math.sqrt((i + 1) ** 2 + 8), 6)) < 1e-9
+            assert len(r.digest) == 32
+        # distinct vectors -> distinct digests
+        assert len({r.digest for r in out}) == 5

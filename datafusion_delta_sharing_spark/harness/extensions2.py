@@ -14,6 +14,7 @@ from datafusion_delta_sharing_spark.functions.splits import (
 from datafusion_delta_sharing_spark.harness import load_table
 from datafusion_delta_sharing_spark.operators import chunking as CH
 from datafusion_delta_sharing_spark.operators import embeddings as EM
+from datafusion_delta_sharing_spark.operators import pipeline as PL
 from datafusion_delta_sharing_spark.operators import tfidf as TI
 
 _CHUNK_DOCS = 300        # doc_id bound for the chunking query
@@ -87,7 +88,20 @@ def q_embed_quantize(spark, sf_dir):
     return EM.quantize_int8(emb, "embedding", "vec_id")
 
 
+def q_pipeline_e2e(spark, sf_dir):
+    """Flagship composition: quality filter -> exact dedup -> train split ->
+    chunk -> pack, one lazy plan. Exact duplicates are planted (every doc
+    gets a verbatim copy at doc_id + 1_000_000) so the dedup stage provably
+    removes 50% of the corpus; survivors are the original ids."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"), "text")
+    return PL.prepare_training_corpus(docs.unionByName(copies),
+                                      "text", "doc_id")
+
+
 QUERIES = {
+    "pipeline_e2e": q_pipeline_e2e,
     "doc_chunks": q_doc_chunks,
     "seq_pack": q_seq_pack,
     "train_split": q_train_split,
@@ -99,6 +113,11 @@ QUERIES = {
 }
 
 ORACLES = {
+    "pipeline_e2e": PL.prepare_training_corpus_sql(
+        """(SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000 AS doc_id, text FROM documents)""",
+        "text", "doc_id"),
     "doc_chunks": CH.chunk_documents_sql(
         f"(SELECT doc_id, text FROM documents WHERE doc_id < {_CHUNK_DOCS})",
         "text", "doc_id", chunk_size=_CHUNK_SIZE, overlap=_OVERLAP),

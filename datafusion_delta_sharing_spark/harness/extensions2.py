@@ -15,6 +15,7 @@ from datafusion_delta_sharing_spark.harness import load_table
 from datafusion_delta_sharing_spark.operators import chunking as CH
 from datafusion_delta_sharing_spark.operators import embeddings as EM
 from datafusion_delta_sharing_spark.operators import pipeline as PL
+from datafusion_delta_sharing_spark.operators import sampling as SA
 from datafusion_delta_sharing_spark.operators import tfidf as TI
 
 _CHUNK_DOCS = 300        # doc_id bound for the chunking query
@@ -100,8 +101,31 @@ def q_pipeline_e2e(spark, sf_dir):
                                       "text", "doc_id")
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic 20-per-language sample of the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (SA.stratified_sample(docs, "lang", "doc_id", n_per_stratum=20)
+            .select("doc_id", "lang"))
+
+
+_HEAD_SOURCES = ("src0", "src1", "src2", "src3", "src4")
+
+
+def q_weighted_mixture(spark, sf_dir):
+    """Training mixture: keep 70% of the head sources, 30% of the tail,
+    tagged with the mixture component."""
+    docs = load_table(spark, sf_dir, "documents")
+    head = docs.filter(F.col("source").isin(*_HEAD_SOURCES))
+    tail = docs.filter(~F.col("source").isin(*_HEAD_SOURCES))
+    return (SA.weighted_mixture({"head": (head, 0.7), "tail": (tail, 0.3)},
+                                "doc_id")
+            .select("doc_id", "source", "mix_source"))
+
+
 QUERIES = {
     "pipeline_e2e": q_pipeline_e2e,
+    "stratified_sample": q_stratified_sample,
+    "weighted_mixture": q_weighted_mixture,
     "doc_chunks": q_doc_chunks,
     "seq_pack": q_seq_pack,
     "train_split": q_train_split,
@@ -113,6 +137,15 @@ QUERIES = {
 }
 
 ORACLES = {
+    "stratified_sample": SA.stratified_sample_sql(
+        "documents", "lang", "doc_id", n_per_stratum=20,
+        columns="doc_id, lang"),
+    "weighted_mixture": SA.weighted_mixture_sql(
+        {"head": ("(SELECT * FROM documents WHERE source IN "
+                  "('src0','src1','src2','src3','src4'))", 0.7),
+         "tail": ("(SELECT * FROM documents WHERE source NOT IN "
+                  "('src0','src1','src2','src3','src4'))", 0.3)},
+        "doc_id", columns="doc_id, source"),
     "pipeline_e2e": PL.prepare_training_corpus_sql(
         """(SELECT doc_id, text FROM documents
             UNION ALL

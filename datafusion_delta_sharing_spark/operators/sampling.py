@@ -1,0 +1,92 @@
+"""Deterministic sampling operators for training-data curation.
+
+Spark's ``df.sample`` is seed-dependent per-partition (repartitioning
+changes the sample), which is unacceptable for reproducible corpus builds.
+These operators derive inclusion from md5 of the row id instead — the same
+content-hash trick as functions/splits.py — so results are identical across
+engines, runs, partitionings, and cluster sizes, and every operator has an
+exact DuckDB mirror.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _hash_key(id_col: str, salt: str) -> F.Column:
+    return F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
+
+
+def _hash_key_sql(id_col: str, salt: str) -> str:
+    return f"md5(CAST({id_col} AS VARCHAR) || ':{salt}')"
+
+
+def stratified_sample(df: DataFrame, stratum_col: str, id_col: str,
+                      n_per_stratum: int, salt: str = "v1") -> DataFrame:
+    """Exactly ``n_per_stratum`` rows per stratum (fewer if the stratum is
+    smaller), chosen by hash order — a deterministic stand-in for uniform
+    sampling without replacement.
+
+    One shuffle on the stratum; the per-stratum rank is a WindowGroupLimit
+    (top-n pushed below the sort), so no stratum is fully sorted when
+    ``n_per_stratum`` is small.
+    """
+    w = (Window.partitionBy(stratum_col)
+         .orderBy(_hash_key(id_col, salt), F.col(id_col)))
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= n_per_stratum)
+            .drop("__rn"))
+
+
+def stratified_sample_sql(source_sql: str, stratum_col: str, id_col: str,
+                          n_per_stratum: int, salt: str = "v1",
+                          columns: str = "*") -> str:
+    """DuckDB mirror of :func:`stratified_sample`."""
+    return f"""
+        SELECT {columns} FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY {stratum_col}
+                ORDER BY {_hash_key_sql(id_col, salt)}, {id_col}) AS rn
+            FROM {source_sql}
+        ) WHERE rn <= {n_per_stratum}
+    """
+
+
+def weighted_mixture(sources: dict[str, tuple[DataFrame, float]],
+                     id_col: str, salt: str = "mix1") -> DataFrame:
+    """Training-mixture composition: for each named source, keep a
+    deterministic hash-fraction of its rows and tag them with the source
+    name. ``sources`` maps name -> (DataFrame, keep_fraction in [0, 1]).
+
+    The fraction filter is a narrow map over each input (no shuffle, no
+    sort); the union is plan-level only. At 100 TB this is the right shape:
+    down-sampling happens before anything wide.
+    """
+    parts = []
+    for name, (df, frac) in sorted(sources.items()):
+        if not 0 <= frac <= 1:
+            raise ValueError(f"fraction for {name!r} must be in [0,1], got {frac}")
+        threshold = format(min(int(frac * 16 ** 8), 16 ** 8 - 1), "08x")
+        parts.append(
+            df.filter(F.substring(_hash_key(id_col, salt + ":" + name), 1, 8)
+                      < threshold)
+            .withColumn("mix_source", F.lit(name)))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def weighted_mixture_sql(sources: dict[str, tuple[str, float]],
+                         id_col: str, salt: str = "mix1",
+                         columns: str = "*") -> str:
+    """DuckDB mirror of :func:`weighted_mixture`; ``sources`` maps name ->
+    (source SQL, keep_fraction)."""
+    parts = []
+    for name, (src, frac) in sorted(sources.items()):
+        threshold = format(min(int(frac * 16 ** 8), 16 ** 8 - 1), "08x")
+        key = _hash_key_sql(id_col, salt + ":" + name)
+        parts.append(
+            f"SELECT {columns}, '{name}' AS mix_source FROM {src} "
+            f"WHERE substr({key}, 1, 8) < '{threshold}'")
+    return " UNION ALL ".join(parts)

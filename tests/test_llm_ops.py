@@ -159,6 +159,40 @@ class TestTfIdf:
         assert all(r.df >= 2 for r in out)  # 'rare' (df=1) cut
 
 
+class TestSampling:
+    def test_stratified_counts_and_determinism(self, spark):
+        from datafusion_delta_sharing_spark.operators.sampling import (
+            stratified_sample)
+        df = spark.range(1000).withColumn(
+            "stratum", (F.col("id") % 7).cast("string"))
+        out = stratified_sample(df, "stratum", "id", n_per_stratum=10)
+        counts = {r["stratum"]: r["count"]
+                  for r in out.groupBy("stratum").count().collect()}
+        assert set(counts) == {str(i) for i in range(7)}
+        assert all(c == 10 for c in counts.values())
+        again = stratified_sample(df, "stratum", "id", n_per_stratum=10)
+        assert out.exceptAll(again).count() == 0
+        # small stratum: returns the whole stratum, not an error
+        tiny = spark.range(3).withColumn("stratum", F.lit("only"))
+        assert stratified_sample(tiny, "stratum", "id", 10).count() == 3
+
+    def test_mixture_fractions_disjoint_sources(self, spark):
+        from datafusion_delta_sharing_spark.operators.sampling import (
+            weighted_mixture)
+        a = spark.range(0, 4000)
+        b = spark.range(4000, 8000)
+        out = weighted_mixture({"a": (a, 0.5), "b": (b, 0.1)}, "id")
+        counts = {r["mix_source"]: r["count"]
+                  for r in out.groupBy("mix_source").count().collect()}
+        assert abs(counts["a"] / 4000 - 0.5) < 0.03
+        assert abs(counts["b"] / 4000 - 0.1) < 0.02
+        # tags match the input source ranges
+        assert out.filter((F.col("mix_source") == "a")
+                          & (F.col("id") >= 4000)).count() == 0
+        with pytest.raises(ValueError):
+            weighted_mixture({"a": (a, 1.5)}, "id")
+
+
 class TestEmbeddings:
     def test_quantize_roundtrip_error_bound(self, spark):
         rows = [Row(vec_id=i, embedding=[float(j + i) / 7 - 1.5

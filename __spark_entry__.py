@@ -35,7 +35,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # (agg_corr, explode_lateral, map_funcs, window_analytics). All were
 # verified against the oracle comparator in-session r3.
 _MODULE_ORDER = ("connector", "extensions", "extensions2", "tpch", "tierb5",
-                 "tierb4", "tierb3", "tierb2", "tierb")
+                 "tierb4", "tierb3", "tierb2", "tierb6", "tierb")
 
 _WINDOW = (
     "connector_datasource",

@@ -1,0 +1,132 @@
+"""Tier-B batch 6: higher-order array functions, fault-tolerant (try_*)
+arithmetic, data masking, URL parsing. All JVM-side Column expressions —
+the higher-order functions in particular are the scale story for
+array-typed columns: per-row lambdas run inside codegen, no explode, no
+Python."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datafusion_delta_sharing_spark.harness import load_table
+
+
+def q_array_hof(spark, sf_dir):
+    """filter / exists / forall / zip_with / sort+slice over embeddings."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+    dbl = lambda x: x.cast("double")  # noqa: E731
+    return emb.select(
+        "vec_id",
+        F.size(F.filter(v, lambda x: dbl(x) > 0)).cast("bigint")
+        .alias("n_pos"),
+        F.exists(v, lambda x: dbl(x) > 1.0).alias("any_gt1"),
+        F.forall(v, lambda x: F.abs(dbl(x)) < 100.0).alias("all_bounded"),
+        F.round(F.aggregate(
+            F.zip_with(v, F.reverse(v), lambda a, b: dbl(a) * dbl(b)),
+            F.lit(0.0), lambda acc, x: acc + x), 5).alias("dot_reversed"),
+        F.round(F.aggregate(
+            F.slice(F.sort_array(v, asc=False), 1, 3),
+            F.lit(0.0), lambda acc, x: acc + dbl(x)), 5).alias("top3_sum"),
+    )
+
+
+def q_try_arith(spark, sf_dir):
+    """try_divide / NULLIF semantics and try_cast: errors become NULLs
+    instead of task failures — what you want 80 TB into a 100 TB job."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.round(F.try_divide("o_totalprice",
+                             (F.col("o_orderkey") % 3).cast("double")), 4)
+        .alias("price_over_mod"),
+        F.col("o_orderstatus").try_cast("int").alias("status_as_int"),
+        F.substring("o_orderpriority", 1, 1).try_cast("int")
+        .cast("bigint").alias("priority_digit"),
+    )
+
+
+def q_mask_funcs(spark, sf_dir):
+    """Deterministic data masking (upper->X, lower->x, digit->n)."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.mask("c_name").alias("name_masked"),
+        F.mask("c_mktsegment", F.lit("U"), F.lit("l"), F.lit("9"))
+        .alias("segment_masked"),
+    )
+
+
+def q_url_funcs(spark, sf_dir):
+    """parse_url over a synthesized URL column (host/path/query extraction
+    + percent-encoding round-trip)."""
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(F.lit("https://"), F.col("source"),
+                   F.lit(".example.com/docs/"), F.col("doc_id").cast("string"),
+                   F.lit("?lang="), F.col("lang"))
+    return docs.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+        F.url_encode(F.concat(F.col("source"), F.lit("/"), F.col("lang")))
+        .alias("encoded"),
+    )
+
+
+QUERIES = {
+    "array_hof": q_array_hof,
+    "try_arith": q_try_arith,
+    "mask_funcs": q_mask_funcs,
+    "url_funcs": q_url_funcs,
+}
+
+ORACLES = {
+    "array_hof": """
+        SELECT vec_id,
+               CAST(len(list_filter(embedding,
+                    x -> CAST(x AS DOUBLE) > 0)) AS BIGINT) AS n_pos,
+               len(list_filter(embedding,
+                   x -> CAST(x AS DOUBLE) > 1.0)) > 0 AS any_gt1,
+               len(list_filter(embedding,
+                   x -> abs(CAST(x AS DOUBLE)) >= 100.0)) = 0 AS all_bounded,
+               round(list_sum(list_transform(
+                   list_zip(embedding, list_reverse(embedding)),
+                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), 5)
+                   AS dot_reversed,
+               round(list_sum(list_transform(
+                   list_reverse(list_sort(embedding))[1:3],
+                   x -> CAST(x AS DOUBLE))), 5) AS top3_sum
+        FROM embeddings
+    """,
+    "try_arith": """
+        SELECT o_orderkey,
+               round(o_totalprice
+                     / NULLIF(CAST(o_orderkey % 3 AS DOUBLE), 0.0), 4)
+                   AS price_over_mod,
+               TRY_CAST(o_orderstatus AS INTEGER) AS status_as_int,
+               CAST(TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER)
+                    AS BIGINT) AS priority_digit
+        FROM orders
+    """,
+    "mask_funcs": """
+        SELECT c_custkey,
+               regexp_replace(regexp_replace(regexp_replace(c_name,
+                   '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+                   AS name_masked,
+               regexp_replace(regexp_replace(regexp_replace(c_mktsegment,
+                   '[A-Z]', 'U', 'g'), '[a-z]', 'l', 'g'), '[0-9]', '9', 'g')
+                   AS segment_masked
+        FROM customer
+    """,
+    "url_funcs": """
+        SELECT doc_id,
+               source || '.example.com' AS host,
+               '/docs/' || CAST(doc_id AS VARCHAR) AS path,
+               lang AS lang_param,
+               -- this DuckDB build has no url_encode; inputs are
+               -- alphanumeric + '/', so percent-encoding is just %2F
+               replace(source || '/' || lang, '/', '%2F') AS encoded
+        FROM documents
+    """,
+}

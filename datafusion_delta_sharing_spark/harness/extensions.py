@@ -17,7 +17,8 @@ from datafusion_delta_sharing_spark.harness import load_table
 from datafusion_delta_sharing_spark.operators import dedup as DD
 from datafusion_delta_sharing_spark.operators import multimodal as MM
 from datafusion_delta_sharing_spark.operators import similarity as SIM
-from datafusion_delta_sharing_spark.streaming.windows import stream_hourly_counts
+from datafusion_delta_sharing_spark.streaming.windows import (
+    STREAM_JOIN_ORACLE, stream_hourly_counts, stream_stream_join)
 
 _JACCARD_DOCS = 150      # doc_id bound for the oracle-checked pairwise query
 _NEARDUP_VECS = 200      # vec_id bound for exact pairwise cosine
@@ -185,6 +186,11 @@ def q_stream_hourly(spark, sf_dir):
     return stream_hourly_counts(spark, sf_dir)
 
 
+def q_stream_join(spark, sf_dir):
+    """Stream-stream interval join (clicks -> purchases within 30 min)."""
+    return stream_stream_join(spark, sf_dir)
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_exact_subset": q_dedup_exact_subset,
@@ -202,6 +208,7 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "multimodal_features": q_multimodal_features,
     "stream_hourly": q_stream_hourly,
+    "stream_join": q_stream_join,
 }
 
 def _posts_cte(source_sql: str) -> str:
@@ -386,4 +393,5 @@ ORACLES = {
                count(*) AS n
         FROM events GROUP BY 1, 2
     """,
+    "stream_join": STREAM_JOIN_ORACLE,
 }

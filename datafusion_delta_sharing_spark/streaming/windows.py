@@ -23,6 +23,70 @@ EVENTS_RAW_SCHEMA = T.StructType([
 ])
 
 
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: click events joined to purchase events
+    of the same user within the following 30 minutes, both sides
+    watermarked (bounds the join state — without the time bound and
+    watermarks the state grows forever at 100 TB/day).
+
+    Inner-join results are emitted as soon as both sides arrive; the
+    watermark only evicts state, so with a bounded input the result equals
+    the batch join and is oracle-checkable.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    clicks = (events.filter(F.col("event_type") == "click")
+              .select(F.col("user_id").alias("c_user"),
+                      F.col("event_id").alias("click_id"),
+                      F.col("ts").alias("click_ts"))
+              .withWatermark("click_ts", "2 hours"))
+    purchases = (events.filter(F.col("event_type") == "purchase")
+                 .select(F.col("user_id").alias("p_user"),
+                         F.col("event_id").alias("purchase_id"),
+                         F.col("ts").alias("purchase_ts"))
+                 .withWatermark("purchase_ts", "2 hours"))
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select(
+        F.col("c_user").alias("user_id"), "click_id", "purchase_id",
+        # microsecond difference: exact in both engines (seconds would
+        # truncate each side separately and drift by one)
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts"))
+        .alias("usecs_to_purchase"),
+    )
+    sink = f"stream_join_{uuid.uuid4().hex[:8]}"
+    query = (joined.writeStream.outputMode("append")
+             .format("memory").queryName(sink).start())
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    result = spark.table(sink)
+    return spark.createDataFrame(result.collect(), result.schema)
+
+
+STREAM_JOIN_ORACLE = """
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS usecs_to_purchase
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+"""
+
+
 def stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly event counts by type, computed by an actual streaming query:
     readStream(parquet) -> watermark -> window(1 hour) -> complete-mode

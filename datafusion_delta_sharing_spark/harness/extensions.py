@@ -18,7 +18,8 @@ from datafusion_delta_sharing_spark.operators import dedup as DD
 from datafusion_delta_sharing_spark.operators import multimodal as MM
 from datafusion_delta_sharing_spark.operators import similarity as SIM
 from datafusion_delta_sharing_spark.streaming.windows import (
-    STREAM_JOIN_ORACLE, stream_hourly_counts, stream_stream_join)
+    STREAM_DEDUP_ORACLE, STREAM_JOIN_ORACLE, stream_dedup_keys,
+    stream_hourly_counts, stream_stream_join)
 
 _JACCARD_DOCS = 150      # doc_id bound for the oracle-checked pairwise query
 _NEARDUP_VECS = 200      # vec_id bound for exact pairwise cosine
@@ -191,6 +192,11 @@ def q_stream_join(spark, sf_dir):
     return stream_stream_join(spark, sf_dir)
 
 
+def q_stream_dedup(spark, sf_dir):
+    """Streaming dedup via dropDuplicatesWithinWatermark (key set only)."""
+    return stream_dedup_keys(spark, sf_dir)
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_exact_subset": q_dedup_exact_subset,
@@ -209,6 +215,7 @@ QUERIES = {
     "multimodal_features": q_multimodal_features,
     "stream_hourly": q_stream_hourly,
     "stream_join": q_stream_join,
+    "stream_dedup": q_stream_dedup,
 }
 
 def _posts_cte(source_sql: str) -> str:
@@ -394,4 +401,5 @@ ORACLES = {
         FROM events GROUP BY 1, 2
     """,
     "stream_join": STREAM_JOIN_ORACLE,
+    "stream_dedup": STREAM_DEDUP_ORACLE,
 }

@@ -87,6 +87,45 @@ STREAM_JOIN_ORACLE = """
 """
 
 
+def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication: first occurrence per (user_id, event_type)
+    with ``dropDuplicatesWithinWatermark`` — the streaming analogue of the
+    batch exact-dedup operator, with state evicted once the watermark
+    passes (bounded memory on an unbounded stream).
+
+    Only the key columns are returned: which row survives within a batch
+    is execution-order dependent, but the key set is deterministic and
+    equals batch DISTINCT, so the oracle can hash-check it.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    deduped = (
+        events.withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    sink = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    query = (deduped.writeStream.outputMode("append")
+             .format("memory").queryName(sink).start())
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    result = spark.table(sink)
+    return spark.createDataFrame(result.collect(), result.schema)
+
+
+STREAM_DEDUP_ORACLE = """
+    SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
 def stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly event counts by type, computed by an actual streaming query:
     readStream(parquet) -> watermark -> window(1 hour) -> complete-mode

@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from datafusion_delta_sharing_spark.harness import load_table
+from datafusion_delta_sharing_spark.operators.skew import salted_join
 
 
 def q_array_hof(spark, sf_dir):
@@ -74,14 +75,84 @@ def q_url_funcs(spark, sf_dir):
     )
 
 
+def q_join_salted(spark, sf_dir):
+    """Salted join on a pathologically skewed key (5 event types over 60k
+    rows): the skewed side fans each hot key over 16 reducers, the tiny
+    side replicates 16x. Aggregated output proves result-equivalence with
+    the plain join the oracle runs."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value")
+    dim = (load_table(spark, sf_dir, "events")
+           .groupBy("event_type").agg(F.avg("value").alias("type_avg")))
+    joined = salted_join(events, dim, on="event_type", salts=16)
+    return (joined
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum(F.col("value") - F.col("type_avg")), 4)
+                 .alias("sum_dev")))
+
+
+def q_time_spine(spark, sf_dir):
+    """Gap-filled hourly time spine: generate every hour in the events
+    range with F.sequence + explode (no driver loop), left join hourly
+    purchase aggregates, zero-fill gaps. The spine generation is a
+    single-row seed exploded JVM-side."""
+    events = load_table(spark, sf_dir, "events")
+    bounds = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR")))
+        .alias("hour"))
+    hourly = (events.filter(F.col("event_type") == "purchase")
+              .groupBy(F.date_trunc("hour", "ts").alias("hour"))
+              .agg(F.count("*").alias("n_purchases"),
+                   F.round(F.sum("value"), 4).alias("revenue")))
+    return (spine.join(hourly, "hour", "left")
+            .select(F.col("hour").cast("timestamp_ntz").alias("hour"),
+                    F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+                    F.coalesce("revenue", F.lit(0.0)).alias("revenue")))
+
+
 QUERIES = {
     "array_hof": q_array_hof,
+    "join_salted": q_join_salted,
+    "time_spine": q_time_spine,
     "try_arith": q_try_arith,
     "mask_funcs": q_mask_funcs,
     "url_funcs": q_url_funcs,
 }
 
 ORACLES = {
+    "join_salted": """
+        SELECT e.event_type, count(*) AS n,
+               round(sum(e.value - d.type_avg), 4) AS sum_dev
+        FROM events e
+        JOIN (SELECT event_type, avg(value) AS type_avg
+              FROM events GROUP BY event_type) d
+          ON e.event_type = d.event_type
+        GROUP BY e.event_type
+    """,
+    "time_spine": """
+        WITH bounds AS (
+            SELECT date_trunc('hour', min(ts)) AS lo,
+                   date_trunc('hour', max(ts)) AS hi
+            FROM events
+        ),
+        spine AS (
+            SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+            FROM bounds
+        ),
+        hourly AS (
+            SELECT date_trunc('hour', ts) AS hour, count(*) AS n_purchases,
+                   round(sum(value), 4) AS revenue
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY 1
+        )
+        SELECT s.hour, coalesce(h.n_purchases, 0) AS n_purchases,
+               coalesce(h.revenue, 0.0) AS revenue
+        FROM spine s LEFT JOIN hourly h ON s.hour = h.hour
+    """,
     "array_hof": """
         SELECT vec_id,
                CAST(len(list_filter(embedding,

@@ -53,6 +53,47 @@ def test_partial_aggregation_before_shuffle(spark, qs, sf_dir):
     assert plan.count("Exchange") == 1  # exactly one shuffle for the agg
 
 
+def test_chunking_is_narrow(spark, qs, sf_dir):
+    # chunk_documents must stay a pure projection pipeline: any Exchange
+    # here turns a linear scan into a shuffle of the whole corpus
+    plan = plan_of(spark, qs, "doc_chunks", sf_dir)
+    assert "Exchange" not in plan
+    assert "Generate explode" in plan  # sequence+explode, not a join
+
+
+def test_split_prunes_to_id_column(spark, qs, sf_dir):
+    # split assignment is a function of the id only; reading text would
+    # make a metadata-sized job scan the whole corpus bytes
+    plan = plan_of(spark, qs, "train_split", sf_dir)
+    assert "ReadSchema: struct<doc_id:bigint>" in plan
+
+
+def test_mixture_has_no_shuffle(spark, qs, sf_dir):
+    plan = plan_of(spark, qs, "weighted_mixture", sf_dir)
+    assert "Exchange" not in plan  # narrow filters + plan-level union
+
+
+def test_vocab_topk_is_distributed_sort(spark, qs, sf_dir):
+    # the top-N cut must be TakeOrderedAndProject (per-partition top-N),
+    # not a single-partition global Window over every distinct token
+    plan = plan_of(spark, qs, "vocab_topk", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_embedding_transforms_are_narrow(spark, qs, sf_dir):
+    for name in ("embed_normalize", "embed_quantize"):
+        plan = plan_of(spark, qs, name, sf_dir)
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan  # higher-order fns, not UDFs
+
+
+def test_pipeline_e2e_exactly_two_shuffles(spark, qs, sf_dir):
+    # dedup window (md5 digest) + packing window (bucket): any third
+    # Exchange means a stage regressed into an extra pass over the corpus
+    plan = plan_of(spark, qs, "pipeline_e2e", sf_dir)
+    assert plan.count("+- Exchange") == 2
+
+
 def test_semi_join_stays_semi(spark, qs, sf_dir):
     plan = plan_of(spark, qs, "join_semi", sf_dir)
     assert "LeftSemi" in plan

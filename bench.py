@@ -17,6 +17,11 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 HEADLINE = [
+    # the real connector stack: ranged-HTTP mapInArrow fetch and the
+    # partition-value-decode native scan, served by the in-process mock
+    # sharing server (first run pays one-time staging; best-of-3 reports
+    # the steady-state read)
+    "connector_flagship", "connector_partitioned",
     # connector-shape + relational core
     "flagship", "scan_filter_project", "join_inner", "join_range",
     "join_semi", "tpch_q1", "rollup", "agg_stats",

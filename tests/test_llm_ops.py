@@ -159,6 +159,47 @@ class TestTfIdf:
         assert all(r.df >= 2 for r in out)  # 'rare' (df=1) cut
 
 
+class TestChunkingProperties:
+    """Hypothesis sweep over (doc length, chunk size, overlap): chunk math
+    must hold for any geometry, not just the handpicked cases above."""
+
+    from hypothesis import given, settings, strategies as st
+
+    @staticmethod
+    def _expected_chunks(n, size, stride):
+        return 1 if n <= size else -((n - size) // -stride) + 1
+
+    @given(st.lists(st.integers(min_value=1, max_value=400),
+                    min_size=1, max_size=12),
+           st.sampled_from([(16, 0), (16, 4), (64, 16), (100, 99)]))
+    @settings(max_examples=10, deadline=None)
+    def test_counts_and_coverage(self, spark, lengths, geometry):
+        from pyspark.sql import Row
+        from datafusion_delta_sharing_spark.operators.chunking import (
+            chunk_documents)
+        size, overlap = geometry
+        stride = size - overlap
+        docs = spark.createDataFrame(
+            [Row(doc_id=i, text=" ".join(f"t{j}" for j in range(n)))
+             for i, n in enumerate(lengths)])
+        chunks = chunk_documents(docs, "text", "doc_id",
+                                 chunk_size=size, overlap=overlap).collect()
+        by_doc = {}
+        for c in chunks:
+            by_doc.setdefault(c.doc_id, []).append(c)
+        for i, n in enumerate(lengths):
+            cs = sorted(by_doc[i], key=lambda c: c.chunk_id)
+            assert len(cs) == self._expected_chunks(n, size, stride)
+            # chunk_ids are dense, sizes within bound, coverage is exact:
+            # union of chunk tokens == the document's token sequence
+            assert [c.chunk_id for c in cs] == list(range(len(cs)))
+            assert all(1 <= c.n_tokens <= size for c in cs)
+            seen = set()
+            for c in cs:
+                seen.update(c.chunk_text.split())
+            assert seen == {f"t{j}" for j in range(n)}
+
+
 class TestSampling:
     def test_stratified_counts_and_determinism(self, spark):
         from datafusion_delta_sharing_spark.operators.sampling import (

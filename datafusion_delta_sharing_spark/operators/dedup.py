@@ -264,25 +264,27 @@ def pigeonhole_neardup_pairs(hashed: DataFrame, max_hamming: int) -> DataFrame:
             "every pair would be a candidate — use a longer fingerprint")
     n_chunks = max_hamming + 1
     bounds = _chunk_bounds(64, n_chunks)
-    chunks = hashed.select(
+    # ONE exploded (id, band, val) posting table and ONE equi-join on
+    # (band, val) — not a join per chunk: n_chunks separate self-joins
+    # re-execute the fingerprint subtree 2*n_chunks times (22 corpus scans
+    # at radius 10, found by tools/plan_report.py); the banded form scans
+    # it twice regardless of radius, same candidate set by construction
+    bands = hashed.select(
         "id", "simhash",
-        *[F.shiftright("simhash", off)
-          .bitwiseAND(F.lit((1 << width) - 1))
-          .alias(f"c{i}") for i, (off, width) in enumerate(bounds)],
+        F.posexplode(F.array(
+            *[F.shiftright("simhash", off).bitwiseAND(F.lit((1 << width) - 1))
+              for off, width in bounds])).alias("band", "val"),
     )
-    pair_frames = []
-    for c in range(n_chunks):
-        a = chunks.alias("a")
-        b = chunks.alias("b")
-        pair_frames.append(
-            a.join(b, (F.col(f"a.c{c}") == F.col(f"b.c{c}"))
-                   & (F.col("a.id") < F.col("b.id")))
-            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                    F.col("a.simhash").alias("h_a"),
-                    F.col("b.simhash").alias("h_b"))
-        )
-    candidates = reduce(DataFrame.unionByName, pair_frames).dropDuplicates(
-        ["id_a", "id_b"])
+    a, b = bands.alias("a"), bands.alias("b")
+    candidates = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.val") == F.col("b.val"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.col("a.simhash").alias("h_a"),
+                F.col("b.simhash").alias("h_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
     hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
     return (
         candidates.withColumn("hamming", hamming.cast("bigint"))

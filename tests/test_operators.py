@@ -14,15 +14,19 @@ from datafusion_delta_sharing_spark.streaming.windows import stream_hourly_count
 
 @pytest.fixture(scope="module")
 def docs(spark, sf_dir):
-    return (
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
-        .cache()
-    )
+    # unpersist at teardown: a cached full-schema relation would be
+    # substituted into later modules' plans (test_plans asserts pruned
+    # ReadSchema on the same parquet) via the session cache manager
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+    yield df
+    df.unpersist()
 
 
 @pytest.fixture(scope="module")
 def emb(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    yield df
+    df.unpersist()
 
 
 def make_docs(spark, rows):

@@ -375,7 +375,117 @@ def q_tpch_q22(spark, sf_dir):
     )
 
 
+def q_tpch_q2(spark, sf_dir):
+    """Minimum-cost supplier (adapted: supply cost = min unit price observed
+    in lineitem, since the slimmed schema has no partsupp). The correlated
+    min-cost subquery is decorrelated into a per-part aggregate over the
+    region's suppliers, joined back on the part key — the same key the cost
+    table is already grouped by, so no extra shuffle shape at scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    costs = (li.groupBy("l_partkey", "l_suppkey")
+             .agg(F.round(F.min(F.col("l_extendedprice") / F.col("l_quantity")), 4)
+                  .alias("supply_cost")))
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+          .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+          .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    ec = costs.join(F.broadcast(eu), costs.l_suppkey == eu.s_suppkey)
+    min_cost = ec.groupBy("l_partkey").agg(F.min("supply_cost").alias("min_cost"))
+    return (
+        ec.join(min_cost, "l_partkey")
+        .filter(F.col("supply_cost") == F.col("min_cost"))
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .select("s_acctbal", "s_name", "n_name",
+                F.col("l_partkey").alias("p_partkey"), "p_brand", "supply_cost")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+def q_tpch_q11(spark, sf_dir):
+    """Important-stock identification (adapted: a part's 'value' = discounted
+    revenue shipped by one nation's suppliers, since there is no partsupp).
+    The scalar-total subquery becomes a one-row aggregate broadcast back as
+    the HAVING threshold."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_3")
+    n3 = (supp.join(F.broadcast(nation),
+                    supp.s_nationkey == nation.n_nationkey)
+          .select("s_suppkey"))
+    val = (li.join(F.broadcast(n3), li.l_suppkey == F.col("s_suppkey"))
+           .groupBy("l_partkey")
+           .agg(F.round(F.sum(F.col("l_extendedprice")
+                              * (1 - F.col("l_discount"))), 2).alias("value")))
+    threshold = val.agg((0.001 * F.sum("value")).alias("threshold"))
+    return (
+        val.join(F.broadcast(threshold))
+        .filter(F.col("value") > F.col("threshold"))
+        .select(F.col("l_partkey").alias("p_partkey"), "value")
+        .orderBy(F.desc("value"), "p_partkey")
+    )
+
+
+def q_tpch_q16(spark, sf_dir):
+    """Parts/supplier relationship count (adapted: the part-supplier relation
+    comes from lineitem; 'complaint' suppliers = negative account balance,
+    standing in for the comment scan). NOT IN becomes a left-anti join; the
+    count-distinct is a distinct-pairs shuffle followed by a plain count —
+    no Expand duplication of the fact rows."""
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45") & (F.col("p_type") != "MEDIUM")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49))
+    bad = (load_table(spark, sf_dir, "supplier")
+           .filter(F.col("s_acctbal") < 0).select("s_suppkey"))
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    pairs = (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .select("p_brand", "p_type", "p_size", "l_suppkey")
+        .distinct()
+    )
+    return (
+        pairs.groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count(F.lit(1)).alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+def q_tpch_q20(spark, sf_dir):
+    """Potential-part-promotion (adapted: a supplier qualifies if it shipped
+    more than half of some 'red' part's 1996 volume — the availqty > 0.5*qty
+    correlated shape without partsupp). The nested IN subqueries become
+    aggregate + semi-join chains; the part slice is broadcast into the
+    year-filtered fact scan before any shuffle."""
+    li96 = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01"))
+    red = (load_table(spark, sf_dir, "part")
+           .filter(F.col("p_name").like("red%")).select("p_partkey"))
+    per_ps = (li96.join(F.broadcast(red), li96.l_partkey == red.p_partkey)
+              .groupBy("l_partkey", "l_suppkey")
+              .agg(F.sum("l_quantity").alias("qty")))
+    per_p = per_ps.groupBy("l_partkey").agg(F.sum("qty").alias("total_qty"))
+    dominant = (per_ps.join(per_p, "l_partkey")
+                .filter(F.col("qty") > 0.5 * F.col("total_qty"))
+                .select("l_suppkey"))
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        supp.join(dominant, supp.s_suppkey == dominant.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
 QUERIES = {
+    "tpch_q2": q_tpch_q2,
+    "tpch_q11": q_tpch_q11,
+    "tpch_q16": q_tpch_q16,
+    "tpch_q20": q_tpch_q20,
     "tpch_q3": q_tpch_q3,
     "tpch_q4": q_tpch_q4,
     "tpch_q7": q_tpch_q7,
@@ -396,6 +506,75 @@ QUERIES = {
 }
 
 ORACLES = {
+    "tpch_q2": """
+        WITH costs AS (
+            SELECT l_partkey, l_suppkey,
+                   round(min(l_extendedprice / l_quantity), 4) AS supply_cost
+            FROM lineitem GROUP BY l_partkey, l_suppkey),
+        eu AS (
+            SELECT s_suppkey, s_name, s_acctbal, n_name
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE'),
+        ec AS (
+            SELECT c.l_partkey, c.supply_cost, eu.s_name, eu.s_acctbal, eu.n_name
+            FROM costs c JOIN eu ON c.l_suppkey = eu.s_suppkey),
+        mc AS (SELECT l_partkey, min(supply_cost) AS min_cost
+               FROM ec GROUP BY l_partkey)
+        SELECT s_acctbal, s_name, n_name, ec.l_partkey AS p_partkey,
+               p_brand, supply_cost
+        FROM ec
+        JOIN mc ON ec.l_partkey = mc.l_partkey
+        JOIN part ON ec.l_partkey = p_partkey
+        WHERE supply_cost = min_cost AND p_size = 15
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        LIMIT 100
+    """,
+    "tpch_q11": """
+        WITH val AS (
+            SELECT l_partkey AS p_partkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS value
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_3'
+            GROUP BY l_partkey)
+        SELECT p_partkey, value FROM val
+        WHERE value > (SELECT 0.001 * sum(value) FROM val)
+        ORDER BY value DESC, p_partkey
+    """,
+    "tpch_q16": """
+        SELECT p_brand, p_type, p_size,
+               count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#45' AND p_type <> 'MEDIUM'
+          AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    "tpch_q20": """
+        SELECT s_suppkey, s_name FROM supplier
+        WHERE s_suppkey IN (
+            WITH li96 AS (
+                SELECT l_partkey, l_suppkey, l_quantity FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1997-01-01'
+                  AND l_partkey IN (SELECT p_partkey FROM part
+                                    WHERE p_name LIKE 'red%')),
+            per_ps AS (
+                SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+                FROM li96 GROUP BY l_partkey, l_suppkey),
+            per_p AS (
+                SELECT l_partkey, sum(qty) AS total_qty
+                FROM per_ps GROUP BY l_partkey)
+            SELECT l_suppkey FROM per_ps
+            JOIN per_p USING (l_partkey)
+            WHERE qty > 0.5 * total_qty)
+        ORDER BY s_suppkey
+    """,
     "tpch_q4": """
         SELECT o_orderpriority, count(*) AS order_count
         FROM orders

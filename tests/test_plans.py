@@ -99,6 +99,21 @@ def test_semi_join_stays_semi(spark, qs, sf_dir):
     assert "LeftSemi" in plan
 
 
+def test_q16_counts_distinct_without_expand(spark, qs, sf_dir):
+    # distinct-pairs shuffle + plain count: a countDistinct over the fact
+    # rows would plan an Expand that duplicates every lineitem row
+    plan = plan_of(spark, qs, "tpch_q16", sf_dir)
+    assert "Expand" not in plan
+    assert "BroadcastHashJoin" in plan  # part + exclusion list broadcast
+
+
+def test_q2_q20_broadcast_dims_no_cartesian(spark, qs, sf_dir):
+    for name in ("tpch_q2", "tpch_q11", "tpch_q20"):
+        plan = plan_of(spark, qs, name, sf_dir)
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
 def test_no_python_udfs_in_relational_core(spark, qs, sf_dir):
     for name in ["tpch_q1", "join_inner", "window_rank", "string_funcs",
                  "math_funcs", "array_funcs"]:

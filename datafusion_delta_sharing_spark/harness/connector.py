@@ -73,8 +73,25 @@ def _ensure_served(spark: SparkSession, sf_dir: str) -> dict:
     )
 
     customer_path = f"{sf_dir}/customer.parquet"
-    with open(customer_path, "rb") as fh:
-        customer_blob = fh.read()
+    # driver testdata is a single parquet file; scale-probe dirs
+    # (tools/make_scale_data.py) are directory-parquet — serve every part
+    # file as its own shared file either way (a multi-file share is the
+    # realistic shape: one presigned URL per data file)
+    if os.path.isdir(customer_path):
+        customer_parts = sorted(glob.glob(
+            os.path.join(customer_path, "*.parquet")))
+    else:
+        customer_parts = [customer_path]
+    customer_blobs = {}
+    customer_files = []
+    for i, path in enumerate(customer_parts):
+        with open(path, "rb") as fh:
+            blob = fh.read()
+        customer_blobs[f"/customer-{i}.parquet"] = blob
+        customer_files.append({"id": f"customer-{i}",
+                               "url": None,  # filled below (needs base_url)
+                               "size": len(blob),
+                               "partition_values": {}})
     customer_schema = spark.read.parquet(customer_path).schema.json()
 
     orders_dir = _stage_partitioned_orders(spark, sf_dir)
@@ -94,19 +111,17 @@ def _ensure_served(spark: SparkSession, sf_dir: str) -> dict:
         [
             MockTable(share=_SHARE, schema=_SCHEMA, name="customer",
                       schema_string=customer_schema,
-                      files=[{"id": "customer-0",
-                              "url": None,  # filled below (needs base_url)
-                              "size": len(customer_blob),
-                              "partition_values": {}}]),
+                      files=customer_files),
             MockTable(share=_SHARE, schema=_SCHEMA, name="orders",
                       schema_string=orders_schema,
                       partition_columns=["o_orderstatus"],
                       files=order_files),
         ],
-        parquet_bytes={"/customer.parquet": customer_blob},
+        parquet_bytes=customer_blobs,
     )
     server.__enter__()  # stays up for the process lifetime (daemon thread)
-    server.tables[0].files[0]["url"] = f"{server.base_url}/customer.parquet"
+    for i, f in enumerate(server.tables[0].files):
+        f["url"] = f"{server.base_url}/customer-{i}.parquet"
     state = {"server": server,
              "profile_json": json.dumps(server.profile_doc())}
     _SERVED[sf_dir] = state

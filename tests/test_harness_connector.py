@@ -25,7 +25,7 @@ def test_connector_flagship_http_path(spark):
     assert all(r.c_acctbal >= 1000.0 for r in rows)
     # ranged executor fetch really hit the mock server
     server = C._SERVED[SF_DIR]["server"]
-    assert any(r["path"] == "/customer.parquet" for r in server.requests)
+    assert any(r["path"] == "/customer-0.parquet" for r in server.requests)
 
 
 def test_connector_partitioned_reattaches_status(spark):

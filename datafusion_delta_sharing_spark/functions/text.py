@@ -198,6 +198,29 @@ def shingles(col: Column | str, k: int = 5) -> Column:
     return shingles_of_words(words_of(col), col, k)
 
 
+def dup_ngram_ratio(col: Column | str, k: int = 3,
+                    words: Column | str | None = None) -> Column:
+    """Fraction of word ``k``-grams that are repeats of an earlier one —
+    the Gopher-style intra-document repetition signal (high values mark
+    boilerplate/spam worth dropping before training). 0 for documents
+    shorter than ``k`` words (single-shingle fallback). Pure higher-order
+    array functions; pass a pre-materialized ``words`` column in hot
+    paths."""
+    sh = (shingles_of_words(words, col, k) if words is not None
+          else shingles(col, k))
+    return F.round(
+        1 - F.size(F.array_distinct(sh)) / F.size(sh), 6)
+
+
+def dup_ngram_ratio_sql(col: str, k: int = 3) -> str:
+    """DuckDB mirror of :func:`dup_ngram_ratio`."""
+    words = f"regexp_split_to_array(trim({col}), '{WS_TOKEN_SPLIT}')"
+    shs = (f"CASE WHEN len({words}) < {k} THEN [trim({col})] "
+           f"ELSE list_transform(range(1, len({words}) - {k} + 2), "
+           f"i -> array_to_string({words}[i:i+{k - 1}], ' ')) END")
+    return f"round(1 - len(list_distinct({shs})) / len({shs}), 6)"
+
+
 def doc_fingerprint(col: str, k: int = 5,
                     words: Column | str | None = None) -> Column:
     """Winnowing-style fingerprint: the minimum md5 over word k-shingles.

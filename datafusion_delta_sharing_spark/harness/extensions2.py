@@ -13,6 +13,7 @@ from datafusion_delta_sharing_spark.functions.splits import (
     split_assign, split_assign_sql)
 from datafusion_delta_sharing_spark.harness import load_table
 from datafusion_delta_sharing_spark.operators import chunking as CH
+from datafusion_delta_sharing_spark.operators import decontam as DC
 from datafusion_delta_sharing_spark.operators import embeddings as EM
 from datafusion_delta_sharing_spark.operators import pipeline as PL
 from datafusion_delta_sharing_spark.operators import sampling as SA
@@ -122,7 +123,38 @@ def q_weighted_mixture(spark, sf_dir):
             .select("doc_id", "source", "mix_source"))
 
 
+_BENCH_DOCS = 40         # doc_id bound for the planted "benchmark" set
+_DECON_K = 8             # contamination shingle width
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark-contamination flags: the 'benchmark' is the verbatim text
+    of the first _BENCH_DOCS documents, so those docs (plus any document
+    sharing an 8-gram of boilerplate with them) are provably flagged —
+    both contamination classes flow through the check."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < _BENCH_DOCS).select("text")
+    return DC.contamination_flags(docs, bench, "text", "doc_id", k=_DECON_K)
+
+
+def q_repetition_metrics(spark, sf_dir):
+    """Gopher-style repetition signals: duplicate-word and duplicate-3-gram
+    fractions, plus the 3-gram ratio on the doc concatenated with itself
+    (provably > 0 — the ratio math is exercised on every row, not just the
+    few naturally repetitive docs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    doubled = F.concat(F.col("text"), F.lit(" "), F.col("text"))
+    return docs.select(
+        "doc_id",
+        TX.dup_ngram_ratio("text", k=1).alias("dup_word_ratio"),
+        TX.dup_ngram_ratio("text", k=3).alias("dup_3gram_ratio"),
+        TX.dup_ngram_ratio(doubled, k=3).alias("dup_3gram_doubled"),
+    )
+
+
 QUERIES = {
+    "decontaminate": q_decontaminate,
+    "repetition_metrics": q_repetition_metrics,
     "pipeline_e2e": q_pipeline_e2e,
     "stratified_sample": q_stratified_sample,
     "weighted_mixture": q_weighted_mixture,
@@ -137,6 +169,18 @@ QUERIES = {
 }
 
 ORACLES = {
+    "decontaminate": DC.contamination_flags_sql(
+        "documents",
+        f"(SELECT text FROM documents WHERE doc_id < {_BENCH_DOCS})",
+        "text", "doc_id", k=_DECON_K),
+    "repetition_metrics": f"""
+        SELECT doc_id,
+               {TX.dup_ngram_ratio_sql('text', 1)} AS dup_word_ratio,
+               {TX.dup_ngram_ratio_sql('text', 3)} AS dup_3gram_ratio,
+               {TX.dup_ngram_ratio_sql("(text || ' ' || text)", 3)}
+                   AS dup_3gram_doubled
+        FROM documents
+    """,
     "stratified_sample": SA.stratified_sample_sql(
         "documents", "lang", "doc_id", n_per_stratum=20,
         columns="doc_id, lang"),

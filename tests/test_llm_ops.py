@@ -7,7 +7,10 @@ import pytest
 from pyspark.sql import Row, functions as F
 
 from datafusion_delta_sharing_spark.functions.splits import split_assign
-from datafusion_delta_sharing_spark.functions.text import redact_pii
+from datafusion_delta_sharing_spark.functions.text import (
+    dup_ngram_ratio, redact_pii)
+from datafusion_delta_sharing_spark.operators.decontam import (
+    contamination_flags, decontaminate)
 from datafusion_delta_sharing_spark.operators.chunking import (
     chunk_documents, pack_sequences)
 from datafusion_delta_sharing_spark.operators.embeddings import (
@@ -260,3 +263,54 @@ class TestEmbeddings:
             assert len(r.digest) == 32
         # distinct vectors -> distinct digests
         assert len({r.digest for r in out}) == 5
+
+
+class TestDecontamination:
+    def _corpus(self, spark):
+        return spark.createDataFrame([
+            Row(doc_id=1, text="alpha beta gamma delta epsilon"),
+            Row(doc_id=2, text="one two three four five six"),
+            Row(doc_id=3, text="unrelated words entirely different here"),
+        ])
+
+    def test_flags_only_overlapping_docs(self, spark):
+        bench = spark.createDataFrame(
+            [Row(text="zz two three four qq")])  # shares a 3-gram with doc 2
+        out = {r.doc_id: r.contaminated for r in contamination_flags(
+            self._corpus(spark), bench, "text", "doc_id", k=3).collect()}
+        assert out == {1: False, 2: True, 3: False}
+
+    def test_decontaminate_drops_flagged(self, spark):
+        bench = spark.createDataFrame([Row(text="zz two three four qq")])
+        kept = {r.doc_id for r in decontaminate(
+            self._corpus(spark), bench, "text", "doc_id", k=3).collect()}
+        assert kept == {1, 3}
+
+    def test_short_doc_fallback_is_whole_text(self, spark):
+        # docs shorter than k shingle to the full trimmed text: only an
+        # exact benchmark match contaminates them
+        corpus = spark.createDataFrame([Row(doc_id=1, text="tiny doc")])
+        exact = spark.createDataFrame([Row(text="tiny doc")])
+        other = spark.createDataFrame([Row(text="tiny dog")])
+        assert contamination_flags(
+            corpus, exact, "text", "doc_id", k=8).collect()[0].contaminated
+        assert not contamination_flags(
+            corpus, other, "text", "doc_id", k=8).collect()[0].contaminated
+
+
+class TestRepetitionRatio:
+    def test_known_ratios(self, spark):
+        df = spark.createDataFrame([
+            Row(doc_id=1, text="a b a b a"),   # 2-grams: ab ba ab ba -> 0.5
+            Row(doc_id=2, text="a b c d e"),   # all distinct -> 0.0
+            Row(doc_id=3, text="x"),           # shorter than k -> 0.0
+        ])
+        out = {r.doc_id: r.ratio for r in df.select(
+            "doc_id", dup_ngram_ratio("text", k=2).alias("ratio")).collect()}
+        assert out == {1: 0.5, 2: 0.0, 3: 0.0}
+
+    def test_doubled_text_is_repetitive(self, spark):
+        df = spark.createDataFrame([Row(doc_id=1, text="p q r s t u v w")])
+        doubled = F.concat(F.col("text"), F.lit(" "), F.col("text"))
+        row = df.select(dup_ngram_ratio(doubled, k=3).alias("r")).collect()[0]
+        assert row.r > 0.3

@@ -114,6 +114,20 @@ def test_q2_q20_broadcast_dims_no_cartesian(spark, qs, sf_dir):
         assert "CartesianProduct" not in plan, name
 
 
+def test_decontaminate_probes_with_broadcast_semi(spark, qs, sf_dir):
+    # benchmark shingles broadcast into a semi probe: the corpus must not
+    # shuffle for candidate matching (only matched ids + the flag join do)
+    plan = plan_of(spark, qs, "decontaminate", sf_dir)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_repetition_metrics_is_narrow(spark, qs, sf_dir):
+    plan = plan_of(spark, qs, "repetition_metrics", sf_dir)
+    assert "Exchange" not in plan  # pure projection pipeline
+    assert "BatchEvalPython" not in plan
+
+
 def test_no_python_udfs_in_relational_core(spark, qs, sf_dir):
     for name in ["tpch_q1", "join_inner", "window_rank", "string_funcs",
                  "math_funcs", "array_funcs"]:

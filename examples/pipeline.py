@@ -20,6 +20,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from datafusion_delta_sharing_spark.functions import text as TX  # noqa: E402
 from datafusion_delta_sharing_spark.functions.splits import split_assign  # noqa: E402
+from datafusion_delta_sharing_spark.operators import decontam as DC  # noqa: E402
 from datafusion_delta_sharing_spark.operators import dedup as DD  # noqa: E402
 from datafusion_delta_sharing_spark.operators import sampling as SA  # noqa: E402
 from datafusion_delta_sharing_spark.operators import similarity as SIM  # noqa: E402
@@ -47,6 +48,15 @@ def main() -> None:
 
     redacted = docs.select("doc_id", TX.redact_pii(F.col("text")).alias("text"))
     print("== pii: redacted column ready,", redacted.count(), "rows")
+
+    rep = docs.select(TX.dup_ngram_ratio("text", k=3).alias("r"))
+    print("== repetition: mean dup-3gram ratio",
+          round(rep.agg(F.avg("r")).first()[0], 4))
+
+    bench = docs.filter(F.col("doc_id") % 17 == 0).select("text")
+    clean = DC.decontaminate(docs, bench, "text", "doc_id", k=8)
+    print(f"== decontamination: {n - clean.count()} docs dropped for "
+          "benchmark k-gram overlap")
 
     pairs = DD.ngram_jaccard_pairs(docs, "text", "doc_id", k=5, threshold=0.15)
     comp = DD.connected_components(

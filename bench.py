@@ -27,14 +27,15 @@ HEADLINE = [
     "join_semi", "tpch_q1", "rollup", "agg_stats",
     "window_running", "topk_per_group",
     # TPC-H multi-join shapes
-    "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q8", "tpch_q10", "tpch_q18",
-    "tpch_q21",
+    "tpch_q2", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q8", "tpch_q10",
+    "tpch_q18", "tpch_q21",
     # UDF / python path
     "pandas_udf_scalar", "grouped_map_zscore",
     # pipeline extensions
     "dedup_minhash", "ngram_jaccard", "ngram_jaccard_dfcut", "ann_topk",
     "text_metrics", "doc_fingerprint",
     "doc_chunks", "tfidf_top", "embed_quantize",
+    "decontaminate", "repetition_metrics",
 ]
 
 

@@ -141,14 +141,33 @@ def q_repetition_metrics(spark, sf_dir):
     """Gopher-style repetition signals: duplicate-word and duplicate-3-gram
     fractions, plus the 3-gram ratio on the doc concatenated with itself
     (provably > 0 — the ratio math is exercised on every row, not just the
-    few naturally repetitive docs)."""
+    few naturally repetitive docs).
+
+    The word and shingle arrays are materialized in staged selects
+    (CollapseProject keeps multiply-referenced non-cheap aliases): the
+    convenience one-liner form re-splits the text per shingle and
+    re-shingles per ratio reference — measured 16× slower at sf0.1."""
     docs = load_table(spark, sf_dir, "documents")
-    doubled = F.concat(F.col("text"), F.lit(" "), F.col("text"))
-    return docs.select(
+    staged = docs.select(
+        "doc_id", "text", TX.words_of("text").alias("_w"),
+        F.concat(F.col("text"), F.lit(" "), F.col("text")).alias("_t2"))
+    # _w2 must be its own column: embedded in the shingle lambda it would
+    # re-concat per element (same O(words²) trap as the text re-split)
+    staged = staged.withColumn("_w2", F.concat("_w", "_w"))
+    shingled = staged.select(
         "doc_id",
-        TX.dup_ngram_ratio("text", k=1).alias("dup_word_ratio"),
-        TX.dup_ngram_ratio("text", k=3).alias("dup_3gram_ratio"),
-        TX.dup_ngram_ratio(doubled, k=3).alias("dup_3gram_doubled"),
+        F.col("_w").alias("_s1"),  # k=1 shingles are the words themselves
+        TX.shingles_of_words("_w", "text", 3).alias("_s3"),
+        TX.shingles_of_words("_w2", "_t2", 3).alias("_s3d"))
+
+    def ratio(c):
+        return F.round(1 - F.size(F.array_distinct(c)) / F.size(c), 6)
+
+    return shingled.select(
+        "doc_id",
+        ratio(F.col("_s1")).alias("dup_word_ratio"),
+        ratio(F.col("_s3")).alias("dup_3gram_ratio"),
+        ratio(F.col("_s3d")).alias("dup_3gram_doubled"),
     )
 
 

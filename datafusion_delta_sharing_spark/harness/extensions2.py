@@ -17,6 +17,7 @@ from datafusion_delta_sharing_spark.operators import decontam as DC
 from datafusion_delta_sharing_spark.operators import embeddings as EM
 from datafusion_delta_sharing_spark.operators import pipeline as PL
 from datafusion_delta_sharing_spark.operators import sampling as SA
+from datafusion_delta_sharing_spark.operators import spans as SP
 from datafusion_delta_sharing_spark.operators import tfidf as TI
 
 _CHUNK_DOCS = 300        # doc_id bound for the chunking query
@@ -171,8 +172,26 @@ def q_repetition_metrics(spark, sf_dir):
     )
 
 
+_SPAN_DOCS = 150         # doc_id bound for the planted verbatim copies
+_SPAN_K = 8              # duplicated-span shingle width
+
+
+def q_dup_spans(spark, sf_dir):
+    """Exact duplicated-substring spans (Lee et al. 2021 shape): verbatim
+    copies of the first _SPAN_DOCS documents are planted at doc_id + 2M, so
+    >= 2*_SPAN_DOCS rows provably score dup_cover_ratio 1.0, and any
+    naturally shared boilerplate 8-gram exercises the partial-coverage
+    interval-union path."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") < _SPAN_DOCS).select(
+        (F.col("doc_id") + F.lit(2_000_000)).alias("doc_id"), "text")
+    return SP.dup_span_metrics(docs.unionByName(copies),
+                               "text", "doc_id", k=_SPAN_K)
+
+
 QUERIES = {
     "decontaminate": q_decontaminate,
+    "dup_spans": q_dup_spans,
     "repetition_metrics": q_repetition_metrics,
     "pipeline_e2e": q_pipeline_e2e,
     "stratified_sample": q_stratified_sample,
@@ -188,6 +207,12 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dup_spans": SP.dup_span_metrics_sql(
+        f"""(SELECT doc_id, text FROM documents
+             UNION ALL
+             SELECT doc_id + 2000000 AS doc_id, text FROM documents
+             WHERE doc_id < {_SPAN_DOCS})""",
+        "text", "doc_id", k=_SPAN_K),
     "decontaminate": DC.contamination_flags_sql(
         "documents",
         f"(SELECT text FROM documents WHERE doc_id < {_BENCH_DOCS})",

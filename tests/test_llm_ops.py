@@ -314,3 +314,66 @@ class TestRepetitionRatio:
         doubled = F.concat(F.col("text"), F.lit(" "), F.col("text"))
         row = df.select(dup_ngram_ratio(doubled, k=3).alias("r")).collect()[0]
         assert row.r > 0.3
+
+
+class TestDupSpans:
+    def _metrics(self, spark, rows, k=3):
+        from datafusion_delta_sharing_spark.operators.spans import (
+            dup_span_metrics)
+        df = spark.createDataFrame(rows)
+        return {r.doc_id: r for r in
+                dup_span_metrics(df, "text", "doc_id", k=k).collect()}
+
+    def test_overlapping_spans_merge(self, spark):
+        # "a b c" and "b c d" are shared; their intervals overlap and must
+        # union to 4 covered words, not 6
+        out = self._metrics(spark, [
+            Row(doc_id=1, text="a b c d e"),
+            Row(doc_id=2, text="x a b c d y"),
+            Row(doc_id=3, text="q r s t u"),
+        ])
+        assert out[1].n_dup_shingles == 2
+        assert out[1].dup_cover_ratio == pytest.approx(4 / 5)
+        assert out[1].dup_shingle_ratio == pytest.approx(2 / 3, abs=1e-6)
+        assert out[2].dup_cover_ratio == pytest.approx(4 / 6, abs=1e-6)
+        assert out[3].n_dup_shingles == 0
+        assert out[3].dup_cover_ratio == 0.0
+        assert out[3].n_words == 5
+
+    def test_disjoint_spans_sum(self, spark):
+        # shared "a b c" and "d e f" are separated by X in doc 1: two
+        # disjoint intervals, 6 of 7 words covered
+        out = self._metrics(spark, [
+            Row(doc_id=1, text="a b c X d e f"),
+            Row(doc_id=2, text="a b c z1 z2 z3 z4 d e f"),
+        ])
+        assert out[1].n_dup_shingles == 2
+        assert out[1].dup_cover_ratio == pytest.approx(6 / 7, abs=1e-6)
+
+    def test_identical_docs_fully_covered(self, spark):
+        out = self._metrics(spark, [
+            Row(doc_id=1, text="m n o p q r"),
+            Row(doc_id=2, text="m n o p q r"),
+        ])
+        assert out[1].dup_cover_ratio == 1.0
+        assert out[2].dup_cover_ratio == 1.0
+        assert out[1].dup_shingle_ratio == 1.0
+
+    def test_short_docs_score_zero(self, spark):
+        out = self._metrics(spark, [
+            Row(doc_id=1, text="same pair"),
+            Row(doc_id=2, text="same pair"),
+        ], k=3)
+        assert out[1].n_dup_shingles == 0
+        assert out[1].dup_cover_ratio == 0.0
+        assert out[1].n_words == 2
+
+    def test_min_docs_threshold(self, spark):
+        from datafusion_delta_sharing_spark.operators.spans import (
+            dup_span_metrics)
+        df = spark.createDataFrame([
+            Row(doc_id=i, text="c o m m o n p r e f i x".replace(" ", " "))
+            for i in range(3)])
+        out = {r.doc_id: r for r in dup_span_metrics(
+            df, "text", "doc_id", k=3, min_docs=4).collect()}
+        assert all(r.n_dup_shingles == 0 for r in out.values())

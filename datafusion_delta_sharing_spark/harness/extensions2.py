@@ -124,6 +124,19 @@ def q_weighted_mixture(spark, sf_dir):
             .select("doc_id", "source", "mix_source"))
 
 
+_QUALITY_Q = 0.25        # drop the bottom quality quartile
+
+
+def q_quality_filter(spark, sf_dir):
+    """Percentile-threshold corpus pruning: flag documents at or above the
+    corpus p25 quality score (discrete quantile, integer-exact threshold —
+    no interpolation, so the boundary can't flip between engines)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return SA.quantile_threshold_flags(
+        docs, TX.quality_score("text"), "doc_id",
+        q=_QUALITY_Q, score_name="quality")
+
+
 _BENCH_DOCS = 40         # doc_id bound for the planted "benchmark" set
 _DECON_K = 8             # contamination shingle width
 
@@ -192,6 +205,7 @@ def q_dup_spans(spark, sf_dir):
 QUERIES = {
     "decontaminate": q_decontaminate,
     "dup_spans": q_dup_spans,
+    "quality_filter": q_quality_filter,
     "repetition_metrics": q_repetition_metrics,
     "pipeline_e2e": q_pipeline_e2e,
     "stratified_sample": q_stratified_sample,
@@ -213,6 +227,9 @@ ORACLES = {
              SELECT doc_id + 2000000 AS doc_id, text FROM documents
              WHERE doc_id < {_SPAN_DOCS})""",
         "text", "doc_id", k=_SPAN_K),
+    "quality_filter": SA.quantile_threshold_flags_sql(
+        "documents", TX.quality_score_sql("text"), "doc_id",
+        q=_QUALITY_Q, score_name="quality"),
     "decontaminate": DC.contamination_flags_sql(
         "documents",
         f"(SELECT text FROM documents WHERE doc_id < {_BENCH_DOCS})",

@@ -52,6 +52,67 @@ def stratified_sample_sql(source_sql: str, stratum_col: str, id_col: str,
     """
 
 
+def quantile_threshold_flags(df: DataFrame, score: F.Column, id_col: str,
+                             q: float = 0.25,
+                             score_name: str = "score") -> DataFrame:
+    """(id, score, kept) for every row: ``kept`` iff the row's score is at
+    or above the corpus ``q``-quantile — the "drop the bottom quartile"
+    corpus-pruning step, exact and deterministic.
+
+    The threshold is the smallest score whose cumulative count reaches
+    ``ceil(q * n)`` (discrete quantile, integer-exact — no float
+    interpolation, so Spark and the oracle cannot disagree at the
+    boundary). Scale shape: the corpus reduces to per-score counts
+    (map-side combinable, one shuffle on the score); the cumulative sum
+    runs over the *distinct-score* table (bounded by score granularity,
+    tiny next to the corpus — the only single-partition step); the 1-row
+    threshold is broadcast back. No global sort, no global window, no
+    single-reducer pass over row-level data.
+
+    Exact global percentiles via ``F.percentile`` (one reducer holds every
+    value) or an un-partitioned ranking window (one partition holds every
+    row) are the two standard scale-killers this avoids.
+    """
+    if not 0 <= q <= 1:
+        raise ValueError(f"q must be in [0,1], got {q}")
+    scored = df.select(F.col(id_col), score.alias("_score"))
+    counts = scored.groupBy("_score").agg(F.count(F.lit(1)).alias("_c"))
+    cum_w = Window.orderBy("_score").rowsBetween(Window.unboundedPreceding, 0)
+    cum = counts.withColumn("_cum", F.sum("_c").over(cum_w))
+    total = scored.agg(F.count(F.lit(1)).alias("_n"))
+    thr = (cum.crossJoin(F.broadcast(total))
+           .filter(F.col("_cum") >= F.ceil(F.lit(q) * F.col("_n")))
+           .agg(F.min("_score").alias("_thr")))
+    return (scored.crossJoin(F.broadcast(thr))
+            .select(F.col(id_col),
+                    F.col("_score").alias(score_name),
+                    (F.col("_score") >= F.col("_thr")).alias("kept")))
+
+
+def quantile_threshold_flags_sql(source_sql: str, score_sql: str,
+                                 id_col: str, q: float = 0.25,
+                                 score_name: str = "score") -> str:
+    """DuckDB mirror of :func:`quantile_threshold_flags`."""
+    return f"""
+        WITH scored AS (
+            SELECT {id_col}, {score_sql} AS _score FROM {source_sql}
+        ), counts AS (
+            SELECT _score, count(*) AS _c FROM scored GROUP BY _score
+        ), cum AS (
+            SELECT _score, sum(_c) OVER (
+                ORDER BY _score
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _cum
+            FROM counts
+        ), thr AS (
+            SELECT min(_score) AS _thr FROM cum
+            WHERE _cum >= ceil({q} * (SELECT count(*) FROM scored))
+        )
+        SELECT s.{id_col}, s._score AS {score_name},
+               s._score >= t._thr AS kept
+        FROM scored s CROSS JOIN thr t
+    """
+
+
 def weighted_mixture(sources: dict[str, tuple[DataFrame, float]],
                      id_col: str, salt: str = "mix1") -> DataFrame:
     """Training-mixture composition: for each named source, keep a

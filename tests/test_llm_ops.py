@@ -377,3 +377,37 @@ class TestDupSpans:
         out = {r.doc_id: r for r in dup_span_metrics(
             df, "text", "doc_id", k=3, min_docs=4).collect()}
         assert all(r.n_dup_shingles == 0 for r in out.values())
+
+
+class TestQuantileThreshold:
+    def _flags(self, spark, scores, q):
+        from datafusion_delta_sharing_spark.operators.sampling import (
+            quantile_threshold_flags)
+        df = spark.createDataFrame(
+            [Row(doc_id=i, s=float(s)) for i, s in enumerate(scores)])
+        out = quantile_threshold_flags(df, F.col("s"), "doc_id", q=q)
+        return {r.doc_id: r.kept for r in out.collect()}
+
+    def test_bottom_quartile_dropped(self, spark):
+        # 8 distinct scores, q=0.25 -> threshold is the 2nd smallest:
+        # exactly the lowest 1/8 < ceil(0.25*8)=2nd value is dropped
+        kept = self._flags(spark, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8],
+                           q=0.25)
+        assert kept == {0: False, 1: True, 2: True, 3: True, 4: True,
+                        5: True, 6: True, 7: True}
+
+    def test_ties_at_threshold_all_kept(self, spark):
+        # threshold lands on a tied score: every row at the threshold kept
+        kept = self._flags(spark, [0.1, 0.5, 0.5, 0.5, 0.9], q=0.5)
+        assert kept == {0: False, 1: True, 2: True, 3: True, 4: True}
+
+    def test_q_zero_keeps_all(self, spark):
+        assert all(self._flags(spark, [0.3, 0.7], q=0.0).values())
+
+    def test_q_one_keeps_max_ties(self, spark):
+        kept = self._flags(spark, [0.3, 0.7, 0.7], q=1.0)
+        assert kept == {0: False, 1: True, 2: True}
+
+    def test_bad_q_raises(self, spark):
+        with pytest.raises(ValueError, match="q must be"):
+            self._flags(spark, [0.5], q=1.5)

@@ -9,7 +9,7 @@ import uuid
 from pyspark.sql import functions as F
 
 from datafusion_delta_sharing_spark.harness import load_table
-from datafusion_delta_sharing_spark.streaming.windows import EVENTS_RAW_SCHEMA
+from datafusion_delta_sharing_spark.streaming.windows import stream_events
 
 
 def q_date_funcs2(spark, sf_dir):
@@ -76,11 +76,7 @@ def q_session_window_batch(spark, sf_dir):
 def q_stream_sliding(spark, sf_dir):
     """Streaming sliding windows (2h window, 1h slide): each event lands in
     two windows; run to completion on the bounded source."""
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (spark.readStream.schema(EVENTS_RAW_SCHEMA)
-           .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
-    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    events = stream_events(spark, sf_dir)
     agg = (
         events.withWatermark("ts", "2 hours")
         .groupBy(F.window("ts", "2 hours", "1 hour"), "event_type")

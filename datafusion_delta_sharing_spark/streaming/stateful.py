@@ -15,7 +15,10 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from datafusion_delta_sharing_spark.streaming.windows import EVENTS_RAW_SCHEMA
+from datafusion_delta_sharing_spark.streaming.windows import (
+    EVENTS_RAW_SCHEMA,  # noqa: F401 (re-export: tests build raw nano streams)
+    stream_events,
+)
 
 OUTPUT_SCHEMA = "user_id bigint, n_events bigint, total_value double"
 STATE_SCHEMA = "n bigint, total double"
@@ -40,13 +43,7 @@ def _update_user_state(
 
 def stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming per-user event count + value total with explicit state."""
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    raw = stream_events(spark, sf_dir)
     stated = (
         raw.groupBy("user_id")
         .applyInPandasWithState(

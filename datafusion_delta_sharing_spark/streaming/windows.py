@@ -13,14 +13,47 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
-EVENTS_RAW_SCHEMA = T.StructType([
-    T.StructField("event_id", T.LongType()),
-    T.StructField("ts", T.LongType()),  # nanos (read with nanosAsLong)
-    T.StructField("user_id", T.LongType()),
-    T.StructField("event_type", T.StringType()),
-    T.StructField("value", T.DoubleType()),
-    T.StructField("props", T.StringType()),
-])
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", ts_type),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ])
+
+
+# Legacy layout: events.ts written as parquet TIMESTAMP(NANOS), readable
+# only as int64 via spark.sql.legacy.parquet.nanosAsLong
+EVENTS_RAW_SCHEMA = _events_schema(T.LongType())
+
+
+def stream_events(spark: SparkSession, path: str,
+                  glob: str = "events.parquet", **options: str) -> DataFrame:
+    """Streaming read of the events table, ts normalized to TIMESTAMP (ltz).
+
+    The driver testdata has shipped events.ts both as TIMESTAMP(NANOS)
+    (readable only as int64 under the nanosAsLong legacy conf) and as
+    TIMESTAMP(MICROS); FileStreamSource needs a user-supplied schema, so
+    sniff the batch-inferred dtype first and build the matching stream
+    schema — hardcoding either layout mis-decodes the other by 1000x.
+    Session tz is pinned UTC so the NTZ->LTZ cast (watermarks require ltz)
+    cannot shift instants.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    probe = spark.read.option("pathGlobFilter", glob).parquet(path)
+    nanos = dict(probe.dtypes).get("ts") == "bigint"
+    reader = spark.readStream.schema(
+        _events_schema(T.LongType() if nanos else T.TimestampNTZType())
+    ).option("pathGlobFilter", glob)
+    for key, val in options.items():
+        reader = reader.option(key, val)
+    raw = reader.parquet(path)
+    if nanos:
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -33,14 +66,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark only evicts state, so with a bounded input the result equals
     the batch join and is oracle-checkable.
     """
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    events = stream_events(spark, sf_dir)
     clicks = (events.filter(F.col("event_type") == "click")
               .select(F.col("user_id").alias("c_user"),
                       F.col("event_id").alias("click_id"),
@@ -97,14 +123,7 @@ def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     is execution-order dependent, but the key set is deterministic and
     equals batch DISTINCT, so the oracle can hash-check it.
     """
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    events = stream_events(spark, sf_dir)
     deduped = (
         events.withWatermark("ts", "2 hours")
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
@@ -130,19 +149,11 @@ def stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly event counts by type, computed by an actual streaming query:
     readStream(parquet) -> watermark -> window(1 hour) -> complete-mode
     memory sink, run to completion with processAllAvailable."""
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # FileStreamSource wants a directory: stream the testdata dir with a
-    # glob filter selecting only the events file
-    raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    # watermarks require TIMESTAMP (ltz); session tz pinned UTC above, and
-    # the output window start is cast back to NTZ so a non-UTC driver
-    # session cannot shift the collected values
-    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    # glob filter selecting only the events file. The output window start
+    # is cast back to NTZ so a non-UTC driver session cannot shift the
+    # collected values.
+    events = stream_events(spark, sf_dir)
     agg = (
         events.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour"), "event_type")

@@ -269,9 +269,9 @@ def test_stateful_stream_merges_state_across_microbatches(spark, tmp_path):
 
     from pyspark.sql import functions as F
     from datafusion_delta_sharing_spark.streaming.stateful import (
-        EVENTS_RAW_SCHEMA,
         _update_user_state,
     )
+    from datafusion_delta_sharing_spark.streaming.windows import stream_events
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     src = tmp_path / "stream_src"
@@ -279,9 +279,8 @@ def test_stateful_stream_merges_state_across_microbatches(spark, tmp_path):
     shutil.copy("/root/testdata/sf0.001/events.parquet", src / "a.parquet")
     shutil.copy("/root/testdata/sf0.001/events.parquet", src / "b.parquet")
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (spark.readStream.schema(EVENTS_RAW_SCHEMA)
-           .option("maxFilesPerTrigger", "1").parquet(str(src)))
+    raw = stream_events(spark, str(src), glob="*.parquet",
+                        maxFilesPerTrigger="1")
     stated = raw.groupBy("user_id").applyInPandasWithState(
         _update_user_state, "user_id bigint, n_events bigint, total_value double",
         "n bigint, total double", "append", GroupStateTimeout.NoTimeout)

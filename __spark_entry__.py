@@ -28,14 +28,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # extension + the full TPC-H suite (17 queries incl. the 12 added r3) +
 # tierb5/tierb4 + most of tierb3 + the 4 tierb2 entries that have never had
 # a driver row. Still without a driver row after r3 (rotate these into the
-# r4 window): the 11 extensions2 queries added late in r3 (pipeline_e2e,
+# r4 window): the 15 extensions2 queries added late in r3 (pipeline_e2e,
 # doc_chunks, seq_pack, train_split, pii_redact, tfidf_top, vocab_topk,
-# embed_normalize, embed_quantize, stratified_sample, weighted_mixture),
-# pad_case_funcs, trig_funcs, bitwise_funcs, and the r1-green tierb2 four
-# (agg_corr, explode_lateral, map_funcs, window_analytics). All were
-# verified against the oracle comparator in-session r3.
-_MODULE_ORDER = ("connector", "extensions", "extensions2", "tpch", "tierb5",
-                 "tierb4", "tierb3", "tierb2", "tierb6", "tierb")
+# embed_normalize, embed_quantize, stratified_sample, weighted_mixture,
+# decontaminate, repetition_metrics, dup_spans, quality_filter), the 4
+# extensions3 corpus-curation queries (line_dedup, unigram_logprob,
+# semantic_dedup, token_budget), pad_case_funcs, trig_funcs,
+# bitwise_funcs, and the r1-green tierb2 four (agg_corr, explode_lateral,
+# map_funcs, window_analytics). All were verified against the oracle
+# comparator in-session r3.
+_MODULE_ORDER = ("connector", "extensions", "extensions2", "extensions3",
+                 "tpch", "tierb5", "tierb4", "tierb3", "tierb2", "tierb6",
+                 "tierb")
 
 _WINDOW = (
     "connector_datasource",

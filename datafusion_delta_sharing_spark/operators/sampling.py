@@ -151,3 +151,54 @@ def weighted_mixture_sql(sources: dict[str, tuple[str, float]],
             f"SELECT {columns}, '{name}' AS mix_source FROM {src} "
             f"WHERE substr({key}, 1, 8) < '{threshold}'")
     return " UNION ALL ".join(parts)
+
+
+def token_budget_select(df: DataFrame, group_col: str, id_col: str,
+                        tokens_col: str, score_col: str,
+                        budget: int) -> DataFrame:
+    """Per-group token-budget selection: order each group's documents by
+    ``score_col`` descending (ties by id), admit documents while the
+    running token total stays within ``budget``. The standard "fill each
+    source's quota with its best documents" step when composing a training
+    mixture under a fixed total token count.
+
+    Prefix semantics: a document is kept iff the running token total up to
+    AND including it (over the full ordered group, kept or not) is <=
+    budget — the maximal score-ordered prefix that fits. Not a knapsack:
+    once the budget is crossed, later (smaller) documents stay excluded,
+    which keeps the operator a pure window expression — deterministic,
+    single-shuffle, engine-portable.
+
+    One shuffle (window partition by group). Returns
+    ``(id, group, n_tokens, cum_tokens, kept)`` for every input row.
+    """
+    w = (Window.partitionBy(group_col)
+         .orderBy(F.desc(score_col), F.asc(id_col))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (df.select(
+        F.col(id_col), F.col(group_col),
+        F.col(tokens_col).cast("bigint").alias("n_tokens"),
+        F.sum(F.col(tokens_col).cast("bigint")).over(w).alias("cum_tokens"))
+        .withColumn("kept", F.col("cum_tokens") <= budget))
+
+
+def token_budget_select_sql(source_sql: str, group_col: str, id_col: str,
+                            tokens_col: str, score_sql: str,
+                            budget: int) -> str:
+    """DuckDB mirror of :func:`token_budget_select`; ``score_sql`` is the
+    ordering expression over the source row."""
+    return f"""
+        SELECT {id_col}, {group_col},
+               CAST({tokens_col} AS BIGINT) AS n_tokens,
+               CAST(sum(CAST({tokens_col} AS BIGINT)) OVER (
+                   PARTITION BY {group_col}
+                   ORDER BY {score_sql} DESC, {id_col} ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_tokens,
+               (sum(CAST({tokens_col} AS BIGINT)) OVER (
+                   PARTITION BY {group_col}
+                   ORDER BY {score_sql} DESC, {id_col} ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   <= {budget}) AS kept
+        FROM {source_sql}
+    """

@@ -244,3 +244,81 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     return (scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
             .filter(F.col("rnk") <= k)
             .select("query_id", F.col(id_col).alias("cand_id"), "score", "rnk"))
+
+
+# -- semantic dedup --------------------------------------------------------
+
+
+def sign_bucket(vec_col, sign_dims: int = 8):
+    """Deterministic cluster key: the sign pattern of the first
+    ``sign_dims`` components, packed into a string like ``"+-++-+--"``.
+    Identical and near-identical vectors land in the same bucket without
+    any trained quantizer, so the bucket is reproducible across engines."""
+    return F.concat(*[
+        F.when(F.element_at(vec_col if not isinstance(vec_col, str)
+                            else F.col(vec_col), i + 1) >= 0, F.lit("+"))
+        .otherwise(F.lit("-"))
+        for i in range(sign_dims)])
+
+
+def sign_bucket_sql(vec_col: str, sign_dims: int = 8) -> str:
+    parts = " || ".join(
+        f"CASE WHEN {vec_col}[{i + 1}] >= 0 THEN '+' ELSE '-' END"
+        for i in range(sign_dims))
+    return f"({parts})"
+
+
+def semantic_dedup(corpus: DataFrame, threshold: float = 0.95,
+                   sign_dims: int = 8, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Embedding-space near-duplicate removal (the SemDeDup recipe: cluster,
+    then drop within-cluster high-cosine copies, keeping one exemplar).
+
+    Clustering is the deterministic sign bucket above — the scale-defining
+    property is that candidate pairs come from an equi-join on the bucket
+    key (shuffle-partitioned, no all-pairs), and only bucket-mates pay the
+    cosine. A vector is dropped iff some lower-id vector in its bucket has
+    cosine >= ``threshold`` with it; survivors are returned with their
+    bucket. Greedy-by-id matches the common implementation and is exactly
+    mirrorable in SQL (no iteration).
+
+    Returns ``(id, bucket, kept)`` for every input vector.
+    """
+    with_b = corpus.select(F.col(id_col), F.col(vec_col),
+                           sign_bucket(F.col(vec_col), sign_dims)
+                           .alias("bucket"))
+    a = with_b.select("bucket", F.col(id_col).alias("id_a"),
+                      F.col(vec_col).alias("va"))
+    b = with_b.select("bucket", F.col(id_col).alias("id_b"),
+                      F.col(vec_col).alias("vb"))
+    dominated = (a.join(b, "bucket")
+                 .filter(F.col("id_a") < F.col("id_b"))
+                 .filter(F.round(cosine("va", "vb"), 6) >= threshold)
+                 .select(F.col("id_b").alias("dom_id")).distinct())
+    return (with_b.join(dominated,
+                        with_b[id_col] == dominated["dom_id"], "left")
+            .select(F.col(id_col), "bucket",
+                    F.col("dom_id").isNull().alias("kept")))
+
+
+def semantic_dedup_sql(source_sql: str, threshold: float = 0.95,
+                       sign_dims: int = 8, id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> str:
+    """DuckDB mirror of :func:`semantic_dedup`."""
+    from datafusion_delta_sharing_spark.functions.vector import cosine_sql
+
+    bucket = sign_bucket_sql(vec_col, sign_dims)
+    return f"""
+        WITH src AS (SELECT {id_col}, {vec_col}, {bucket} AS bucket
+                     FROM {source_sql}),
+        dominated AS (
+            SELECT DISTINCT b.{id_col} AS dom_id
+            FROM src a JOIN src b
+              ON a.bucket = b.bucket AND a.{id_col} < b.{id_col}
+            WHERE round({cosine_sql(f"a.{vec_col}", f"b.{vec_col}")}, 6)
+                  >= {threshold}
+        )
+        SELECT s.{id_col}, s.bucket,
+               (d.dom_id IS NULL) AS kept
+        FROM src s LEFT JOIN dominated d ON s.{id_col} = d.dom_id
+    """

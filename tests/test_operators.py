@@ -383,3 +383,109 @@ def test_dedup_survivors_keeps_canonical(spark):
     pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
     out = DD.dedup_survivors(df, pairs, "doc_id").collect()
     assert sorted(r.doc_id for r in out) == [1, 4]
+
+
+# -- corpus curation (line dedup / unigram logprob / semantic dedup /
+#    token budget) ---------------------------------------------------------
+
+
+def test_line_dedup_drops_planted_copy_lines(spark):
+    from datafusion_delta_sharing_spark.operators.corpus import line_dedup
+
+    base = make_docs(spark, [
+        (1, " ".join(f"w{i}" for i in range(40))),          # 3 lines of 16
+        (2, " ".join(f"v{i}" for i in range(20))),          # 2 lines
+    ])
+    copies = base.select((F.col("doc_id") + 100).alias("doc_id"), "text")
+    out = {r.doc_id: r for r in
+           line_dedup(base.unionByName(copies), "text", "doc_id",
+                      line_words=16).collect()}
+    assert out[1].n_kept == out[1].n_lines == 3
+    assert out[2].n_kept == out[2].n_lines == 2
+    # verbatim copies keep nothing, but still appear with their totals
+    assert out[101].n_kept == 0 and out[101].dedup_text == ""
+    assert out[101].n_lines == 3
+    assert out[102].n_kept == 0 and out[102].n_lines == 2
+    # survivors reassemble to the original text
+    assert out[1].dedup_text == " ".join(f"w{i}" for i in range(40))
+
+
+def test_line_dedup_survivor_is_first_occurrence(spark):
+    from datafusion_delta_sharing_spark.operators.corpus import line_dedup
+
+    shared = " ".join(f"s{i}" for i in range(16))
+    uniq = " ".join(f"u{i}" for i in range(16))
+    df = make_docs(spark, [(5, shared), (3, uniq + " " + shared)])
+    out = {r.doc_id: r for r in
+           line_dedup(df, "text", "doc_id", line_words=16).collect()}
+    # doc 3 < doc 5: doc 3 keeps both its lines, doc 5 loses its only line
+    assert out[3].n_kept == 2
+    assert out[5].n_kept == 0
+
+
+def test_unigram_logprob_orders_common_above_rare(spark):
+    from datafusion_delta_sharing_spark.operators.corpus import unigram_logprob
+
+    df = make_docs(spark, [
+        (1, "the the the the"),     # high-frequency tokens
+        (2, "qzx plomf vrk jjq"),   # singletons
+    ])
+    out = {r.doc_id: r.logprob for r in
+           unigram_logprob(df, "text", "doc_id").collect()}
+    assert out[1] > out[2]
+    # exact values: ln(4/8) for every token of doc1; ln(1/8) for doc2
+    import math
+    assert abs(out[1] - round(math.log(0.5), 6)) < 1e-9
+    assert abs(out[2] - round(math.log(0.125), 6)) < 1e-9
+
+
+def test_semantic_dedup_drops_higher_id_copies(spark):
+    from datafusion_delta_sharing_spark.operators.similarity import semantic_dedup
+
+    # distinct sign pattern per original (bits of i) -> each bucket holds
+    # exactly {original, its copy}, so only copies can be dominated
+    emb = spark.createDataFrame(
+        [(i, [(1.0 if i >> b & 1 else -1.0) * (1.0 + 0.1 * b)
+              for b in range(4)]) for i in range(10)],
+        "vec_id long, embedding array<float>")
+    copies = emb.select((F.col("vec_id") + 100).alias("vec_id"), "embedding")
+    out = {r.vec_id: r.kept for r in
+           semantic_dedup(emb.unionByName(copies), threshold=0.999,
+                          sign_dims=4).collect()}
+    for i in range(10):
+        assert out[i] is True          # originals survive
+        assert out[i + 100] is False   # identical copies dropped
+
+
+def test_semantic_dedup_plan_has_no_cartesian(spark):
+    from datafusion_delta_sharing_spark.operators.similarity import semantic_dedup
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0, -1.0, 0.5]) for i in range(4)],
+        "vec_id long, embedding array<float>")
+    plan = semantic_dedup(emb, sign_dims=4)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_token_budget_prefix_semantics(spark):
+    from datafusion_delta_sharing_spark.operators.sampling import (
+        token_budget_select,
+    )
+
+    df = spark.createDataFrame(
+        [  # (id, group, tokens, score): ordered by score desc -> 1,2,3,4
+            (1, "g", 50, 9.0),
+            (2, "g", 40, 8.0),
+            (3, "g", 40, 7.0),   # cum 130 > 100: excluded
+            (4, "g", 5, 6.0),    # prefix semantics: stays excluded
+            (5, "h", 99, 1.0),
+        ],
+        "doc_id long, source string, n_tok long, score double")
+    out = {r.doc_id: r for r in
+           token_budget_select(df, "source", "doc_id", "n_tok", "score",
+                               budget=100).collect()}
+    assert [out[i].kept for i in (1, 2, 3, 4, 5)] == [
+        True, True, False, False, True]
+    assert out[3].cum_tokens == 130 and out[4].cum_tokens == 135

@@ -38,8 +38,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # map_funcs, window_analytics). All were verified against the oracle
 # comparator in-session r3.
 _MODULE_ORDER = ("connector", "extensions", "extensions2", "extensions3",
-                 "tpch", "tierb5", "tierb4", "tierb3", "tierb2", "tierb6",
-                 "tierb")
+                 "extensions4", "tpch", "tierb5", "tierb4", "tierb3",
+                 "tierb2", "tierb6", "tierb")
 
 _WINDOW = (
     "connector_datasource",

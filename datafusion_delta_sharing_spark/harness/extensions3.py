@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from datafusion_delta_sharing_spark.functions.text import token_count, token_count_sql
 from datafusion_delta_sharing_spark.harness import load_table
 from datafusion_delta_sharing_spark.operators import corpus as CO
+from datafusion_delta_sharing_spark.operators import dedup as DD
 from datafusion_delta_sharing_spark.operators import sampling as SA
 from datafusion_delta_sharing_spark.operators import similarity as SIM
 
@@ -83,6 +84,46 @@ _VECS_WITH_COPIES_SQL = f"""(
 )"""
 
 
+_CORPUS_DOCS = 300       # "yesterday's corpus" for incremental dedup
+_BATCH_LO, _BATCH_HI = 300, 450   # genuinely-new docs in today's batch
+
+
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental ingest dedup — the everyday 100 TB operation: today's
+    batch is deduped against yesterday's digest index without rescanning
+    corpus text. The batch plants both failure modes: exact copies of 100
+    corpus docs (must drop via the index anti-join) and a second copy of 50
+    new docs (must collapse to one survivor with n_copies=2 within the
+    batch)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") < _CORPUS_DOCS)
+    new = docs.filter((F.col("doc_id") >= _BATCH_LO)
+                      & (F.col("doc_id") < _BATCH_HI))
+    vs_corpus = (corpus.filter(F.col("doc_id") < 100)
+                 .select((F.col("doc_id") + F.lit(_AUG_OFFSET))
+                         .alias("doc_id"), "text"))
+    in_batch = (new.filter(F.col("doc_id") < _BATCH_LO + 50)
+                .select((F.col("doc_id") + F.lit(2 * _AUG_OFFSET))
+                        .alias("doc_id"), "text"))
+    incoming = new.unionByName(vs_corpus).unionByName(in_batch)
+    index = DD.corpus_hash_index(corpus, "text", "doc_id")
+    return DD.incremental_dedup(incoming, index, "text", "doc_id")
+
+
+_INCOMING_SQL = f"""(
+    SELECT doc_id, text FROM documents
+    WHERE doc_id >= {_BATCH_LO} AND doc_id < {_BATCH_HI}
+    UNION ALL
+    SELECT doc_id + {_AUG_OFFSET} AS doc_id, text FROM documents
+    WHERE doc_id < 100
+    UNION ALL
+    SELECT doc_id + {2 * _AUG_OFFSET} AS doc_id, text FROM documents
+    WHERE doc_id >= {_BATCH_LO} AND doc_id < {_BATCH_LO + 50}
+)"""
+
+_CORPUS_SQL = f"(SELECT doc_id, text FROM documents WHERE doc_id < {_CORPUS_DOCS})"
+
+
 def q_token_budget(spark, sf_dir):
     """Per-source token quota: best documents first (n_chars as the quality
     ordering — a real pipeline would plug in quality_score / logprob),
@@ -99,6 +140,7 @@ QUERIES = {
     "unigram_logprob": q_unigram_logprob,
     "semantic_dedup": q_semantic_dedup,
     "token_budget": q_token_budget,
+    "dedup_incremental": q_dedup_incremental,
 }
 
 ORACLES = {
@@ -112,4 +154,8 @@ ORACLES = {
         f"(SELECT doc_id, source, n_chars, {token_count_sql('text')} AS n_tok"
         f" FROM documents)",
         "source", "doc_id", "n_tok", "n_chars", budget=_TOKEN_BUDGET),
+    "dedup_incremental": DD.incremental_dedup_sql(
+        _INCOMING_SQL,
+        DD.corpus_hash_index_sql(_CORPUS_SQL, "text", "doc_id"),
+        "text", "doc_id"),
 }

@@ -46,6 +46,55 @@ def exact_dedup(df: DataFrame, cols: list[str]) -> DataFrame:
     return out.select(*cols, *[F.col(f"_rest.{c}").alias(c) for c in others])
 
 
+# -- incremental dedup (new ingest batch vs accumulated corpus index) -----
+
+
+def corpus_hash_index(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Accumulated exact-dup index: one row per distinct content digest with
+    the id that first contributed it. A production pipeline persists this
+    (bucketed by digest via sinks.write_bucketed) and appends each batch's
+    surviving digests — the corpus *text* is never rescanned."""
+    return (df.groupBy(F.md5(F.col(text_col)).alias("text_md5"))
+              .agg(F.min(id_col).alias("first_id")))
+
+
+def incremental_dedup(incoming: DataFrame, index: DataFrame,
+                      text_col: str, id_col: str) -> DataFrame:
+    """Dedup a new ingest batch against the accumulated corpus without
+    touching corpus text: (1) within-batch min-id survivor per digest,
+    (2) digest anti-join against the index. The join key is a uniform
+    128-bit digest — skew-free by construction; Catalyst broadcasts the
+    small side, and with the index bucketed on text_md5 the anti-join is
+    shuffle-free on the index side at any corpus size. Returns
+    (text_md5, keep_id, n_copies): the survivors to append to the index."""
+    batch = (incoming.groupBy(F.md5(F.col(text_col)).alias("text_md5"))
+             .agg(F.min(id_col).alias("keep_id"),
+                  F.count(F.lit(1)).alias("n_copies")))
+    return batch.join(index, "text_md5", "left_anti")
+
+
+def corpus_hash_index_sql(source_sql: str, text_col: str, id_col: str) -> str:
+    """DuckDB mirror of corpus_hash_index."""
+    return (f"(SELECT md5({text_col}) AS text_md5, min({id_col}) AS first_id"
+            f" FROM {source_sql} GROUP BY md5({text_col}))")
+
+
+def incremental_dedup_sql(incoming_sql: str, index_sql: str,
+                          text_col: str, id_col: str) -> str:
+    """DuckDB mirror of incremental_dedup (index_sql: (text_md5, ...))."""
+    return f"""
+    WITH batch AS (
+        SELECT md5({text_col}) AS text_md5, min({id_col}) AS keep_id,
+               count(*) AS n_copies
+        FROM {incoming_sql} GROUP BY md5({text_col})
+    )
+    SELECT b.text_md5, b.keep_id, b.n_copies
+    FROM batch b
+    WHERE NOT EXISTS (SELECT 1 FROM {index_sql} ix
+                      WHERE ix.text_md5 = b.text_md5)
+    """
+
+
 # -- n-gram Jaccard (explode-join: the ANSI-expressible, scalable form) ---
 
 

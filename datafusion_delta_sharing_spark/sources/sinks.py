@@ -26,6 +26,22 @@ def write_partitioned(df: DataFrame, path: str, partition_by: list[str],
     writer.parquet(path)
 
 
+def compact_files(spark, src_path: str, dst_path: str,
+                  target_rows_per_file: int) -> int:
+    """Rewrite a parquet dataset into ~target-sized files (the small-file
+    problem: a streaming or per-batch writer leaves thousands of tiny
+    files; at 100 TB the NameNode/listing and per-file open costs dominate
+    the scan). File count is computed from the actual row count, and the
+    rewrite is a round-robin repartition — a full shuffle, but the only
+    scalable way to balance arbitrary skew in the input files; run it as
+    the off-line maintenance job it is. Returns the output file count."""
+    df = spark.read.parquet(src_path)
+    n_rows = df.count()
+    n_files = max(1, -(-n_rows // target_rows_per_file))
+    df.repartition(n_files).write.mode("overwrite").parquet(dst_path)
+    return n_files
+
+
 def write_bucketed(df: DataFrame, table_name: str, bucket_by: str,
                    n_buckets: int = 16, sort_by: str | None = None,
                    mode: str = "overwrite") -> None:

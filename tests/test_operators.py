@@ -52,6 +52,34 @@ def test_exact_dedup_deterministic_survivor(spark):
     assert survivors == {("en", "s1"): 2, ("fr", "s2"): 9}
 
 
+def test_incremental_dedup_drops_corpus_and_batch_copies(spark):
+    corpus = make_docs(spark, [(1, "a b c"), (2, "d e f")])
+    incoming = make_docs(spark, [
+        (10, "a b c"),   # exact copy of corpus doc 1 -> dropped by index
+        (11, "g h i"),   # new -> survives
+        (12, "g h i"),   # in-batch copy of 11 -> collapses into it
+        (13, "j k l"),   # new -> survives
+    ])
+    index = DD.corpus_hash_index(corpus, "text", "doc_id")
+    out = {r.keep_id: r.n_copies for r in
+           DD.incremental_dedup(incoming, index, "text", "doc_id").collect()}
+    assert out == {11: 2, 13: 1}
+
+
+def test_incremental_dedup_index_append_roundtrip(spark):
+    """Survivors appended to the index are dropped on the next ingest."""
+    corpus = make_docs(spark, [(1, "a b c")])
+    index = DD.corpus_hash_index(corpus, "text", "doc_id")
+    batch1 = make_docs(spark, [(10, "m n o")])
+    surv1 = DD.incremental_dedup(batch1, index, "text", "doc_id")
+    index2 = index.select("text_md5").unionByName(
+        surv1.select("text_md5"))
+    batch2 = make_docs(spark, [(20, "m n o"), (21, "p q r")])
+    out = [r.keep_id for r in
+           DD.incremental_dedup(batch2, index2, "text", "doc_id").collect()]
+    assert out == [21]
+
+
 # -- near-dup: minhash recall vs exact jaccard ----------------------------
 
 

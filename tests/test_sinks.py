@@ -4,9 +4,24 @@ without a shuffle."""
 from pyspark.sql import functions as F
 
 from datafusion_delta_sharing_spark.sources.sinks import (
+    compact_files,
     write_bucketed,
     write_partitioned,
 )
+
+
+def test_compact_files_reduces_count_and_preserves_rows(spark, tmp_path):
+    src, dst = str(tmp_path / "tiny"), str(tmp_path / "compacted")
+    df = spark.range(10_000).select(
+        F.col("id"), (F.col("id") % 7).alias("k"))
+    df.repartition(64).write.parquet(src)  # the small-file mess
+    n_files = compact_files(spark, src, dst, target_rows_per_file=2_500)
+    assert n_files == 4
+    out = spark.read.parquet(dst)
+    assert out.count() == 10_000
+    assert out.agg(F.sum("id")).collect()[0][0] == 10_000 * 9_999 // 2
+    import glob
+    assert len(glob.glob(f"{dst}/part-*.parquet")) == 4
 
 
 def test_partitioned_write_roundtrip_and_pruning(spark, sf_dir, tmp_path):

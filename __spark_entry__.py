@@ -33,10 +33,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # embed_normalize, embed_quantize, stratified_sample, weighted_mixture,
 # decontaminate, repetition_metrics, dup_spans, quality_filter), the 4
 # extensions3 corpus-curation queries (line_dedup, unigram_logprob,
-# semantic_dedup, token_budget), pad_case_funcs, trig_funcs,
-# bitwise_funcs, and the r1-green tierb2 four (agg_corr, explode_lateral,
-# map_funcs, window_analytics). All were verified against the oracle
-# comparator in-session r3.
+# semantic_dedup, token_budget, dedup_incremental), the extensions4
+# layout/join queries (zorder_stats, fuzzy_join), pad_case_funcs,
+# trig_funcs, bitwise_funcs, and the r1-green tierb2 four (agg_corr,
+# explode_lateral, map_funcs, window_analytics). All were verified
+# against the oracle comparator in-session r3.
 _MODULE_ORDER = ("connector", "extensions", "extensions2", "extensions3",
                  "extensions4", "tpch", "tierb5", "tierb4", "tierb3",
                  "tierb2", "tierb6", "tierb")

@@ -1,4 +1,4 @@
-"""Extension queries batch 4: physical-layout operators.
+"""Extension queries batch 4: physical layout + approximate joins.
 
 Z-order (Morton) clustering — the write-side complement of the stats-based
 file pruning in plans/pruning.py: interleave two join/filter columns so
@@ -7,6 +7,9 @@ code. The harness query reports the per-bucket skipping stats themselves
 (min/max of both dimensions per Z-range), so the oracle hash-checks the
 exact layout the writer would produce; tests/test_layout.py additionally
 writes real files and measures span tightness vs a linear sort.
+
+Fuzzy join — n-gram-blocked Levenshtein join with planted single-character
+typos, hash-exact against DuckDB's levenshtein.
 """
 
 from __future__ import annotations
@@ -14,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from datafusion_delta_sharing_spark.harness import load_table
+from datafusion_delta_sharing_spark.operators import fuzzyjoin as FJ
 from datafusion_delta_sharing_spark.operators import layout as LAY
 
 _ZBITS = 12
@@ -31,8 +35,37 @@ def q_zorder_stats(spark, sf_dir):
                                    n_buckets=_ZBUCKETS, bits=_ZBITS)
 
 
+_FJ_CUSTS = 200   # customer subset for the fuzzy join
+_FJ_DIST = 1      # planted typos are single substitutions
+
+
+def q_fuzzy_join(spark, sf_dir):
+    """Entity matching with planted typos: every customer name reappears
+    with one character substituted (position 10 -> 'X'); the gram-blocked
+    join must recover each (original, typo) pair at distance 1, plus any
+    true near-collisions among the names themselves."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") < _FJ_CUSTS).select("c_custkey", "c_name")
+    typod = cust.select(
+        F.col("c_custkey").alias("t_custkey"),
+        F.concat(F.substring("c_name", 1, 9), F.lit("X"),
+                 F.expr("substr(c_name, 11)")).alias("t_name"))
+    return FJ.fuzzy_join(cust, typod, "c_custkey", "c_name",
+                         "t_custkey", "t_name", max_dist=_FJ_DIST)
+
+
+_FJ_LEFT_SQL = (f"(SELECT c_custkey, c_name FROM customer"
+                f" WHERE c_custkey < {_FJ_CUSTS})")
+_FJ_RIGHT_SQL = f"""(
+    SELECT c_custkey AS t_custkey,
+           concat(substr(c_name, 1, 9), 'X', substr(c_name, 11)) AS t_name
+    FROM customer WHERE c_custkey < {_FJ_CUSTS}
+)"""
+
+
 QUERIES = {
     "zorder_stats": q_zorder_stats,
+    "fuzzy_join": q_fuzzy_join,
 }
 
 ORACLES = {
@@ -42,4 +75,7 @@ ORACLES = {
                     o_orderkey AS oid
              FROM orders)""",
         "x", "y", "oid", n_buckets=_ZBUCKETS, bits=_ZBITS),
+    "fuzzy_join": FJ.fuzzy_join_sql(
+        _FJ_LEFT_SQL, _FJ_RIGHT_SQL, "c_custkey", "c_name",
+        "t_custkey", "t_name", max_dist=_FJ_DIST),
 }

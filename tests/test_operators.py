@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 from datafusion_delta_sharing_spark.functions import text as TX
 from datafusion_delta_sharing_spark.functions.vector import cosine, dot, l2_norm
 from datafusion_delta_sharing_spark.operators import dedup as DD
+from datafusion_delta_sharing_spark.operators import fuzzyjoin as FJ
 from datafusion_delta_sharing_spark.operators import multimodal as MM
 from datafusion_delta_sharing_spark.operators import similarity as SIM
 from datafusion_delta_sharing_spark.streaming.windows import stream_hourly_counts
@@ -78,6 +79,63 @@ def test_incremental_dedup_index_append_roundtrip(spark):
     out = [r.keep_id for r in
            DD.incremental_dedup(batch2, index2, "text", "doc_id").collect()]
     assert out == [21]
+
+
+def test_fuzzy_join_finds_planted_typos(spark):
+    left = spark.createDataFrame(
+        [(1, "alexander hamilton"), (2, "george washington"),
+         (3, "thomas jefferson")], "id long, name string")
+    right = spark.createDataFrame(
+        [(11, "alexandre hamilton"),   # er->re transposition = 2 edits vs 1
+         (12, "george washingtonn"),   # 1 insertion vs 2
+         (13, "benjamin franklin")],   # unrelated
+        "id long, name string")
+    out = {(r.l_id, r.r_id): r.dist for r in
+           FJ.fuzzy_join(left, right, "id", "name", "id", "name",
+                         max_dist=2).collect()}
+    assert out[(1, 11)] == 2
+    assert out[(2, 12)] == 1
+    assert (3, 13) not in out
+
+
+def test_fuzzy_join_recall_guarantee_radius(spark):
+    """min(len) >= gram*(d+1): every pair within d edits must be found,
+    exhaustively checked against a driver-side DP over a small set."""
+    names = ["streamline pipeline", "streamlined pipeline",
+             "streamline pipelines", "stream line pipeline",
+             "completely different"]
+    df = spark.createDataFrame(list(enumerate(names)), "id long, name string")
+    out = {(r.l_id, r.r_id) for r in
+           FJ.fuzzy_join(df, df, "id", "name", "id", "name",
+                         max_dist=2).collect()}
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[len(b)]
+
+    for i, a in enumerate(names):
+        for j, b in enumerate(names):
+            if lev(a, b) <= 2:
+                assert (i, j) in out, (a, b)
+            else:
+                assert (i, j) not in out, (a, b)
+
+
+def test_fuzzy_join_gram_freq_cut_drops_stop_grams(spark):
+    """A gram shared by every row is cut; pairs that only share stop-grams
+    disappear (documented recall trade for bounded fan-out)."""
+    rows = [(i, f"common prefix {i:03d}") for i in range(10)]
+    df = spark.createDataFrame(rows, "id long, name string")
+    full = FJ.fuzzy_join(df, df, "id", "name", "id", "name", max_dist=1)
+    cut = FJ.fuzzy_join(df, df, "id", "name", "id", "name", max_dist=1,
+                        max_gram_freq=2)
+    # self-pairs always share their rare digit grams and survive the cut
+    assert cut.filter("l_id = r_id").count() == 10
+    assert cut.count() <= full.count()
 
 
 # -- near-dup: minhash recall vs exact jaccard ----------------------------

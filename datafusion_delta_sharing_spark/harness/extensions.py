@@ -18,8 +18,9 @@ from datafusion_delta_sharing_spark.operators import dedup as DD
 from datafusion_delta_sharing_spark.operators import multimodal as MM
 from datafusion_delta_sharing_spark.operators import similarity as SIM
 from datafusion_delta_sharing_spark.streaming.windows import (
-    STREAM_DEDUP_ORACLE, STREAM_JOIN_ORACLE, stream_dedup_keys,
-    stream_hourly_counts, stream_stream_join)
+    STREAM_DEDUP_ORACLE, STREAM_ENRICH_ORACLE, STREAM_JOIN_ORACLE,
+    stream_dedup_keys, stream_hourly_counts, stream_static_enrich,
+    stream_stream_join)
 
 _JACCARD_DOCS = 150      # doc_id bound for the oracle-checked pairwise query
 _NEARDUP_VECS = 200      # vec_id bound for exact pairwise cosine
@@ -197,6 +198,11 @@ def q_stream_dedup(spark, sf_dir):
     return stream_dedup_keys(spark, sf_dir)
 
 
+def q_stream_enrich(spark, sf_dir):
+    """Stream-static broadcast join: events enriched with the customer dim."""
+    return stream_static_enrich(spark, sf_dir)
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_exact_subset": q_dedup_exact_subset,
@@ -216,6 +222,7 @@ QUERIES = {
     "stream_hourly": q_stream_hourly,
     "stream_join": q_stream_join,
     "stream_dedup": q_stream_dedup,
+    "stream_enrich": q_stream_enrich,
 }
 
 def _posts_cte(source_sql: str) -> str:
@@ -402,4 +409,5 @@ ORACLES = {
     """,
     "stream_join": STREAM_JOIN_ORACLE,
     "stream_dedup": STREAM_DEDUP_ORACLE,
+    "stream_enrich": STREAM_ENRICH_ORACLE,
 }

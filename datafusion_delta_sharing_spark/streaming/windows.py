@@ -113,6 +113,42 @@ STREAM_JOIN_ORACLE = """
 """
 
 
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched with the customer
+    dimension (user_id -> market segment), then aggregated per segment and
+    event type. The static side is explicitly broadcast — at scale the
+    stream never shuffles for the join, each microbatch probes the
+    replicated dim locally (the dim is re-resolvable per batch, so slowly
+    changing dimensions pick up updates). Complete-mode aggregate equals
+    the batch join+groupBy, which the oracle checks."""
+    events = stream_events(spark, sf_dir)
+    dim = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+           .select(F.col("c_custkey").alias("user_id"), "c_mktsegment"))
+    agg = (events.join(F.broadcast(dim), "user_id")
+           .groupBy("c_mktsegment", "event_type")
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 2).alias("total_value")))
+    sink = f"stream_enrich_{uuid.uuid4().hex[:8]}"
+    query = (agg.writeStream.outputMode("complete")
+             .format("memory").queryName(sink).start())
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    result = spark.table(sink)
+    return spark.createDataFrame(result.collect(), result.schema)
+
+
+STREAM_ENRICH_ORACLE = """
+    SELECT c.c_mktsegment, e.event_type,
+           count(*) AS n_events,
+           round(sum(e.value), 2) AS total_value
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY c.c_mktsegment, e.event_type
+"""
+
+
 def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming deduplication: first occurrence per (user_id, event_type)
     with ``dropDuplicatesWithinWatermark`` — the streaming analogue of the

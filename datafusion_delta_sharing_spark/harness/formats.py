@@ -1,0 +1,95 @@
+"""Source-format breadth queries (SURVEY.md §2 Tier-B "Scans/sources").
+
+The reference reads exactly one physical format (parquet behind presigned
+URLs); a Spark engine gets CSV / JSON / ORC readers for free, and a real
+pipeline ingests all three. Each query stages a testdata table in the
+format under test (cached, keyed by source mtime — same policy as
+harness/connector staging) and runs an aggregate through that reader.
+
+Oracle policy: the oracle computes the same aggregate from the
+pre-registered *parquet* views — the data is identical by construction, so
+a hash match proves the format round-trip (schema application, date/typing
+fidelity) rather than re-testing the arithmetic.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import SparkSession, functions as F
+
+from datafusion_delta_sharing_spark.harness.connector import _STAGE_ROOT
+
+
+def _stage(spark: SparkSession, sf_dir: str, table: str, fmt: str) -> str:
+    src = os.path.abspath(os.path.join(sf_dir, f"{table}.parquet"))
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{src}:{st.st_mtime_ns}:{st.st_size}".encode()).hexdigest()[:16]
+    out = os.path.join(_STAGE_ROOT, key, f"{table}_{fmt}")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        writer = spark.read.parquet(src).repartition(4).write.mode("overwrite")
+        if fmt == "csv":
+            writer.option("header", "true").csv(out)
+        else:
+            getattr(writer, fmt)(out)
+    return out
+
+
+_ORDERS_AGG_SQL = """
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total,
+           min(o_orderdate) AS first_date,
+           max(o_orderdate) AS last_date
+    FROM orders
+    GROUP BY o_orderstatus, o_orderpriority
+"""
+
+
+def _orders_agg(df):
+    return (df.groupBy("o_orderstatus", "o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total"),
+                 F.min("o_orderdate").alias("first_date"),
+                 F.max("o_orderdate").alias("last_date")))
+
+
+def q_csv_scan(spark, sf_dir):
+    """Orders staged as headered CSV, read back with the parquet-derived
+    schema (dates/longs/doubles parsed from text), aggregated."""
+    schema = spark.read.parquet(
+        os.path.join(sf_dir, "orders.parquet")).schema
+    path = _stage(spark, sf_dir, "orders", "csv")
+    df = spark.read.schema(schema).option("header", "true").csv(path)
+    return _orders_agg(df)
+
+
+def q_json_scan(spark, sf_dir):
+    """Orders staged as JSON lines, read back with explicit schema."""
+    schema = spark.read.parquet(
+        os.path.join(sf_dir, "orders.parquet")).schema
+    path = _stage(spark, sf_dir, "orders", "json")
+    df = spark.read.schema(schema).json(path)
+    return _orders_agg(df)
+
+
+def q_orc_scan(spark, sf_dir):
+    """Orders staged as ORC (columnar alternative; schema travels with the
+    file), aggregated through Spark's vectorized ORC reader."""
+    path = _stage(spark, sf_dir, "orders", "orc")
+    return _orders_agg(spark.read.orc(path))
+
+
+QUERIES = {
+    "csv_scan": q_csv_scan,
+    "json_scan": q_json_scan,
+    "orc_scan": q_orc_scan,
+}
+
+ORACLES = {
+    "csv_scan": _ORDERS_AGG_SQL,
+    "json_scan": _ORDERS_AGG_SQL,
+    "orc_scan": _ORDERS_AGG_SQL,
+}

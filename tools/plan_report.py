@@ -17,7 +17,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 # streaming queries execute eagerly on plan construction; skip them in the
 # static audit (their batch plans are covered by their oracles)
 _SKIP = {"stream_hourly", "stream_sliding", "stream_join", "stream_dedup",
-         "sessionization", "stateful_stream"}
+         "stream_enrich", "sessionization", "stateful_stream"}
 
 
 def main() -> None:

@@ -1,0 +1,88 @@
+"""Tier-B batch 7: Variant semi-structured access and the GROUPED_AGG
+pandas-UDF tier.
+
+Variant is Spark 4's typed semi-structured column (binary-encoded JSON
+with path access that avoids re-parsing text per extraction); at scale it
+replaces repeated get_json_object text parses with a single parse +
+cheap typed gets. The UDAF query completes the UDF-tier matrix
+(scalar pandas UDF / grouped map / UDTF / mapInArrow already covered):
+an Arrow-batched GROUPED_AGG aggregates each group in pandas, one batch
+per group — the escape hatch for aggregations SQL can't express, kept
+oracle-checkable here by choosing a weighted mean."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from datafusion_delta_sharing_spark.harness import load_table
+
+
+def q_variant_funcs(spark, sf_dir):
+    """props JSON -> Variant once, typed path gets + per-type aggregate.
+    is_variant_null / try_variant_get exercise the error-safe accessors."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    per_row = ev.select(
+        "event_type",
+        F.variant_get(v, "$.k", "bigint").alias("k"),
+        F.try_variant_get(v, "$.missing", "bigint").alias("k_missing"))
+    return (per_row.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("k").alias("k_sum"),
+                 F.min("k").alias("k_min"),
+                 F.max("k").alias("k_max"),
+                 F.count("k_missing").alias("n_missing_present")))
+
+
+_VARIANT_SQL = """
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+               AS BIGINT) AS k_sum,
+           min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
+           max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max,
+           count(CAST(json_extract_string(props, '$.missing') AS BIGINT))
+               AS n_missing_present
+    FROM events
+    GROUP BY event_type
+"""
+
+
+def q_udaf_grouped_agg(spark, sf_dir):
+    """GROUPED_AGG pandas UDAF: quantity-weighted mean price per return
+    flag, rounded to a hash-stable fixed point. (The udf is built inside
+    the query: pandas_udf resolves its return type against the active
+    session, so decorating at import time would fail before a session
+    exists.)"""
+    @pandas_udf("double")
+    def weighted_avg_price(price: pd.Series, qty: pd.Series) -> float:
+        return float((price * qty).sum() / qty.sum())
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.round(
+                weighted_avg_price("l_extendedprice", "l_quantity"), 4)
+                .alias("wavg_price")))
+
+
+_UDAF_SQL = """
+    SELECT l_returnflag,
+           round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4)
+               AS wavg_price
+    FROM lineitem
+    GROUP BY l_returnflag
+"""
+
+
+QUERIES = {
+    "variant_funcs": q_variant_funcs,
+    "udaf_grouped_agg": q_udaf_grouped_agg,
+}
+
+ORACLES = {
+    "variant_funcs": _VARIANT_SQL,
+    "udaf_grouped_agg": _UDAF_SQL,
+}

@@ -36,6 +36,9 @@ HEADLINE = [
     "text_metrics", "doc_fingerprint",
     "doc_chunks", "tfidf_top", "embed_quantize",
     "decontaminate", "repetition_metrics",
+    # r3 additions: incremental ingest dedup, fuzzy entity join, Z-order
+    # layout stats, Variant JSON access
+    "dedup_incremental", "fuzzy_join", "zorder_stats", "variant_funcs",
 ]
 
 

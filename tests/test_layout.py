@@ -25,6 +25,26 @@ def test_morton_code_matches_python_reference(spark):
         assert got[(x, y)] == _py_morton(x, y, 12), (x, y)
 
 
+def test_morton_code_property_sweep(spark):
+    """Random coordinate sweep vs the reference interleave, one Spark job:
+    hypothesis drives the coordinate choice, the frame evaluates all draws
+    at once (per-example Spark jobs would take minutes)."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=20, deadline=None)
+    @given(st.lists(st.tuples(st.integers(0, 2**16 - 1),
+                              st.integers(0, 2**16 - 1)),
+                    min_size=1, max_size=8))
+    def check(pairs):
+        df = spark.createDataFrame(pairs, "x long, y long")
+        got = [r.z for r in
+               df.select(LAY.morton_code("x", "y", bits=16).alias("z"))
+               .collect()]
+        assert got == [_py_morton(x, y, 16) for x, y in pairs]
+
+    check()
+
+
 def test_zorder_write_tightens_both_dims(spark, tmp_path):
     """64x64 grid into 16 files: a linear sort on x leaves y spanning the
     full domain in every file; Z-order bounds both dims to ~a 16x16 tile."""

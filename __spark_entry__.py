@@ -36,12 +36,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # semantic_dedup, token_budget, dedup_incremental), the extensions4
 # layout/join queries (zorder_stats, fuzzy_join), stream_enrich, the
 # format-breadth scans (csv_scan, json_scan, orc_scan), the tierb7 pair
-# (variant_funcs, udaf_grouped_agg), pad_case_funcs,
+# (variant_funcs, udaf_grouped_agg), the extensions5 table ops
+# (table_profile, dq_checks, histogram), pad_case_funcs,
 # trig_funcs, bitwise_funcs, and the r1-green tierb2 four (agg_corr,
 # explode_lateral, map_funcs, window_analytics). All were verified
 # against the oracle comparator in-session r3.
 _MODULE_ORDER = ("connector", "extensions", "extensions2", "extensions3",
-                 "extensions4", "formats", "tpch", "tierb5", "tierb4",
+                 "extensions4", "extensions5", "formats", "tpch",
+                 "tierb5", "tierb4",
                  "tierb3", "tierb2", "tierb6", "tierb7", "tierb")
 
 _WINDOW = (

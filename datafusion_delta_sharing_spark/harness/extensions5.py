@@ -1,0 +1,60 @@
+"""Extension queries batch 5: table operations — profiling, data-quality
+constraints, histograms. The operational layer a user of the shared-table
+engine runs before training on anything: profile the columns, assert the
+contracts, eyeball the distribution."""
+
+from __future__ import annotations
+
+from datafusion_delta_sharing_spark.harness import load_table
+from datafusion_delta_sharing_spark.operators import profiling as PR
+
+_PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"]
+_ACCEPTED = {"o_orderstatus": ["F", "O", "P"]}
+_RANGES = {"o_totalprice": (0.0, 1_000_000.0)}
+_HIST_LO, _HIST_HI, _HIST_BUCKETS = 0.0, 600_000.0, 12
+
+
+def q_table_profile(spark, sf_dir):
+    """Single-scan per-column profile of orders."""
+    orders = load_table(spark, sf_dir, "orders")
+    return PR.table_profile(orders, _PROFILE_COLS)
+
+
+def q_dq_checks(spark, sf_dir):
+    """Declarative constraints over orders: keys not-null + unique, status
+    in its domain, totalprice in range. (o_custkey is intentionally also
+    checked unique — it must FAIL with real violation counts, proving the
+    checker counts rather than rubber-stamps.)"""
+    orders = load_table(spark, sf_dir, "orders")
+    return PR.quality_checks(
+        orders,
+        not_null=["o_orderkey", "o_custkey"],
+        unique=["o_orderkey", "o_custkey"],
+        accepted_values=_ACCEPTED,
+        ranges=_RANGES)
+
+
+def q_histogram(spark, sf_dir):
+    """Equi-width totalprice histogram with edge clamping."""
+    orders = load_table(spark, sf_dir, "orders")
+    return PR.equi_width_histogram(orders, "o_totalprice",
+                                   _HIST_LO, _HIST_HI, _HIST_BUCKETS)
+
+
+QUERIES = {
+    "table_profile": q_table_profile,
+    "dq_checks": q_dq_checks,
+    "histogram": q_histogram,
+}
+
+ORACLES = {
+    "table_profile": PR.table_profile_sql("orders", _PROFILE_COLS),
+    "dq_checks": PR.quality_checks_sql(
+        "orders",
+        not_null=["o_orderkey", "o_custkey"],
+        unique=["o_orderkey", "o_custkey"],
+        accepted_values=_ACCEPTED,
+        ranges=_RANGES),
+    "histogram": PR.equi_width_histogram_sql(
+        "orders", "o_totalprice", _HIST_LO, _HIST_HI, _HIST_BUCKETS),
+}

@@ -1,0 +1,49 @@
+"""Profiling / data-quality operators on planted frames."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datafusion_delta_sharing_spark.operators import profiling as PR
+
+
+def _frame(spark):
+    return spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (2, None, -5.0), (3, "a", 999.0)],
+        "id long, tag string, score double")
+
+
+def test_table_profile_counts(spark):
+    out = {r.column_name: r for r in
+           PR.table_profile(_frame(spark), ["id", "tag"]).collect()}
+    assert out["id"].n_rows == 4
+    assert out["id"].n_nulls == 0
+    assert out["id"].n_distinct == 3
+    assert (out["id"].min_val, out["id"].max_val) == ("1", "3")
+    assert out["tag"].n_nulls == 1
+    assert out["tag"].n_distinct == 2  # countDistinct skips NULL
+    assert out["tag"].min_val == "a"
+
+
+def test_quality_checks_planted_violations(spark):
+    out = {r.check_name: (r.n_violations, r.passed) for r in
+           PR.quality_checks(
+               _frame(spark),
+               not_null=["id", "tag"],
+               unique=["id"],
+               accepted_values={"tag": ["a", "b"]},
+               ranges={"score": (0.0, 100.0)}).collect()}
+    assert out["not_null:id"] == (0, True)
+    assert out["not_null:tag"] == (1, False)
+    assert out["unique:id"] == (2, False)       # both rows of the dup pair
+    assert out["accepted_values:tag"] == (0, True)  # NULL is not a violation
+    assert out["range:score"] == (2, False)     # -5 and 999
+
+
+def test_histogram_clamps_edges(spark):
+    df = spark.range(100).select((F.col("id") * 1.0).alias("v"))
+    out = {r.bucket: r.n for r in
+           PR.equi_width_histogram(df, "v", 20.0, 80.0, 3).collect()}
+    # [20,40) -> bucket 0 plus clamped 0..19; [40,60) -> 1; rest clamp to 2
+    assert out == {0: 40, 1: 20, 2: 40}
+    assert sum(out.values()) == 100

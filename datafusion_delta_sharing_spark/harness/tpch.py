@@ -382,9 +382,6 @@ def q_tpch_q2(spark, sf_dir):
     region's suppliers, joined back on the part key — the same key the cost
     table is already grouped by, so no extra shuffle shape at scale."""
     li = load_table(spark, sf_dir, "lineitem")
-    costs = (li.groupBy("l_partkey", "l_suppkey")
-             .agg(F.round(F.min(F.col("l_extendedprice") / F.col("l_quantity")), 4)
-                  .alias("supply_cost")))
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
@@ -392,6 +389,17 @@ def q_tpch_q2(spark, sf_dir):
           .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
           .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
     part = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    # both selections are per-(part, supplier)-independent, so they commute
+    # with the cost aggregate: broadcast-semi-join lineitem down to EU
+    # suppliers x size-15 parts BEFORE the groupBy — the shuffle carries
+    # ~1/250 of lineitem instead of all of it (the scale-defining move)
+    li_f = (li.join(F.broadcast(part.select("p_partkey")),
+                    li.l_partkey == F.col("p_partkey"), "left_semi")
+            .join(F.broadcast(eu.select("s_suppkey")),
+                  li.l_suppkey == F.col("s_suppkey"), "left_semi"))
+    costs = (li_f.groupBy("l_partkey", "l_suppkey")
+             .agg(F.round(F.min(F.col("l_extendedprice") / F.col("l_quantity")), 4)
+                  .alias("supply_cost")))
     ec = costs.join(F.broadcast(eu), costs.l_suppkey == eu.s_suppkey)
     min_cost = ec.groupBy("l_partkey").agg(F.min("supply_cost").alias("min_cost"))
     return (

@@ -1,12 +1,13 @@
 """Extension queries batch 5: table operations — profiling, data-quality
-constraints, histograms. The operational layer a user of the shared-table
-engine runs before training on anything: profile the columns, assert the
-contracts, eyeball the distribution."""
+constraints, histograms, time-series rollups. The operational layer a
+user of the shared-table engine runs before training on anything: profile
+the columns, assert the contracts, eyeball the distributions."""
 
 from __future__ import annotations
 
 from datafusion_delta_sharing_spark.harness import load_table
 from datafusion_delta_sharing_spark.operators import profiling as PR
+from datafusion_delta_sharing_spark.operators import timeseries as TS
 
 _PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"]
 _ACCEPTED = {"o_orderstatus": ["F", "O", "P"]}
@@ -41,10 +42,19 @@ def q_histogram(spark, sf_dir):
                                    _HIST_LO, _HIST_HI, _HIST_BUCKETS)
 
 
+def q_ohlc_rollup(spark, sf_dir):
+    """Hourly OHLC rollup of event values per event type — the hypertable
+    continuous-aggregate shape, one hash aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    return TS.ohlc_rollup(ev, "ts", "event_type", "value", "event_id",
+                          bucket_minutes=60)
+
+
 QUERIES = {
     "table_profile": q_table_profile,
     "dq_checks": q_dq_checks,
     "histogram": q_histogram,
+    "ohlc_rollup": q_ohlc_rollup,
 }
 
 ORACLES = {
@@ -57,4 +67,7 @@ ORACLES = {
         ranges=_RANGES),
     "histogram": PR.equi_width_histogram_sql(
         "orders", "o_totalprice", _HIST_LO, _HIST_HI, _HIST_BUCKETS),
+    "ohlc_rollup": TS.ohlc_rollup_sql(
+        "events", "ts", "event_type", "value", "event_id",
+        bucket_minutes=60),
 }

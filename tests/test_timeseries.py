@@ -1,0 +1,32 @@
+"""OHLC rollup: bucket assignment and deterministic open/close ties."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from datafusion_delta_sharing_spark.operators import timeseries as TS
+
+
+def _ts(minute, second=0, micro=0):
+    return dt.datetime(2024, 1, 1, 10, minute, second, micro)
+
+
+def test_ohlc_rollup_buckets_and_ties(spark):
+    rows = [
+        # bucket 10:00 — open decided by id tie-break at identical ts
+        (1, "a", _ts(0), 5.0),
+        (0, "a", _ts(0), 7.0),    # same ts, lower id -> the open
+        (2, "a", _ts(59, 59, 999_999), 9.0),  # last instant -> the close
+        (3, "a", _ts(30), 1.0),   # the low
+        # next bucket starts exactly on the boundary
+        (4, "a", dt.datetime(2024, 1, 1, 11, 0), 2.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts timestamp_ntz, value double")
+    out = {r.bucket_start: r for r in
+           TS.ohlc_rollup(df, "ts", "event_type", "value", "event_id",
+                          bucket_minutes=60).collect()}
+    b0 = out[dt.datetime(2024, 1, 1, 10, 0)]
+    assert (b0.n, b0.open, b0.high, b0.low, b0.close) == (4, 7.0, 9.0, 1.0, 9.0)
+    b1 = out[dt.datetime(2024, 1, 1, 11, 0)]
+    assert (b1.n, b1.open, b1.close) == (1, 2.0, 2.0)

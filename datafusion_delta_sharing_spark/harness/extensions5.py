@@ -5,6 +5,8 @@ the columns, assert the contracts, eyeball the distributions."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from datafusion_delta_sharing_spark.harness import load_table
 from datafusion_delta_sharing_spark.operators import profiling as PR
 from datafusion_delta_sharing_spark.operators import timeseries as TS
@@ -50,11 +52,22 @@ def q_ohlc_rollup(spark, sf_dir):
                           bucket_minutes=60)
 
 
+def q_gap_fill(spark, sf_dir):
+    """Linear-interpolated gap fill over sparse per-user purchase series
+    (users subsampled so the hourly spine has real gaps to interpolate)."""
+    ev = (load_table(spark, sf_dir, "events")
+          .filter((F.col("event_type") == "purchase")
+                  & (F.col("user_id") % 97 == 0)))
+    return TS.gap_fill_interpolate(ev, "ts", "user_id", "value",
+                                   bucket_minutes=60, agg="max")
+
+
 QUERIES = {
     "table_profile": q_table_profile,
     "dq_checks": q_dq_checks,
     "histogram": q_histogram,
     "ohlc_rollup": q_ohlc_rollup,
+    "gap_fill": q_gap_fill,
 }
 
 ORACLES = {
@@ -70,4 +83,8 @@ ORACLES = {
     "ohlc_rollup": TS.ohlc_rollup_sql(
         "events", "ts", "event_type", "value", "event_id",
         bucket_minutes=60),
+    "gap_fill": TS.gap_fill_interpolate_sql(
+        "(SELECT * FROM events WHERE event_type = 'purchase'"
+        " AND user_id % 97 = 0)",
+        "ts", "user_id", "value", bucket_minutes=60, agg="max"),
 }

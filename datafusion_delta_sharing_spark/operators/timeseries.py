@@ -62,3 +62,112 @@ def ohlc_rollup_sql(source_sql: str, ts_col: str, key_col: str,
     FROM {source_sql}
     GROUP BY 1, 2
     """
+
+
+def gap_fill_interpolate(df: DataFrame, ts_col: str, key_col: str,
+                         val_col: str, bucket_minutes: int = 60,
+                         agg: str = "avg") -> DataFrame:
+    """Per-key time spine with linear interpolation across gaps: bucket
+    observations (mean per bucket), generate each key's own bucket range
+    with sequence+explode (JVM-side, no driver loop), then fill missing
+    buckets by interpolating between the previous and next observed points
+    (edges hold the nearest observation).
+
+    Scale: observations aggregate in one shuffle; the spine explode is
+    narrow; the forward/backward scan is a window per key — state is one
+    struct per row, and keys partition the work. The windows sort within
+    each key's spine, which is bounded by the time range, not the corpus.
+
+    Exactness: the interpolation runs in integer "cents" (values scaled by
+    100 and floor-divided on the exact second offsets), because a lerp in
+    doubles lands on .5-rounding boundaries where engines legitimately
+    disagree by one ULP (observed: DuckDB's round() and Spark's
+    BigDecimal round can return doubles one ULP apart for the same
+    input). Integer math is bit-exact on every engine; requires
+    non-negative values (floor vs truncate agree). ``agg`` picks the
+    bucket representative (avg/min/max; min/max are accumulation-order-
+    independent and therefore safest cross-engine).
+    """
+    from pyspark.sql import Window
+
+    secs = bucket_minutes * 60
+    bucket = F.timestamp_seconds(
+        F.expr(f"unix_micros(cast({ts_col} as timestamp))"
+               f" div {secs * 1_000_000}") * secs).cast("timestamp_ntz")
+    agg_fn = {"avg": F.avg, "min": F.min, "max": F.max}[agg]
+    obs = (df.groupBy(F.col(key_col).alias("key"), bucket.alias("h"))
+           .agg(F.round(agg_fn(val_col) * 100).cast("bigint").alias("vc")))
+    spine = (obs.groupBy("key")
+             .agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+             .select("key", F.explode(F.sequence(
+                 "lo", "hi", F.expr(f"INTERVAL {secs} SECONDS"))).alias("h")))
+    joined = spine.join(obs, ["key", "h"], "left")
+    point = F.when(F.col("vc").isNotNull(),
+                   F.struct(F.unix_timestamp("h").alias("t"), F.col("vc")))
+    w_ff = (Window.partitionBy("key").orderBy("h")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_bf = (Window.partitionBy("key").orderBy("h")
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    marked = (joined
+              .withColumn("ff", F.last(point, ignorenulls=True).over(w_ff))
+              .withColumn("bf", F.first(point, ignorenulls=True).over(w_bf))
+              .withColumn("tt", F.unix_timestamp("h")))
+    lerp = F.expr("(ff.vc * (bf.t - tt) + bf.vc * (tt - ff.t))"
+                  " div (bf.t - ff.t)")
+    cents = (F.when(F.col("vc").isNotNull(), F.col("vc"))
+             .when(F.col("ff").isNull(), F.col("bf.vc"))
+             .when(F.col("bf").isNull(), F.col("ff.vc"))
+             .otherwise(lerp))
+    return marked.select(
+        "key", "h", F.col("vc").isNotNull().alias("observed"),
+        cents.alias("filled_cents"),
+        (cents / 100.0).alias("filled"))
+
+
+def gap_fill_interpolate_sql(source_sql: str, ts_col: str, key_col: str,
+                             val_col: str, bucket_minutes: int = 60,
+                             agg: str = "avg") -> str:
+    """DuckDB mirror of gap_fill_interpolate (IGNORE NULLS windows +
+    unnest(generate_series) per-key spine)."""
+    secs = bucket_minutes * 60
+    bucket = (f"to_timestamp((epoch_us({ts_col}) // {secs * 1_000_000})"
+              f" * {secs})::TIMESTAMP")
+    pt = ("CASE WHEN vc IS NOT NULL THEN struct_pack("
+          "t := CAST(epoch(h) AS BIGINT), vc := vc) END")
+    return f"""
+    WITH obs AS (
+        SELECT {key_col} AS key, {bucket} AS h,
+               CAST(round({agg}({val_col}) * 100) AS BIGINT) AS vc
+        FROM {source_sql} GROUP BY 1, 2
+    ), bounds AS (
+        SELECT key, min(h) AS lo, max(h) AS hi FROM obs GROUP BY key
+    ), spine AS (
+        SELECT key, unnest(generate_series(lo, hi,
+            INTERVAL {secs} SECONDS)) AS h
+        FROM bounds
+    ), joined AS (
+        SELECT s.key, s.h, o.vc
+        FROM spine s LEFT JOIN obs o ON s.key = o.key AND s.h = o.h
+    ), marked AS (
+        SELECT key, h, vc, CAST(epoch(h) AS BIGINT) AS tt,
+          last_value({pt} IGNORE NULLS) OVER (PARTITION BY key ORDER BY h
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ff,
+          first_value({pt} IGNORE NULLS) OVER (PARTITION BY key ORDER BY h
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS bf
+        FROM joined
+    )
+    SELECT key, h, vc IS NOT NULL AS observed,
+      CASE WHEN vc IS NOT NULL THEN vc
+           WHEN ff IS NULL THEN (bf).vc
+           WHEN bf IS NULL THEN (ff).vc
+           ELSE ((ff).vc * ((bf).t - tt) + (bf).vc * (tt - (ff).t))
+                // ((bf).t - (ff).t)
+      END AS filled_cents,
+      CASE WHEN vc IS NOT NULL THEN vc
+           WHEN ff IS NULL THEN (bf).vc
+           WHEN bf IS NULL THEN (ff).vc
+           ELSE ((ff).vc * ((bf).t - tt) + (bf).vc * (tt - (ff).t))
+                // ((bf).t - (ff).t)
+      END / 100.0 AS filled
+    FROM marked
+    """

@@ -30,3 +30,24 @@ def test_ohlc_rollup_buckets_and_ties(spark):
     assert (b0.n, b0.open, b0.high, b0.low, b0.close) == (4, 7.0, 9.0, 1.0, 9.0)
     b1 = out[dt.datetime(2024, 1, 1, 11, 0)]
     assert (b1.n, b1.open, b1.close) == (1, 2.0, 2.0)
+
+
+def test_gap_fill_linear_interpolation(spark):
+    rows = [
+        ("a", dt.datetime(2024, 1, 1, 10, 0), 10.0),
+        ("a", dt.datetime(2024, 1, 1, 13, 0), 40.0),   # 11:00->20, 12:00->30
+        ("a", dt.datetime(2024, 1, 1, 15, 0), 0.0),    # 14:00->20
+        ("b", dt.datetime(2024, 1, 1, 10, 0), 5.0),    # single point
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp_ntz, v double")
+    out = {(r.key, r.h): (r.observed, r.filled) for r in
+           TS.gap_fill_interpolate(df, "ts", "k", "v",
+                                   bucket_minutes=60).collect()}
+    assert out[("a", dt.datetime(2024, 1, 1, 10, 0))] == (True, 10.0)
+    assert out[("a", dt.datetime(2024, 1, 1, 11, 0))] == (False, 20.0)
+    assert out[("a", dt.datetime(2024, 1, 1, 12, 0))] == (False, 30.0)
+    assert out[("a", dt.datetime(2024, 1, 1, 13, 0))] == (True, 40.0)
+    assert out[("a", dt.datetime(2024, 1, 1, 14, 0))] == (False, 20.0)
+    assert out[("a", dt.datetime(2024, 1, 1, 15, 0))] == (True, 0.0)
+    assert out[("b", dt.datetime(2024, 1, 1, 10, 0))] == (True, 5.0)
+    assert len(out) == 7  # b's spine is one bucket, no extrapolation

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from datafusion_delta_sharing_spark.harness import load_table
 from datafusion_delta_sharing_spark.operators import profiling as PR
+from datafusion_delta_sharing_spark.operators import sampling as SA
 from datafusion_delta_sharing_spark.operators import timeseries as TS
 
 _PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"]
@@ -62,12 +63,20 @@ def q_gap_fill(spark, sf_dir):
                                    bucket_minutes=60, agg="max")
 
 
+def q_winsorize(spark, sf_dir):
+    """Clip order totals to the exact p01/p99 corpus quantiles."""
+    orders = load_table(spark, sf_dir, "orders")
+    return SA.winsorize(orders, F.col("o_totalprice"), "o_orderkey",
+                        q_lo=0.01, q_hi=0.99, score_name="totalprice")
+
+
 QUERIES = {
     "table_profile": q_table_profile,
     "dq_checks": q_dq_checks,
     "histogram": q_histogram,
     "ohlc_rollup": q_ohlc_rollup,
     "gap_fill": q_gap_fill,
+    "winsorize": q_winsorize,
 }
 
 ORACLES = {
@@ -87,4 +96,7 @@ ORACLES = {
         "(SELECT * FROM events WHERE event_type = 'purchase'"
         " AND user_id % 97 = 0)",
         "ts", "user_id", "value", bucket_minutes=60, agg="max"),
+    "winsorize": SA.winsorize_sql(
+        "orders", "o_totalprice", "o_orderkey",
+        q_lo=0.01, q_hi=0.99, score_name="totalprice"),
 }

@@ -113,6 +113,60 @@ def quantile_threshold_flags_sql(source_sql: str, score_sql: str,
     """
 
 
+def winsorize(df: DataFrame, score: F.Column, id_col: str,
+              q_lo: float = 0.01, q_hi: float = 0.99,
+              score_name: str = "score") -> DataFrame:
+    """(id, score, clipped): clip outliers to the discrete q_lo/q_hi
+    corpus quantiles — the standard pre-training feature/metric clipping
+    step. Thresholds use the same integer-exact cumulative-count quantile
+    as quantile_threshold_flags (no float interpolation, no global sort
+    over row-level data); clipping selects existing values, so there is no
+    arithmetic for engines to disagree on."""
+    if not 0 <= q_lo <= q_hi <= 1:
+        raise ValueError(f"need 0 <= q_lo <= q_hi <= 1, got {q_lo}, {q_hi}")
+    scored = df.select(F.col(id_col), score.alias("_score"))
+    counts = scored.groupBy("_score").agg(F.count(F.lit(1)).alias("_c"))
+    cum_w = Window.orderBy("_score").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (counts.withColumn("_cum", F.sum("_c").over(cum_w))
+           .crossJoin(F.broadcast(
+               scored.agg(F.count(F.lit(1)).alias("_n")))))
+    thr = (cum.agg(
+        F.min(F.when(F.col("_cum") >= F.ceil(F.lit(q_lo) * F.col("_n")),
+                     F.col("_score"))).alias("_lo"),
+        F.min(F.when(F.col("_cum") >= F.ceil(F.lit(q_hi) * F.col("_n")),
+                     F.col("_score"))).alias("_hi")))
+    return (scored.crossJoin(F.broadcast(thr))
+            .select(F.col(id_col),
+                    F.col("_score").alias(score_name),
+                    F.least(F.greatest(F.col("_score"), F.col("_lo")),
+                            F.col("_hi")).alias("clipped")))
+
+
+def winsorize_sql(source_sql: str, score_sql: str, id_col: str,
+                  q_lo: float = 0.01, q_hi: float = 0.99,
+                  score_name: str = "score") -> str:
+    """DuckDB mirror of :func:`winsorize`."""
+    return f"""
+        WITH scored AS (
+            SELECT {id_col}, {score_sql} AS _score FROM {source_sql}
+        ), cum AS (
+            SELECT _score, sum(_c) OVER (
+                ORDER BY _score
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _cum
+            FROM (SELECT _score, count(*) AS _c FROM scored GROUP BY _score)
+        ), thr AS (
+            SELECT min(CASE WHEN _cum >= ceil({q_lo} *
+                       (SELECT count(*) FROM scored)) THEN _score END) AS _lo,
+                   min(CASE WHEN _cum >= ceil({q_hi} *
+                       (SELECT count(*) FROM scored)) THEN _score END) AS _hi
+            FROM cum
+        )
+        SELECT s.{id_col}, s._score AS {score_name},
+               least(greatest(s._score, t._lo), t._hi) AS clipped
+        FROM scored s CROSS JOIN thr t
+    """
+
+
 def weighted_mixture(sources: dict[str, tuple[DataFrame, float]],
                      id_col: str, salt: str = "mix1") -> DataFrame:
     """Training-mixture composition: for each named source, keep a

@@ -575,3 +575,19 @@ def test_token_budget_prefix_semantics(spark):
     assert [out[i].kept for i in (1, 2, 3, 4, 5)] == [
         True, True, False, False, True]
     assert out[3].cum_tokens == 130 and out[4].cum_tokens == 135
+
+
+def test_winsorize_clips_to_discrete_quantiles(spark):
+    from pyspark.sql import functions as F
+
+    from datafusion_delta_sharing_spark.operators.sampling import winsorize
+
+    # scores 1..100: ceil(.05*100)=5 -> lo=5; ceil(.95*100)=95 -> hi=95
+    df = spark.range(1, 101).select(F.col("id"),
+                                    F.col("id").cast("double").alias("s"))
+    out = {r.id: r.clipped for r in
+           winsorize(df, F.col("s"), "id", q_lo=0.05, q_hi=0.95).collect()}
+    assert out[1] == 5.0 and out[4] == 5.0      # clipped up
+    assert out[5] == 5.0 and out[50] == 50.0    # untouched interior
+    assert out[95] == 95.0 and out[100] == 95.0  # clipped down
+    assert len(out) == 100

@@ -37,8 +37,9 @@ HEADLINE = [
     "doc_chunks", "tfidf_top", "embed_quantize",
     "decontaminate", "repetition_metrics",
     # r3 additions: incremental ingest dedup, fuzzy entity join, Z-order
-    # layout stats, Variant JSON access
+    # layout stats, Variant JSON access, table ops + time series
     "dedup_incremental", "fuzzy_join", "zorder_stats", "variant_funcs",
+    "table_profile", "ohlc_rollup", "gap_fill", "winsorize",
 ]
 
 

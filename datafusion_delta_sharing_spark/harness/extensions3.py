@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from datafusion_delta_sharing_spark.functions.text import token_count, token_count_sql
 from datafusion_delta_sharing_spark.harness import load_table
+from datafusion_delta_sharing_spark.operators import collocations as CL
 from datafusion_delta_sharing_spark.operators import corpus as CO
 from datafusion_delta_sharing_spark.operators import dedup as DD
 from datafusion_delta_sharing_spark.operators import sampling as SA
@@ -141,6 +142,9 @@ QUERIES = {
     "semantic_dedup": q_semantic_dedup,
     "token_budget": q_token_budget,
     "dedup_incremental": q_dedup_incremental,
+    "pmi_collocations": lambda spark, sf_dir: CL.pmi_collocations(
+        load_table(spark, sf_dir, "documents"), "text", "doc_id",
+        min_count=5, top_k=100),
 }
 
 ORACLES = {
@@ -158,4 +162,6 @@ ORACLES = {
         _INCOMING_SQL,
         DD.corpus_hash_index_sql(_CORPUS_SQL, "text", "doc_id"),
         "text", "doc_id"),
+    "pmi_collocations": CL.pmi_collocations_sql(
+        "documents", "text", "doc_id", min_count=5, top_k=100),
 }

@@ -591,3 +591,31 @@ def test_winsorize_clips_to_discrete_quantiles(spark):
     assert out[5] == 5.0 and out[50] == 50.0    # untouched interior
     assert out[95] == 95.0 and out[100] == 95.0  # clipped down
     assert len(out) == 100
+
+
+def test_pmi_collocations_finds_planted_collocation(spark):
+    from datafusion_delta_sharing_spark.operators.collocations import (
+        pmi_collocations,
+    )
+
+    # "quantum flux" always adjacent; filler word order rotates per doc so
+    # filler adjacencies are diluted across many different pairs
+    fillers = ["alpha", "beta", "gamma", "delta", "epsilon"]
+    rows = []
+    for i in range(20):
+        rot = fillers[i % 5:] + fillers[:i % 5]
+        words = rot[:2] + ["quantum", "flux"] + rot[2:]
+        rows.append((i, " ".join(words)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pmi_collocations(docs, "text", "doc_id",
+                           min_count=5, top_k=5).collect()
+    top = out[0]
+    # the planted pair ranks top: c_ab = c_a = c_b = 20, maximal ratio
+    assert top.bigram == "quantum flux"
+    assert top.c_ab == 20 and top.c_a == 20 and top.c_b == 20
+    assert top.ratio_num / top.ratio_den > 1.0  # far above independence
+    n_tok, n_big = 20 * 7, 20 * 6
+    for r in out:
+        assert r.c_ab >= 5
+        assert r.ratio_num == r.c_ab * n_tok * n_tok
+        assert r.ratio_den == n_big * r.c_a * r.c_b

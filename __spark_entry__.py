@@ -33,8 +33,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # embed_normalize, embed_quantize, stratified_sample, weighted_mixture,
 # decontaminate, repetition_metrics, dup_spans, quality_filter), the 4
 # extensions3 corpus-curation queries (line_dedup, unigram_logprob,
-# semantic_dedup, token_budget, dedup_incremental, pmi_collocations),
-# the extensions4
+# semantic_dedup, token_budget, dedup_incremental, pmi_collocations,
+# grouped_quantiles, distinctive_terms, corpus_overlap), the extensions4
 # layout/join queries (zorder_stats, fuzzy_join), stream_enrich, the
 # format-breadth scans (csv_scan, json_scan, orc_scan), the tierb7 pair
 # (variant_funcs, udaf_grouped_agg), the extensions5 table ops

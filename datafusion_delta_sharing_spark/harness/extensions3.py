@@ -17,6 +17,7 @@ from datafusion_delta_sharing_spark.functions.text import token_count, token_cou
 from datafusion_delta_sharing_spark.harness import load_table
 from datafusion_delta_sharing_spark.operators import collocations as CL
 from datafusion_delta_sharing_spark.operators import corpus as CO
+from datafusion_delta_sharing_spark.operators import corpusstats as CS
 from datafusion_delta_sharing_spark.operators import dedup as DD
 from datafusion_delta_sharing_spark.operators import sampling as SA
 from datafusion_delta_sharing_spark.operators import similarity as SIM
@@ -136,6 +137,22 @@ def q_token_budget(spark, sf_dir):
                                   "n_chars", budget=_TOKEN_BUDGET)
 
 
+def _shingles_sql(source_sql: str) -> str:
+    """(sh) rows — the DuckDB mirror of operators/dedup.shingle_sets k=5
+    without the id column (same spelling as extensions._posts_cte)."""
+    return f"""
+        SELECT sh FROM (
+            SELECT CASE WHEN len(words) < 5 THEN [trim(text)]
+                        ELSE list_transform(range(1, len(words) - 3),
+                             i -> array_to_string(words[i:i+4], ' '))
+                   END AS shs
+            FROM (SELECT text,
+                         regexp_split_to_array(trim(text), '\\s+') AS words
+                  FROM {source_sql})
+        ), unnest(shs) AS t(sh)
+    """
+
+
 QUERIES = {
     "line_dedup": q_line_dedup,
     "unigram_logprob": q_unigram_logprob,
@@ -145,6 +162,18 @@ QUERIES = {
     "pmi_collocations": lambda spark, sf_dir: CL.pmi_collocations(
         load_table(spark, sf_dir, "documents"), "text", "doc_id",
         min_count=5, top_k=100),
+    "grouped_quantiles": lambda spark, sf_dir: CS.grouped_quantiles(
+        load_table(spark, sf_dir, "documents"), "source",
+        token_count("text"), qs=(0.25, 0.5, 0.75, 0.95),
+        score_name="n_tok"),
+    "distinctive_terms": lambda spark, sf_dir: CS.distinctive_terms(
+        load_table(spark, sf_dir, "documents").filter(F.col("lang") == "en"),
+        load_table(spark, sf_dir, "documents").filter(F.col("lang") != "en"),
+        "text", "doc_id", min_count=10, top_k=50),
+    "corpus_overlap": lambda spark, sf_dir: CS.corpus_overlap(
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 250),
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") >= 200),
+        "text", "doc_id", k=5),
 }
 
 ORACLES = {
@@ -164,4 +193,14 @@ ORACLES = {
         "text", "doc_id"),
     "pmi_collocations": CL.pmi_collocations_sql(
         "documents", "text", "doc_id", min_count=5, top_k=100),
+    "grouped_quantiles": CS.grouped_quantiles_sql(
+        "documents", "source", token_count_sql("text"),
+        qs=(0.25, 0.5, 0.75, 0.95), score_name="n_tok"),
+    "distinctive_terms": CS.distinctive_terms_sql(
+        "(SELECT * FROM documents WHERE lang = 'en')",
+        "(SELECT * FROM documents WHERE lang != 'en')",
+        "text", "doc_id", min_count=10, top_k=50),
+    "corpus_overlap": CS.corpus_overlap_sql(
+        _shingles_sql("documents WHERE doc_id < 250"),
+        _shingles_sql("documents WHERE doc_id >= 200")),
 }

@@ -1,0 +1,174 @@
+"""Corpus analytics: grouped quantiles, distinctive terms, corpus overlap.
+
+The dataset-comparison toolkit for corpus curation: per-source length
+quantiles (is one source systematically shorter?), distinctive terms
+between two corpus slices (what vocabulary shifts?), and corpus-level
+shingle overlap (how much does a new crawl duplicate the old one?).
+
+All three follow the repo's exactness discipline: quantiles are discrete
+cumulative-count thresholds (no interpolation), distinctive terms rank by
+an exact integer odds cross-product (log-odds is monotone in it — no
+logs), and overlap reports exact distinct-shingle counts.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from datafusion_delta_sharing_spark.functions.text import WS_TOKEN_SPLIT
+from datafusion_delta_sharing_spark.operators.dedup import shingle_sets
+from datafusion_delta_sharing_spark.operators.tfidf import _tokens, _tokens_sql
+
+
+# -- grouped discrete quantiles -------------------------------------------
+
+
+def grouped_quantiles(df: DataFrame, group_col: str, score: F.Column,
+                      qs: tuple[float, ...] = (0.25, 0.5, 0.75),
+                      score_name: str = "value") -> DataFrame:
+    """(group, q, value): per-group discrete quantiles — the smallest
+    score whose within-group cumulative count reaches ceil(q*n_g).
+    Shape: per-(group, score) counts (one shuffle, map-side combinable),
+    cumulative sum windowed per group over the distinct-score table, one
+    pass per requested q over that small table. No percentile_cont, no
+    per-group sort of row-level data."""
+    scored = df.select(F.col(group_col).alias("grp"), score.alias("_s"))
+    counts = scored.groupBy("grp", "_s").agg(F.count(F.lit(1)).alias("_c"))
+    w = (Window.partitionBy("grp").orderBy("_s")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cum = counts.withColumn("_cum", F.sum("_c").over(w))
+    tot = scored.groupBy("grp").agg(F.count(F.lit(1)).alias("_n"))
+    cum = cum.join(tot, "grp")
+    parts = [
+        (cum.filter(F.col("_cum") >= F.ceil(F.lit(q) * F.col("_n")))
+         .groupBy("grp").agg(F.min("_s").alias(score_name))
+         .withColumn("q", F.lit(float(q))))
+        for q in qs
+    ]
+    out = reduce(lambda a, b: a.unionByName(b), parts)
+    return out.select(F.col("grp").alias(group_col), "q", score_name)
+
+
+def grouped_quantiles_sql(source_sql: str, group_col: str, score_sql: str,
+                          qs: tuple[float, ...] = (0.25, 0.5, 0.75),
+                          score_name: str = "value") -> str:
+    """DuckDB mirror of grouped_quantiles."""
+    base = f"""
+        WITH scored AS (
+            SELECT {group_col} AS grp, {score_sql} AS _s FROM {source_sql}
+        ), cum AS (
+            SELECT grp, _s, sum(_c) OVER (
+                PARTITION BY grp ORDER BY _s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _cum
+            FROM (SELECT grp, _s, count(*) AS _c FROM scored
+                  GROUP BY grp, _s)
+        ), tot AS (SELECT grp, count(*) AS _n FROM scored GROUP BY grp)
+    """
+    parts = [f"""
+        SELECT c.grp AS {group_col}, {float(q)} AS q,
+               min(c._s) AS {score_name}
+        FROM cum c JOIN tot t ON c.grp = t.grp
+        WHERE c._cum >= ceil({q} * t._n)
+        GROUP BY c.grp""" for q in qs]
+    return base + " UNION ALL ".join(parts)
+
+
+# -- distinctive terms (exact odds-ratio ranking) -------------------------
+
+
+def distinctive_terms(a: DataFrame, b: DataFrame, text_col: str,
+                      id_col: str, min_count: int = 10,
+                      top_k: int = 50) -> DataFrame:
+    """Terms most over-represented in corpus A vs corpus B, ranked by the
+    odds ratio (c_a/(n_a-c_a)) / (c_b/(n_b-c_b)) — monotone with log-odds,
+    computed as an exact integer cross-product, add-one smoothed so terms
+    absent from B stay finite. Output carries the exact integers."""
+    ta = (_tokens(a, text_col, id_col).groupBy("token")
+          .agg(F.count(F.lit(1)).alias("c_a")))
+    tb = (_tokens(b, text_col, id_col).groupBy("token")
+          .agg(F.count(F.lit(1)).alias("c_b")))
+    na = ta.agg(F.sum("c_a").cast("long").alias("_na"))
+    nb = tb.agg(F.coalesce(F.sum("c_b"), F.lit(0)).cast("long").alias("_nb"))
+    joined = (ta.join(tb, "token", "left")
+              .fillna(0, subset=["c_b"])
+              .filter(F.col("c_a") >= min_count)
+              .crossJoin(F.broadcast(na)).crossJoin(F.broadcast(nb))
+              .withColumn("odds_num",
+                          (F.col("c_a") + 1)
+                          * (F.col("_nb") - F.col("c_b") + 1))
+              .withColumn("odds_den",
+                          (F.col("c_b") + 1)
+                          * (F.col("_na") - F.col("c_a") + 1)))
+    return (joined
+            .orderBy((F.col("odds_num") * 1.0 / F.col("odds_den")).desc(),
+                     "token")
+            .select("token", "c_a", "c_b", "odds_num", "odds_den")
+            .limit(top_k))
+
+
+def distinctive_terms_sql(a_sql: str, b_sql: str, text_col: str,
+                          id_col: str, min_count: int = 10,
+                          top_k: int = 50) -> str:
+    """DuckDB mirror of distinctive_terms."""
+    return f"""
+    WITH ta AS (
+        SELECT token, count(*) AS c_a
+        FROM ({_tokens_sql(a_sql, text_col, id_col)}) GROUP BY token
+    ), tb AS (
+        SELECT token, count(*) AS c_b
+        FROM ({_tokens_sql(b_sql, text_col, id_col)}) GROUP BY token
+    ), na AS (SELECT CAST(sum(c_a) AS BIGINT) AS n FROM ta),
+       nb AS (SELECT CAST(coalesce(sum(c_b), 0) AS BIGINT) AS n FROM tb)
+    SELECT ta.token,
+           CAST(ta.c_a AS BIGINT) AS c_a,
+           CAST(coalesce(tb.c_b, 0) AS BIGINT) AS c_b,
+           CAST((ta.c_a + 1) * (nb.n - coalesce(tb.c_b, 0) + 1) AS BIGINT)
+               AS odds_num,
+           CAST((coalesce(tb.c_b, 0) + 1) * (na.n - ta.c_a + 1) AS BIGINT)
+               AS odds_den
+    FROM ta LEFT JOIN tb USING (token)
+    CROSS JOIN na CROSS JOIN nb
+    WHERE ta.c_a >= {min_count}
+    ORDER BY ((ta.c_a + 1) * (nb.n - coalesce(tb.c_b, 0) + 1)) * 1.0
+             / ((coalesce(tb.c_b, 0) + 1) * (na.n - ta.c_a + 1)) DESC,
+             ta.token
+    LIMIT {top_k}
+    """
+
+
+# -- corpus-level shingle overlap -----------------------------------------
+
+
+def corpus_overlap(a: DataFrame, b: DataFrame, text_col: str, id_col: str,
+                   k: int = 5) -> DataFrame:
+    """One row: distinct k-shingle counts of each corpus, their exact
+    intersection, and containment numerators — "how much of crawl B is
+    already in corpus A". Distinct-shingle sets reduce each corpus to its
+    vocabulary of shingles (one shuffle each); the intersection is an
+    equi-join on the shingle."""
+    sa = shingle_sets(a, text_col, id_col, k).select("sh").distinct()
+    sb = shingle_sets(b, text_col, id_col, k).select("sh").distinct()
+    inter = sa.join(sb, "sh")
+    return (sa.agg(F.count(F.lit(1)).alias("n_a"))
+            .crossJoin(sb.agg(F.count(F.lit(1)).alias("n_b")))
+            .crossJoin(inter.agg(F.count(F.lit(1)).alias("n_inter")))
+            .withColumn("n_union",
+                        F.col("n_a") + F.col("n_b") - F.col("n_inter")))
+
+
+def corpus_overlap_sql(shingles_a_sql: str, shingles_b_sql: str) -> str:
+    """DuckDB mirror; callers supply the shingle-set SQL for each corpus
+    (mirroring shingle_sets — see harness for the canonical spelling)."""
+    return f"""
+    WITH sa AS (SELECT DISTINCT sh FROM ({shingles_a_sql})),
+         sb AS (SELECT DISTINCT sh FROM ({shingles_b_sql})),
+         i AS (SELECT count(*) AS n_inter FROM sa JOIN sb USING (sh))
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM sa) AS n_a,
+           (SELECT CAST(count(*) AS BIGINT) FROM sb) AS n_b,
+           CAST(i.n_inter AS BIGINT) AS n_inter,
+           CAST((SELECT count(*) FROM sa) + (SELECT count(*) FROM sb)
+                - i.n_inter AS BIGINT) AS n_union
+    FROM i
+    """

@@ -619,3 +619,40 @@ def test_pmi_collocations_finds_planted_collocation(spark):
         assert r.c_ab >= 5
         assert r.ratio_num == r.c_ab * n_tok * n_tok
         assert r.ratio_den == n_big * r.c_a * r.c_b
+
+
+def test_grouped_quantiles_discrete_thresholds(spark):
+    from datafusion_delta_sharing_spark.operators.corpusstats import (
+        grouped_quantiles,
+    )
+
+    # group a: scores 1..10 -> q50 = ceil(.5*10)=5th -> 5; q75 -> 8
+    # group b: all equal -> every quantile is 7
+    rows = [("a", i) for i in range(1, 11)] + [("b", 7)] * 4
+    df = spark.createDataFrame(rows, "src string, s long")
+    out = {(r.src, r.q): r.value for r in
+           grouped_quantiles(df, "src", F.col("s"), qs=(0.5, 0.75),
+                             score_name="value").collect()}
+    assert out[("a", 0.5)] == 5 and out[("a", 0.75)] == 8
+    assert out[("b", 0.5)] == 7 and out[("b", 0.75)] == 7
+
+
+def test_distinctive_terms_and_corpus_overlap(spark):
+    from datafusion_delta_sharing_spark.operators.corpusstats import (
+        corpus_overlap,
+        distinctive_terms,
+    )
+
+    a = make_docs(spark, [(i, "python spark query engine data") for i in range(5)])
+    b = make_docs(spark, [(i, "cooking recipe kitchen pasta data") for i in range(5)])
+    top = distinctive_terms(a, b, "text", "doc_id", min_count=3,
+                            top_k=3).collect()
+    # A-only words dominate; the shared word 'data' must not rank top
+    assert {r.token for r in top} <= {"python", "spark", "query", "engine"}
+    assert all(r.c_b == 0 for r in top)
+
+    ov = corpus_overlap(a, a, "text", "doc_id", k=5).collect()[0]
+    assert ov.n_a == ov.n_b == ov.n_inter == ov.n_union  # self-overlap
+    ov2 = corpus_overlap(a, b, "text", "doc_id", k=5).collect()[0]
+    assert ov2.n_inter == 0  # 5-shingles share nothing
+    assert ov2.n_union == ov2.n_a + ov2.n_b

@@ -1,0 +1,108 @@
+"""Extension queries batch 6: behavioral analytics over the event stream.
+
+Funnel analysis (staged conversion with event-order constraints) and
+weekly retention cohorts — the two canonical product-analytics shapes.
+Both are pure aggregation/join compositions: the funnel chains per-stage
+min-timestamp aggregates (each stage joins the previous stage's
+watermark, shuffles on user_id only), and retention is first-activity
+bucketing plus a distinct-user matrix. No windows over the raw stream,
+no per-user sorting."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datafusion_delta_sharing_spark.harness import load_table
+
+
+def q_funnel(spark, sf_dir):
+    """view -> click -> purchase funnel: users reaching each stage in
+    order (later stages must happen at-or-after the previous stage's
+    first occurrence)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts")
+    v = (ev.filter(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("ts").alias("t_view")))
+    c = (ev.filter(F.col("event_type") == "click")
+         .join(v, "user_id")
+         .filter(F.col("ts") >= F.col("t_view"))
+         .groupBy("user_id").agg(F.min("ts").alias("t_click")))
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .join(c, "user_id")
+         .filter(F.col("ts") >= F.col("t_click"))
+         .groupBy("user_id").agg(F.min("ts").alias("t_purchase")))
+    stages = [("1_view", v), ("2_click_after_view", c),
+              ("3_purchase_after_click", p)]
+    out = None
+    for name, df in stages:
+        row = df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(name).alias("stage"), "n_users")
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+_FUNNEL_SQL = """
+    WITH v AS (
+        SELECT user_id, min(ts) AS t_view FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+        SELECT e.user_id, min(e.ts) AS t_click
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts >= v.t_view
+        GROUP BY e.user_id
+    ), p AS (
+        SELECT e.user_id, min(e.ts) AS t_purchase
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+        GROUP BY e.user_id
+    )
+    SELECT '1_view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM v
+    UNION ALL
+    SELECT '2_click_after_view', CAST(count(*) AS BIGINT) FROM c
+    UNION ALL
+    SELECT '3_purchase_after_click', CAST(count(*) AS BIGINT) FROM p
+"""
+
+
+def q_retention(spark, sf_dir):
+    """Weekly retention cohorts: users bucketed by first-activity week,
+    distinct active users per (cohort week, weeks since cohort)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.date_trunc("week", "ts").cast("timestamp_ntz").alias("wk"))
+    first = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    week_s = 7 * 24 * 3600
+    return (ev.join(first, "user_id")
+            .withColumn(
+                "weeks_later",
+                F.expr("(unix_seconds(cast(wk as timestamp))"
+                       " - unix_seconds(cast(cohort_wk as timestamp)))"
+                       f" div {week_s}"))
+            .groupBy("cohort_wk", "weeks_later")
+            .agg(F.countDistinct("user_id").alias("n_active")))
+
+
+_RETENTION_SQL = """
+    WITH acts AS (
+        SELECT user_id, date_trunc('week', ts) AS wk FROM events
+    ), first AS (
+        SELECT user_id, min(wk) AS cohort_wk FROM acts GROUP BY user_id
+    )
+    SELECT f.cohort_wk,
+           (CAST(epoch(a.wk) AS BIGINT) - CAST(epoch(f.cohort_wk) AS BIGINT))
+               // 604800 AS weeks_later,
+           CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active
+    FROM acts a JOIN first f ON a.user_id = f.user_id
+    GROUP BY 1, 2
+"""
+
+
+QUERIES = {
+    "funnel": q_funnel,
+    "retention": q_retention,
+}
+
+ORACLES = {
+    "funnel": _FUNNEL_SQL,
+    "retention": _RETENTION_SQL,
+}

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from datafusion_delta_sharing_spark.harness import load_table
+from datafusion_delta_sharing_spark.operators import graph as GR
 
 
 def q_funnel(spark, sf_dir):
@@ -97,12 +98,28 @@ _RETENTION_SQL = """
 """
 
 
+_TRI_ORDERS = 2000   # order subset: wedge join is quadratic in degree
+
+
+def q_triangles(spark, sf_dir):
+    """Triangle count of the part co-purchase graph (parts sharing an
+    order, order subset bounded for the oracle run)."""
+    li = (load_table(spark, sf_dir, "lineitem")
+          .filter(F.col("l_orderkey") < _TRI_ORDERS))
+    edges = GR.cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    return GR.triangle_count(edges)
+
+
 QUERIES = {
     "funnel": q_funnel,
     "retention": q_retention,
+    "triangles": q_triangles,
 }
 
 ORACLES = {
     "funnel": _FUNNEL_SQL,
     "retention": _RETENTION_SQL,
+    "triangles": GR.triangle_count_sql(
+        f"(SELECT * FROM lineitem WHERE l_orderkey < {_TRI_ORDERS})",
+        "l_orderkey", "l_partkey"),
 }

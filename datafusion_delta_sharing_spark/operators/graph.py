@@ -1,0 +1,79 @@
+"""Graph operators over relational edge lists.
+
+Triangle counting — the standard distributed-graph benchmark op — over a
+co-occurrence graph derived relationally (parts appearing in the same
+order). The scalable shape: build the distinct undirected edge list with
+an ordered (a < b) convention, then close wedges with two equi-joins
+(edge ⋈ edge on the middle vertex, verified against the third edge). All
+joins shuffle on vertex keys; the a<b<c ordering counts each triangle
+exactly once. Hot vertices (a part in every order) blow up the wedge
+join — the ``max_degree`` cut drops them first, the same posting-list
+discipline as the dedup shingle cut.
+
+Connected components (iterative min-label propagation) lives in
+operators/dedup.py; this module holds the one-shot relational graph ops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def cooccurrence_edges(df: DataFrame, group_col: str, item_col: str,
+                       max_degree: int | None = None) -> DataFrame:
+    """Distinct undirected edges (a < b) between items sharing a group.
+    Per-group pair generation is a self-join within the group key —
+    bounded by the largest group's item count, not the table size."""
+    items = df.select(F.col(group_col).alias("g"),
+                      F.col(item_col).alias("i")).distinct()
+    a = items.select("g", F.col("i").alias("a"))
+    b = items.select("g", F.col("i").alias("b"))
+    edges = (a.join(b, "g")
+             .filter(F.col("a") < F.col("b"))
+             .select("a", "b").distinct())
+    if max_degree is not None:
+        deg = (edges.select(F.col("a").alias("v"))
+               .unionAll(edges.select(F.col("b").alias("v")))
+               .groupBy("v").agg(F.count(F.lit(1)).alias("d"))
+               .filter(F.col("d") <= max_degree))
+        keep = deg.select("v")
+        edges = (edges.join(keep.withColumnRenamed("v", "a"), "a")
+                 .join(keep.withColumnRenamed("v", "b"), "b")
+                 .select("a", "b"))
+    return edges
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """One row (n_edges, n_wedges, n_triangles) for an ordered (a < b)
+    edge list. Wedges a<b<c from edges (a,b)+(b,c); triangles close the
+    wedge with (a,c). Two shuffles on vertex keys."""
+    e1 = edges.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = edges.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    wedges = e1.join(e2, "y").select("x", "y", "z")
+    e3 = edges.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tris = wedges.join(e3, ["x", "z"])
+    return (edges.agg(F.count(F.lit(1)).alias("n_edges"))
+            .crossJoin(wedges.agg(F.count(F.lit(1)).alias("n_wedges")))
+            .crossJoin(tris.agg(F.count(F.lit(1)).alias("n_triangles"))))
+
+
+def triangle_count_sql(group_source_sql: str, group_col: str,
+                       item_col: str) -> str:
+    """DuckDB mirror of cooccurrence_edges (no degree cut) + triangle_count."""
+    return f"""
+    WITH items AS (
+        SELECT DISTINCT {group_col} AS g, {item_col} AS i
+        FROM {group_source_sql}
+    ), edges AS (
+        SELECT DISTINCT l.i AS a, r.i AS b
+        FROM items l JOIN items r ON l.g = r.g AND l.i < r.i
+    ), wedges AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM edges e1 JOIN edges e2 ON e1.b = e2.a
+    ), tris AS (
+        SELECT 1 FROM wedges w JOIN edges e ON w.x = e.a AND w.z = e.b
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
+           (SELECT CAST(count(*) AS BIGINT) FROM wedges) AS n_wedges,
+           (SELECT CAST(count(*) AS BIGINT) FROM tris) AS n_triangles
+    """

@@ -656,3 +656,24 @@ def test_distinctive_terms_and_corpus_overlap(spark):
     ov2 = corpus_overlap(a, b, "text", "doc_id", k=5).collect()[0]
     assert ov2.n_inter == 0  # 5-shingles share nothing
     assert ov2.n_union == ov2.n_a + ov2.n_b
+
+
+def test_triangle_count_known_graph(spark):
+    from datafusion_delta_sharing_spark.operators.graph import (
+        cooccurrence_edges,
+        triangle_count,
+    )
+
+    # groups: {1,2,3} complete triangle; {3,4} edge; {5,6,7} triangle
+    rows = ([("g1", i) for i in (1, 2, 3)] + [("g2", i) for i in (3, 4)]
+            + [("g3", i) for i in (5, 6, 7)])
+    df = spark.createDataFrame(rows, "grp string, item long")
+    edges = cooccurrence_edges(df, "grp", "item")
+    out = triangle_count(edges).collect()[0]
+    assert out.n_edges == 7      # 3 + 1 + 3
+    assert out.n_triangles == 2  # one per complete group
+
+    # degree cut drops vertex 3 (degree 3) -> its triangle disappears
+    cut = cooccurrence_edges(df, "grp", "item", max_degree=2)
+    out2 = triangle_count(cut).collect()[0]
+    assert out2.n_triangles == 1

@@ -35,7 +35,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # extensions3 corpus-curation queries (line_dedup, unigram_logprob,
 # semantic_dedup, token_budget, dedup_incremental, pmi_collocations,
 # grouped_quantiles, distinctive_terms, corpus_overlap), the extensions6
-# behavioral batch (funnel, retention, triangles), the extensions4
+# behavioral batch (funnel, retention, triangles, pagerank), the
+# extensions4
 # layout/join queries (zorder_stats, fuzzy_join), stream_enrich, the
 # format-breadth scans (csv_scan, json_scan, orc_scan), the tierb7 pair
 # (variant_funcs, udaf_grouped_agg), the extensions5 table ops

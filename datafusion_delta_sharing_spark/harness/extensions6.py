@@ -110,10 +110,19 @@ def q_triangles(spark, sf_dir):
     return GR.triangle_count(edges)
 
 
+def q_pagerank(spark, sf_dir):
+    """3-iteration integer PageRank over the part co-purchase graph."""
+    li = (load_table(spark, sf_dir, "lineitem")
+          .filter(F.col("l_orderkey") < _TRI_ORDERS))
+    edges = GR.cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    return GR.pagerank_int(edges, iterations=3, top_k=50)
+
+
 QUERIES = {
     "funnel": q_funnel,
     "retention": q_retention,
     "triangles": q_triangles,
+    "pagerank": q_pagerank,
 }
 
 ORACLES = {
@@ -122,4 +131,7 @@ ORACLES = {
     "triangles": GR.triangle_count_sql(
         f"(SELECT * FROM lineitem WHERE l_orderkey < {_TRI_ORDERS})",
         "l_orderkey", "l_partkey"),
+    "pagerank": GR.pagerank_int_sql(
+        f"(SELECT * FROM lineitem WHERE l_orderkey < {_TRI_ORDERS})",
+        "l_orderkey", "l_partkey", iterations=3, top_k=50),
 }

@@ -57,6 +57,79 @@ def triangle_count(edges: DataFrame) -> DataFrame:
             .crossJoin(tris.agg(F.count(F.lit(1)).alias("n_triangles"))))
 
 
+def pagerank_int(edges: DataFrame, iterations: int = 3,
+                 scale: int = 1_000_000, top_k: int = 50) -> DataFrame:
+    """Fixed-iteration PageRank in scaled integer arithmetic: rank starts
+    at ``scale`` per vertex; each round r'(v) = 0.15*scale +
+    floor(0.85 * sum(r(u) // outdeg(u)) over in-neighbors u). Floor
+    division makes every round bit-exact on any engine — iterative graph
+    algorithms are normally un-oracle-able because float summation order
+    drifts; integers close that gap (the cost: up to outdeg units of rank
+    mass rounded away per vertex per round, irrelevant for ranking).
+
+    Scale shape: each round is one join edge⋈rank on the source vertex
+    and one groupBy on the destination — the classic distributed PageRank
+    exchange. Unrolled ``iterations`` times; for long chains insert
+    localCheckpoint like dedup.connected_components."""
+    de = (edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+          .unionAll(edges.select(F.col("b").alias("src"),
+                                 F.col("a").alias("dst"))))
+    deg = de.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    verts = de.select(F.col("src").alias("v")).distinct()
+    base = (15 * scale) // 100
+    rank = verts.withColumn("rank", F.lit(scale).cast("long"))
+    for _ in range(iterations):
+        contrib = (de.join(rank, de.src == rank.v)
+                   .join(deg, "src")
+                   .select(F.col("dst").alias("v"),
+                           F.expr("rank div outdeg").alias("c")))
+        summed = contrib.groupBy("v").agg(F.sum("c").alias("s"))
+        rank = (verts.join(summed, "v", "left")
+                .select("v", (F.lit(base)
+                              + F.expr("(85 * coalesce(s, 0)) div 100"))
+                        .cast("long").alias("rank")))
+    return (rank.orderBy(F.desc("rank"), "v").limit(top_k))
+
+
+def pagerank_int_sql(group_source_sql: str, group_col: str, item_col: str,
+                     iterations: int = 3, scale: int = 1_000_000,
+                     top_k: int = 50) -> str:
+    """DuckDB mirror of cooccurrence_edges (no cut) + pagerank_int, with
+    the iteration loop unrolled into chained CTEs."""
+    base = (15 * scale) // 100
+    ctes = [f"""
+    items AS (
+        SELECT DISTINCT {group_col} AS g, {item_col} AS i
+        FROM {group_source_sql}
+    ), edges AS (
+        SELECT DISTINCT l.i AS a, r.i AS b
+        FROM items l JOIN items r ON l.g = r.g AND l.i < r.i
+    ), de AS (
+        SELECT a AS src, b AS dst FROM edges
+        UNION ALL SELECT b AS src, a AS dst FROM edges
+    ), deg AS (SELECT src, count(*) AS outdeg FROM de GROUP BY src),
+    verts AS (SELECT DISTINCT src AS v FROM de),
+    r0 AS (SELECT v, CAST({scale} AS BIGINT) AS rank FROM verts)"""]
+    for i in range(1, iterations + 1):
+        ctes.append(f"""
+    r{i} AS (
+        SELECT verts.v,
+               CAST({base} + (85 * coalesce(s.s, 0)) // 100 AS BIGINT)
+                   AS rank
+        FROM verts LEFT JOIN (
+            SELECT de.dst AS v,
+                   CAST(sum(r{i - 1}.rank // deg.outdeg) AS BIGINT) AS s
+            FROM de
+            JOIN r{i - 1} ON de.src = r{i - 1}.v
+            JOIN deg ON de.src = deg.src
+            GROUP BY de.dst
+        ) s ON verts.v = s.v
+    )""")
+    return ("WITH " + ",".join(ctes)
+            + f"\n    SELECT v, rank FROM r{iterations}"
+            f"\n    ORDER BY rank DESC, v LIMIT {top_k}")
+
+
 def triangle_count_sql(group_source_sql: str, group_col: str,
                        item_col: str) -> str:
     """DuckDB mirror of cooccurrence_edges (no degree cut) + triangle_count."""

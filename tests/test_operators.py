@@ -677,3 +677,18 @@ def test_triangle_count_known_graph(spark):
     cut = cooccurrence_edges(df, "grp", "item", max_degree=2)
     out2 = triangle_count(cut).collect()[0]
     assert out2.n_triangles == 1
+
+
+def test_pagerank_int_star_graph_and_determinism(spark):
+    from datafusion_delta_sharing_spark.operators.graph import pagerank_int
+
+    # star: hub 0 connected to leaves 1..5 -> hub outranks every leaf
+    edges = spark.createDataFrame([(0, i) for i in range(1, 6)],
+                                  "a long, b long")
+    ranks = {r.v: r.rank for r in pagerank_int(edges, iterations=3).collect()}
+    assert ranks[0] > ranks[1]
+    assert len({ranks[i] for i in range(1, 6)}) == 1  # leaves symmetric
+    # integer arithmetic -> identical result under a different partitioning
+    again = {r.v: r.rank for r in
+             pagerank_int(edges.repartition(7), iterations=3).collect()}
+    assert again == ranks

@@ -40,6 +40,8 @@ HEADLINE = [
     # layout stats, Variant JSON access, table ops + time series
     "dedup_incremental", "fuzzy_join", "zorder_stats", "variant_funcs",
     "table_profile", "ohlc_rollup", "gap_fill", "winsorize",
+    # behavioral + graph analytics
+    "funnel", "retention", "triangles", "pagerank",
 ]
 
 

@@ -36,7 +36,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # semantic_dedup, token_budget, dedup_incremental, pmi_collocations,
 # grouped_quantiles, distinctive_terms, corpus_overlap), the extensions6
 # behavioral batch (funnel, retention, triangles, pagerank), the
-# extensions4
+# extensions7 warehouse patterns (scd2_build, event_transitions,
+# basket_rules), the extensions4
 # layout/join queries (zorder_stats, fuzzy_join), stream_enrich, the
 # format-breadth scans (csv_scan, json_scan, orc_scan), the tierb7 pair
 # (variant_funcs, udaf_grouped_agg), the extensions5 table ops
@@ -46,8 +47,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # explode_lateral, map_funcs, window_analytics). All were verified
 # against the oracle comparator in-session r3.
 _MODULE_ORDER = ("connector", "extensions", "extensions2", "extensions3",
-                 "extensions4", "extensions5", "extensions6", "formats",
-                 "tpch", "tierb5", "tierb4",
+                 "extensions4", "extensions5", "extensions6", "extensions7",
+                 "formats", "tpch", "tierb5", "tierb4",
                  "tierb3", "tierb2", "tierb6", "tierb7", "tierb")
 
 _WINDOW = (

@@ -1,0 +1,141 @@
+"""Extension queries batch 7: warehouse patterns.
+
+SCD Type-2 dimension build (change log -> validity intervals), event
+transition matrix (Markov next-event counts), and market-basket
+association rules (pair support/confidence/lift). All built from window
+and aggregate primitives; ties and ratios follow the repo's exactness
+discipline — event-id tie-breaks inside window orderings, and lift is
+carried as an exact integer cross-product (it is monotone in
+n * c_ab / (c_a * c_b), no division materialized).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from datafusion_delta_sharing_spark.harness import load_table
+
+_BASKET_ORDERS = 15000  # wider than the graph subset: pair support needs mass
+_MIN_SUPPORT = 2        # sf0.01 baskets are sparse; 3k+ pairs clear this bar
+
+
+def q_scd2_build(spark, sf_dir):
+    """Slowly-changing-dimension type 2: each user's event stream becomes
+    validity intervals [valid_from, valid_to) per observed event_type
+    state, closed by the next state change (open interval = current). The
+    window is per-user ordered by (ts, event_id) — total order, so the
+    intervals are deterministic."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    hist = (ev.withColumn("valid_to", F.lead("ts").over(w))
+            .withColumn("version", F.row_number().over(w)))
+    return (hist.filter(F.col("user_id") < 100)
+            .select("user_id", "version",
+                    F.col("event_type").alias("state"),
+                    F.col("ts").alias("valid_from"), "valid_to",
+                    F.col("valid_to").isNull().alias("is_current")))
+
+
+_SCD2_SQL = """
+    SELECT user_id, version, state, valid_from, valid_to,
+           valid_to IS NULL AS is_current
+    FROM (
+        SELECT user_id, event_type AS state, ts AS valid_from,
+               lead(ts) OVER w AS valid_to,
+               row_number() OVER w AS version
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    WHERE user_id < 100
+"""
+
+
+def q_event_transitions(spark, sf_dir):
+    """Markov transition counts: (event_type -> next event_type) per user
+    stream, plus terminal transitions to '<end>'."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (ev.withColumn("next_type",
+                          F.coalesce(F.lead("event_type").over(w),
+                                     F.lit("<end>")))
+            .groupBy(F.col("event_type").alias("from_type"), "next_type")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+_TRANSITIONS_SQL = """
+    SELECT event_type AS from_type,
+           coalesce(lead(event_type) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id), '<end>') AS next_type,
+           1 AS _one
+    FROM events
+"""
+_TRANSITIONS_SQL = f"""
+    SELECT from_type, next_type, CAST(count(*) AS BIGINT) AS n
+    FROM ({_TRANSITIONS_SQL})
+    GROUP BY from_type, next_type
+"""
+
+
+def q_basket_rules(spark, sf_dir):
+    """Association rules over order baskets: pair support plus the exact
+    integer lift cross-products (lift = n_baskets*c_ab/(c_a*c_b); ranking
+    and filtering use the integer numerator/denominator)."""
+    li = (load_table(spark, sf_dir, "lineitem")
+          .filter(F.col("l_orderkey") < _BASKET_ORDERS))
+    baskets = li.select(F.col("l_orderkey").alias("g"),
+                        F.col("l_partkey").alias("i")).distinct()
+    n_b = baskets.select("g").distinct().agg(
+        F.count(F.lit(1)).alias("n_baskets"))
+    item = baskets.groupBy("i").agg(F.count(F.lit(1)).alias("c"))
+    a = baskets.select("g", F.col("i").alias("ia"))
+    b = baskets.select("g", F.col("i").alias("ib"))
+    pairs = (a.join(b, "g").filter(F.col("ia") < F.col("ib"))
+             .groupBy("ia", "ib").agg(F.count(F.lit(1)).alias("c_ab"))
+             .filter(F.col("c_ab") >= _MIN_SUPPORT))
+    ca = item.select(F.col("i").alias("ia"), F.col("c").alias("c_a"))
+    cb = item.select(F.col("i").alias("ib"), F.col("c").alias("c_b"))
+    return (pairs.join(ca, "ia").join(cb, "ib")
+            .crossJoin(F.broadcast(n_b))
+            .select("ia", "ib", "c_ab", "c_a", "c_b",
+                    (F.col("c_ab") * F.col("n_baskets")).alias("lift_num"),
+                    (F.col("c_a") * F.col("c_b")).alias("lift_den")))
+
+
+_BASKET_SQL = f"""
+    WITH baskets AS (
+        SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+        FROM lineitem WHERE l_orderkey < {_BASKET_ORDERS}
+    ), nb AS (SELECT count(DISTINCT g) AS n_baskets FROM baskets),
+    item AS (SELECT i, count(*) AS c FROM baskets GROUP BY i),
+    pairs AS (
+        SELECT a.i AS ia, b.i AS ib, count(*) AS c_ab
+        FROM baskets a JOIN baskets b ON a.g = b.g AND a.i < b.i
+        GROUP BY a.i, b.i
+        HAVING count(*) >= {_MIN_SUPPORT}
+    )
+    SELECT p.ia, p.ib,
+           CAST(p.c_ab AS BIGINT) AS c_ab,
+           CAST(ca.c AS BIGINT) AS c_a,
+           CAST(cb.c AS BIGINT) AS c_b,
+           CAST(p.c_ab * nb.n_baskets AS BIGINT) AS lift_num,
+           CAST(ca.c * cb.c AS BIGINT) AS lift_den
+    FROM pairs p
+    JOIN item ca ON ca.i = p.ia
+    JOIN item cb ON cb.i = p.ib
+    CROSS JOIN nb
+"""
+
+
+QUERIES = {
+    "scd2_build": q_scd2_build,
+    "event_transitions": q_event_transitions,
+    "basket_rules": q_basket_rules,
+}
+
+ORACLES = {
+    "scd2_build": _SCD2_SQL,
+    "event_transitions": _TRANSITIONS_SQL,
+    "basket_rules": _BASKET_SQL,
+}

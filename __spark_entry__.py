@@ -37,7 +37,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # grouped_quantiles, distinctive_terms, corpus_overlap), the extensions6
 # behavioral batch (funnel, retention, triangles, pagerank), the
 # extensions7 warehouse patterns (scd2_build, event_transitions,
-# basket_rules), the extensions4
+# basket_rules, rolling_wau, label_index), the extensions4
 # layout/join queries (zorder_stats, fuzzy_join), stream_enrich, the
 # format-breadth scans (csv_scan, json_scan, orc_scan), the tierb7 pair
 # (variant_funcs, udaf_grouped_agg), the extensions5 table ops

@@ -128,14 +128,75 @@ _BASKET_SQL = f"""
 """
 
 
+def q_rolling_wau(spark, sf_dir):
+    """Trailing-7-day distinct active users per day. Distinct-count over a
+    sliding window can't be expressed as a window function; the scalable
+    form is (user, day) dedup -> day-spine range join over the trailing
+    week -> per-day distinct count. Days are epoch-day integers so both
+    engines bucket identically."""
+    ev = load_table(spark, sf_dir, "events")
+    acts = (ev.select("user_id",
+                      F.expr("unix_micros(cast(ts as timestamp))"
+                             " div 86400000000").alias("day"))
+            .distinct())
+    days = acts.select("day").distinct()
+    return (days.alias("d")
+            .join(acts.alias("a"),
+                  (F.col("a.day") >= F.col("d.day") - 6)
+                  & (F.col("a.day") <= F.col("d.day")))
+            .groupBy(F.col("d.day").alias("day"))
+            .agg(F.countDistinct("a.user_id").alias("wau")))
+
+
+_ROLLING_WAU_SQL = """
+    WITH acts AS (
+        SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        FROM events
+    ), days AS (SELECT DISTINCT day FROM acts)
+    SELECT d.day AS day, CAST(count(DISTINCT a.user_id) AS BIGINT) AS wau
+    FROM days d
+    JOIN acts a ON a.day BETWEEN d.day - 6 AND d.day
+    GROUP BY d.day
+"""
+
+
+def q_label_index(spark, sf_dir):
+    """Deterministic categorical encoding (StringIndexer analogue): each
+    distinct label of lang and source maps to a dense sorted index."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = None
+    for col in ("lang", "source"):
+        part = (docs.select(F.col(col).alias("label")).distinct()
+                .withColumn("idx", F.dense_rank().over(
+                    Window.orderBy("label")) - 1)
+                .select(F.lit(col).alias("column_name"), "label", "idx"))
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+_LABEL_INDEX_SQL = """
+    SELECT 'lang' AS column_name, label,
+           CAST(dense_rank() OVER (ORDER BY label) - 1 AS BIGINT) AS idx
+    FROM (SELECT DISTINCT lang AS label FROM documents)
+    UNION ALL
+    SELECT 'source', label,
+           CAST(dense_rank() OVER (ORDER BY label) - 1 AS BIGINT)
+    FROM (SELECT DISTINCT source AS label FROM documents)
+"""
+
+
 QUERIES = {
     "scd2_build": q_scd2_build,
     "event_transitions": q_event_transitions,
     "basket_rules": q_basket_rules,
+    "rolling_wau": q_rolling_wau,
+    "label_index": q_label_index,
 }
 
 ORACLES = {
     "scd2_build": _SCD2_SQL,
     "event_transitions": _TRANSITIONS_SQL,
     "basket_rules": _BASKET_SQL,
+    "rolling_wau": _ROLLING_WAU_SQL,
+    "label_index": _LABEL_INDEX_SQL,
 }

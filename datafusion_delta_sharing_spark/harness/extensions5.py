@@ -70,6 +70,18 @@ def q_winsorize(spark, sf_dir):
                         q_lo=0.01, q_hi=0.99, score_name="totalprice")
 
 
+def q_skew_report(spark, sf_dir):
+    """Join-key skew diagnostics over lineitem's three join keys."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return PR.skew_report(li, ["l_orderkey", "l_partkey", "l_suppkey"])
+
+
+def q_contingency(spark, sf_dir):
+    """Order status x priority contingency counts with exact marginals."""
+    orders = load_table(spark, sf_dir, "orders")
+    return PR.contingency_table(orders, "o_orderstatus", "o_orderpriority")
+
+
 QUERIES = {
     "table_profile": q_table_profile,
     "dq_checks": q_dq_checks,
@@ -77,6 +89,8 @@ QUERIES = {
     "ohlc_rollup": q_ohlc_rollup,
     "gap_fill": q_gap_fill,
     "winsorize": q_winsorize,
+    "skew_report": q_skew_report,
+    "contingency": q_contingency,
 }
 
 ORACLES = {
@@ -99,4 +113,8 @@ ORACLES = {
     "winsorize": SA.winsorize_sql(
         "orders", "o_totalprice", "o_orderkey",
         q_lo=0.01, q_hi=0.99, score_name="totalprice"),
+    "skew_report": PR.skew_report_sql(
+        "lineitem", ["l_orderkey", "l_partkey", "l_suppkey"]),
+    "contingency": PR.contingency_table_sql(
+        "orders", "o_orderstatus", "o_orderpriority"),
 }

@@ -135,6 +135,75 @@ def quality_checks_sql(source_sql: str, *,
             f"FROM ({union})")
 
 
+def skew_report(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """(column, n_rows, n_distinct, max_freq) per candidate join/groupBy
+    key — the planning signal for when a plain shuffle join needs AQE skew
+    handling or an explicit salt (operators/skew.py): a key whose max_freq
+    is a large share of n_rows concentrates that share of the shuffle on
+    one reducer. One count-pass per key column over the distinct-value
+    counts (map-side combinable); columns are independent passes unioned,
+    since each has its own grouping."""
+    parts = []
+    for c in key_cols:
+        freq = df.groupBy(F.col(c)).agg(F.count(F.lit(1)).alias("_f"))
+        parts.append(freq.agg(
+            F.lit(c).alias("column_name"),
+            F.sum("_f").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("_f").alias("max_freq")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def skew_report_sql(source_sql: str, key_cols: list[str]) -> str:
+    """DuckDB mirror of skew_report."""
+    parts = [f"""
+    SELECT '{c}' AS column_name,
+           CAST(sum(_f) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           CAST(max(_f) AS BIGINT) AS max_freq
+    FROM (SELECT {c}, count(*) AS _f FROM {source_sql} GROUP BY {c})"""
+             for c in key_cols]
+    return " UNION ALL ".join(parts)
+
+
+def contingency_table(df: DataFrame, row_col: str, col_col: str) -> DataFrame:
+    """(row, col, observed, row_total, col_total, n) contingency counts
+    with marginals — the chi-square independence inputs as exact integers
+    (expected count = row_total*col_total/n left to the caller; no float
+    is materialized here). Three aggregations joined on the category
+    keys."""
+    obs = (df.groupBy(F.col(row_col).alias("r"), F.col(col_col).alias("c"))
+           .agg(F.count(F.lit(1)).alias("observed")))
+    rt = obs.groupBy("r").agg(F.sum("observed").alias("row_total"))
+    ct = obs.groupBy("c").agg(F.sum("observed").alias("col_total"))
+    n = obs.agg(F.sum("observed").alias("n"))
+    return (obs.join(rt, "r").join(ct, "c").crossJoin(F.broadcast(n))
+            .select(F.col("r").alias(row_col), F.col("c").alias(col_col),
+                    "observed", "row_total", "col_total", "n"))
+
+
+def contingency_table_sql(source_sql: str, row_col: str,
+                          col_col: str) -> str:
+    """DuckDB mirror of contingency_table."""
+    return f"""
+    WITH obs AS (
+        SELECT {row_col} AS r, {col_col} AS c, count(*) AS observed
+        FROM {source_sql} GROUP BY 1, 2
+    ), rt AS (SELECT r, sum(observed) AS row_total FROM obs GROUP BY r),
+    ct AS (SELECT c, sum(observed) AS col_total FROM obs GROUP BY c),
+    n AS (SELECT sum(observed) AS n FROM obs)
+    SELECT obs.r AS {row_col}, obs.c AS {col_col},
+           CAST(obs.observed AS BIGINT) AS observed,
+           CAST(rt.row_total AS BIGINT) AS row_total,
+           CAST(ct.col_total AS BIGINT) AS col_total,
+           CAST(n.n AS BIGINT) AS n
+    FROM obs JOIN rt ON obs.r = rt.r JOIN ct ON obs.c = ct.c CROSS JOIN n
+    """
+
+
 def equi_width_histogram(df: DataFrame, col: str, lo: float, hi: float,
                          n_buckets: int) -> DataFrame:
     """(bucket, n) equi-width counts over [lo, hi); values outside clamp to

@@ -47,3 +47,24 @@ def test_histogram_clamps_edges(spark):
     # [20,40) -> bucket 0 plus clamped 0..19; [40,60) -> 1; rest clamp to 2
     assert out == {0: 40, 1: 20, 2: 40}
     assert sum(out.values()) == 100
+
+
+def test_skew_report_flags_hot_key(spark):
+    rows = [(1, "x") for _ in range(90)] + [(i, "y") for i in range(2, 12)]
+    df = spark.createDataFrame(rows, "k long, v string")
+    out = {r.column_name: r for r in
+           PR.skew_report(df, ["k", "v"]).collect()}
+    assert out["k"].n_rows == 100
+    assert out["k"].n_distinct == 11
+    assert out["k"].max_freq == 90   # the skewed key
+    assert out["v"].max_freq == 90
+
+
+def test_contingency_marginals_sum(spark):
+    rows = [("a", "p"), ("a", "p"), ("a", "q"), ("b", "q")]
+    df = spark.createDataFrame(rows, "r string, c string")
+    out = {(x.r, x.c): x for x in
+           PR.contingency_table(df, "r", "c").collect()}
+    cell = out[("a", "p")]
+    assert (cell.observed, cell.row_total, cell.col_total, cell.n) == (2, 3, 2, 4)
+    assert sum(x.observed for x in out.values()) == 4

@@ -135,9 +135,12 @@ def q_rolling_wau(spark, sf_dir):
     week -> per-day distinct count. Days are epoch-day integers so both
     engines bucket identically."""
     ev = load_table(spark, sf_dir, "events")
+    # floor(a/b), not div: div truncates toward zero and would bucket
+    # pre-1970 timestamps differently from DuckDB's flooring //
     acts = (ev.select("user_id",
-                      F.expr("unix_micros(cast(ts as timestamp))"
-                             " div 86400000000").alias("day"))
+                      F.floor(F.expr("unix_micros(cast(ts as timestamp))")
+                              / F.lit(86_400_000_000)).cast("long")
+                      .alias("day"))
             .distinct())
     days = acts.select("day").distinct()
     return (days.alias("d")
@@ -166,9 +169,11 @@ def q_label_index(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     out = None
     for col in ("lang", "source"):
+        # explicit NULLS LAST: Spark defaults nulls first, DuckDB last —
+        # a NULL label would silently shift every index between engines
         part = (docs.select(F.col(col).alias("label")).distinct()
                 .withColumn("idx", F.dense_rank().over(
-                    Window.orderBy("label")) - 1)
+                    Window.orderBy(F.asc_nulls_last("label"))) - 1)
                 .select(F.lit(col).alias("column_name"), "label", "idx"))
         out = part if out is None else out.unionByName(part)
     return out
@@ -176,11 +181,12 @@ def q_label_index(spark, sf_dir):
 
 _LABEL_INDEX_SQL = """
     SELECT 'lang' AS column_name, label,
-           CAST(dense_rank() OVER (ORDER BY label) - 1 AS BIGINT) AS idx
+           CAST(dense_rank() OVER (ORDER BY label NULLS LAST) - 1 AS BIGINT)
+               AS idx
     FROM (SELECT DISTINCT lang AS label FROM documents)
     UNION ALL
     SELECT 'source', label,
-           CAST(dense_rank() OVER (ORDER BY label) - 1 AS BIGINT)
+           CAST(dense_rank() OVER (ORDER BY label NULLS LAST) - 1 AS BIGINT)
     FROM (SELECT DISTINCT source AS label FROM documents)
 """
 

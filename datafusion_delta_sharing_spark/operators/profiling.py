@@ -34,8 +34,10 @@ def table_profile(df: DataFrame, cols: list[str]) -> DataFrame:
         aggs += [
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"_nn_{c}"),
             F.countDistinct(c).alias(f"_nd_{c}"),
-            F.min(F.col(c).cast("string")).alias(f"_mn_{c}"),
-            F.max(F.col(c).cast("string")).alias(f"_mx_{c}"),
+            # aggregate in NATIVE type, cast the result: casting first
+            # would make numeric min/max lexicographic ('9' > '60000')
+            F.min(F.col(c)).cast("string").alias(f"_mn_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"_mx_{c}"),
         ]
     wide = df.agg(*aggs)
     stack_args = ", ".join(
@@ -55,8 +57,8 @@ def table_profile_sql(source_sql: str, cols: list[str]) -> str:
            CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
                AS n_nulls,
            CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
-           min(CAST({c} AS VARCHAR)) AS min_val,
-           max(CAST({c} AS VARCHAR)) AS max_val
+           CAST(min({c}) AS VARCHAR) AS min_val,
+           CAST(max({c}) AS VARCHAR) AS max_val
     FROM {source_sql}""" for c in cols]
     return " UNION ALL ".join(parts)
 

@@ -24,11 +24,14 @@ def ohlc_rollup(df: DataFrame, ts_col: str, key_col: str, val_col: str,
     time bucket. One hash aggregate; open/close deterministic via the
     unique (ts, id) ordering."""
     secs = bucket_minutes * 60
-    # integer-µs floor division on both engines: float seconds would round
-    # vs truncate differently at bucket edges
+    # floor(a/b) not `a div b`: Spark's div truncates toward zero while
+    # DuckDB's // floors — they disagree for pre-1970 (negative-epoch)
+    # timestamps. The double division is exact for |epoch_us| < 2^53
+    # (~±285 years), and float seconds would round vs truncate
+    # differently at bucket edges, hence the integer-µs base.
     bucket = F.timestamp_seconds(
-        F.expr(f"unix_micros(cast({ts_col} as timestamp))"
-               f" div {secs * 1_000_000}") * secs)
+        F.floor(F.expr(f"unix_micros(cast({ts_col} as timestamp))")
+                / F.lit(secs * 1_000_000)).cast("long") * secs)
     order = F.format_string(
         "%020d-%012d", F.unix_micros(F.col(ts_col).cast("timestamp")),
         F.col(id_col))
@@ -47,8 +50,12 @@ def ohlc_rollup_sql(source_sql: str, ts_col: str, key_col: str,
                     bucket_minutes: int = 60) -> str:
     """DuckDB mirror of ohlc_rollup."""
     secs = bucket_minutes * 60
-    bucket = (f"to_timestamp((epoch_us({ts_col}) // {secs * 1_000_000})"
-              f" * {secs})::TIMESTAMP")
+    # NTZ epoch arithmetic, NOT to_timestamp(...)::TIMESTAMP — that cast
+    # goes through TIMESTAMPTZ and shifts by DuckDB's session TimeZone
+    # (the comparator never pins it; Spark is pinned UTC)
+    bucket = (f"(TIMESTAMP '1970-01-01 00:00:00'"
+              f" + ((epoch_us({ts_col}) // {secs * 1_000_000})"
+              f" * {secs}) * INTERVAL 1 SECOND)")
     order = f"printf('%020d-%012d', epoch_us({ts_col}), {id_col})"
     return f"""
     SELECT {key_col} AS key,
@@ -92,8 +99,9 @@ def gap_fill_interpolate(df: DataFrame, ts_col: str, key_col: str,
 
     secs = bucket_minutes * 60
     bucket = F.timestamp_seconds(
-        F.expr(f"unix_micros(cast({ts_col} as timestamp))"
-               f" div {secs * 1_000_000}") * secs).cast("timestamp_ntz")
+        F.floor(F.expr(f"unix_micros(cast({ts_col} as timestamp))")
+                / F.lit(secs * 1_000_000)).cast("long")
+        * secs).cast("timestamp_ntz")
     agg_fn = {"avg": F.avg, "min": F.min, "max": F.max}[agg]
     obs = (df.groupBy(F.col(key_col).alias("key"), bucket.alias("h"))
            .agg(F.round(agg_fn(val_col) * 100).cast("bigint").alias("vc")))
@@ -130,8 +138,9 @@ def gap_fill_interpolate_sql(source_sql: str, ts_col: str, key_col: str,
     """DuckDB mirror of gap_fill_interpolate (IGNORE NULLS windows +
     unnest(generate_series) per-key spine)."""
     secs = bucket_minutes * 60
-    bucket = (f"to_timestamp((epoch_us({ts_col}) // {secs * 1_000_000})"
-              f" * {secs})::TIMESTAMP")
+    bucket = (f"(TIMESTAMP '1970-01-01 00:00:00'"
+              f" + ((epoch_us({ts_col}) // {secs * 1_000_000})"
+              f" * {secs}) * INTERVAL 1 SECOND)")
     pt = ("CASE WHEN vc IS NOT NULL THEN struct_pack("
           "t := CAST(epoch(h) AS BIGINT), vc := vc) END")
     return f"""

@@ -25,6 +25,14 @@ def test_table_profile_counts(spark):
     assert out["tag"].min_val == "a"
 
 
+def test_table_profile_numeric_minmax_not_lexicographic(spark):
+    """min/max must aggregate in native type: string-cast-first would
+    report max '9' for values spanning digit widths (code-review catch)."""
+    df = spark.createDataFrame([(9,), (10,), (60000,)], "v long")
+    row = PR.table_profile(df, ["v"]).collect()[0]
+    assert (row.min_val, row.max_val) == ("9", "60000")
+
+
 def test_quality_checks_planted_violations(spark):
     out = {r.check_name: (r.n_violations, r.passed) for r in
            PR.quality_checks(

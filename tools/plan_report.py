@@ -17,7 +17,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 # streaming queries execute eagerly on plan construction; skip them in the
 # static audit (their batch plans are covered by their oracles)
 _SKIP = {"stream_hourly", "stream_sliding", "stream_join", "stream_dedup",
-         "stream_enrich", "sessionization", "stateful_stream"}
+         "stream_enrich", "sessionization", "stateful_stream",
+         # format queries stage real CSV/JSON/ORC copies inside the query
+         # builder — a static audit shouldn't run write jobs (their read
+         # plans are plain scan+agg, covered by the oracle checks)
+         "csv_scan", "json_scan", "orc_scan"}
 
 
 def main() -> None:

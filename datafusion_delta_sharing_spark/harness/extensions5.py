@@ -70,6 +70,13 @@ def q_winsorize(spark, sf_dir):
                         q_lo=0.01, q_hi=0.99, score_name="totalprice")
 
 
+def q_quantile_bin(spark, sf_dir):
+    """Quartile-bin every order's total price (feature discretization)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return SA.quantile_bin(orders, F.col("o_totalprice"), "o_orderkey",
+                           qs=(0.25, 0.5, 0.75), score_name="totalprice")
+
+
 def q_skew_report(spark, sf_dir):
     """Join-key skew diagnostics over lineitem's three join keys."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -91,6 +98,7 @@ QUERIES = {
     "winsorize": q_winsorize,
     "skew_report": q_skew_report,
     "contingency": q_contingency,
+    "quantile_bin": q_quantile_bin,
 }
 
 ORACLES = {
@@ -117,4 +125,7 @@ ORACLES = {
         "lineitem", ["l_orderkey", "l_partkey", "l_suppkey"]),
     "contingency": PR.contingency_table_sql(
         "orders", "o_orderstatus", "o_orderpriority"),
+    "quantile_bin": SA.quantile_bin_sql(
+        "orders", "o_totalprice", "o_orderkey",
+        qs=(0.25, 0.5, 0.75), score_name="totalprice"),
 }

@@ -10,6 +10,8 @@ exact DuckDB mirror.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 
@@ -163,6 +165,59 @@ def winsorize_sql(source_sql: str, score_sql: str, id_col: str,
         )
         SELECT s.{id_col}, s._score AS {score_name},
                least(greatest(s._score, t._lo), t._hi) AS clipped
+        FROM scored s CROSS JOIN thr t
+    """
+
+
+def quantile_bin(df: DataFrame, score: F.Column, id_col: str,
+                 qs: tuple[float, ...] = (0.25, 0.5, 0.75),
+                 score_name: str = "score") -> DataFrame:
+    """(id, score, bin): QuantileDiscretizer analogue — each row's bin is
+    the number of discrete quantile thresholds at or below its score
+    (len(qs)+1 buckets). Thresholds come from the same integer-exact
+    cumulative-count quantile as winsorize/quantile_threshold_flags, so
+    bucket edges cannot disagree between engines; the per-row assignment
+    is a broadcast of len(qs) scalars."""
+    scored = df.select(F.col(id_col), score.alias("_score"))
+    counts = scored.groupBy("_score").agg(F.count(F.lit(1)).alias("_c"))
+    cum_w = Window.orderBy("_score").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (counts.withColumn("_cum", F.sum("_c").over(cum_w))
+           .crossJoin(F.broadcast(
+               scored.agg(F.count(F.lit(1)).alias("_n")))))
+    thr = cum.agg(*[
+        F.min(F.when(F.col("_cum") >= F.ceil(F.lit(q) * F.col("_n")),
+                     F.col("_score"))).alias(f"_t{i}")
+        for i, q in enumerate(qs)])
+    out = scored.crossJoin(F.broadcast(thr))
+    bin_col = reduce(
+        lambda acc, i: acc + F.when(F.col("_score") > F.col(f"_t{i}"), 1)
+        .otherwise(0),
+        range(len(qs)), F.lit(0))
+    return out.select(F.col(id_col), F.col("_score").alias(score_name),
+                      bin_col.cast("bigint").alias("bin"))
+
+
+def quantile_bin_sql(source_sql: str, score_sql: str, id_col: str,
+                     qs: tuple[float, ...] = (0.25, 0.5, 0.75),
+                     score_name: str = "score") -> str:
+    """DuckDB mirror of :func:`quantile_bin`."""
+    thr_cols = ", ".join(
+        f"min(CASE WHEN _cum >= ceil({q} * (SELECT count(*) FROM scored))"
+        f" THEN _score END) AS _t{i}" for i, q in enumerate(qs))
+    bin_expr = " + ".join(
+        f"(CASE WHEN s._score > t._t{i} THEN 1 ELSE 0 END)"
+        for i in range(len(qs)))
+    return f"""
+        WITH scored AS (
+            SELECT {id_col}, {score_sql} AS _score FROM {source_sql}
+        ), cum AS (
+            SELECT _score, sum(_c) OVER (
+                ORDER BY _score
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _cum
+            FROM (SELECT _score, count(*) AS _c FROM scored GROUP BY _score)
+        ), thr AS (SELECT {thr_cols} FROM cum)
+        SELECT s.{id_col}, s._score AS {score_name},
+               CAST({bin_expr} AS BIGINT) AS bin
         FROM scored s CROSS JOIN thr t
     """
 

@@ -76,3 +76,17 @@ def test_contingency_marginals_sum(spark):
     cell = out[("a", "p")]
     assert (cell.observed, cell.row_total, cell.col_total, cell.n) == (2, 3, 2, 4)
     assert sum(x.observed for x in out.values()) == 4
+
+
+def test_quantile_bin_quartiles(spark):
+    from datafusion_delta_sharing_spark.operators.sampling import quantile_bin
+
+    # scores 1..100: thresholds 25/50/75 -> bins 0..3 of 25 each
+    df = spark.range(1, 101).select(F.col("id"),
+                                    F.col("id").cast("double").alias("s"))
+    out = {r.id: r.bin for r in
+           quantile_bin(df, F.col("s"), "id").collect()}
+    from collections import Counter
+    assert Counter(out.values()) == {0: 25, 1: 25, 2: 25, 3: 25}
+    assert out[25] == 0 and out[26] == 1    # threshold value stays below
+    assert out[75] == 2 and out[76] == 3

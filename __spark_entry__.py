@@ -42,7 +42,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # format-breadth scans (csv_scan, json_scan, orc_scan), the tierb7 pair
 # (variant_funcs, udaf_grouped_agg), the extensions5 table ops
 # (table_profile, dq_checks, histogram, ohlc_rollup, gap_fill,
-# winsorize, skew_report, contingency, quantile_bin), pad_case_funcs,
+# winsorize, skew_report, contingency, quantile_bin, twap),
+# pad_case_funcs,
 # trig_funcs, bitwise_funcs, and the r1-green tierb2 four (agg_corr,
 # explode_lateral, map_funcs, window_analytics). All were verified
 # against the oracle comparator in-session r3.

@@ -70,6 +70,14 @@ def q_winsorize(spark, sf_dir):
                         q_lo=0.01, q_hi=0.99, score_name="totalprice")
 
 
+def q_twap(spark, sf_dir):
+    """Hourly time-weighted average event value per user (subset)."""
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("user_id") < 50))
+    return TS.twap(ev, "ts", "user_id", "value", "event_id",
+                   bucket_minutes=60)
+
+
 def q_quantile_bin(spark, sf_dir):
     """Quartile-bin every order's total price (feature discretization)."""
     orders = load_table(spark, sf_dir, "orders")
@@ -99,6 +107,7 @@ QUERIES = {
     "skew_report": q_skew_report,
     "contingency": q_contingency,
     "quantile_bin": q_quantile_bin,
+    "twap": q_twap,
 }
 
 ORACLES = {
@@ -128,4 +137,7 @@ ORACLES = {
     "quantile_bin": SA.quantile_bin_sql(
         "orders", "o_totalprice", "o_orderkey",
         qs=(0.25, 0.5, 0.75), score_name="totalprice"),
+    "twap": TS.twap_sql("(SELECT * FROM events WHERE user_id < 50)",
+                        "ts", "user_id", "value", "event_id",
+                        bucket_minutes=60),
 }

@@ -71,6 +71,87 @@ def ohlc_rollup_sql(source_sql: str, ts_col: str, key_col: str,
     """
 
 
+def twap(df: DataFrame, ts_col: str, key_col: str, val_col: str,
+         id_col: str, bucket_minutes: int = 60) -> DataFrame:
+    """Time-weighted average per (key, bucket): each observation holds its
+    value until the next one (step interpolation), and the bucket average
+    weights values by held-microseconds inside the bucket. The integral
+    runs entirely in integers — value cents x microsecond overlaps,
+    floor-divided — so the oracle is hash-exact (a float integral would
+    hit the same accumulation-order ULP traps as the lerp in
+    gap_fill_interpolate). Intervals after the last observation are
+    dropped (no extrapolation).
+
+    Scale: one window per key for the interval ends, one explode over the
+    buckets each interval spans (bounded by interval length / bucket),
+    one hash aggregate. Output: (key, bucket_start, twap_num, twap_den,
+    twap_cents) where twap_cents = twap_num div twap_den."""
+    us = bucket_minutes * 60 * 1_000_000
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("key").orderBy("t0", "id")
+    iv = (df.select(F.col(key_col).alias("key"),
+                    F.round(F.col(val_col) * 100).cast("long").alias("vc"),
+                    F.expr(f"unix_micros(cast({ts_col} as timestamp))")
+                    .alias("t0"),
+                    F.col(id_col).alias("id"))
+          .withColumn("t1", F.lead("t0").over(w))
+          .filter(F.col("t1").isNotNull() & (F.col("t1") > F.col("t0"))))
+    coded = (iv.withColumn("bk", F.explode(F.sequence(
+        F.floor(F.col("t0") / F.lit(us)).cast("long"),
+        F.floor((F.col("t1") - 1) / F.lit(us)).cast("long")))))
+    overlap = (F.least(F.col("t1"), (F.col("bk") + 1) * F.lit(us))
+               - F.greatest(F.col("t0"), F.col("bk") * F.lit(us)))
+    return (coded.withColumn("_ov", overlap)
+            .groupBy("key", "bk")
+            .agg(F.sum(F.col("vc") * F.col("_ov")).alias("twap_num"),
+                 F.sum("_ov").alias("twap_den"))
+            .select("key",
+                    F.timestamp_seconds(F.col("bk")
+                                        * (bucket_minutes * 60))
+                    .cast("timestamp_ntz").alias("bucket_start"),
+                    "twap_num", "twap_den",
+                    F.expr("twap_num div twap_den").alias("twap_cents")))
+
+
+def twap_sql(source_sql: str, ts_col: str, key_col: str, val_col: str,
+             id_col: str, bucket_minutes: int = 60) -> str:
+    """DuckDB mirror of twap."""
+    us = bucket_minutes * 60 * 1_000_000
+    secs = bucket_minutes * 60
+    return f"""
+    WITH ev AS (
+        SELECT {key_col} AS key,
+               CAST(round({val_col} * 100) AS BIGINT) AS vc,
+               epoch_us({ts_col}) AS t0,
+               lead(epoch_us({ts_col})) OVER (
+                   PARTITION BY {key_col}
+                   ORDER BY epoch_us({ts_col}), {id_col}) AS t1
+        FROM {source_sql}
+    ), iv AS (
+        SELECT * FROM ev WHERE t1 IS NOT NULL AND t1 > t0
+    ), ex AS (
+        SELECT key, vc, t0, t1,
+               unnest(generate_series(t0 // {us}, (t1 - 1) // {us})) AS bk
+        FROM iv
+    ), agg AS (
+        SELECT key, bk,
+               CAST(sum(vc * (least(t1, (bk + 1) * {us})
+                              - greatest(t0, bk * {us}))) AS BIGINT)
+                   AS twap_num,
+               CAST(sum(least(t1, (bk + 1) * {us})
+                        - greatest(t0, bk * {us})) AS BIGINT) AS twap_den
+        FROM ex GROUP BY key, bk
+    )
+    SELECT key,
+           (TIMESTAMP '1970-01-01 00:00:00'
+            + (bk * {secs}) * INTERVAL 1 SECOND) AS bucket_start,
+           twap_num, twap_den,
+           twap_num // twap_den AS twap_cents
+    FROM agg
+    """
+
+
 def gap_fill_interpolate(df: DataFrame, ts_col: str, key_col: str,
                          val_col: str, bucket_minutes: int = 60,
                          agg: str = "avg") -> DataFrame:

@@ -51,3 +51,24 @@ def test_gap_fill_linear_interpolation(spark):
     assert out[("a", dt.datetime(2024, 1, 1, 15, 0))] == (True, 0.0)
     assert out[("b", dt.datetime(2024, 1, 1, 10, 0))] == (True, 5.0)
     assert len(out) == 7  # b's spine is one bucket, no extrapolation
+
+
+def test_twap_step_integral(spark):
+    rows = [
+        (1, "a", _ts(0), 10.0),     # held 10:00-10:30
+        (2, "a", _ts(30), 30.0),    # held 10:30-11:00
+        (3, "a", dt.datetime(2024, 1, 1, 11, 0), 50.0),  # held 11:00-12:00
+        (4, "a", dt.datetime(2024, 1, 1, 12, 0), 99.0),  # terminal: dropped
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user string, ts timestamp_ntz, value double")
+    out = {r.bucket_start: r for r in
+           TS.twap(df, "ts", "user", "value", "event_id",
+                   bucket_minutes=60).collect()}
+    h10 = out[dt.datetime(2024, 1, 1, 10, 0)]
+    # (10c * 30min + 30c * 30min) / 60min = 20.00
+    assert h10.twap_cents == 2000
+    assert h10.twap_den == 3600 * 1_000_000
+    h11 = out[dt.datetime(2024, 1, 1, 11, 0)]
+    assert h11.twap_cents == 5000
+    assert len(out) == 2  # nothing after the last observation

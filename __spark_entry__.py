@@ -35,7 +35,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # extensions3 corpus-curation queries (line_dedup, unigram_logprob,
 # semantic_dedup, token_budget, dedup_incremental, pmi_collocations,
 # grouped_quantiles, distinctive_terms, corpus_overlap), the extensions6
-# behavioral batch (funnel, retention, triangles, pagerank), the
+# behavioral batch (funnel, retention, triangles, pagerank,
+# interval_join), the
 # extensions7 warehouse patterns (scd2_build, event_transitions,
 # basket_rules, rolling_wau, label_index), the extensions4
 # layout/join queries (zorder_stats, fuzzy_join), stream_enrich, the

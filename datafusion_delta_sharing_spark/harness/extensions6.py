@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from datafusion_delta_sharing_spark.harness import load_table
 from datafusion_delta_sharing_spark.operators import graph as GR
+from datafusion_delta_sharing_spark.operators import intervals as IV
 
 
 def q_funnel(spark, sf_dir):
@@ -118,11 +119,40 @@ def q_pagerank(spark, sf_dir):
     return GR.pagerank_int(edges, iterations=3, top_k=50)
 
 
+_IVL_USERS = 80
+_IVL_GRAIN_US = 86_400_000_000  # 1-day grains over multi-week spans
+
+
+def q_interval_join(spark, sf_dir):
+    """Overlapping user-activity spans via the bucketed interval join; the
+    oracle is the naive quadratic theta join, so the hash check proves
+    the scalable rewrite is lossless."""
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("user_id") < _IVL_USERS))
+    spans = (ev.groupBy("user_id")
+             .agg(F.min(F.expr("unix_micros(cast(ts as timestamp))"))
+                  .alias("s"),
+                  (F.max(F.expr("unix_micros(cast(ts as timestamp))")) + 1)
+                  .alias("e")))
+    return IV.interval_overlap_join(spans, spans, "user_id", "s", "e",
+                                    grain_us=_IVL_GRAIN_US)
+
+
+_SPANS_SQL = f"""(
+    SELECT user_id,
+           CAST(min(epoch_us(ts)) AS BIGINT) AS s,
+           CAST(max(epoch_us(ts)) + 1 AS BIGINT) AS e
+    FROM events WHERE user_id < {_IVL_USERS}
+    GROUP BY user_id
+)"""
+
+
 QUERIES = {
     "funnel": q_funnel,
     "retention": q_retention,
     "triangles": q_triangles,
     "pagerank": q_pagerank,
+    "interval_join": q_interval_join,
 }
 
 ORACLES = {
@@ -134,4 +164,6 @@ ORACLES = {
     "pagerank": GR.pagerank_int_sql(
         f"(SELECT * FROM lineitem WHERE l_orderkey < {_TRI_ORDERS})",
         "l_orderkey", "l_partkey", iterations=3, top_k=50),
+    "interval_join": IV.interval_overlap_join_sql(
+        _SPANS_SQL, _SPANS_SQL, "user_id", "s", "e"),
 }

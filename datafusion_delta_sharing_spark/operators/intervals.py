@@ -1,0 +1,60 @@
+"""Interval-overlap join via temporal bucketization.
+
+Joining two interval sets on overlap (s1 < e2 AND s2 < e1) has no equi
+key, so a naive plan is a broadcast-nested-loop or cartesian — quadratic
+at scale. The scalable form buckets time into coarse grains, explodes
+each interval over the grains it touches, equi-joins on the grain (hash
+shuffle), dedups candidate pairs, and verifies the exact overlap
+predicate. Grain size trades explode factor against join fan-out: pick
+it near the median interval length so each interval touches O(1) grains.
+
+The DuckDB oracle is deliberately the NAIVE quadratic theta join — same
+semantics, different plan — so the hash check proves the bucketed
+rewrite loses and invents nothing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def interval_overlap_join(left: DataFrame, right: DataFrame,
+                          id_col: str, start_col: str, end_col: str,
+                          grain_us: int) -> DataFrame:
+    """(l_id, r_id, overlap_us) for half-open [start, end) interval pairs
+    (left id < right id to emit each unordered pair once). start/end are
+    BIGINT microseconds."""
+    def coded(df, side):
+        return (df.select(F.col(id_col).alias(f"{side}_id"),
+                          F.col(start_col).alias(f"{side}_s"),
+                          F.col(end_col).alias(f"{side}_e"))
+                .withColumn("g", F.explode(F.sequence(
+                    F.floor(F.col(f"{side}_s") / F.lit(grain_us))
+                    .cast("long"),
+                    F.floor((F.col(f"{side}_e") - 1) / F.lit(grain_us))
+                    .cast("long")))))
+
+    cand = (coded(left, "l").join(coded(right, "r"), "g")
+            .filter(F.col("l_id") < F.col("r_id"))
+            .select("l_id", "l_s", "l_e", "r_id", "r_s", "r_e")
+            .distinct())
+    return (cand.filter((F.col("l_s") < F.col("r_e"))
+                        & (F.col("r_s") < F.col("l_e")))
+            .select("l_id", "r_id",
+                    (F.least("l_e", "r_e")
+                     - F.greatest("l_s", "r_s")).alias("overlap_us")))
+
+
+def interval_overlap_join_sql(left_sql: str, right_sql: str, id_col: str,
+                              start_col: str, end_col: str) -> str:
+    """The naive quadratic mirror (correctness spec, not the scale plan)."""
+    return f"""
+    SELECT l.{id_col} AS l_id, r.{id_col} AS r_id,
+           CAST(least(l.{end_col}, r.{end_col})
+                - greatest(l.{start_col}, r.{start_col}) AS BIGINT)
+               AS overlap_us
+    FROM {left_sql} l JOIN {right_sql} r
+      ON l.{id_col} < r.{id_col}
+     AND l.{start_col} < r.{end_col}
+     AND r.{start_col} < l.{end_col}
+    """

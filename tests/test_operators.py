@@ -692,3 +692,20 @@ def test_pagerank_int_star_graph_and_determinism(spark):
     again = {r.v: r.rank for r in
              pagerank_int(edges.repartition(7), iterations=3).collect()}
     assert again == ranks
+
+
+def test_interval_overlap_join_semantics(spark):
+    from datafusion_delta_sharing_spark.operators.intervals import (
+        interval_overlap_join,
+    )
+
+    us = 1_000_000
+    rows = [(1, 0 * us, 10 * us),     # overlaps 2, touches 3
+            (2, 5 * us, 15 * us),     # overlaps 1 and 3
+            (3, 10 * us, 20 * us),    # touches 1 (no overlap, half-open)
+            (4, 100 * us, 110 * us)]  # disjoint from all
+    df = spark.createDataFrame(rows, "id long, s long, e long")
+    out = {(r.l_id, r.r_id): r.overlap_us for r in
+           interval_overlap_join(df, df, "id", "s", "e",
+                                 grain_us=4 * us).collect()}
+    assert out == {(1, 2): 5 * us, (2, 3): 5 * us}

@@ -709,3 +709,33 @@ def test_interval_overlap_join_semantics(spark):
            interval_overlap_join(df, df, "id", "s", "e",
                                  grain_us=4 * us).collect()}
     assert out == {(1, 2): 5 * us, (2, 3): 5 * us}
+
+
+def test_operator_edge_cases(spark):
+    """Empty inputs and invalid parameters fail safe, not silently."""
+    from datafusion_delta_sharing_spark.operators.intervals import (
+        interval_overlap_join,
+    )
+    from datafusion_delta_sharing_spark.operators.sampling import (
+        quantile_bin,
+        winsorize,
+    )
+
+    empty = make_docs(spark, []).select("doc_id", "text")
+    # incremental dedup of an empty batch -> empty survivors, no error
+    idx = DD.corpus_hash_index(make_docs(spark, [(1, "a")]), "text", "doc_id")
+    assert DD.incremental_dedup(empty, idx, "text", "doc_id").count() == 0
+    # fuzzy join with an empty side -> empty result
+    small = spark.createDataFrame([(1, "abcdef")], "id long, name string")
+    emptyn = spark.createDataFrame([], "id long, name string")
+    assert FJ.fuzzy_join(small, emptyn, "id", "name", "id", "name").count() == 0
+    # invalid quantile parameters raise
+    df = spark.range(5).select(F.col("id"), (F.col("id") * 1.0).alias("s"))
+    with pytest.raises(ValueError):
+        winsorize(df, F.col("s"), "id", q_lo=0.9, q_hi=0.1)
+    # interval join with zero-length input -> empty
+    iv = spark.createDataFrame([], "id long, s long, e long")
+    assert interval_overlap_join(iv, iv, "id", "s", "e", 1000).count() == 0
+    # quantile_bin on a single row puts it in the top bin deterministically
+    one = spark.createDataFrame([(1, 5.0)], "id long, s double")
+    assert quantile_bin(one, F.col("s"), "id").collect()[0].bin == 0

@@ -1,0 +1,73 @@
+"""Recall-bound summary rows for hash-unmirrorable approximate operators.
+
+The LSH-family operators (MinHash-LSH, SimHash pigeonhole, hyperplane-LSH
+ANN, IVF ANN) are deterministic in Spark (fixed-seed ``xxhash64`` /
+md5-derived hyperplanes) but have no ANSI-SQL mirror: DuckDB lacks
+xxhash64, so their raw pair/top-k outputs could only be checked rows-only
+(VERDICT r3 next-round #2). The summary row closes that gap: the
+approximate output is joined against an exact baseline computed *in the
+same Spark job*, and the query returns ONE row of oracle-computable facts:
+
+- ``n_exact``    — size of the exact baseline (the oracle recomputes this
+                   with real SQL — jaccard self-join, planted-pair count,
+                   brute-force top-k count);
+- ``n_missed_allowed`` — ``floor((1 - bound) * n_exact)``, derived the
+                   same way on both sides;
+- ``n_false``    — (optional) approximate results NOT in the exact set,
+                   for operators whose verify step makes output ⊆ exact a
+                   contract (the oracle expects 0);
+- ``recall_ok``  — ``(n_exact - n_hit) <= n_missed_allowed``; the oracle
+                   expects TRUE.
+
+Mis-wired banding/bucketing collapses recall and flips ``recall_ok`` (or
+``n_false``), failing the driver's value hash; a broken exact baseline
+fails on ``n_exact``. The recall bounds are empirical constants measured
+at sf0.01/sf0.1 with deliberate slack (the workloads are pinned to
+SF-independent subsets where possible, see harness/extensions.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def recall_summary(exact: DataFrame, found: DataFrame, keys: list[str],
+                   bound: float, check_precision: bool = False) -> DataFrame:
+    """One-row summary comparing an approximate result against its exact
+    baseline on the given key columns. All three inputs to the verdict are
+    single-row aggregates combined with scalar cross-joins (broadcast of
+    one row — no data shuffle beyond the two aggregations)."""
+    ex = exact.select(*keys)
+    fd = found.select(*keys)
+    n_exact = ex.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_hit = (ex.join(fd, keys, "left_semi")
+             .agg(F.count(F.lit(1)).alias("n_hit")))
+    out = n_exact.crossJoin(n_hit)
+    if check_precision:
+        n_false = (fd.join(ex, keys, "left_anti")
+                   .agg(F.count(F.lit(1)).alias("n_false")))
+        out = out.crossJoin(n_false)
+    # same expression shape as the SQL mirror: floor((1.0 - bound) * n)
+    allowed = F.floor(F.lit(1.0 - bound) * F.col("n_exact")).cast("bigint")
+    cols = [F.col("n_exact"), allowed.alias("n_missed_allowed")]
+    if check_precision:
+        cols.append(F.col("n_false"))
+    cols.append(((F.col("n_exact") - F.col("n_hit")) <= allowed)
+                .alias("recall_ok"))
+    return out.select(*cols)
+
+
+def recall_summary_sql(n_exact_sql: str, bound: float,
+                       check_precision: bool = False) -> str:
+    """DuckDB mirror: ``n_exact_sql`` is a scalar subquery computing the
+    exact-baseline count; the allowance is derived with the identical
+    float expression; recall (and precision, if checked) are asserted."""
+    n_false = "CAST(0 AS BIGINT) AS n_false,\n               " \
+        if check_precision else ""
+    return f"""
+        SELECT n_exact,
+               CAST(floor((1.0 - {bound!r}) * n_exact) AS BIGINT)
+                   AS n_missed_allowed,
+               {n_false}TRUE AS recall_ok
+        FROM (SELECT CAST(({n_exact_sql}) AS BIGINT) AS n_exact)
+    """

@@ -3,9 +3,15 @@ north star) over the documents/embeddings tables, plus Structured Streaming.
 
 Oracle policy: exact dedup, n-gram Jaccard, text metrics, language ID,
 fingerprints, vector math and streaming window counts are ANSI-expressible
-and oracle-checked. MinHash-LSH / SimHash / LSH-ANN depend on xxhash64
-(absent in DuckDB) or have recall < 1, so they are rows-only here and
-verified against exact baselines in tests/ instead.
+and oracle-checked. MinHash-LSH / SimHash / LSH-ANN / IVF-ANN depend on
+xxhash64 (absent in DuckDB) or have recall < 1, so their raw outputs have
+no SQL mirror — instead each returns a recall-bound summary row
+(operators/recall.py, VERDICT r3 #2): the approximate output is joined
+against an exact baseline computed in the same Spark job, and the oracle
+recomputes the baseline count in SQL and expects the recall verdict TRUE.
+The bounds are empirical constants with slack, measured at sf0.01 AND
+sf0.1 (recalls: minhash .935/.973, simhash planted .947/.967, multi-table
+LSH ~1.0 on planted near-copies, IVF .467/.500 organic).
 """
 
 from __future__ import annotations
@@ -17,6 +23,8 @@ from datafusion_delta_sharing_spark.harness import load_table
 from datafusion_delta_sharing_spark.operators import dedup as DD
 from datafusion_delta_sharing_spark.operators import multimodal as MM
 from datafusion_delta_sharing_spark.operators import similarity as SIM
+from datafusion_delta_sharing_spark.operators.recall import (
+    recall_summary, recall_summary_sql)
 from datafusion_delta_sharing_spark.streaming.windows import (
     STREAM_DEDUP_ORACLE, STREAM_ENRICH_ORACLE, STREAM_JOIN_ORACLE,
     stream_dedup_keys, stream_hourly_counts, stream_static_enrich,
@@ -29,6 +37,17 @@ _EMB_DIM = 64
 _AUG_OFFSET = 1_000_000  # id offset for planted near-duplicate copies
 _AUG_SUFFIX = " xq yq zq wq"  # 4 appended words -> Jaccard (w-4)/w vs original
 _MAX_DOC_FREQ = 40       # posting-list cut for the dfcut demonstration
+
+# recall-bound constants (operators/recall.py). Bounds are deliberately
+# below the measured recalls (see module docstring) so single-pair ULP
+# flips can never flip the verdict; a mis-wired band/bucket join drops
+# recall far below any of them.
+_MINHASH_BOUND = 0.85    # measured .935 (sf0.01) / .973 (sf0.1)
+_SIMHASH_BOUND = 0.85    # planted-pair recall .947 / .967 at radius 10
+_LSH_BOUND = 0.80        # ~1.0 on planted near-copies, 8 tables
+_IVF_BOUND = 0.30        # .467 / .500 organic top-5, nprobe 4/16
+_LSH_TABLES = 8          # OR-amplification width for the ANN check
+_ANN_COPIES = 5          # planted near-copies per query vector
 
 
 def _docs_with_near_copies(spark, sf_dir):
@@ -87,19 +106,36 @@ def q_dedup_components(spark, sf_dir):
 
 
 def q_dedup_minhash(spark, sf_dir):
-    """MinHash-LSH candidates (xxhash64-based: rows-only check; recall vs the
-    exact Jaccard of q_ngram_jaccard is asserted in tests). Runs over the
-    planted near-copies so the banding + verification path processes ~150
-    true pairs, not the 1 pair the raw corpus contains."""
+    """MinHash-LSH recall summary (VERDICT r3 #2: the raw pairs are
+    xxhash64-based and unmirrorable in DuckDB, so the query now returns a
+    hash-checkable verdict instead of a rows-only dump). Exact baseline =
+    the full n-gram Jaccard self-join over the same planted-near-copy
+    corpus, computed in this job; the oracle recomputes its count with the
+    same SQL as the ngram_jaccard oracle. The LSH verify step computes true
+    Jaccard, so found ⊆ exact is a contract — n_false is checked too
+    (expected 0). Wrong banding ⇒ recall below 0.85 ⇒ hash mismatch."""
     docs = _docs_with_near_copies(spark, sf_dir)
-    return DD.minhash_lsh_pairs(docs, "text", "doc_id",
-                                num_hashes=16, bands=4, k=5, threshold=0.15)
+    exact = DD.ngram_jaccard_pairs(docs, "text", "doc_id",
+                                   k=5, threshold=0.15)
+    found = DD.minhash_lsh_pairs(docs, "text", "doc_id",
+                                 num_hashes=16, bands=4, k=5, threshold=0.15)
+    return recall_summary(exact, found, ["id_a", "id_b"], _MINHASH_BOUND,
+                          check_precision=True)
 
 
 def q_dedup_simhash(spark, sf_dir):
-    """SimHash near-dup pairs (xxhash64-based: rows-only check)."""
-    docs = load_table(spark, sf_dir, "documents")
-    return DD.simhash_neardup_pairs(docs, "text", "doc_id", max_hamming=10)
+    """SimHash pigeonhole recall summary over the planted near-copies:
+    every (doc, doc+4-words) pair is an expected near-duplicate; the
+    summary asserts >= 85% of them land within Hamming radius 10 (measured
+    .947/.967 at sf0.01/sf0.1). A broken bit-vote or chunk join collapses
+    planted recall. The oracle recomputes the planted-pair count."""
+    docs = _docs_with_near_copies(spark, sf_dir)
+    planted = (load_table(spark, sf_dir, "documents")
+               .filter(F.col("doc_id") < _JACCARD_DOCS)
+               .select(F.col("doc_id").alias("id_a"),
+                       (F.col("doc_id") + F.lit(_AUG_OFFSET)).alias("id_b")))
+    found = DD.simhash_neardup_pairs(docs, "text", "doc_id", max_hamming=10)
+    return recall_summary(planted, found, ["id_a", "id_b"], _SIMHASH_BOUND)
 
 
 # -- similarity search ----------------------------------------------------
@@ -123,19 +159,63 @@ def q_ann_topk(spark, sf_dir):
     return SIM.brute_force_topk(emb, queries, k=5)
 
 
-def q_ann_lsh_topk(spark, sf_dir):
-    """LSH-bucketed ANN (recall < 1: rows-only; recall asserted in tests)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+def _emb_with_planted_neighbors(spark, sf_dir):
+    """Embeddings plus _ANN_COPIES deterministically perturbed copies of
+    each query vector (component d scaled by 1 + 0.12·sin(d + c) — cosine
+    ≈ 0.996 to the original, far above the organic top-5 range of
+    0.26–0.42 on this corpus). LSH is a near-duplicate retriever: on
+    near-random organic data its recall is structurally ~0 whatever the
+    wiring (measured 0.03/0.0 pre-r4), so the recall check runs on the
+    workload the operator exists for. The baseline stays honest: exact
+    brute-force top-k over the SAME augmented corpus, same job."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding")
     queries = emb.filter(F.col("vec_id") <= _ANN_QUERIES)
-    return SIM.lsh_topk(emb, queries, dim=_EMB_DIM, k=5, n_planes=8)
+    vec_type = dict(emb.dtypes)["embedding"]
+
+    def _perturb(c: int):
+        # two-arg lambda: transform() fills every declared parameter, so
+        # the copy index must come from a closure, not a default arg
+        return lambda x, i: (
+            x.cast("double")
+            * (1.0 + 0.12 * F.sin(i.cast("double") + F.lit(float(c)))))
+
+    copies = [
+        queries.select(
+            (F.col("vec_id") + F.lit(c * _AUG_OFFSET)).alias("vec_id"),
+            F.transform("embedding", _perturb(c))
+            .cast(vec_type).alias("embedding"))
+        for c in range(1, _ANN_COPIES + 1)
+    ]
+    corpus = emb
+    for cp in copies:
+        corpus = corpus.unionByName(cp)
+    return corpus, queries
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """Multi-table LSH ANN recall summary (VERDICT r3 #2). Exact top-5 per
+    query = the 5 planted near-copies (verified by in-job brute force, not
+    assumed); the 8-table 8-plane LSH must recover >= 80% of them (any
+    single mis-wired table/bucket join drops essentially all of them).
+    The oracle recomputes n_exact as n_queries × k."""
+    corpus, queries = _emb_with_planted_neighbors(spark, sf_dir)
+    exact = SIM.brute_force_topk(corpus, queries, k=5)
+    found = SIM.lsh_topk(corpus, queries, dim=_EMB_DIM, k=5, n_planes=8,
+                         n_tables=_LSH_TABLES)
+    return recall_summary(exact, found, ["query_id", "cand_id"], _LSH_BOUND)
 
 
 def q_ann_ivf_topk(spark, sf_dir):
-    """IVF coarse-quantizer ANN (recall < 1: rows-only; recall vs brute
-    force asserted in tests)."""
+    """IVF ANN recall summary vs in-job brute force on the organic corpus
+    (nprobe 4 of 16 cells ⇒ measured recall .467/.500; bound 0.30 leaves
+    ~5-pair slack against centroid ULP drift while still failing instantly
+    if assignment or probing is mis-wired)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") <= _ANN_QUERIES)
-    return SIM.ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=4)
+    exact = SIM.brute_force_topk(emb, queries, k=5)
+    found = SIM.ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=4)
+    return recall_summary(exact, found, ["query_id", "cand_id"], _IVF_BOUND)
 
 
 # -- text analysis --------------------------------------------------------
@@ -291,6 +371,23 @@ ORACLES = {
         WITH {_DOCS_AUG}, {_posts_cte('docs_aug')},
         {_JACCARD_TAIL.format(posts='posts')}
     """,
+    # recall summaries (VERDICT r3 #2): the oracle recomputes the exact
+    # baseline count with real SQL and expects the Spark-side recall
+    # verdict to hold; see operators/recall.py for the contract.
+    "dedup_minhash": recall_summary_sql(
+        f"""SELECT count(*) FROM (
+            WITH {_DOCS_AUG}, {_posts_cte('docs_aug')},
+            {_JACCARD_TAIL.format(posts='posts')}
+        )""", _MINHASH_BOUND, check_precision=True),
+    "dedup_simhash": recall_summary_sql(
+        f"SELECT count(*) FROM documents WHERE doc_id < {_JACCARD_DOCS}",
+        _SIMHASH_BOUND),
+    "ann_lsh_topk": recall_summary_sql(
+        f"SELECT count(*) * 5 FROM embeddings WHERE vec_id <= {_ANN_QUERIES}",
+        _LSH_BOUND),
+    "ann_ivf_topk": recall_summary_sql(
+        f"SELECT count(*) * 5 FROM embeddings WHERE vec_id <= {_ANN_QUERIES}",
+        _IVF_BOUND),
     "ngram_jaccard_dfcut": f"""
         WITH {_DOCS_AUG}, {_posts_cte('docs_aug')},
         cut AS (

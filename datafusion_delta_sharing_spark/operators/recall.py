@@ -64,10 +64,13 @@ def recall_summary_sql(n_exact_sql: str, bound: float,
     float expression; recall (and precision, if checked) are asserted."""
     n_false = "CAST(0 AS BIGINT) AS n_false,\n               " \
         if check_precision else ""
+    # embed the PRECOMPUTED double (1.0 - bound) and force DOUBLE: a bare
+    # SQL literal like 0.8 is DECIMAL in DuckDB, so (1.0 - 0.8) * 30 would
+    # be an exact 6.0 while Spark's double math floors to 5 (ULP trap)
     return f"""
         SELECT n_exact,
-               CAST(floor((1.0 - {bound!r}) * n_exact) AS BIGINT)
-                   AS n_missed_allowed,
+               CAST(floor(CAST({1.0 - bound!r} AS DOUBLE) * n_exact)
+                    AS BIGINT) AS n_missed_allowed,
                {n_false}TRUE AS recall_ok
         FROM (SELECT CAST(({n_exact_sql}) AS BIGINT) AS n_exact)
     """

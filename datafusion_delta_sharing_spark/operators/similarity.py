@@ -63,14 +63,19 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
-def _hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
+def _hyperplanes(dim: int, n_planes: int, table: int = 0) -> list[list[float]]:
     """Deterministic pseudo-random ±1 hyperplanes from md5(plane, dim) —
-    reproducible across sessions with no RNG state."""
+    reproducible across sessions with no RNG state. ``table`` derives an
+    independent plane set per hash table (OR-amplification); table 0 keeps
+    the original un-prefixed key so single-table signatures are unchanged
+    across rounds."""
     planes = []
     for p in range(n_planes):
         row = []
         for d in range(dim):
-            digest = hashlib.md5(f"plane-{p}-dim-{d}".encode()).digest()
+            key = (f"plane-{p}-dim-{d}" if table == 0
+                   else f"table-{table}-plane-{p}-dim-{d}")
+            digest = hashlib.md5(key.encode()).digest()
             row.append(1.0 if digest[0] % 2 == 0 else -1.0)
         planes.append(row)
     return planes
@@ -80,7 +85,14 @@ def lsh_signature(df: DataFrame, dim: int, n_planes: int = 12,
                   id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Random-hyperplane signature: bit p = (v · h_p) > 0, packed into a
     long. Hyperplane dot products are zip_with/aggregate — JVM-side."""
-    planes = _hyperplanes(dim, n_planes)
+    signature = _signature_expr(vec_col, _hyperplanes(dim, n_planes))
+    return df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
+                     signature.alias("bucket"))
+
+
+def _signature_expr(vec_col: str, planes: list[list[float]]):
+    """Packed sign-bit signature of ``vec_col`` against the given planes —
+    bit p = (v · h_p) > 0. Pure zip_with/aggregate, JVM-side."""
     bits = []
     for p, plane in enumerate(planes):
         plane_col = F.array(*[F.lit(v) for v in plane])
@@ -94,26 +106,56 @@ def lsh_signature(df: DataFrame, dim: int, n_planes: int = 12,
     signature = bits[0]
     for b in bits[1:]:
         signature = signature.bitwiseOR(b)
-    return df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
-                     signature.alias("bucket"))
+    return signature
+
+
+def _lsh_buckets(df: DataFrame, dim: int, n_planes: int, n_tables: int,
+                 id_col: str, vec_col: str) -> DataFrame:
+    """(id, table, bucket) posting rows — one per hash table. The vector
+    column is dropped BEFORE the table-explode so embeddings never ride
+    the n_tables×-duplicated exchange (same rule as the MinHash band
+    explode, VERDICT r1 #5); they re-attach per candidate after dedup."""
+    sigs = [F.struct(F.lit(t).alias("t"),
+                     _signature_expr(vec_col, _hyperplanes(dim, n_planes, t))
+                     .alias("b"))
+            for t in range(n_tables)]
+    return (df.select(F.col(id_col).alias("id"),
+                      F.explode(F.array(*sigs)).alias("tb"))
+            .select("id", F.col("tb.t").alias("table"),
+                    F.col("tb.b").alias("bucket")))
 
 
 def lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
-             n_planes: int = 12, id_col: str = "vec_id",
+             n_planes: int = 12, n_tables: int = 1, id_col: str = "vec_id",
              vec_col: str = "embedding") -> DataFrame:
-    """Approximate top-k: candidates share the query's LSH bucket (equi-join
-    on the packed signature), then exact cosine re-rank within candidates.
-    Recall < 1 by construction — the correctness harness records this one
-    rows-only; tests check recall against brute force instead."""
-    sig_c = lsh_signature(corpus, dim, n_planes, id_col, vec_col)
-    sig_q = (lsh_signature(queries, dim, n_planes, id_col, vec_col)
-             .select(F.col("id").alias("query_id"),
-                     F.col("vec").alias("query_vec"),
-                     F.col("bucket").alias("qbucket")))
-    cand = sig_c.join(
-        F.broadcast(sig_q),
-        (F.col("bucket") == F.col("qbucket")) & (F.col("id") != F.col("query_id")))
-    scored = cand.withColumn(
+    """Approximate top-k: candidates share the query's bucket in ANY of
+    ``n_tables`` independent hash tables (equi-join on (table, signature) —
+    the classic OR-amplified LSH layout), then exact cosine re-rank within
+    the deduplicated candidates. One table keeps the legacy behavior;
+    at realistic corpus sizes recall comes from multiple tables — each
+    table multiplies candidate volume by ~N/2^n_planes, so tune
+    (n_planes, n_tables) to the similarity level you must recover (LSH
+    recovers near-duplicate-grade neighbors, cosine >= ~0.9; genuinely
+    low-similarity top-k needs the IVF or brute-force path).
+    Recall < 1 by construction — the harness checks a recall bound against
+    brute force computed in the same job (operators/recall.py)."""
+    cb = _lsh_buckets(corpus, dim, n_planes, n_tables, id_col, vec_col)
+    qb = (_lsh_buckets(queries, dim, n_planes, n_tables, id_col, vec_col)
+          .withColumnsRenamed({"id": "query_id"}))
+    cand = (
+        cb.join(F.broadcast(qb), ["table", "bucket"])
+        .filter(F.col("id") != F.col("query_id"))
+        .select("query_id", "id")
+        .dropDuplicates(["query_id", "id"])
+    )
+    rejoined = (
+        cand.join(corpus.select(F.col(id_col).alias("id"),
+                                F.col(vec_col).alias("vec")), "id")
+        .join(F.broadcast(queries.select(F.col(id_col).alias("query_id"),
+                                         F.col(vec_col).alias("query_vec"))),
+              "query_id")
+    )
+    scored = rejoined.withColumn(
         "score", F.round(cosine("query_vec", "vec"), 6))
     w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("id"))
     return (

@@ -130,6 +130,53 @@ def pagerank_int_sql(group_source_sql: str, group_col: str, item_col: str,
             f"\n    ORDER BY rank DESC, v LIMIT {top_k}")
 
 
+def dropped_vertex_count(edges: DataFrame, max_degree: int) -> DataFrame:
+    """One-row (n_dropped_vertices) — how many vertices of an UNCUT edge
+    list the ``max_degree`` cut would remove. Returned alongside the cut
+    triangle counts so the correctness artifact itself proves the cut was
+    non-vacuous (VERDICT r3 #5)."""
+    return (edges.select(F.col("a").alias("v"))
+            .unionAll(edges.select(F.col("b").alias("v")))
+            .groupBy("v").agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") > max_degree)
+            .agg(F.count(F.lit(1)).alias("n_dropped_vertices")))
+
+
+def triangle_count_degcut_sql(group_source_sql: str, group_col: str,
+                              item_col: str, max_degree: int) -> str:
+    """DuckDB mirror of cooccurrence_edges WITH the degree cut +
+    triangle_count + dropped_vertex_count: the hash check covers the cut
+    semantics, not just the wedge math."""
+    return f"""
+    WITH items AS (
+        SELECT DISTINCT {group_col} AS g, {item_col} AS i
+        FROM {group_source_sql}
+    ), edges0 AS (
+        SELECT DISTINCT l.i AS a, r.i AS b
+        FROM items l JOIN items r ON l.g = r.g AND l.i < r.i
+    ), deg AS (
+        SELECT v, count(*) AS d FROM (
+            SELECT a AS v FROM edges0 UNION ALL SELECT b AS v FROM edges0
+        ) GROUP BY v
+    ), keep AS (SELECT v FROM deg WHERE d <= {max_degree}),
+    edges AS (
+        SELECT e.a, e.b FROM edges0 e
+        JOIN keep ka ON e.a = ka.v
+        JOIN keep kb ON e.b = kb.v
+    ), wedges AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM edges e1 JOIN edges e2 ON e1.b = e2.a
+    ), tris AS (
+        SELECT 1 FROM wedges w JOIN edges e ON w.x = e.a AND w.z = e.b
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
+           (SELECT CAST(count(*) AS BIGINT) FROM wedges) AS n_wedges,
+           (SELECT CAST(count(*) AS BIGINT) FROM tris) AS n_triangles,
+           (SELECT CAST(count(*) AS BIGINT) FROM deg
+            WHERE d > {max_degree}) AS n_dropped_vertices
+    """
+
+
 def triangle_count_sql(group_source_sql: str, group_col: str,
                        item_col: str) -> str:
     """DuckDB mirror of cooccurrence_edges (no degree cut) + triangle_count."""

@@ -168,12 +168,44 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
 def embedding_neardup_pairs(corpus: DataFrame, threshold: float = 0.95,
                             id_col: str = "vec_id",
                             vec_col: str = "embedding") -> DataFrame:
-    """All pairs with cosine >= threshold. Exact form for oracle-checkable
-    subsets; at scale, run lsh_topk per shard instead (bucketed candidates)."""
+    """All pairs with cosine >= threshold — the O(n²) specification form
+    (BroadcastNestedLoopJoin over the corpus). Kept ONLY as the oracle/spec
+    for tests on small subsets; the named harness query and the 100 TB
+    path are :func:`embedding_neardup_pairs_bucketed` (VERDICT r3 #3)."""
     a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("score", F.round(cosine("va", "vb"), 6))
+        .filter(F.col("score") >= threshold)
+        .select("id_a", "id_b", "score")
+    )
+
+
+def embedding_neardup_pairs_bucketed(corpus: DataFrame,
+                                     threshold: float = 0.95,
+                                     sign_dims: int = 8,
+                                     id_col: str = "vec_id",
+                                     vec_col: str = "embedding") -> DataFrame:
+    """Bucket-local near-duplicate pairs: candidates come from an equi-join
+    on the deterministic sign bucket (the SemDeDup clustering key used by
+    :func:`semantic_dedup`), and only bucket-mates pay the exact cosine.
+    One shuffle on the bucket key, no all-pairs anywhere — the scale-safe
+    form of :func:`embedding_neardup_pairs` (VERDICT r3 #3). Near-identical
+    vectors agree on leading-component signs, so true near-dups co-bucket;
+    pairs straddling a sign boundary are the documented recall trade, and
+    the SQL oracle mirrors the bucket so the check stays hash-exact."""
+    with_b = corpus.select(F.col(id_col).alias("id"),
+                           F.col(vec_col).alias("vec"),
+                           sign_bucket(F.col(vec_col), sign_dims)
+                           .alias("bucket"))
+    a = with_b.select("bucket", F.col("id").alias("id_a"),
+                      F.col("vec").alias("va"))
+    b = with_b.select("bucket", F.col("id").alias("id_b"),
+                      F.col("vec").alias("vb"))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("score", F.round(cosine("va", "vb"), 6))
         .filter(F.col("score") >= threshold)
         .select("id_a", "id_b", "score")
@@ -203,18 +235,29 @@ def ivf_centroids(corpus: DataFrame, n_centroids: int = 16, iterations: int = 3,
 
     for _ in range(iterations):
         assigned = _assign(corpus, centroids, id_col, vec_col)
-        # mean vector per cluster: aggregate per-dimension sums distributed
-        sums = (assigned
-                .groupBy("centroid")
-                .agg(F.count(F.lit(1)).alias("n"),
-                     *[F.sum(F.element_at(F.col(vec_col), d + 1)).alias(f"s{d}")
-                       for d in range(centroids.shape[1])])
-                .collect())
+        # Lloyd update via posexplode + groupBy(centroid, dim): two narrow
+        # shuffles whose row width is independent of the embedding
+        # dimension, then one collect of n_centroids × dim small rows.
+        # The previous form emitted one aggregate column PER dimension —
+        # fine at dim 16, but thousands of agg expressions plus an
+        # ultra-wide driver row at dim 768-4096 (VERDICT r3 #4; the
+        # dim-512 smoke + wide-form equality tests live in
+        # tests/test_operators.py).
+        stats = (assigned
+                 .select("centroid",
+                         F.posexplode(F.col(vec_col)).alias("dim", "x"))
+                 .groupBy("centroid", "dim")
+                 .agg(F.sum(F.col("x").cast("double")).alias("s"),
+                      F.count(F.lit(1)).alias("n"))
+                 .collect())
+        sums = np.zeros_like(centroids)
+        counts = np.zeros(centroids.shape[0], dtype=np.int64)
+        for row in stats:
+            sums[row["centroid"], row["dim"]] = row["s"]
+            counts[row["centroid"]] = row["n"]  # same count for every dim
         new = centroids.copy()
-        for row in sums:
-            if row["n"] > 0:
-                new[row["centroid"]] = [row[f"s{d}"] / row["n"]
-                                        for d in range(centroids.shape[1])]
+        nonempty = counts > 0
+        new[nonempty] = sums[nonempty] / counts[nonempty, None]
         centroids = new
     return centroids
 

@@ -739,3 +739,159 @@ def test_operator_edge_cases(spark):
     # quantile_bin on a single row puts it in the top bin deterministically
     one = spark.createDataFrame([(1, 5.0)], "id long, s double")
     assert quantile_bin(one, F.col("s"), "id").collect()[0].bin == 0
+
+
+# -- r4: bucketed embedding near-dup, recall summaries, IVF at high dim ----
+
+
+def test_embedding_neardup_bucketed_no_nlj_and_subset(spark, emb):
+    sub = emb.filter("vec_id < 60").select("vec_id", "embedding")
+    copies = sub.select((F.col("vec_id") + 100000).alias("vec_id"),
+                        "embedding")
+    corpus = sub.unionByName(copies)
+    bucketed = SIM.embedding_neardup_pairs_bucketed(corpus, threshold=0.5)
+    plan = bucketed._jdf.queryExecution().executedPlan().toString()
+    # VERDICT r3 #3: the scale path must never all-pairs the corpus
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    got = {(r.id_a, r.id_b): r.score for r in bucketed.collect()}
+    # identical copies share every sign -> same bucket -> all planted
+    # pairs recovered with cosine exactly 1.0
+    n_sub = sub.count()
+    planted = {(r.vec_id, r.vec_id + 100000) for r in sub.collect()}
+    assert planted <= set(got)
+    assert all(got[p] == 1.0 for p in planted)
+    # bucketed output is a subset of the all-pairs spec form
+    exact = {(r.id_a, r.id_b): r.score for r in
+             SIM.embedding_neardup_pairs(corpus, threshold=0.5).collect()}
+    assert set(got) <= set(exact)
+    assert all(exact[k] == v for k, v in got.items())
+    assert len(planted) == n_sub
+
+
+def test_named_embedding_neardup_query_runs_bucketed_plan(spark, sf_dir):
+    from datafusion_delta_sharing_spark.harness.extensions import (
+        q_embedding_neardup)
+
+    plan = (q_embedding_neardup(spark, sf_dir)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_recall_summary_verdicts(spark):
+    from datafusion_delta_sharing_spark.operators.recall import recall_summary
+
+    exact = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "id_a long, id_b long")
+    found_good = exact.filter("id_a < 9")   # 9/10 found
+    row = recall_summary(exact, found_good, ["id_a", "id_b"], 0.85,
+                         check_precision=True).collect()[0]
+    assert (row.n_exact, row.n_missed_allowed, row.n_false,
+            row.recall_ok) == (10, 1, 0, True)
+    row = recall_summary(exact, exact.filter("id_a < 5"),
+                         ["id_a", "id_b"], 0.85).collect()[0]
+    assert (row.n_exact, row.recall_ok) == (10, False)
+    # found rows outside the exact set are counted as false positives
+    extra = spark.createDataFrame([(99, 100)], "id_a long, id_b long")
+    row = recall_summary(exact, found_good.unionByName(extra),
+                         ["id_a", "id_b"], 0.85,
+                         check_precision=True).collect()[0]
+    assert row.n_false == 1
+
+
+def test_lsh_multi_table_beats_single_table_on_planted(spark, emb):
+    queries = emb.filter("vec_id <= 3").select("vec_id", "embedding")
+    vec_type = dict(emb.dtypes)["embedding"]
+
+    def perturb(c):
+        return lambda x, i: (x.cast("double")
+                             * (1.0 + 0.12 * F.sin(i.cast("double")
+                                                   + F.lit(float(c)))))
+
+    corpus = emb.select("vec_id", "embedding")
+    for c in range(1, 6):
+        corpus = corpus.unionByName(queries.select(
+            (F.col("vec_id") + c * 1000000).alias("vec_id"),
+            F.transform("embedding", perturb(c)).cast(vec_type)
+            .alias("embedding")))
+    brute = {(r.query_id, r.cand_id) for r in
+             SIM.brute_force_topk(corpus, queries, k=5).collect()}
+    multi = {(r.query_id, r.cand_id) for r in
+             SIM.lsh_topk(corpus, queries, dim=64, k=5, n_planes=8,
+                          n_tables=8).collect()}
+    single = {(r.query_id, r.cand_id) for r in
+              SIM.lsh_topk(corpus, queries, dim=64, k=5,
+                           n_planes=8).collect()}
+    assert len(multi & brute) / len(brute) >= 0.8
+    assert len(multi & brute) >= len(single & brute)
+
+
+def test_ivf_centroids_match_wide_agg_reference(spark, emb):
+    """The posexplode Lloyd update (VERDICT r3 #4) must agree with the
+    previous one-agg-column-per-dimension form."""
+    import numpy as np
+
+    corpus = emb.select("vec_id", "embedding")
+
+    def wide_reference(n_centroids, iterations):
+        seeds = (corpus.select(F.xxhash64(F.col("vec_id")).alias("_h"),
+                               F.col("embedding"))
+                 .orderBy("_h").limit(n_centroids).collect())
+        cents = np.array([r[1] for r in seeds], dtype=np.float64)
+        for _ in range(iterations):
+            assigned = SIM._assign(corpus, cents, "vec_id", "embedding")
+            sums = (assigned.groupBy("centroid")
+                    .agg(F.count(F.lit(1)).alias("n"),
+                         *[F.sum(F.element_at(F.col("embedding"), d + 1))
+                           .alias(f"s{d}") for d in range(cents.shape[1])])
+                    .collect())
+            new = cents.copy()
+            for row in sums:
+                if row["n"] > 0:
+                    new[row["centroid"]] = [row[f"s{d}"] / row["n"]
+                                            for d in range(cents.shape[1])]
+            cents = new
+        return cents
+
+    got = SIM.ivf_centroids(corpus, n_centroids=4, iterations=2)
+    ref = wide_reference(4, 2)
+    assert got.shape == ref.shape == (4, 64)
+    assert np.allclose(got, ref, rtol=1e-9, atol=1e-12)
+
+
+def test_ivf_centroids_dim512_smoke(spark):
+    """High-dim path: no per-dimension column explosion — 512 dims is
+    thousands of agg expressions in the old plan, two narrow shuffles
+    now."""
+    import numpy as np
+
+    df = spark.range(200).select(
+        F.col("id").alias("vec_id"),
+        F.transform(F.sequence(F.lit(0), F.lit(511)),
+                    lambda d: F.sin(d.cast("double") * 0.1
+                                    + F.col("id").cast("double")))
+        .alias("embedding"))
+    cents = SIM.ivf_centroids(df, n_centroids=8, iterations=2)
+    assert cents.shape == (8, 512)
+    assert np.isfinite(cents).all()
+
+
+def test_triangle_degcut_drops_hub(spark):
+    from datafusion_delta_sharing_spark.operators import graph as GR
+
+    # triangle 1-2-3 (low degree) + hub 9 touching everything via
+    # shared groups: each (g, [members]) row links all members
+    groups = [(10, 1), (10, 2), (10, 3),      # closes triangle 1-2-3
+              (11, 1), (11, 9), (12, 2), (12, 9), (13, 3), (13, 9),
+              (14, 4), (14, 9), (15, 5), (15, 9), (16, 6), (16, 9)]
+    df = spark.createDataFrame(groups, "g long, i long")
+    edges_all = GR.cooccurrence_edges(df, "g", "i")
+    # hub degree 6 > cut 3; everyone else <= 3
+    cut = GR.cooccurrence_edges(df, "g", "i", max_degree=3)
+    row = (GR.triangle_count(cut)
+           .crossJoin(GR.dropped_vertex_count(edges_all, 3)).collect()[0])
+    assert row.n_dropped_vertices == 1          # non-vacuous cut
+    assert row.n_triangles == 1                 # 1-2-3 survives
+    kept_edges = {(r.a, r.b) for r in cut.collect()}
+    assert all(9 not in e for e in kept_edges)

@@ -4,12 +4,11 @@ approximate percentiles."""
 
 from __future__ import annotations
 
-import uuid
-
 from pyspark.sql import functions as F
 
 from datafusion_delta_sharing_spark.harness import load_table
-from datafusion_delta_sharing_spark.streaming.windows import stream_events
+from datafusion_delta_sharing_spark.streaming.windows import (
+    materialize_stream, stream_events)
 
 
 def q_date_funcs2(spark, sf_dir):
@@ -84,15 +83,7 @@ def q_stream_sliding(spark, sf_dir):
         .select(F.col("window.start").cast("timestamp_ntz").alias("window_start"),
                 "event_type", "n")
     )
-    sink = f"sliding_{uuid.uuid4().hex[:8]}"
-    query = (agg.writeStream.outputMode("complete")
-             .format("memory").queryName(sink).start())
-    try:
-        query.processAllAvailable()
-    finally:
-        query.stop()
-    result = spark.table(sink)
-    return spark.createDataFrame(result.collect(), result.schema)
+    return materialize_stream(agg, "complete", "sliding")
 
 
 def q_approx_percentile(spark, sf_dir):

@@ -101,8 +101,61 @@ def quality_checks(df: DataFrame, *,
                .select(F.lit(f"unique:{c}").alias("check_name"),
                        "n_violations"))
         parts.append(dup)
+    if not parts:
+        raise ValueError(
+            "quality_checks: no checks declared — pass at least one of "
+            "not_null, unique, accepted_values, or ranges")
     out = reduce(lambda a, b: a.unionByName(b), parts)
     return out.withColumn("passed", F.col("n_violations") == 0)
+
+
+def table_profile_approx(df: DataFrame, cols: list[str],
+                         rsd: float = 0.01, tol: float = 0.05) -> DataFrame:
+    """The 100 TB form of :func:`table_profile`: distinct counts come from
+    approx_count_distinct (HLL++, no Expand of the input — the exact form's
+    3 countDistinct columns force one, the dominant cost of the profile at
+    scale). The sketch estimate is engine-specific, so the checkable output
+    follows the approx_percentile pattern: every exact column is returned
+    as-is and the estimate collapses to ``nd_within_tol`` — |approx−exact|
+    ≤ tol·exact, computed against the SAME scan's exact count. The oracle
+    recomputes the exact columns and expects the verdict TRUE; a mis-wired
+    sketch (wrong column, wrong merge) lands orders of magnitude off."""
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"_nn_{c}"),
+            F.countDistinct(c).alias(f"_nd_{c}"),
+            F.approx_count_distinct(c, rsd).alias(f"_ad_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"_mn_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"_mx_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', _nn_{c}, _mn_{c}, _mx_{c}, "
+        f"abs(_ad_{c} - _nd_{c}) <= {tol!r} * _nd_{c}" for c in cols)
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(column_name, n_nulls, min_val, max_val, nd_within_tol)",
+        "_n AS n_rows",
+    ).select("column_name", "n_rows", "n_nulls", "min_val", "max_val",
+             "nd_within_tol")
+
+
+def table_profile_approx_sql(source_sql: str, cols: list[str]) -> str:
+    """DuckDB mirror of :func:`table_profile_approx`: exact columns
+    recomputed, the tolerance verdict expected TRUE."""
+    parts = []
+    for c in cols:
+        parts.append(f"""
+        SELECT '{c}' AS column_name,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_nulls,
+               CAST(min({c}) AS VARCHAR) AS min_val,
+               CAST(max({c}) AS VARCHAR) AS max_val,
+               TRUE AS nd_within_tol
+        FROM {source_sql}""")
+    return " UNION ALL ".join(parts)
 
 
 def quality_checks_sql(source_sql: str, *,

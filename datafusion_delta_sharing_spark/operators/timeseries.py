@@ -10,12 +10,16 @@ aggregation, never a window over the full series.
 Both engines order open/close by the same zero-padded "<epoch_us>-<id>"
 string (lexicographic == numeric for fixed-width non-negative numbers):
 DuckDB's arg_min/arg_max only take scalar ordering keys, and the shared
-rendering guarantees the two engines break ts ties identically.
+rendering guarantees the two engines break ts ties identically. The epoch
+is offset by 2^62 before rendering so pre-1970 (negative-epoch) rows keep
+lexicographic == numeric — a bare %020d would order "-99" before "-100".
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+
+_SIGN_OFFSET = 1 << 62  # added before %020d rendering; see module docstring
 
 
 def ohlc_rollup(df: DataFrame, ts_col: str, key_col: str, val_col: str,
@@ -32,8 +36,14 @@ def ohlc_rollup(df: DataFrame, ts_col: str, key_col: str, val_col: str,
     bucket = F.timestamp_seconds(
         F.floor(F.expr(f"unix_micros(cast({ts_col} as timestamp))")
                 / F.lit(secs * 1_000_000)).cast("long") * secs)
+    # sign-safe ordering key: + 2^62 keeps the rendered number positive
+    # for any representable epoch (|epoch_us| < 2^55), so lexicographic
+    # order == numeric order even for pre-1970 timestamps (ADVICE r3);
+    # ids are non-negative by contract
     order = F.format_string(
-        "%020d-%012d", F.unix_micros(F.col(ts_col).cast("timestamp")),
+        "%020d-%012d",
+        F.unix_micros(F.col(ts_col).cast("timestamp"))
+        + F.lit(_SIGN_OFFSET),
         F.col(id_col))
     return (df.groupBy(F.col(key_col).alias("key"),
                        bucket.cast("timestamp_ntz").alias("bucket_start"))
@@ -56,7 +66,8 @@ def ohlc_rollup_sql(source_sql: str, ts_col: str, key_col: str,
     bucket = (f"(TIMESTAMP '1970-01-01 00:00:00'"
               f" + ((epoch_us({ts_col}) // {secs * 1_000_000})"
               f" * {secs}) * INTERVAL 1 SECOND)")
-    order = f"printf('%020d-%012d', epoch_us({ts_col}), {id_col})"
+    order = (f"printf('%020d-%012d', epoch_us({ts_col})"
+             f" + {_SIGN_OFFSET}, {id_col})")
     return f"""
     SELECT {key_col} AS key,
            {bucket} AS bucket_start,
@@ -85,7 +96,9 @@ def twap(df: DataFrame, ts_col: str, key_col: str, val_col: str,
     Scale: one window per key for the interval ends, one explode over the
     buckets each interval spans (bounded by interval length / bucket),
     one hash aggregate. Output: (key, bucket_start, twap_num, twap_den,
-    twap_cents) where twap_cents = twap_num div twap_den."""
+    twap_cents) where twap_cents = floor(twap_num / twap_den) in exact
+    integer arithmetic — sign-safe, matching DuckDB's // even for
+    negative values or pre-1970 epochs."""
     us = bucket_minutes * 60 * 1_000_000
     from pyspark.sql import Window
 
@@ -111,7 +124,13 @@ def twap(df: DataFrame, ts_col: str, key_col: str, val_col: str,
                                         * (bucket_minutes * 60))
                     .cast("timestamp_ntz").alias("bucket_start"),
                     "twap_num", "twap_den",
-                    F.expr("twap_num div twap_den").alias("twap_cents")))
+                    # flooring integer division (DuckDB // semantics, den
+                    # always > 0): subtracting pmod makes the numerator an
+                    # exact multiple, so truncating `div` == floor — exact
+                    # for negative values too, with no double round-trip
+                    # (ADVICE r3: bare `div` truncates toward zero)
+                    F.expr("(twap_num - pmod(twap_num, twap_den))"
+                           " div twap_den").alias("twap_cents")))
 
 
 def twap_sql(source_sql: str, ts_col: str, key_col: str, val_col: str,

@@ -8,7 +8,6 @@ result equals the batch groupBy — which is exactly what the oracle checks.
 
 from __future__ import annotations
 
-import uuid
 from typing import Iterator, Tuple
 
 import pandas as pd
@@ -17,6 +16,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from datafusion_delta_sharing_spark.streaming.windows import (
     EVENTS_RAW_SCHEMA,  # noqa: F401 (re-export: tests build raw nano streams)
+    materialize_stream,
     stream_events,
 )
 
@@ -54,12 +54,4 @@ def stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
-    sink = f"stateful_{uuid.uuid4().hex[:8]}"
-    query = (stated.writeStream.outputMode("append")
-             .format("memory").queryName(sink).start())
-    try:
-        query.processAllAvailable()
-    finally:
-        query.stop()
-    result = spark.table(sink)
-    return spark.createDataFrame(result.collect(), result.schema)
+    return materialize_stream(stated, "append", "stateful")

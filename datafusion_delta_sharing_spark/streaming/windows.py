@@ -9,9 +9,42 @@ oracles can check the result.
 
 from __future__ import annotations
 
-import uuid
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+
+def materialize_stream(stream_df: DataFrame, mode: str,
+                       name: str) -> DataFrame:
+    """Run a streaming query to completion and return its result as a
+    batch DataFrame via a parquet sink + re-read (VERDICT r3 #8: the old
+    memory-sink + collect()/createDataFrame round-trip materialized every
+    result twice in driver memory). Append-mode streams write parquet
+    directly; complete-mode aggregates land through a foreachBatch
+    overwrite (parquet sinks are append-only) — either way the write is
+    executor-side and the driver never holds the rows."""
+    spark = stream_df.sparkSession
+    root = tempfile.mkdtemp(prefix=f"{name}_")
+    data_dir, ckpt = f"{root}/data", f"{root}/ckpt"
+    if mode == "append":
+        writer = (stream_df.writeStream.outputMode("append")
+                  .format("parquet").option("path", data_dir))
+    else:
+        def _overwrite(batch_df, _batch_id):
+            batch_df.write.mode("overwrite").parquet(data_dir)
+
+        writer = (stream_df.writeStream.outputMode(mode)
+                  .foreachBatch(_overwrite))
+    query = writer.option("checkpointLocation", ckpt).start()
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    # explicit schema + pre-created dir: a zero-batch run writes nothing
+    import os
+
+    os.makedirs(data_dir, exist_ok=True)
+    return spark.read.schema(stream_df.schema).parquet(data_dir)
 
 def _events_schema(ts_type: T.DataType) -> T.StructType:
     return T.StructType([
@@ -44,14 +77,27 @@ def stream_events(spark: SparkSession, path: str,
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     probe = spark.read.option("pathGlobFilter", glob).parquet(path)
-    nanos = dict(probe.dtypes).get("ts") == "bigint"
+    ts_dtype = dict(probe.dtypes).get("ts")
+    # explicit branch per probed encoding (ADVICE r3: assuming "anything
+    # not bigint is NTZ" would hand a TIMESTAMP(MICROS, adjustedToUTC)
+    # file an NTZ stream schema and fail or shift instants)
+    if ts_dtype == "bigint":          # TIMESTAMP(NANOS) under nanosAsLong
+        stream_type: T.DataType = T.LongType()
+    elif ts_dtype == "timestamp_ntz":  # TIMESTAMP(MICROS, not adjusted)
+        stream_type = T.TimestampNTZType()
+    elif ts_dtype == "timestamp":      # TIMESTAMP(MICROS, adjustedToUTC)
+        stream_type = T.TimestampType()
+    else:
+        raise ValueError(
+            f"events.ts has unsupported parquet encoding {ts_dtype!r}; "
+            "expected TIMESTAMP(NANOS) (bigint under nanosAsLong), "
+            "TIMESTAMP_NTZ, or TIMESTAMP")
     reader = spark.readStream.schema(
-        _events_schema(T.LongType() if nanos else T.TimestampNTZType())
-    ).option("pathGlobFilter", glob)
+        _events_schema(stream_type)).option("pathGlobFilter", glob)
     for key, val in options.items():
         reader = reader.option(key, val)
     raw = reader.parquet(path)
-    if nanos:
+    if ts_dtype == "bigint":
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
@@ -89,15 +135,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros("purchase_ts") - F.unix_micros("click_ts"))
         .alias("usecs_to_purchase"),
     )
-    sink = f"stream_join_{uuid.uuid4().hex[:8]}"
-    query = (joined.writeStream.outputMode("append")
-             .format("memory").queryName(sink).start())
-    try:
-        query.processAllAvailable()
-    finally:
-        query.stop()
-    result = spark.table(sink)
-    return spark.createDataFrame(result.collect(), result.schema)
+    return materialize_stream(joined, "append", "stream_join")
 
 
 STREAM_JOIN_ORACLE = """
@@ -128,15 +166,7 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
            .groupBy("c_mktsegment", "event_type")
            .agg(F.count(F.lit(1)).alias("n_events"),
                 F.round(F.sum("value"), 2).alias("total_value")))
-    sink = f"stream_enrich_{uuid.uuid4().hex[:8]}"
-    query = (agg.writeStream.outputMode("complete")
-             .format("memory").queryName(sink).start())
-    try:
-        query.processAllAvailable()
-    finally:
-        query.stop()
-    result = spark.table(sink)
-    return spark.createDataFrame(result.collect(), result.schema)
+    return materialize_stream(agg, "complete", "stream_enrich")
 
 
 STREAM_ENRICH_ORACLE = """
@@ -165,15 +195,7 @@ def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
-    sink = f"stream_dedup_{uuid.uuid4().hex[:8]}"
-    query = (deduped.writeStream.outputMode("append")
-             .format("memory").queryName(sink).start())
-    try:
-        query.processAllAvailable()
-    finally:
-        query.stop()
-    result = spark.table(sink)
-    return spark.createDataFrame(result.collect(), result.schema)
+    return materialize_stream(deduped, "append", "stream_dedup")
 
 
 STREAM_DEDUP_ORACLE = """
@@ -197,14 +219,4 @@ def stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("window.start").cast("timestamp_ntz").alias("window_start"),
                 "event_type", "n")
     )
-    sink = f"stream_hourly_{uuid.uuid4().hex[:8]}"
-    query = (agg.writeStream.outputMode("complete")
-             .format("memory").queryName(sink).start())
-    try:
-        query.processAllAvailable()
-    finally:
-        query.stop()
-    # materialize before the in-memory sink table goes away
-    result = spark.table(sink)
-    out = spark.createDataFrame(result.collect(), result.schema)
-    return out
+    return materialize_stream(agg, "complete", "stream_hourly")

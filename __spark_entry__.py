@@ -36,7 +36,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # rows; bucketed embedding_neardup; triangles_degcut).
 _MODULE_ORDER = ("connector", "extensions", "extensions2", "extensions3",
                  "extensions4", "extensions5", "extensions6", "extensions7",
-                 "formats", "tpch", "tierb5", "tierb4",
+                 "extensions8", "formats", "tpch", "tierb5", "tierb4",
                  "tierb3", "tierb2", "tierb6", "tierb7", "tierb")
 
 _WINDOW = (

@@ -1,0 +1,79 @@
+"""Extension queries batch 8: sketch primitives for scale planning.
+
+Heavy hitters over the token stream (Misra-Gries candidates + exact
+recount), a bloom-prefiltered join (dim-side filter applied to the fact
+table before any shuffle), and frequency moments of a join key (F2 =
+exact self-join output size, the pre-flight number for a 100 TB shuffle
+join). All three produce exact, hash-checkable results — the sketches
+bound intermediate STATE, not answer quality."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datafusion_delta_sharing_spark.functions.text import WS_TOKEN_SPLIT
+from datafusion_delta_sharing_spark.harness import load_table
+from datafusion_delta_sharing_spark.operators import sketches as SK
+
+_HH_MIN_FRAC = 0.002   # tokens covering >= 0.2% of the corpus stream
+_BLOOM_BRAND = "Brand#1"  # dim slice: part rows of one brand prefix
+
+
+def _token_stream(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return (docs.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))),
+                          WS_TOKEN_SPLIT)).alias("token"))
+        .filter(F.col("token") != ""))
+
+
+_TOKEN_STREAM_SQL = f"""(
+    SELECT token
+    FROM (SELECT regexp_split_to_array(trim(lower(text)),
+                 '{WS_TOKEN_SPLIT}') AS words FROM documents),
+         unnest(words) AS t(token)
+    WHERE token != ''
+)"""
+
+
+def q_heavy_hitters(spark, sf_dir):
+    """Corpus stopword discovery: tokens with frequency >= 0.2% of the
+    whole token stream, found with bounded per-partition state and an
+    exact candidate recount (never a full-vocabulary shuffle)."""
+    toks = _token_stream(spark, sf_dir)
+    return SK.heavy_hitters(toks, "token", min_frac=_HH_MIN_FRAC)
+
+
+def q_bloom_join(spark, sf_dir):
+    """Bloom-prefilter lineitem against the Brand#1* slice of part:
+    report how many fact rows the dim-derived filter admits vs how many
+    truly join — the shuffle-avoidance ratio at 100 TB."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    dim = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand").startswith(_BLOOM_BRAND))
+    return SK.bloom_prefilter_join_stats(
+        lineitem, dim, "l_partkey", "p_partkey")
+
+
+def q_freq_moments(spark, sf_dir):
+    """Join-key census of lineitem.l_orderkey: F2 is the exact row count
+    a self equi-join would emit; max_freq the heaviest reducer cell."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return SK.freq_moments(lineitem, "l_orderkey")
+
+
+QUERIES = {
+    "heavy_hitters": q_heavy_hitters,
+    "bloom_join": q_bloom_join,
+    "freq_moments": q_freq_moments,
+}
+
+ORACLES = {
+    "heavy_hitters": SK.heavy_hitters_sql(
+        _TOKEN_STREAM_SQL, "token", _HH_MIN_FRAC),
+    "bloom_join": SK.bloom_prefilter_join_stats_sql(
+        "lineitem",
+        f"(SELECT * FROM part WHERE p_brand LIKE '{_BLOOM_BRAND}%')",
+        "l_partkey", "p_partkey"),
+    "freq_moments": SK.freq_moments_sql("lineitem", "l_orderkey"),
+}

@@ -1,0 +1,230 @@
+"""Streaming-sketch operators: heavy hitters, bloom-prefiltered joins,
+frequency moments.
+
+The reference delegates its relational surface to DataFusion and has no
+sketch layer; these are the scale primitives a 100 TB curation pipeline
+leans on before any expensive shuffle:
+
+- ``heavy_hitters``: distributed Misra-Gries. Each partition keeps a
+  bounded counter map (mapInPandas, vectorized per Arrow batch), the
+  candidate union is provably a superset of every item with global
+  frequency >= n/capacity, and a broadcast semi-join recounts only the
+  candidates exactly. Output is therefore IDENTICAL to the exact
+  ``GROUP BY .. HAVING`` — a sketch plan with an exact oracle.
+- ``bloom_prefilter_join``: builds a bloom filter from the dim side's
+  join keys (k md5-derived hex-prefix buckets — the same engine-portable
+  hash trick as functions/splits.py, so DuckDB mirrors it bit-for-bit)
+  and drops fact rows before the shuffle. This is the manual form of the
+  runtime row-group bloom pushdown Spark applies under AQE; expressed
+  explicitly so the reduction is testable and the false-positive rate
+  observable.
+- ``freq_moments``: F0/F1/F2/max over a key column. F2 (the "surprise
+  number", sum of squared frequencies) is the exact size of a self
+  equi-join on that key — the number to check BEFORE launching a 100 TB
+  join; F2/F1 is the average fan-out, max_freq the worst skew cell.
+
+All three have exact ANSI-SQL mirrors (no approximation leaks into the
+output contract — approximation only bounds intermediate state).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+
+# -- heavy hitters (Misra-Gries) ------------------------------------------
+
+
+def _misra_gries_partition(value_col: str, capacity: int):
+    """mapInPandas body: bounded-memory candidate counters per partition.
+
+    Vectorized: each Arrow batch is reduced with ``value_counts`` first,
+    then merged into the running counter dict; the Misra-Gries decrement
+    (subtract the smallest surviving weight from everyone, drop <= 0)
+    runs only when the dict overflows ``capacity``. State is O(capacity)
+    regardless of partition size."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict = {}
+        for batch in batches:
+            for value, cnt in batch[value_col].value_counts().items():
+                counters[value] = counters.get(value, 0) + int(cnt)
+            if len(counters) > capacity:
+                # decrement by the (capacity+1)-th largest weight: in one
+                # step this removes at least all but `capacity` entries
+                # while preserving the MG error bound (each surviving
+                # weight undercounts by at most the total decremented).
+                cut = sorted(counters.values(), reverse=True)[capacity]
+                counters = {v: c - cut for v, c in counters.items()
+                            if c - cut > 0}
+        yield pd.DataFrame({value_col: list(counters.keys())})
+
+    return run
+
+
+def heavy_hitters(df: DataFrame, value_col: str, min_frac: float,
+                  capacity: int | None = None) -> DataFrame:
+    """Exact heavy hitters (frequency >= ``min_frac`` of all rows) via a
+    Misra-Gries candidate pass + exact recount.
+
+    Correctness: an item with global count > n/capacity must exceed
+    n_p/capacity in at least one partition (pigeonhole), and per-partition
+    Misra-Gries with ``capacity`` counters never evicts such an item — so
+    with ``capacity >= 1/min_frac`` the candidate union is a superset of
+    every true heavy hitter, and the broadcast-semi-join recount makes the
+    final output exactly ``GROUP BY value HAVING count >= ceil(min_frac*n)``.
+
+    Scale shape: the full column is scanned twice but SHUFFLED never —
+    stage 1 moves only <= partitions x capacity candidate values to the
+    driver-side broadcast, stage 2's groupBy is map-side-combined down to
+    <= partitions x |candidates| rows before its exchange.
+    """
+    if not 0 < min_frac <= 1:
+        raise ValueError(f"min_frac must be in (0, 1], got {min_frac}")
+    if capacity is None:
+        capacity = max(8, math.ceil(2.0 / min_frac))
+    if capacity < math.ceil(1.0 / min_frac):
+        raise ValueError(
+            f"capacity {capacity} < 1/min_frac — the Misra-Gries superset "
+            "guarantee would not hold; raise capacity or min_frac")
+    # nulls are excluded on both sides (pandas value_counts drops NaN, so
+    # a frequent-null column would silently miss the candidate pass)
+    src = df.select(value_col).filter(F.col(value_col).isNotNull())
+    n = src.count()
+    threshold = math.ceil(min_frac * n)
+    candidates = (src.mapInPandas(
+        _misra_gries_partition(value_col, capacity), schema=src.schema)
+        .distinct())
+    return (src.join(F.broadcast(candidates), value_col, "left_semi")
+            .groupBy(value_col)
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .filter(F.col("cnt") >= threshold))
+
+
+def heavy_hitters_sql(source_sql: str, value_col: str,
+                      min_frac: float) -> str:
+    """DuckDB mirror of :func:`heavy_hitters` (exact form)."""
+    return f"""
+        SELECT {value_col}, count(*) AS cnt
+        FROM {source_sql}
+        WHERE {value_col} IS NOT NULL
+        GROUP BY {value_col}
+        HAVING count(*) >= ceil({min_frac} * (
+            SELECT count(*) FROM {source_sql}
+            WHERE {value_col} IS NOT NULL))
+    """
+
+
+# -- bloom-prefiltered join -----------------------------------------------
+
+_BLOOM_HEX_CHARS = 3  # 16^3 = 4096 buckets per hash function
+
+
+def _bloom_bucket(key: F.Column, i: int) -> F.Column:
+    """i-th bloom position: first 3 hex chars of md5(key || ':' || i).
+    Hex-prefix buckets (not modulo) keep the value a plain string both
+    engines compute identically — no hex-to-int conversion exists in
+    common between Spark and DuckDB."""
+    return F.substring(
+        F.md5(F.concat(key.cast("string"), F.lit(f":{i}"))),
+        1, _BLOOM_HEX_CHARS)
+
+
+def _bloom_bucket_sql(key_sql: str, i: int) -> str:
+    return (f"substr(md5(CAST({key_sql} AS VARCHAR) || ':{i}'), "
+            f"1, {_BLOOM_HEX_CHARS})")
+
+
+def bloom_prefilter_join_stats(fact: DataFrame, dim: DataFrame,
+                               fact_key: str, dim_key: str,
+                               n_hashes: int = 3) -> DataFrame:
+    """One-row summary of a bloom-prefiltered join:
+    ``(n_fact, n_pass_bloom, n_true_match)``.
+
+    The filter is built from the dim side's keys as the distinct set of
+    occupied (hash_i, bucket) cells — at most ``n_hashes * 4096`` rows
+    regardless of dim size — and broadcast. A fact row survives only if
+    ALL ``n_hashes`` of its buckets are occupied, enforced as a chain of
+    broadcast LEFT SEMI joins, so the fact table is never shuffled and
+    rows that cannot match are dropped before any real join exchange.
+    ``n_pass_bloom - n_true_match`` exposes the false-positive overhang
+    for tuning (more hashes / more bucket chars).
+    """
+    occupied = dim.select(
+        *[_bloom_bucket(F.col(dim_key), i).alias(f"b{i}")
+          for i in range(n_hashes)]).distinct()
+    passed = fact
+    for i in range(n_hashes):
+        cell_i = F.broadcast(occupied.select(
+            F.col(f"b{i}").alias("__cell")).distinct())
+        passed = passed.join(
+            cell_i,
+            _bloom_bucket(F.col(fact_key), i) == F.col("__cell"),
+            "left_semi")
+    true_match = passed.join(
+        F.broadcast(dim.select(F.col(dim_key).alias(fact_key)).distinct()),
+        fact_key, "left_semi")
+    return (fact.agg(F.count(F.lit(1)).alias("n_fact"))
+            .crossJoin(passed.agg(
+                F.count(F.lit(1)).alias("n_pass_bloom")))
+            .crossJoin(true_match.agg(
+                F.count(F.lit(1)).alias("n_true_match"))))
+
+
+def bloom_prefilter_join_stats_sql(fact_sql: str, dim_sql: str,
+                                   fact_key: str, dim_key: str,
+                                   n_hashes: int = 3) -> str:
+    """DuckDB mirror: same md5 hex-prefix buckets, same ALL-buckets-
+    occupied semantics via per-hash IN subqueries."""
+    bloom_conds = " AND ".join(
+        f"{_bloom_bucket_sql('f.' + fact_key, i)} IN "
+        f"(SELECT {_bloom_bucket_sql(dim_key, i)} FROM {dim_sql})"
+        for i in range(n_hashes))
+    return f"""
+        SELECT
+            (SELECT count(*) FROM {fact_sql}) AS n_fact,
+            (SELECT count(*) FROM {fact_sql} f
+             WHERE {bloom_conds}) AS n_pass_bloom,
+            (SELECT count(*) FROM {fact_sql} f
+             WHERE {bloom_conds}
+               AND f.{fact_key} IN (SELECT {dim_key} FROM {dim_sql}))
+              AS n_true_match
+    """
+
+
+# -- frequency moments ----------------------------------------------------
+
+
+def freq_moments(df: DataFrame, key_col: str) -> DataFrame:
+    """One row ``(f1, f0, f2, max_freq)`` over ``key_col``:
+    row count, distinct count, sum of squared frequencies, and the
+    heaviest key's frequency.
+
+    F2 is exactly the output size of a self equi-join on ``key_col`` and
+    F2/F1 the mean join fan-out — the pre-flight numbers for sizing a
+    shuffle join at 100 TB; ``max_freq`` is the skew ceiling a single
+    reducer would absorb (salt when max_freq >> F1/F0). One shuffle with
+    map-side partial aggregation; the second-level agg sees one row per
+    distinct key."""
+    per_key = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("freq"))
+    return per_key.agg(
+        F.sum("freq").alias("f1"),
+        F.count(F.lit(1)).alias("f0"),
+        F.sum(F.col("freq") * F.col("freq")).alias("f2"),
+        F.max("freq").alias("max_freq"))
+
+
+def freq_moments_sql(source_sql: str, key_col: str) -> str:
+    """DuckDB mirror of :func:`freq_moments`."""
+    return f"""
+        SELECT CAST(sum(freq) AS BIGINT) AS f1, count(*) AS f0,
+               CAST(sum(freq * freq) AS BIGINT) AS f2, max(freq) AS max_freq
+        FROM (
+            SELECT {key_col}, count(*) AS freq
+            FROM {source_sql} GROUP BY {key_col}
+        )
+    """

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from datafusion_delta_sharing_spark.functions.text import WS_TOKEN_SPLIT
 from datafusion_delta_sharing_spark.harness import load_table
+from datafusion_delta_sharing_spark.operators import corpus as CO
 from datafusion_delta_sharing_spark.operators import sketches as SK
 
 _HH_MIN_FRAC = 0.002   # tokens covering >= 0.2% of the corpus stream
@@ -62,10 +63,19 @@ def q_freq_moments(spark, sf_dir):
     return SK.freq_moments(lineitem, "l_orderkey")
 
 
+def q_bigram_logprob(spark, sf_dir):
+    """Bigram-LM quality score per document (Laplace-smoothed, corpus-
+    trained) — the next rung of the perplexity-filter ladder above
+    ``unigram_logprob``."""
+    docs = load_table(spark, sf_dir, "documents")
+    return CO.bigram_logprob(docs, "text", "doc_id")
+
+
 QUERIES = {
     "heavy_hitters": q_heavy_hitters,
     "bloom_join": q_bloom_join,
     "freq_moments": q_freq_moments,
+    "bigram_logprob": q_bigram_logprob,
 }
 
 ORACLES = {
@@ -76,4 +86,5 @@ ORACLES = {
         f"(SELECT * FROM part WHERE p_brand LIKE '{_BLOOM_BRAND}%')",
         "l_partkey", "p_partkey"),
     "freq_moments": SK.freq_moments_sql("lineitem", "l_orderkey"),
+    "bigram_logprob": CO.bigram_logprob_sql("documents", "text", "doc_id"),
 }

@@ -148,3 +148,86 @@ def unigram_logprob_sql(source_sql: str, text_col: str, id_col: str,
         FROM toks JOIN freqs USING (token) CROSS JOIN total
         GROUP BY {id_col}
     """
+
+
+def bigram_logprob(docs: DataFrame, text_col: str, id_col: str,
+                   ndigits: int = 6) -> DataFrame:
+    """Mean Laplace-smoothed bigram log-probability per document:
+    ``avg(ln((c(w_prev w) + 1) / (c(w_prev) + V)))`` over the document's
+    adjacent token pairs, counts taken from this corpus itself (V =
+    distinct-token vocabulary size). The bigram counterpart of
+    :func:`unigram_logprob` — the next rung toward the KenLM-perplexity
+    quality filter of public web-corpus pipelines; repeated boilerplate
+    scores high, token salad scores low even when its unigrams are common.
+
+    Returns ``(id, n_bigrams, logprob)``; documents with fewer than two
+    tokens have no bigrams and are absent from the output. ``logprob`` is
+    rounded so float summation order cannot break the oracle comparison.
+
+    Scale shape: per-doc bigram expansion is a codegen array transform (no
+    shuffle); the bigram and context frequency tables shuffle once each on
+    their keys with map-side partial aggregation; join strategy for the
+    lookups is left to AQE (broadcast at sane vocabularies).
+    """
+    words = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), WS_TOKEN_SPLIT),
+        lambda x: x != "")
+    staged = docs.select(F.col(id_col), words.alias("_w"))
+    pairs = F.when(
+        F.size("_w") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_w") - 1),
+            lambda i: F.concat_ws(" ", F.element_at("_w", i),
+                                  F.element_at("_w", i + 1))),
+    ).otherwise(F.expr("array()").cast("array<string>"))
+    doc_bigrams = staged.select(
+        F.col(id_col), F.explode(pairs).alias("bigram"))
+    toks = staged.select(F.explode("_w").alias("token"))
+    big_freq = (doc_bigrams.groupBy("bigram")
+                .agg(F.count(F.lit(1)).alias("c_ab")))
+    ctx_freq = (toks.groupBy("token")
+                .agg(F.count(F.lit(1)).alias("c_a"))
+                .withColumnRenamed("token", "_ctx"))
+    vocab = toks.agg(F.countDistinct("token").alias("v"))
+    return (doc_bigrams
+            .join(big_freq, "bigram")
+            .withColumn("_ctx", F.split("bigram", " ")[0])
+            .join(ctx_freq, "_ctx")
+            .join(F.broadcast(vocab))
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+                 F.round(F.avg(F.log((F.col("c_ab") + 1) /
+                                     (F.col("c_a") + F.col("v")))),
+                         ndigits).alias("logprob")))
+
+
+def bigram_logprob_sql(source_sql: str, text_col: str, id_col: str,
+                       ndigits: int = 6) -> str:
+    """DuckDB mirror of :func:`bigram_logprob`."""
+    words = (f"list_filter(regexp_split_to_array(trim(lower({text_col})),"
+             f" '{WS_TOKEN_SPLIT}'), x -> x != '')")
+    return f"""
+        WITH wordrows AS (
+            SELECT {id_col}, {words} AS words FROM {source_sql}
+        ),
+        doc_bigrams AS (
+            SELECT {id_col}, words[i] || ' ' || words[i + 1] AS bigram
+            FROM (SELECT {id_col}, words,
+                         unnest(generate_series(1, len(words) - 1)) AS i
+                  FROM wordrows)
+        ),
+        toks AS (SELECT unnest(words) AS token FROM wordrows),
+        big_freq AS (SELECT bigram, count(*) AS c_ab
+                     FROM doc_bigrams GROUP BY bigram),
+        ctx_freq AS (SELECT token, count(*) AS c_a FROM toks GROUP BY token),
+        vocab AS (SELECT count(DISTINCT token) AS v FROM toks)
+        SELECT d.{id_col},
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               round(avg(ln((b.c_ab + 1.0) / (c.c_a + vb.v))),
+                     {ndigits}) AS logprob
+        FROM doc_bigrams d
+        JOIN big_freq b USING (bigram)
+        JOIN ctx_freq c ON c.token = split_part(d.bigram, ' ', 1)
+        CROSS JOIN vocab vb
+        GROUP BY d.{id_col}
+    """

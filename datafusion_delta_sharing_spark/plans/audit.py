@@ -1,0 +1,114 @@
+"""Physical-plan lint for 100 TB readiness.
+
+``.explain()`` tells you what Catalyst chose; this module turns the
+choices that stop scaling into structured, assertable findings so plan
+regressions fail tests instead of surfacing as a dead cluster:
+
+- ``cartesian`` / ``bnl_join``: CartesianProduct or BroadcastNestedLoop-
+  Join — O(n*m) row comparisons; fine for a one-row scalar join, fatal
+  when both sides are data-sized.
+- ``row_udf``: BatchEvalPython — a row-at-a-time Python UDF in the plan
+  (pickle per row). The Arrow-batched tiers (ArrowEvalPython, FlatMap-
+  GroupsInPandas, MapInArrow/MapInPandas) are NOT flagged.
+- ``global_sort``: a Sort with ``global=true`` that is not served by a
+  TakeOrderedAndProject / WindowGroupLimit — a full-data range-
+  partitioned sort materialization. Top-k and write-ordering shapes
+  stay quiet.
+- ``unpushed_filter``: a parquet scan with a ``cast(`` inside its
+  ``DataFilters`` — the classic silent pushdown killer (comparing a
+  column against a literal of the wrong type wraps the COLUMN in a
+  cast, and a cast-wrapped predicate never reaches ``PushedFilters``).
+  Genuinely unpushable expression predicates (``size(split(..))``-style
+  explode guards) are NOT flagged — lint noise teaches people to
+  blanket-allow.
+
+``shuffles(df)`` reports the Exchange count as a plain number — not a
+finding, but the thing to watch between revisions of the same query.
+
+Usage: ``assert_scale_safe(df)`` in tests; ``audit(df)`` for the list.
+Every harness headline query is linted in tests/test_plan_audit.py, so
+"the plan you'd want" is pinned, not aspirational.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+
+@dataclass(frozen=True)
+class Finding:
+    code: str
+    message: str
+
+
+def _executed_plan(df: DataFrame) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def shuffles(df: DataFrame) -> int:
+    """Number of Exchange operators in the executed plan (AQE initial
+    plan; runtime coalescing can only merge these, never add)."""
+    return len(re.findall(r"\bExchange\b", _executed_plan(df)))
+
+
+def audit(df: DataFrame, allow: set[str] | frozenset[str] = frozenset()
+          ) -> list[Finding]:
+    """Lint the physical plan; returns findings not named in ``allow``."""
+    plan = _executed_plan(df)
+    found: list[Finding] = []
+
+    if "CartesianProduct" in plan:
+        found.append(Finding(
+            "cartesian",
+            "CartesianProduct in plan: every row pair is materialized; "
+            "replace with an equi-join on a derived key (bucket, grain, "
+            "band) or broadcast a provably tiny side"))
+    if "BroadcastNestedLoopJoin" in plan:
+        found.append(Finding(
+            "bnl_join",
+            "BroadcastNestedLoopJoin in plan: non-equi join probes every "
+            "broadcast row per input row; acceptable only for one-row "
+            "scalar joins — allow explicitly if so"))
+    if "BatchEvalPython" in plan:
+        found.append(Finding(
+            "row_udf",
+            "row-at-a-time Python UDF (BatchEvalPython): 10-100x slower "
+            "than Arrow-batched pandas_udf; rewrite with built-ins or "
+            "a vectorized UDF tier"))
+    if re.search(r"\bSort \[[^\]]*\], true", plan) and \
+            "TakeOrderedAndProject" not in plan:
+        found.append(Finding(
+            "global_sort",
+            "global Sort without a top-k operator: full range-partitioned "
+            "sort materialization; add a limit (TakeOrderedAndProject), "
+            "sortWithinPartitions, or drop the ordering"))
+    for m in re.finditer(
+            r"DataFilters: \[(.*?)(?:\]|\.\.\.), Format:", plan):
+        # a cast() DIRECTLY around a column attribute in a comparison
+        # never reaches PushedFilters (pushed entries are plain
+        # col-vs-literal); casts buried inside derived expressions
+        # (md5(cast(..)) join keys etc.) are not comparisons and stay
+        # quiet
+        if re.search(r"\(cast\(\w+#\d+L? as \w+\) [<>=]", m.group(1)):
+            found.append(Finding(
+                "unpushed_filter",
+                "parquet scan has a cast() inside DataFilters and empty "
+                "PushedFilters: a type-mismatched literal comparison is "
+                "blocking pushdown — fix the literal's type so the "
+                "predicate reaches the parquet row-group stats"))
+            break
+
+    return [f for f in found if f.code not in allow]
+
+
+def assert_scale_safe(df: DataFrame,
+                      allow: set[str] | frozenset[str] = frozenset()
+                      ) -> None:
+    """Raise AssertionError listing every finding not in ``allow``."""
+    found = audit(df, allow)
+    if found:
+        detail = "\n".join(f"  [{f.code}] {f.message}" for f in found)
+        raise AssertionError(f"plan is not scale-safe:\n{detail}")

@@ -895,3 +895,25 @@ def test_triangle_degcut_drops_hub(spark):
     assert row.n_triangles == 1                 # 1-2-3 survives
     kept_edges = {(r.a, r.b) for r in cut.collect()}
     assert all(9 not in e for e in kept_edges)
+
+
+def test_bigram_logprob_hand_computed(spark):
+    import math
+
+    from datafusion_delta_sharing_spark.operators.corpus import (
+        bigram_logprob,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a a"), (3, "solo")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r
+            for r in bigram_logprob(docs, "text", "doc_id").collect()}
+    # corpus: tokens a=4 b=2 solo=1, V=3; bigrams "a b"=2 "b a"=1 "a a"=1
+    assert set(rows) == {1, 2}          # one-token doc has no bigrams
+    assert rows[1]["n_bigrams"] == 3
+    # d1: ln(3/7), ln(2/5), ln(3/7) averaged
+    exp1 = (2 * math.log(3 / 7) + math.log(2 / 5)) / 3
+    assert rows[1]["logprob"] == round(exp1, 6)
+    assert rows[2]["n_bigrams"] == 1
+    assert rows[2]["logprob"] == round(math.log(2 / 7), 6)

@@ -42,6 +42,8 @@ HEADLINE = [
     "table_profile", "ohlc_rollup", "gap_fill", "winsorize",
     # behavioral + graph analytics
     "funnel", "retention", "triangles", "pagerank",
+    # r4 additions: sketch primitives + bigram LM
+    "heavy_hitters", "bloom_join", "freq_moments", "bigram_logprob",
 ]
 
 

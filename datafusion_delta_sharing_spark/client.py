@@ -314,15 +314,30 @@ class DeltaSharingClient:
 
     def get_table_data(self, table: Table,
                        json_predicate_hints: str | None = None,
-                       limit_hint: int | None = None) -> TableData:
+                       limit_hint: int | None = None,
+                       version: int | None = None,
+                       timestamp: str | None = None) -> TableData:
         """POST …/query with optional ``jsonPredicateHints`` / ``limitHint``
         (mod.rs:322-382). Hints are best-effort: the server MAY prune files
-        but the caller must still re-apply the predicate/limit exactly."""
+        but the caller must still re-apply the predicate/limit exactly.
+
+        ``version`` / ``timestamp`` pin the snapshot (delta-sharing
+        PROTOCOL.md "Read Data from a Table" — version time travel; beyond
+        the reference, which never sends either). Unlike hints these are
+        EXACT: the server errors on an unavailable version rather than
+        serving another one. Mutually exclusive per the protocol."""
+        if version is not None and timestamp is not None:
+            raise DeltaSharingError(
+                "version and timestamp are mutually exclusive snapshot pins")
         body: dict[str, Any] = {}
         if json_predicate_hints is not None:
             body["jsonPredicateHints"] = json_predicate_hints
         if limit_hint is not None:
             body["limitHint"] = str(limit_hint)
+        if version is not None:
+            body["version"] = int(version)
+        if timestamp is not None:
+            body["timestamp"] = timestamp
         resp = self._post(self._table_url(table, "query"), body)
         protocol: ProtocolAction | None = None
         metadata: MetadataAction | None = None

@@ -30,6 +30,10 @@ class MockTable:
     files: list[dict] = field(default_factory=list)
     version: int = 7
     table_id: str = "tbl-0001"
+    # optional time travel: version -> file list for that snapshot;
+    # ``files`` stays the latest. A query body pinning an absent version
+    # gets the protocol's RESOURCE_DOES_NOT_EXIST error.
+    history: dict = field(default_factory=dict)
 
 
 class MockSharingServer:
@@ -221,8 +225,17 @@ class MockSharingServer:
         table = self._find(*m.groups())
         if table is None:
             return self._not_found(handler, "/".join(m.groups()))
+        served_files, served_version = table.files, table.version
+        try:
+            pinned = json.loads(body).get("version") if body else None
+        except json.JSONDecodeError:
+            pinned = None
+        if pinned is not None and pinned != table.version:
+            if pinned not in table.history:
+                return self._not_found(handler, f"version {pinned}")
+            served_files, served_version = table.history[pinned], pinned
         lines = [self._metadata_ndjson(table)]
-        for f in table.files:
+        for f in served_files:
             doc = {
                 "url": f["url"],
                 "id": f["id"],
@@ -233,7 +246,7 @@ class MockSharingServer:
                 doc["stats"] = f["stats"]
             lines.append(json.dumps({"file": doc}))
         handler._send(200, "\n".join(lines).encode(), "application/x-ndjson",
-                      headers={"Delta-Table-Version": str(table.version)})
+                      headers={"Delta-Table-Version": str(served_version)})
 
     def _metadata_ndjson(self, table: MockTable) -> str:
         return "\n".join([

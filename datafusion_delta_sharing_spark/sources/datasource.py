@@ -145,7 +145,9 @@ class DeltaSharingBatchReader(DataSourceReader):
     def partitions(self) -> list[_FilePartition]:
         client, table = _make_client(self.options)
         hints = self.hints_op.to_json() if self.hints_op is not None else None
-        data = client.get_table_data(table, json_predicate_hints=hints)
+        version, timestamp = _snapshot_pins(self.options)
+        data = client.get_table_data(table, json_predicate_hints=hints,
+                                     version=version, timestamp=timestamp)
         self.partition_columns = list(data.metadata.partition_columns)
         files = list(data.files)
         if self.hints_op is not None:
@@ -216,10 +218,20 @@ def _read_file_partition(options, full_schema: T.StructType,
         yield pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
 
 
+def _snapshot_pins(options) -> tuple[int | None, str | None]:
+    """``versionAsOf`` / ``timestampAsOf`` reader options -> query-body
+    snapshot pins (protocol time travel; reproducible training reads)."""
+    raw = options.get("versionAsOf")
+    version = int(raw) if raw is not None else None
+    return version, options.get("timestampAsOf")
+
+
 def _refresh_file_url(options, file_id: str) -> tuple[str, int]:
-    """Re-resolve a file's presigned URL by id (expired-URL escape hatch)."""
+    """Re-resolve a file's presigned URL by id (expired-URL escape hatch);
+    the re-list stays inside the same pinned snapshot, if any."""
     client, table = _make_client(options)
-    data = client.get_table_data(table)
+    version, timestamp = _snapshot_pins(options)
+    data = client.get_table_data(table, version=version, timestamp=timestamp)
     for f in data.files:
         if f.id == file_id:
             return f.url, f.size

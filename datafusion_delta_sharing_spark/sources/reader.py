@@ -316,14 +316,20 @@ class DeltaSharingReader:
     def table(self, table: Table | str,
               predicate: str | None = None,
               limit: int | None = None,
-              columns: Sequence[str] | None = None) -> DataFrame:
+              columns: Sequence[str] | None = None,
+              version: int | None = None,
+              timestamp: str | None = None) -> DataFrame:
         """Scan a shared table into a DataFrame.
 
         ``predicate`` is a SQL comparison predicate; when expressible it is
         pushed to the server as ``jsonPredicateHints`` and used for
         stats-based file pruning, and it is ALWAYS re-applied to the rows
         (inexact pushdown, A5). ``limit`` maps to ``limitHint`` + an exact
-        ``df.limit`` (A19). ``columns`` projects the scan (A4)."""
+        ``df.limit`` (A19). ``columns`` projects the scan (A4).
+        ``version`` / ``timestamp`` pin the snapshot for reproducible
+        reads (protocol time travel; the reference never sends either —
+        this is the training-data lineage knob: record the version a run
+        read, re-read the identical snapshot later)."""
         if isinstance(table, str):
             table = Table.from_str(table)
 
@@ -342,7 +348,8 @@ class DeltaSharingReader:
                 predicate_op = None  # Unsupported -> no hint, engine-side filter only
 
         data = self.client.get_table_data(
-            table, json_predicate_hints=hints, limit_hint=limit
+            table, json_predicate_hints=hints, limit_hint=limit,
+            version=version, timestamp=timestamp,
         )
         # limit-based file pruning is only sound with NO predicate at all:
         # a non-pushable predicate (predicate_op None, residual filter only)

@@ -244,3 +244,58 @@ def test_stream_expired_url_refreshes_by_file_id(tmp_path):
         table.files[0]["url"] = f"{srv.base_url}/new.parquet"
         batches = list(reader.read(part))
         assert sum(b.num_rows for b in batches) == 2
+
+
+def test_time_travel_version_pin(registered):
+    """versionAsOf pins the snapshot: the server serves the historical
+    file list, the query body carries the version, and an absent version
+    errors instead of silently serving latest."""
+    spark = registered
+    blobs = {"/v5.parquet": _blob([1, 2], [1.0, 2.0]),
+             "/v7a.parquet": _blob([1, 2], [1.0, 2.0]),
+             "/v7b.parquet": _blob([3, 4], [3.0, 4.0])}
+    srv, table = _server(blobs)
+    with srv:
+        mk = lambda fid: {"id": fid, "url": f"{srv.base_url}/{fid}.parquet",
+                          "size": len(blobs[f"/{fid}.parquet"]),
+                          "partition_values": {"day": "2021-04-28"}}
+        table.files.extend([mk("v7a"), mk("v7b")])   # latest (version 7)
+        table.history[5] = [mk("v5")]
+        base = (spark.read.format("deltasharing")
+                .option("profile_json", json.dumps(srv.profile_doc()))
+                .option("table", "s.d.t"))
+        assert base.load().count() == 4   # latest
+        assert base.option("versionAsOf", "5").load().count() == 2
+        body = json.loads([r for r in srv.requests
+                           if r["path"].endswith("/query")][-1]["body"])
+        assert body == {"version": 5}
+        with pytest.raises(Exception, match="RESOURCE_DOES_NOT_EXIST|404"):
+            base.option("versionAsOf", "3").load().count()
+
+
+def test_time_travel_reader_api_and_exclusivity(spark, tmp_path):
+    """DeltaSharingReader.table(version=...) sends the pin; version and
+    timestamp together are rejected client-side."""
+    from datafusion_delta_sharing_spark.client import DeltaSharingClient
+    from datafusion_delta_sharing_spark.errors import DeltaSharingError
+    from datafusion_delta_sharing_spark.profile import Profile
+    from datafusion_delta_sharing_spark.sources.reader import (
+        DeltaSharingReader,
+    )
+
+    blobs = {"/old.parquet": _blob([10], [1.0]),
+             "/new.parquet": _blob([20, 30], [2.0, 3.0])}
+    srv, table = _server(blobs)
+    with srv:
+        mk = lambda fid: {"id": fid, "url": f"{srv.base_url}/{fid}.parquet",
+                          "size": len(blobs[f"/{fid}.parquet"]),
+                          "partition_values": {"day": "2021-04-28"}}
+        table.files.append(mk("new"))
+        table.history[2] = [mk("old")]
+        profile = Profile.from_json(srv.profile_doc())
+        reader = DeltaSharingReader(spark, DeltaSharingClient(profile))
+        assert reader.table("s.d.t").count() == 2
+        old = reader.table("s.d.t", version=2)
+        assert [r.id for r in old.collect()] == [10]
+        with pytest.raises(DeltaSharingError, match="mutually exclusive"):
+            reader.table("s.d.t", version=2, timestamp="2021-01-01T00:00:00Z")

@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import math
 from collections.abc import Iterator
+from functools import reduce
 
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
@@ -148,31 +149,46 @@ def bloom_prefilter_join_stats(fact: DataFrame, dim: DataFrame,
     The filter is built from the dim side's keys as the distinct set of
     occupied (hash_i, bucket) cells — at most ``n_hashes * 4096`` rows
     regardless of dim size — and broadcast. A fact row survives only if
-    ALL ``n_hashes`` of its buckets are occupied, enforced as a chain of
-    broadcast LEFT SEMI joins, so the fact table is never shuffled and
-    rows that cannot match are dropped before any real join exchange.
-    ``n_pass_bloom - n_true_match`` exposes the false-positive overhang
-    for tuning (more hashes / more bucket chars).
+    ALL ``n_hashes`` of its buckets are occupied. The whole summary is
+    ONE pass over the fact table: each bucket membership is a broadcast
+    LEFT join against its tiny cell set, the true-match probe a broadcast
+    LEFT join against the distinct dim keys, and the three counts fold
+    into a single aggregate — the fact side is never shuffled and never
+    re-scanned. ``n_pass_bloom - n_true_match`` exposes the
+    false-positive overhang for tuning (more hashes / more bucket chars).
+
+    In a real pipeline the ``passed`` predicate (conjunction of bucket
+    hits) IS the prefilter applied before the expensive join; this stats
+    form exists so the reduction ratio is an oracle-checkable output.
     """
     occupied = dim.select(
         *[_bloom_bucket(F.col(dim_key), i).alias(f"b{i}")
           for i in range(n_hashes)]).distinct()
-    passed = fact
+    marked = fact.select(F.col(fact_key))
     for i in range(n_hashes):
-        cell_i = F.broadcast(occupied.select(
-            F.col(f"b{i}").alias("__cell")).distinct())
-        passed = passed.join(
+        cell_i = F.broadcast(
+            occupied.select(F.col(f"b{i}").alias(f"__c{i}")).distinct()
+            .withColumn(f"__hit{i}", F.lit(True)))
+        marked = marked.join(
             cell_i,
-            _bloom_bucket(F.col(fact_key), i) == F.col("__cell"),
-            "left_semi")
-    true_match = passed.join(
-        F.broadcast(dim.select(F.col(dim_key).alias(fact_key)).distinct()),
-        fact_key, "left_semi")
-    return (fact.agg(F.count(F.lit(1)).alias("n_fact"))
-            .crossJoin(passed.agg(
-                F.count(F.lit(1)).alias("n_pass_bloom")))
-            .crossJoin(true_match.agg(
-                F.count(F.lit(1)).alias("n_true_match"))))
+            _bloom_bucket(F.col(fact_key), i) == F.col(f"__c{i}"),
+            "left")
+    dim_keys = F.broadcast(
+        dim.select(F.col(dim_key).alias(fact_key)).distinct()
+        .withColumn("__dimhit", F.lit(True)))
+    marked = marked.join(dim_keys, fact_key, "left")
+    passes = reduce(
+        lambda a, b: a & b,
+        [F.coalesce(F.col(f"__hit{i}"), F.lit(False))
+         for i in range(n_hashes)])
+    return marked.agg(
+        F.count(F.lit(1)).alias("n_fact"),
+        F.coalesce(F.sum(passes.cast("long")),
+                   F.lit(0).cast("long")).alias("n_pass_bloom"),
+        F.coalesce(F.sum((passes &
+                          F.coalesce(F.col("__dimhit"), F.lit(False)))
+                         .cast("long")),
+                   F.lit(0).cast("long")).alias("n_true_match"))
 
 
 def bloom_prefilter_join_stats_sql(fact_sql: str, dim_sql: str,

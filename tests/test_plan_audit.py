@@ -28,8 +28,8 @@ _LINTED = [
     ("freq_moments", frozenset()),
     # one-row vocab-size broadcast crossJoin (scalar):
     ("bigram_logprob", frozenset({"bnl_join"})),
+    ("bloom_join", frozenset()),  # single-pass: broadcast-hash only
     # one-row aggregate crossJoins (scalar denominators / totals):
-    ("bloom_join", frozenset({"bnl_join"})),
     ("tfidf_top", frozenset({"bnl_join"})),
     ("decontaminate", frozenset({"bnl_join"})),
 ]

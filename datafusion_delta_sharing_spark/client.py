@@ -21,6 +21,7 @@ Endpoints (Delta Sharing protocol, all relative to the profile endpoint):
 from __future__ import annotations
 
 import json
+import time
 from dataclasses import dataclass, field as dc_field
 from datetime import datetime
 from typing import Any, Iterator
@@ -139,6 +140,19 @@ class TableData:
     version: int | None = None
 
 
+@dataclass(frozen=True)
+class TableChanges:
+    """Result of the ``changes`` endpoint (CDF): protocol + metadata +
+    ``(kind, file)`` actions where kind is ``add`` / ``remove`` / ``cdf``.
+    ``add``/``remove`` are whole-file inserts/deletes; ``cdf`` files carry
+    row-level changes with their own ``_change_type`` column."""
+
+    protocol: ProtocolAction
+    metadata: MetadataAction
+    actions: tuple[tuple[str, FileAction], ...]
+    version: int | None = None
+
+
 # -- client ---------------------------------------------------------------
 
 
@@ -165,11 +179,14 @@ class DeltaSharingClient:
     """
 
     def __init__(self, profile: Profile, session: requests.Session | None = None,
-                 max_results: int | None = None, timeout: float = 60.0):
+                 max_results: int | None = None, timeout: float = 60.0,
+                 retries: int = 4, backoff_base: float = 0.5):
         self.profile = profile
         self.session = session or requests.Session()
         self.max_results = max_results
         self.timeout = timeout
+        self.retries = retries
+        self.backoff_base = backoff_base
 
     # -- low-level --------------------------------------------------------
 
@@ -195,18 +212,50 @@ class DeltaSharingClient:
             error_code=error_code,
         )
 
+    def _with_retry(self, send) -> requests.Response:
+        """Bounded exponential backoff on 429 / 5xx / transport errors —
+        with a 1000-executor cluster listing files through one sharing
+        server, throttling is routine, not exceptional. Honors
+        ``Retry-After`` when the server sends one; every request here is
+        a read (the protocol's POST /query is a listing), so retrying is
+        always safe. Other 4xx raise immediately — they will not heal."""
+        last_exc: Exception | None = None
+        for attempt in range(self.retries + 1):
+            try:
+                resp = send()
+            except requests.RequestException as exc:
+                last_exc = exc
+            else:
+                if resp.status_code < 500 and resp.status_code != 429:
+                    return self._check(resp)
+                last_exc = None
+                retry_after = resp.headers.get("Retry-After")
+            if attempt >= self.retries:
+                break
+            if last_exc is None and retry_after:
+                try:
+                    delay = min(float(retry_after), 30.0)
+                except ValueError:
+                    delay = self.backoff_base * (2 ** attempt)
+            else:
+                delay = self.backoff_base * (2 ** attempt)
+            time.sleep(delay)
+        if last_exc is not None:
+            raise DeltaSharingError(
+                f"request failed after {self.retries + 1} attempts: {last_exc}"
+            ) from last_exc
+        return self._check(resp)
+
     def _get(self, url: str, params: dict | None = None) -> requests.Response:
         headers = self.profile.authorization_header()
-        return self._check(
-            self.session.get(url, headers=headers, params=params or {}, timeout=self.timeout)
-        )
+        return self._with_retry(lambda: self.session.get(
+            url, headers=headers, params=params or {}, timeout=self.timeout))
 
     def _post(self, url: str, body: dict) -> requests.Response:
         headers = self.profile.authorization_header()
         headers["Content-Type"] = "application/json"
-        return self._check(
-            self.session.post(url, headers=headers, json=body, timeout=self.timeout)
-        )
+        return self._with_retry(lambda: self.session.post(
+            url, headers=headers, json=body, timeout=self.timeout))
 
     def _paginate(self, url: str) -> Iterator[dict]:
         """Follow nextPageToken until exhausted, yielding raw items."""
@@ -359,9 +408,55 @@ class DeltaSharingClient:
             version=int(raw_version) if raw_version is not None else None,
         )
 
-    def get_table_changes(self, table: Table, **_: Any):
-        """CDF endpoint — a ``todo!()`` stub in the reference
-        (mod.rs:384-386); kept unimplemented for parity."""
-        raise NotImplementedError(
-            "get_table_changes is unimplemented in the reference (src/client/mod.rs:384-386)"
+    def get_table_changes(self, table: Table,
+                          starting_version: int | None = None,
+                          ending_version: int | None = None,
+                          starting_timestamp: str | None = None,
+                          ending_timestamp: str | None = None
+                          ) -> TableChanges:
+        """GET …/changes — the CDF endpoint (delta-sharing PROTOCOL.md
+        "Read Change Data Feed from a Table"). The reference left this a
+        ``todo!()`` (mod.rs:384-386); implemented here per the public
+        protocol: one of ``starting_version`` / ``starting_timestamp`` is
+        required, NDJSON response yields protocol + metaData followed by
+        ``add`` / ``remove`` / ``cdf`` actions each tagged with its commit
+        ``version`` and ``timestamp``."""
+        if starting_version is None and starting_timestamp is None:
+            raise DeltaSharingError(
+                "table changes require starting_version or "
+                "starting_timestamp")
+        if starting_version is not None and starting_timestamp is not None:
+            raise DeltaSharingError(
+                "starting_version and starting_timestamp are mutually "
+                "exclusive")
+        params: dict[str, Any] = {}
+        if starting_version is not None:
+            params["startingVersion"] = int(starting_version)
+        if ending_version is not None:
+            params["endingVersion"] = int(ending_version)
+        if starting_timestamp is not None:
+            params["startingTimestamp"] = starting_timestamp
+        if ending_timestamp is not None:
+            params["endingTimestamp"] = ending_timestamp
+        resp = self._get(self._table_url(table, "changes"), params=params)
+        protocol: ProtocolAction | None = None
+        metadata: MetadataAction | None = None
+        actions: list[tuple[str, FileAction]] = []
+        for kind, action in _parse_ndjson_actions(resp.text):
+            if kind == "protocol":
+                protocol = ProtocolAction.from_json(action)
+            elif kind == "metaData":
+                metadata = MetadataAction.from_json(action)
+            elif kind in ("add", "remove", "cdf"):
+                actions.append((kind, FileAction.from_json(action)))
+        if protocol is None or metadata is None:
+            raise DeltaSharingError(
+                "changes response missing protocol or metaData line")
+        raw_version = resp.headers.get(VERSION_HEADER)
+        return TableChanges(
+            protocol=protocol,
+            metadata=metadata,
+            actions=tuple(actions),
+            version=int(raw_version) if raw_version is not None else None,
         )
+

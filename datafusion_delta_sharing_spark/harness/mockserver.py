@@ -34,6 +34,10 @@ class MockTable:
     # ``files`` stays the latest. A query body pinning an absent version
     # gets the protocol's RESOURCE_DOES_NOT_EXIST error.
     history: dict = field(default_factory=dict)
+    # optional CDF: list of {"kind": add|remove|cdf, "version": int,
+    # "timestamp": int, **file fields} served by /changes filtered on
+    # startingVersion/endingVersion
+    changes: list = field(default_factory=list)
 
 
 class MockSharingServer:
@@ -45,6 +49,9 @@ class MockSharingServer:
         self.page_size = page_size
         self.parquet_bytes = parquet_bytes or {}  # path -> bytes, served w/ Range
         self.forbidden_paths: set[str] = set()  # served as 403 (expired URL)
+        # path -> remaining count of 429 responses before success (retry
+        # tests); decremented per hit, Retry-After: 0 sent to skip waits
+        self.throttle_paths: dict[str, int] = {}
         self.requests: list[dict] = []  # method, path, query, body, headers
         self._server: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
@@ -103,11 +110,23 @@ class MockSharingServer:
                     return False
                 return True
 
+            def _maybe_throttle(self, path: str) -> bool:
+                if outer.throttle_paths.get(path, 0) > 0:
+                    outer.throttle_paths[path] -= 1
+                    self._send(429, json.dumps({
+                        "errorCode": "THROTTLED",
+                        "message": "too many requests",
+                    }).encode(), headers={"Retry-After": "0"})
+                    return True
+                return False
+
             def do_GET(self):
                 self._record(None)
                 parsed = urlparse(self.path)
                 path, query = parsed.path, {k: v[0] for k, v in
                                             parse_qs(parsed.query).items()}
+                if self._maybe_throttle(path):
+                    return
                 if path in outer.forbidden_paths:
                     return self._send(403, json.dumps({
                         "errorCode": "EXPIRED", "message": "url expired",
@@ -123,6 +142,8 @@ class MockSharingServer:
                 length = int(self.headers.get("Content-Length", 0))
                 body = self.rfile.read(length).decode() if length else ""
                 self._record(body)
+                if self._maybe_throttle(urlparse(self.path).path):
+                    return
                 if not self._check_auth():
                     return
                 parsed = urlparse(self.path)
@@ -177,6 +198,10 @@ class MockSharingServer:
         m_table_leaf = re.fullmatch(
             r"/shares/([^/]+)/schemas/([^/]+)/tables/([^/]+)/(version|metadata)", route
         )
+        m_changes = re.fullmatch(
+            r"/shares/([^/]+)/schemas/([^/]+)/tables/([^/]+)/changes", route)
+        if m_changes:
+            return self._route_changes(handler, m_changes.groups(), query)
         if route == "/shares":
             items = [{"name": s, "id": f"id-{s}"} for s in shares]
             return self._paginate(handler, items, query)
@@ -217,6 +242,38 @@ class MockSharingServer:
                                  "application/x-ndjson",
                                  headers={"Delta-Table-Version": str(table.version)})
         self._not_found(handler, route)
+
+    def _route_changes(self, handler, ids: tuple, query: dict):
+        table = self._find(*ids)
+        if table is None:
+            return self._not_found(handler, "/".join(ids))
+        if "startingVersion" not in query and \
+                "startingTimestamp" not in query:
+            return handler._send(400, json.dumps({
+                "errorCode": "INVALID_PARAMETER_VALUE",
+                "message": "startingVersion or startingTimestamp required",
+            }).encode())
+        start = int(query.get("startingVersion", -1))
+        end = int(query["endingVersion"]) if "endingVersion" in query \
+            else None
+        lines = [self._metadata_ndjson(table)]
+        served_max = table.version
+        for ch in table.changes:
+            v = ch["version"]
+            if v < start or (end is not None and v > end):
+                continue
+            doc = {
+                "url": ch["url"],
+                "id": ch["id"],
+                "partitionValues": ch.get("partition_values", {}),
+                "size": ch.get("size", 0),
+                "version": v,
+                "timestamp": ch.get("timestamp", 0),
+            }
+            lines.append(json.dumps({ch["kind"]: doc}))
+        handler._send(200, "\n".join(lines).encode(),
+                      "application/x-ndjson",
+                      headers={"Delta-Table-Version": str(served_max)})
 
     def _route_post(self, handler, route: str, body: str):
         m = re.fullmatch(r"/shares/([^/]+)/schemas/([^/]+)/tables/([^/]+)/query", route)

@@ -393,6 +393,72 @@ class DeltaSharingReader:
             df = df.limit(limit)  # exact limit above the hint (A19)
         return df
 
+    # -- CDF (A34, beyond the reference's todo!()) -------------------------
+
+    def table_changes(self, table: Table | str,
+                      starting_version: int | None = None,
+                      ending_version: int | None = None,
+                      starting_timestamp: str | None = None,
+                      ending_timestamp: str | None = None) -> DataFrame:
+        """Change Data Feed between two versions as a DataFrame with the
+        Delta CDF metadata columns ``_change_type`` (insert / delete /
+        update_preimage / update_postimage), ``_commit_version``,
+        ``_commit_timestamp``.
+
+        ``add``/``remove`` actions are whole-file inserts/deletes tagged
+        with a literal change type; ``cdf`` actions' files carry their own
+        ``_change_type`` column. Each commit's file group reuses the same
+        local/distributed scan strategies as a snapshot read, so the 100 TB
+        posture (ranged HTTP fetch, no driver-side rows) is unchanged.
+        The reference's client stops at ``todo!()`` here
+        (src/client/mod.rs:384-386)."""
+        import dataclasses
+
+        if isinstance(table, str):
+            table = Table.from_str(table)
+        changes = self.client.get_table_changes(
+            table, starting_version=starting_version,
+            ending_version=ending_version,
+            starting_timestamp=starting_timestamp,
+            ending_timestamp=ending_timestamp)
+        full_schema = schema_from_string(changes.metadata.schema_string)
+        cdf_doc = json.loads(changes.metadata.schema_string)
+        cdf_doc["fields"] = list(cdf_doc["fields"]) + [
+            {"name": "_change_type", "type": "string",
+             "nullable": True, "metadata": {}}]
+        cdf_metadata = dataclasses.replace(
+            changes.metadata, schema_string=json.dumps(cdf_doc))
+
+        groups: dict[tuple, list[FileAction]] = {}
+        for kind, f in changes.actions:
+            groups.setdefault((kind, f.version, f.timestamp), []).append(f)
+
+        parts: list[DataFrame] = []
+        for (kind, ver, ts), files in sorted(
+                groups.items(),
+                key=lambda kv: (kv[0][1] or 0, kv[0][0])):
+            metadata = cdf_metadata if kind == "cdf" else changes.metadata
+            data = TableData(protocol=changes.protocol, metadata=metadata,
+                             files=tuple(files), version=changes.version)
+            df = self._dataframe_from_listing(table, data)
+            if kind != "cdf":
+                df = df.withColumn(
+                    "_change_type",
+                    F.lit("insert" if kind == "add" else "delete"))
+            parts.append(
+                df.withColumn("_commit_version",
+                              F.lit(ver).cast("long"))
+                .withColumn("_commit_timestamp",
+                            F.timestamp_millis(F.lit(ts).cast("long"))))
+
+        if not parts:
+            out = T.StructType(list(full_schema.fields) + [
+                T.StructField("_change_type", T.StringType()),
+                T.StructField("_commit_version", T.LongType()),
+                T.StructField("_commit_timestamp", T.TimestampType())])
+            return self.spark.createDataFrame([], out)
+        return reduce(lambda a, b: a.unionByName(b), parts)
+
     # -- physical construction --------------------------------------------
 
     def _dataframe_from_listing(self, table: Table, data: TableData,

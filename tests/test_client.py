@@ -147,9 +147,38 @@ def test_bad_token_maps_to_client_error(server):
     assert err.value.error_code == "UNAUTHENTICATED"
 
 
-def test_cdf_stub_parity(client):
-    with pytest.raises(NotImplementedError):
+def test_table_changes_requires_start_and_exclusivity(client):
+    # the reference stops at todo!() here (mod.rs:384-386); our protocol
+    # implementation validates inputs client-side
+    from datafusion_delta_sharing_spark.errors import DeltaSharingError
+
+    with pytest.raises(DeltaSharingError, match="starting_version"):
         client.get_table_changes(Table.from_str("sales.emea.orders"))
+    with pytest.raises(DeltaSharingError, match="mutually exclusive"):
+        client.get_table_changes(Table.from_str("sales.emea.orders"),
+                                 starting_version=1,
+                                 starting_timestamp="2021-01-01T00:00:00Z")
+
+
+def test_table_changes_filters_versions(server):
+    client = DeltaSharingClient(Profile.from_json(server.profile_doc()))
+    table = next(t for t in server.tables
+                 if (t.share, t.schema, t.name) == ("sales", "emea", "orders"))
+    table.changes.extend([
+        {"kind": "add", "version": 1, "timestamp": 1000,
+         "url": "https://data.example/c1", "id": "c1", "size": 10},
+        {"kind": "remove", "version": 2, "timestamp": 2000,
+         "url": "https://data.example/c2", "id": "c2", "size": 20},
+        {"kind": "cdf", "version": 3, "timestamp": 3000,
+         "url": "https://data.example/c3", "id": "c3", "size": 30},
+    ])
+    ch = client.get_table_changes(Table.from_str("sales.emea.orders"),
+                                  starting_version=2, ending_version=3)
+    assert [(k, f.id, f.version) for k, f in ch.actions] == [
+        ("remove", "c2", 2), ("cdf", "c3", 3)]
+    assert ch.metadata.schema_string  # metadata line parsed
+    q = [r for r in server.requests if r["path"].endswith("/changes")][-1]
+    assert q["query"] == {"startingVersion": "2", "endingVersion": "3"}
 
 
 def test_partition_values_none_normalized():
@@ -157,3 +186,34 @@ def test_partition_values_none_normalized():
     f = FileAction.from_json({"url": "u", "id": "i",
                               "partitionValues": {"day": None}, "size": 1})
     assert f.partition_values == {"day": ""}
+
+
+def test_retry_on_429_then_success(server):
+    client = DeltaSharingClient(Profile.from_json(server.profile_doc()),
+                                backoff_base=0.0)
+    path = "/delta-sharing/shares"
+    server.throttle_paths[path] = 2
+    names = [s.name for s in client.list_shares()]
+    assert names == ["hr", "sales"]
+    throttled = [r for r in server.requests if r["path"] == path]
+    assert len(throttled) == 3  # 2 x 429 + 1 success
+
+
+def test_retry_exhaustion_surfaces_429(server):
+    client = DeltaSharingClient(Profile.from_json(server.profile_doc()),
+                                retries=1, backoff_base=0.0)
+    server.throttle_paths["/delta-sharing/shares"] = 99
+    with pytest.raises(ClientHttpError) as exc:
+        client.list_shares()
+    assert exc.value.status == 429
+    assert server.throttle_paths["/delta-sharing/shares"] == 97  # 2 attempts
+
+
+def test_no_retry_on_plain_4xx(server):
+    client = DeltaSharingClient(Profile.from_json(server.profile_doc()),
+                                backoff_base=0.0)
+    with pytest.raises(ClientHttpError):
+        client.get_share("nope")
+    hits = [r for r in server.requests
+            if r["path"].endswith("/shares/nope")]
+    assert len(hits) == 1  # 404 is terminal, not retried

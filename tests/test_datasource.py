@@ -299,3 +299,69 @@ def test_time_travel_reader_api_and_exclusivity(spark, tmp_path):
         assert [r.id for r in old.collect()] == [10]
         with pytest.raises(DeltaSharingError, match="mutually exclusive"):
             reader.table("s.d.t", version=2, timestamp="2021-01-01T00:00:00Z")
+
+
+def test_table_changes_end_to_end(spark, tmp_path):
+    """CDF read: add/remove actions become whole-file insert/delete rows,
+    cdf files keep their own _change_type, all tagged with commit
+    version/timestamp. The reference's client is todo!() here."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datafusion_delta_sharing_spark.client import DeltaSharingClient
+    from datafusion_delta_sharing_spark.profile import Profile
+    from datafusion_delta_sharing_spark.sources.reader import (
+        DeltaSharingReader,
+    )
+
+    plain_schema = json.dumps({"type": "struct", "fields": [
+        {"name": "id", "type": "long", "nullable": False, "metadata": {}},
+        {"name": "amount", "type": "double", "nullable": True,
+         "metadata": {}},
+    ]})
+    add_path = tmp_path / "add.parquet"
+    pq.write_table(pa.table({"id": pa.array([1, 2], pa.int64()),
+                             "amount": pa.array([1.0, 2.0], pa.float64())}),
+                   add_path)
+    rm_path = tmp_path / "rm.parquet"
+    pq.write_table(pa.table({"id": pa.array([9], pa.int64()),
+                             "amount": pa.array([9.0], pa.float64())}),
+                   rm_path)
+    cdf_path = tmp_path / "cdf.parquet"
+    pq.write_table(pa.table({
+        "id": pa.array([2, 2], pa.int64()),
+        "amount": pa.array([2.0, 5.0], pa.float64()),
+        "_change_type": pa.array(["update_preimage", "update_postimage"]),
+    }), cdf_path)
+
+    table = MockTable(share="s", schema="d", name="cdf_t",
+                      schema_string=plain_schema)
+    table.changes.extend([
+        {"kind": "add", "version": 1, "timestamp": 1_600_000_000_000,
+         "url": f"file://{add_path}", "id": "a", "size": 1},
+        {"kind": "remove", "version": 2, "timestamp": 1_600_000_060_000,
+         "url": f"file://{rm_path}", "id": "r", "size": 1},
+        {"kind": "cdf", "version": 3, "timestamp": 1_600_000_120_000,
+         "url": f"file://{cdf_path}", "id": "c", "size": 1},
+    ])
+    with MockSharingServer([table]) as srv:
+        reader = DeltaSharingReader(
+            spark, DeltaSharingClient(Profile.from_json(srv.profile_doc())))
+        df = reader.table_changes("s.d.cdf_t", starting_version=1)
+        rows = sorted(
+            ((r._commit_version, r._change_type, r.id, r.amount)
+             for r in df.collect()))
+        assert rows == [
+            (1, "insert", 1, 1.0),
+            (1, "insert", 2, 2.0),
+            (2, "delete", 9, 9.0),
+            (3, "update_postimage", 2, 5.0),
+            (3, "update_preimage", 2, 2.0),
+        ]
+        ts = {r._commit_version: r._commit_timestamp for r in df.collect()}
+        assert ts[1].year == 2020  # ms epoch decoded to timestamp
+        # bounded range excludes version 3
+        assert df.schema["_commit_version"].dataType.typeName() == "long"
+        bounded = reader.table_changes("s.d.cdf_t", starting_version=1,
+                                       ending_version=2)
+        assert bounded.count() == 3

@@ -88,6 +88,16 @@ class _FilePartition(InputPartition):
         self.partition_values = partition_values
 
 
+class _CDFFilePartition(_FilePartition):
+    def __init__(self, url: str, size: int, file_id: str,
+                 partition_values: dict[str, str], kind: str,
+                 version: int, timestamp: int):
+        super().__init__(url, size, file_id, partition_values)
+        self.kind = kind          # add | remove | cdf
+        self.version = version
+        self.timestamp = timestamp  # ms epoch
+
+
 def _filters_to_op(filters: Sequence[Filter], schema: T.StructType) -> Op | None:
     """Spark Filter objects -> json-predicate conjunction. Unconvertible
     filters are skipped (they are returned unhandled anyway — hints are
@@ -346,6 +356,107 @@ class DeltaSharingStreamReader(DataSourceStreamReader):
             del self._batches[b]
 
 
+_CDF_META_FIELDS = (
+    T.StructField("_change_type", T.StringType()),
+    T.StructField("_commit_version", T.LongType()),
+    T.StructField("_commit_timestamp", T.TimestampType()),
+)
+
+
+def _wants_cdf(options) -> bool:
+    return str(options.get("readChangeFeed", "")).lower() in ("true", "1")
+
+
+class DeltaSharingCDFStreamReader(DataSourceStreamReader):
+    """Change-Data-Feed microbatch source over the protocol's ``/changes``
+    endpoint (``readChangeFeed`` option; Spark's delta CDF streaming
+    analogue). Offsets are purely logical — ``{"version": V}`` — so there
+    is no local commit log at all: ``partitions(start, end)`` re-lists the
+    version range from the server, which is authoritative for replay. A
+    replay whose versions the server has vacuumed fails loudly server-side
+    rather than silently dropping changes. Each action file is one
+    executor partition; add/remove actions get literal
+    insert/delete ``_change_type``, ``cdf`` files carry their own."""
+
+    def __init__(self, options, schema: T.StructType):
+        self.options = options
+        # schema arrives WITH the three CDF meta columns (appended by
+        # DeltaSharingDataSource.schema); the file payload schema is the
+        # table schema without them
+        meta_names = {f.name for f in _CDF_META_FIELDS}
+        self.out_schema = schema
+        self.base_schema = T.StructType(
+            [f for f in schema.fields if f.name not in meta_names])
+        start_opt = options.get("startingVersion")
+        if start_opt is not None:
+            # serve changes FROM startingVersion (inclusive)
+            self._initial = {"version": int(start_opt) - 1}
+        else:
+            client, table = _make_client(options)
+            self._initial = {"version": client.get_table_version(table)}
+
+    def initialOffset(self) -> dict:
+        return dict(self._initial)
+
+    def latestOffset(self) -> dict:
+        client, table = _make_client(self.options)
+        return {"version": client.get_table_version(table)}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        lo, hi = start.get("version", -1), end.get("version", -1)
+        if hi <= lo:
+            return []
+        client, table = _make_client(self.options)
+        changes = client.get_table_changes(
+            table, starting_version=lo + 1, ending_version=hi)
+        return [
+            _CDFFilePartition(f.url, f.size, f.id,
+                              dict(f.partition_values), kind,
+                              f.version if f.version is not None else hi,
+                              f.timestamp or 0)
+            for kind, f in changes.actions
+        ]
+
+    def read(self, partition: _CDFFilePartition):
+        import pyarrow as pa
+
+        from datafusion_delta_sharing_spark.sources.reader import (
+            _spark_struct_to_arrow_schema,
+        )
+
+        file_schema = self.base_schema
+        if partition.kind == "cdf":
+            file_schema = T.StructType(
+                list(self.base_schema.fields)
+                + [T.StructField("_change_type", T.StringType())])
+        arrow_out = _spark_struct_to_arrow_schema(self.out_schema)
+        ct_type = arrow_out.field("_change_type").type
+        cv_type = arrow_out.field("_commit_version").type
+        cts_type = arrow_out.field("_commit_timestamp").type
+        literal_ct = ("insert" if partition.kind == "add" else "delete")
+        for batch in _read_file_partition(self.options, file_schema,
+                                          partition):
+            n = batch.num_rows
+            cols = {name: batch.column(i)
+                    for i, name in enumerate(batch.schema.names)}
+            arrays = []
+            for field in self.out_schema.fields:
+                if field.name == "_change_type" and field.name not in cols:
+                    arrays.append(pa.array([literal_ct] * n, ct_type))
+                elif field.name == "_commit_version":
+                    arrays.append(pa.array([partition.version] * n, cv_type))
+                elif field.name == "_commit_timestamp":
+                    arrays.append(pa.array(
+                        [partition.timestamp * 1000] * n).cast(cts_type))
+                else:
+                    arrays.append(cols[field.name].cast(
+                        arrow_out.field(field.name).type))
+            yield pa.RecordBatch.from_arrays(arrays, schema=arrow_out)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are logical; the server's history is the log
+
+
 class DeltaSharingDataSource(DataSource):
     """``spark.read.format("deltasharing")`` — see module docstring."""
 
@@ -361,10 +472,19 @@ class DeltaSharingDataSource(DataSource):
         # remember partition columns for the readers (options travel)
         self.options["partition_columns"] = json.dumps(
             list(metadata.partition_columns))
-        return schema_from_string(metadata.schema_string)
+        base = schema_from_string(metadata.schema_string)
+        if _wants_cdf(self.options):
+            return T.StructType(list(base.fields) + list(_CDF_META_FIELDS))
+        return base
 
     def reader(self, schema: T.StructType) -> DeltaSharingBatchReader:
+        if _wants_cdf(self.options):
+            raise DeltaSharingError(
+                "readChangeFeed is a streaming option — use readStream, "
+                "or DeltaSharingReader.table_changes for a batch CDF read")
         return DeltaSharingBatchReader(self.options, schema)
 
-    def streamReader(self, schema: T.StructType) -> DeltaSharingStreamReader:
+    def streamReader(self, schema: T.StructType) -> DataSourceStreamReader:
+        if _wants_cdf(self.options):
+            return DeltaSharingCDFStreamReader(self.options, schema)
         return DeltaSharingStreamReader(self.options, schema)

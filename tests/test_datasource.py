@@ -365,3 +365,73 @@ def test_table_changes_end_to_end(spark, tmp_path):
         bounded = reader.table_changes("s.d.cdf_t", starting_version=1,
                                        ending_version=2)
         assert bounded.count() == 3
+
+
+def test_cdf_stream_read(registered, tmp_path):
+    """readChangeFeed streaming: logical version offsets, backlog served
+    from startingVersion, new commits emitted per microbatch with CDF
+    metadata columns."""
+    import pyarrow.parquet as pq
+
+    plain_schema = json.dumps({"type": "struct", "fields": [
+        {"name": "id", "type": "long", "nullable": False, "metadata": {}},
+        {"name": "amount", "type": "double", "nullable": True,
+         "metadata": {}},
+    ]})
+    p1 = tmp_path / "c1.parquet"
+    pq.write_table(pa.table({"id": pa.array([1, 2], pa.int64()),
+                             "amount": pa.array([1.0, 2.0], pa.float64())}),
+                   p1)
+    p2 = tmp_path / "c2.parquet"
+    pq.write_table(pa.table({
+        "id": pa.array([2], pa.int64()),
+        "amount": pa.array([9.0], pa.float64()),
+        "_change_type": pa.array(["update_postimage"]),
+    }), p2)
+
+    table = MockTable(share="s", schema="d", name="cdf_s",
+                      schema_string=plain_schema, version=1)
+    table.changes.append(
+        {"kind": "add", "version": 1, "timestamp": 1_600_000_000_000,
+         "url": f"file://{p1}", "id": "c1", "size": 1})
+    spark = registered
+    with MockSharingServer([table]) as srv:
+        sink = f"cdf_stream_{uuid.uuid4().hex[:8]}"
+        stream = (spark.readStream.format("deltasharing")
+                  .option("profile_json", json.dumps(srv.profile_doc()))
+                  .option("table", "s.d.cdf_s")
+                  .option("readChangeFeed", "true")
+                  .option("startingVersion", "1").load())
+        assert stream.columns == ["id", "amount", "_change_type",
+                                  "_commit_version", "_commit_timestamp"]
+        query = (stream.writeStream.outputMode("append")
+                 .format("memory").queryName(sink).start())
+        try:
+            query.processAllAvailable()
+            first = sorted((r.id, r._change_type, r._commit_version)
+                           for r in spark.table(sink).collect())
+            assert first == [(1, "insert", 1), (2, "insert", 1)]
+            # a new commit lands -> next microbatch serves only its range
+            table.changes.append(
+                {"kind": "cdf", "version": 2,
+                 "timestamp": 1_600_000_060_000,
+                 "url": f"file://{p2}", "id": "c2", "size": 1})
+            table.version = 2
+            query.processAllAvailable()
+            rows = sorted((r.id, r._change_type, r._commit_version)
+                          for r in spark.table(sink).collect())
+            assert rows == [(1, "insert", 1), (2, "insert", 1),
+                            (2, "update_postimage", 2)]
+        finally:
+            query.stop()
+
+
+def test_cdf_batch_read_rejected(registered):
+    spark = registered
+    srv, table = _server({})
+    with srv:
+        with pytest.raises(Exception, match="readChangeFeed"):
+            (spark.read.format("deltasharing")
+             .option("profile_json", json.dumps(srv.profile_doc()))
+             .option("table", "s.d.t")
+             .option("readChangeFeed", "true").load().collect())

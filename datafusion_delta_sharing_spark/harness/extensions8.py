@@ -63,6 +63,41 @@ def q_freq_moments(spark, sf_dir):
     return SK.freq_moments(lineitem, "l_orderkey")
 
 
+def q_token_entropy(spark, sf_dir):
+    """Within-doc token-distribution entropy — the repetition screen
+    (boilerplate scores low, diverse text high)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return CO.token_entropy(docs, "text", "doc_id")
+
+
+def q_rolling_median(spark, sf_dir):
+    """Exact rolling median of event values per user over the trailing 7
+    events (``percentile(0.5)`` over a row frame) — the robust-smoothing
+    counterpart of the mean-based ``window_running``. Partitioned by
+    user_id: per-entity state only, no global sort."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-6, 0))
+    return (ev.select(
+        "event_id", "user_id",
+        F.round(F.expr("percentile(value, 0.5)").over(w), 6)
+        .alias("med7"))
+        .filter(F.col("event_id") < 2000))
+
+
+_ROLLING_MEDIAN_SQL = """
+    SELECT event_id, user_id,
+           round(median(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS med7
+    FROM events
+    QUALIFY event_id < 2000
+"""
+
+
 def q_bigram_logprob(spark, sf_dir):
     """Bigram-LM quality score per document (Laplace-smoothed, corpus-
     trained) — the next rung of the perplexity-filter ladder above
@@ -76,6 +111,8 @@ QUERIES = {
     "bloom_join": q_bloom_join,
     "freq_moments": q_freq_moments,
     "bigram_logprob": q_bigram_logprob,
+    "token_entropy": q_token_entropy,
+    "rolling_median": q_rolling_median,
 }
 
 ORACLES = {
@@ -87,4 +124,6 @@ ORACLES = {
         "l_partkey", "p_partkey"),
     "freq_moments": SK.freq_moments_sql("lineitem", "l_orderkey"),
     "bigram_logprob": CO.bigram_logprob_sql("documents", "text", "doc_id"),
+    "token_entropy": CO.token_entropy_sql("documents", "text", "doc_id"),
+    "rolling_median": _ROLLING_MEDIAN_SQL,
 }

@@ -231,3 +231,55 @@ def bigram_logprob_sql(source_sql: str, text_col: str, id_col: str,
         CROSS JOIN vocab vb
         GROUP BY d.{id_col}
     """
+
+
+def token_entropy(docs: DataFrame, text_col: str, id_col: str,
+                  ndigits: int = 6) -> DataFrame:
+    """Shannon entropy (nats) of each document's own token distribution:
+    ``H = ln(n) - (sum c*ln(c)) / n`` over within-doc token counts — the
+    identity avoids forming probabilities so the only float rounding is
+    the final one. Low entropy = repetitive/boilerplate text, high =
+    diverse vocabulary; with ``n_tokens`` it is the cheap within-doc
+    repetition screen next to the corpus-level ``unigram_logprob``.
+
+    Returns ``(id, n_tokens, entropy)``; empty documents are absent.
+    Scale shape: one shuffle on (doc, token) with map-side combine, one
+    on doc — both keyed by the document, so no corpus-wide hot keys.
+    """
+    toks = (docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))),
+                          WS_TOKEN_SPLIT)).alias("token"))
+        .filter(F.col("token") != ""))
+    per_tok = (toks.groupBy(id_col, "token")
+               .agg(F.count(F.lit(1)).alias("c")))
+    return (per_tok.groupBy(id_col)
+            .agg(F.sum("c").cast("bigint").alias("n_tokens"),
+                 F.round(
+                     F.log(F.sum("c"))
+                     - F.sum(F.col("c") * F.log("c")) / F.sum("c"),
+                     ndigits).alias("entropy")))
+
+
+def token_entropy_sql(source_sql: str, text_col: str, id_col: str,
+                      ndigits: int = 6) -> str:
+    """DuckDB mirror of :func:`token_entropy`."""
+    words = (f"regexp_split_to_array(trim(lower({text_col})), "
+             f"'{WS_TOKEN_SPLIT}')")
+    return f"""
+        WITH toks AS (
+            SELECT {id_col}, token
+            FROM (SELECT {id_col}, {words} AS words FROM {source_sql}),
+                 unnest(words) AS t(token)
+            WHERE token != ''
+        ),
+        per_tok AS (
+            SELECT {id_col}, token, count(*) AS c
+            FROM toks GROUP BY {id_col}, token
+        )
+        SELECT {id_col},
+               CAST(sum(c) AS BIGINT) AS n_tokens,
+               round(ln(sum(c)) - sum(c * ln(c)) / sum(c),
+                     {ndigits}) AS entropy
+        FROM per_tok GROUP BY {id_col}
+    """

@@ -917,3 +917,41 @@ def test_bigram_logprob_hand_computed(spark):
     assert rows[1]["logprob"] == round(exp1, 6)
     assert rows[2]["n_bigrams"] == 1
     assert rows[2]["logprob"] == round(math.log(2 / 7), 6)
+
+
+def test_token_entropy_hand_computed(spark):
+    import math
+
+    from datafusion_delta_sharing_spark.operators.corpus import (
+        token_entropy,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a b c d"), (3, "a a b b"), (4, "   ")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r
+            for r in token_entropy(docs, "text", "doc_id").collect()}
+    assert set(rows) == {1, 2, 3}       # all-whitespace doc absent
+    assert rows[1]["entropy"] == 0.0    # single repeated token
+    assert rows[2]["entropy"] == round(math.log(4), 6)  # uniform over 4
+    assert rows[3]["entropy"] == round(math.log(2), 6)  # 2 x 2
+    assert rows[1]["n_tokens"] == 4
+
+
+def test_rolling_median_matches_pandas(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    df = entry.queries()["rolling_median"](spark, sf_dir).toPandas()
+    from datafusion_delta_sharing_spark.harness import load_table
+
+    ev = (load_table(spark, sf_dir, "events")
+          .select("event_id", "user_id", "ts", "value").toPandas()
+          .sort_values(["user_id", "ts", "event_id"]))
+    exp = (ev.groupby("user_id")["value"]
+           .rolling(7, min_periods=1).median()
+           .reset_index(level=0, drop=True).round(6))
+    ev = ev.assign(med7=exp)
+    merged = df.merge(ev[["event_id", "med7"]], on="event_id",
+                      suffixes=("", "_exp"))
+    assert (merged["med7"] == merged["med7_exp"]).all()
+    assert len(merged) == len(df) > 0

@@ -7,13 +7,16 @@ regressions fail tests instead of surfacing as a dead cluster:
 - ``cartesian`` / ``bnl_join``: CartesianProduct or BroadcastNestedLoop-
   Join — O(n*m) row comparisons; fine for a one-row scalar join, fatal
   when both sides are data-sized.
-- ``row_udf``: BatchEvalPython — a row-at-a-time Python UDF in the plan
-  (pickle per row). The Arrow-batched tiers (ArrowEvalPython, FlatMap-
-  GroupsInPandas, MapInArrow/MapInPandas) are NOT flagged.
-- ``global_sort``: a Sort with ``global=true`` that is not served by a
-  TakeOrderedAndProject / WindowGroupLimit — a full-data range-
-  partitioned sort materialization. Top-k and write-ordering shapes
-  stay quiet.
+- ``row_udf``: BatchEvalPython — a row-at-a-time Python SCALAR UDF in
+  the plan (pickle per row). The Arrow-batched tiers (ArrowEvalPython,
+  FlatMapGroupsInPandas, MapInArrow/MapInPandas) are NOT flagged, and
+  neither is BatchEvalPythonUDTF — table functions have no Arrow tier
+  to prefer.
+- ``global_sort``: a Sort with ``global=true`` over UNAGGREGATED data
+  that is not served by a TakeOrderedAndProject / WindowGroupLimit — a
+  full-data range-partitioned sort materialization. Sorting the output
+  of an aggregation (result sets already reduced by grouping — the
+  TPC-H ORDER BY shape) and top-k stay quiet.
 - ``unpushed_filter``: a parquet scan with a ``cast(`` inside its
   ``DataFilters`` — the classic silent pushdown killer (comparing a
   column against a literal of the wrong type wraps the COLUMN in a
@@ -72,14 +75,15 @@ def audit(df: DataFrame, allow: set[str] | frozenset[str] = frozenset()
             "BroadcastNestedLoopJoin in plan: non-equi join probes every "
             "broadcast row per input row; acceptable only for one-row "
             "scalar joins — allow explicitly if so"))
-    if "BatchEvalPython" in plan:
+    if re.search(r"BatchEvalPython(?!UDTF)", plan):
         found.append(Finding(
             "row_udf",
             "row-at-a-time Python UDF (BatchEvalPython): 10-100x slower "
             "than Arrow-batched pandas_udf; rewrite with built-ins or "
             "a vectorized UDF tier"))
-    if re.search(r"\bSort \[[^\]]*\], true", plan) and \
-            "TakeOrderedAndProject" not in plan:
+    sort_m = re.search(r"\bSort \[[^\]]*\], true", plan)
+    if sort_m and "TakeOrderedAndProject" not in plan and \
+            not re.search(r"Aggregate", plan[sort_m.end():]):
         found.append(Finding(
             "global_sort",
             "global Sort without a top-k operator: full range-partitioned "

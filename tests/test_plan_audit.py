@@ -10,38 +10,46 @@ from pyspark.sql import functions as F
 from datafusion_delta_sharing_spark.harness import load_table
 from datafusion_delta_sharing_spark.plans import audit as A
 
-# headline queries linted clean; allow-sets mark the audited exceptions
-# (bnl_join = one-row scalar crossJoin, by construction in those queries)
-_LINTED = [
-    ("flagship", frozenset()),
-    ("scan_filter_project", frozenset()),
-    ("join_inner", frozenset()),
-    ("join_semi", frozenset()),
-    ("tpch_q1", frozenset()),
-    ("tpch_q3", frozenset()),
-    ("tpch_q6", frozenset()),
-    ("topk_per_group", frozenset()),
-    ("dedup_exact", frozenset()),
-    ("text_metrics", frozenset()),
-    ("doc_fingerprint", frozenset()),
-    ("heavy_hitters", frozenset()),
-    ("freq_moments", frozenset()),
-    # one-row vocab-size broadcast crossJoin (scalar):
-    ("bigram_logprob", frozenset({"bnl_join"})),
-    ("bloom_join", frozenset()),  # single-pass: broadcast-hash only
-    # one-row aggregate crossJoins (scalar denominators / totals):
-    ("tfidf_top", frozenset({"bnl_join"})),
-    ("decontaminate", frozenset({"bnl_join"})),
-]
+# The ENTIRE registry is linted (connector/stream/format queries excluded:
+# they stage servers or return streaming frames). _ALLOWS documents every
+# audited exception; anything else must lint clean, and an allow that
+# stops being needed is itself a failure (stale pin).
+_SKIP_PREFIXES = ("connector_", "stream_", "csv_", "json_", "orc_")
+
+# bnl_join here = one-row scalar crossJoin (totals, thresholds, vocab
+# size, recall bounds) — a broadcast of exactly one row, by construction
+_ALLOWS: dict[str, frozenset] = {
+    **{name: frozenset({"bnl_join"}) for name in (
+        "winsorize", "contingency", "quantile_bin", "triangles",
+        "triangles_degcut", "basket_rules", "rolling_wau",
+        "quality_filter", "tfidf_top", "pmi_collocations",
+        "distinctive_terms", "corpus_overlap", "dedup_minhash",
+        "dedup_simhash", "ann_lsh_topk", "ann_ivf_topk",
+        "unigram_logprob", "bigram_logprob")},
+    # intentional non-equi-join demonstrations (the operator IS the BNLJ)
+    "cross_join": frozenset({"bnl_join"}),
+    "join_theta": frozenset({"bnl_join"}),
+    # scalar-subquery crossJoins in TPC-H adaptations
+    "tpch_q22": frozenset({"bnl_join"}),
+    "tpch_q11": frozenset({"bnl_join"}),
+}
 
 
-@pytest.mark.parametrize("name,allow", _LINTED,
-                         ids=[n for n, _ in _LINTED])
-def test_headline_plans_are_scale_safe(spark, sf_dir, name, allow):
+def test_registry_plans_are_scale_safe(spark, sf_dir):
     import __spark_entry__ as entry
 
-    df = entry.queries()[name](spark, sf_dir)
-    A.assert_scale_safe(df, allow=allow)
+    failures, stale_allows = [], []
+    for name, fn in entry.queries().items():
+        if name.startswith(_SKIP_PREFIXES):
+            continue
+        allow = _ALLOWS.get(name, frozenset())
+        found = {f.code for f in A.audit(fn(spark, sf_dir))}
+        if found - allow:
+            failures.append((name, sorted(found - allow)))
+        if allow - found:
+            stale_allows.append((name, sorted(allow - found)))
+    assert not failures, f"plans not scale-safe: {failures}"
+    assert not stale_allows, f"stale allow entries: {stale_allows}"
 
 
 def test_detects_cartesian(spark, sf_dir):

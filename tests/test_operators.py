@@ -955,3 +955,61 @@ def test_rolling_median_matches_pandas(spark, sf_dir):
                       suffixes=("", "_exp"))
     assert (merged["med7"] == merged["med7_exp"]).all()
     assert len(merged) == len(df) > 0
+
+
+def test_bmp_roundtrip_and_image_features(spark):
+    import numpy as np
+
+    from datafusion_delta_sharing_spark.operators import multimodal as MM
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (5, 3, 3), dtype=np.uint8)
+    assert np.array_equal(MM.decode_image(MM.encode_bmp(img)), img)
+    # width not divisible by 4 exercises row padding
+    img2 = rng.integers(0, 256, (4, 5, 3), dtype=np.uint8)
+    assert np.array_equal(MM.decode_image(MM.encode_bmp(img2)), img2)
+
+    solid = np.full((8, 8, 3), (200, 100, 50), dtype=np.uint8)
+    rows = [(1, bytearray(MM.encode_bmp(solid)), ("image/bmp",)),
+            (2, bytearray(b"\xff\xd8fakejpeg"), ("image/jpeg",)),
+            (3, bytearray(b"BMtruncated"), ("image/bmp",))]
+    df = spark.createDataFrame(
+        rows, "media_id long, payload binary, "
+              "meta struct<mime:string>")
+    got = {r.media_id: r for r in MM.image_features(df).collect()}
+    assert (got[1].width, got[1].height) == (8, 8)
+    assert (got[1].mean_r, got[1].mean_g, got[1].mean_b) == (
+        200.0, 100.0, 50.0)
+    assert got[1].error is None
+    assert "codec" in got[2].error       # compressed -> tagged, not fatal
+    assert "truncated" in got[3].error   # corrupt -> tagged, not fatal
+
+
+def test_wav_roundtrip_and_audio_features(spark):
+    import numpy as np
+
+    from datafusion_delta_sharing_spark.operators import multimodal as MM
+
+    # 1 second of a 100 Hz square wave at 1000 Hz sampling, amplitude A:
+    # 200 sign flips -> zero_cross_rate ~ 200/999; rms = A exactly
+    rate, amp = 1000, 1000
+    t = np.arange(rate)
+    square = (amp * np.sign(np.sin(2 * np.pi * 100 * (t + 0.25) / rate))
+              ).astype(np.int16)
+    wav = MM.encode_wav(square, rate)
+    got_rate, samples = MM.decode_audio(wav)
+    assert got_rate == rate and samples.shape == (rate, 1)
+    assert np.array_equal(samples[:, 0], square)
+
+    rows = [(1, bytearray(wav)), (2, bytearray(b"ID3not-a-wav-payload"))]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r.media_id: r for r in MM.audio_features(df).collect()}
+    assert got[1].duration_s == 1.0
+    assert got[1].rms == float(amp)
+    assert abs(got[1].zero_cross_rate - 0.2) < 0.02
+    assert got[1].channels == 1 and got[1].error is None
+    assert "codec" in got[2].error
+    # stereo path
+    stereo = np.stack([square, -square], axis=1).astype(np.int16)
+    _, s2 = MM.decode_audio(MM.encode_wav(stereo, rate))
+    assert s2.shape == (rate, 2)

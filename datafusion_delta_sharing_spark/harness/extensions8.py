@@ -106,6 +106,91 @@ def q_bigram_logprob(spark, sf_dir):
     return CO.bigram_logprob(docs, "text", "doc_id")
 
 
+def q_image_pipeline(spark, sf_dir):
+    """Real image decode path, oracle-checked end to end: each doc gets a
+    solid-color 8x8 BMP synthesized from its id, the REAL encoder/decoder
+    round-trips the bytes, and ``image_features`` computes pixel means —
+    which the DuckDB oracle mirrors in closed form (mean of a solid color
+    IS the color). A broken header parse, channel-order slip (RGB/BGR),
+    or padding bug desyncs the hash immediately."""
+    import numpy as np
+    import pandas as pd
+
+    from datafusion_delta_sharing_spark.operators import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 200)
+
+    def synth(it):
+        for pdf in it:
+            payloads = [
+                MM.encode_bmp(np.full(
+                    (8, 8, 3),
+                    (d % 256, (7 * d) % 256, (13 * d) % 256),
+                    np.uint8))
+                for d in pdf["doc_id"]]
+            yield pd.DataFrame({"media_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    media = docs.mapInPandas(synth, "media_id bigint, payload binary")
+    return MM.image_features(media).select(
+        "media_id", "width", "height", "mean_r", "mean_g", "mean_b")
+
+
+_IMAGE_PIPELINE_SQL = """
+    SELECT doc_id AS media_id,
+           CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+           CAST(doc_id % 256 AS DOUBLE) AS mean_r,
+           CAST((7 * doc_id) % 256 AS DOUBLE) AS mean_g,
+           CAST((13 * doc_id) % 256 AS DOUBLE) AS mean_b
+    FROM documents WHERE doc_id < 200
+"""
+
+
+def q_audio_pipeline(spark, sf_dir):
+    """Real audio decode path, oracle-checked: per doc, a PCM16 WAV of
+    ``1000 + id%500`` frames of an alternating-sign wave at amplitude
+    ``100 + id%900`` — so rms = amplitude EXACTLY, zero-crossing rate =
+    1.0, duration = n/1000, all closed-form in the oracle while Spark
+    goes through the genuine RIFF chunk walk and sample math."""
+    import numpy as np
+    import pandas as pd
+
+    from datafusion_delta_sharing_spark.operators import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 200)
+
+    def synth(it):
+        for pdf in it:
+            payloads = []
+            for d in pdf["doc_id"]:
+                n = 1000 + int(d) % 500
+                amp = 100 + int(d) % 900
+                wave = (amp * np.where(np.arange(n) % 2 == 0, 1, -1)
+                        ).astype(np.int16)
+                payloads.append(MM.encode_wav(wave, 1000))
+            yield pd.DataFrame({"media_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    media = docs.mapInPandas(synth, "media_id bigint, payload binary")
+    return MM.audio_features(media).select(
+        "media_id", "sample_rate", "n_frames", "channels", "duration_s",
+        "rms", "zero_cross_rate")
+
+
+_AUDIO_PIPELINE_SQL = """
+    SELECT doc_id AS media_id,
+           CAST(1000 AS INTEGER) AS sample_rate,
+           CAST(1000 + doc_id % 500 AS BIGINT) AS n_frames,
+           CAST(1 AS INTEGER) AS channels,
+           round((1000 + doc_id % 500) / 1000.0, 6) AS duration_s,
+           CAST(100 + doc_id % 900 AS DOUBLE) AS rms,
+           CAST(1.0 AS DOUBLE) AS zero_cross_rate
+    FROM documents WHERE doc_id < 200
+"""
+
+
 QUERIES = {
     "heavy_hitters": q_heavy_hitters,
     "bloom_join": q_bloom_join,
@@ -113,6 +198,8 @@ QUERIES = {
     "bigram_logprob": q_bigram_logprob,
     "token_entropy": q_token_entropy,
     "rolling_median": q_rolling_median,
+    "image_pipeline": q_image_pipeline,
+    "audio_pipeline": q_audio_pipeline,
 }
 
 ORACLES = {
@@ -126,4 +213,6 @@ ORACLES = {
     "bigram_logprob": CO.bigram_logprob_sql("documents", "text", "doc_id"),
     "token_entropy": CO.token_entropy_sql("documents", "text", "doc_id"),
     "rolling_median": _ROLLING_MEDIAN_SQL,
+    "image_pipeline": _IMAGE_PIPELINE_SQL,
+    "audio_pipeline": _AUDIO_PIPELINE_SQL,
 }

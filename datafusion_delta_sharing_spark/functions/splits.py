@@ -43,3 +43,47 @@ def split_assign_sql(id_col: str, salt: str = "v1",
     return (f"CASE WHEN {prefix} < '{_hex_threshold(train)}' THEN 'train' "
             f"WHEN {prefix} < '{_hex_threshold(train + val)}' THEN 'val' "
             f"ELSE 'test' END")
+
+
+def kfold_assign(id_col: Column | str, k: int, salt: str = "v1") -> Column:
+    """Deterministic fold index in [0, k): equal-width partition of the
+    md5 hex space (same engine-portable trick as :func:`split_assign`,
+    so folds are stable across engines/runs/cluster sizes and adding
+    rows never moves existing ones). Cross-validation: fold i is the
+    eval split of run i."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    prefix = F.substring(
+        F.md5(F.concat(c.cast("string"), F.lit(":" + salt))), 1, 8)
+    # equal-width hex bins: fold = floor(prefix / (space / k)), built as
+    # a threshold CASE so both engines compare strings, not integers
+    out = F.lit(k - 1)
+    for i in range(k - 1, 0, -1):
+        out = F.when(prefix < _hex_threshold(i / k), F.lit(i - 1)) \
+            .otherwise(out)
+    return out.cast("int")
+
+
+def kfold_assign_sql(id_col: str, k: int, salt: str = "v1") -> str:
+    """DuckDB mirror of :func:`kfold_assign`."""
+    prefix = f"substr(md5(CAST({id_col} AS VARCHAR) || ':{salt}'), 1, 8)"
+    whens = " ".join(
+        f"WHEN {prefix} < '{_hex_threshold(i / k)}' THEN {i - 1}"
+        for i in range(1, k))
+    return f"CAST(CASE {whens} ELSE {k - 1} END AS INTEGER)"
+
+
+def group_split_assign(group_col: Column | str, salt: str = "v1",
+                       train: float = 0.8, val: float = 0.1) -> Column:
+    """Split assignment keyed by a GROUP column (source domain, author,
+    near-dup cluster id) instead of the row id: every row of a group
+    lands in the same split, so correlated content cannot leak across
+    train/test — the leakage-aware complement of :func:`split_assign`."""
+    return split_assign(group_col, salt=salt, train=train, val=val)
+
+
+def group_split_assign_sql(group_col: str, salt: str = "v1",
+                           train: float = 0.8, val: float = 0.1) -> str:
+    """DuckDB mirror of :func:`group_split_assign`."""
+    return split_assign_sql(group_col, salt=salt, train=train, val=val)

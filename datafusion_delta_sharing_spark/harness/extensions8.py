@@ -191,6 +191,31 @@ _AUDIO_PIPELINE_SQL = """
 """
 
 
+def q_kfold_split(spark, sf_dir):
+    """Deterministic 5-fold assignment plus a group-keyed (by source)
+    leakage-safe split per document: every row of a source lands in the
+    same split, and folds are pure functions of the id — reproducible
+    across engines, runs, and cluster sizes."""
+    from datafusion_delta_sharing_spark.functions import splits as SP
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "source",
+        SP.kfold_assign("doc_id", k=5).alias("fold"),
+        SP.group_split_assign("source").alias("grp_split"))
+
+
+def _kfold_split_sql():
+    from datafusion_delta_sharing_spark.functions import splits as SP
+
+    return f"""
+        SELECT doc_id, source,
+               {SP.kfold_assign_sql('doc_id', k=5)} AS fold,
+               {SP.group_split_assign_sql('source')} AS grp_split
+        FROM documents
+    """
+
+
 QUERIES = {
     "heavy_hitters": q_heavy_hitters,
     "bloom_join": q_bloom_join,
@@ -200,6 +225,7 @@ QUERIES = {
     "rolling_median": q_rolling_median,
     "image_pipeline": q_image_pipeline,
     "audio_pipeline": q_audio_pipeline,
+    "kfold_split": q_kfold_split,
 }
 
 ORACLES = {
@@ -215,4 +241,5 @@ ORACLES = {
     "rolling_median": _ROLLING_MEDIAN_SQL,
     "image_pipeline": _IMAGE_PIPELINE_SQL,
     "audio_pipeline": _AUDIO_PIPELINE_SQL,
+    "kfold_split": _kfold_split_sql(),
 }

@@ -228,6 +228,21 @@ def _read_file_partition(options, full_schema: T.StructType,
         yield pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
 
 
+def _check_schema_drift(reader, table, schema_string: str) -> None:
+    """A share's table can be schema-evolved underneath a running stream;
+    silently decoding new bytes with the old schema mis-reads or drops
+    columns. Pin the first schema seen and fail LOUDLY on drift — the
+    operator restarts the stream with the new schema deliberately."""
+    seen = getattr(reader, "_schema_string_seen", None)
+    if seen is None:
+        reader._schema_string_seen = schema_string
+    elif seen != schema_string:
+        raise DeltaSharingError(
+            f"schema of {table.full_name()} changed while the stream was "
+            "running; restart the query to pick up the new schema "
+            "(refusing to decode new files with the old one)")
+
+
 def _snapshot_pins(options) -> tuple[int | None, str | None]:
     """``versionAsOf`` / ``timestampAsOf`` reader options -> query-body
     snapshot pins (protocol time travel; reproducible training reads)."""
@@ -315,6 +330,7 @@ class DeltaSharingStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:
         client, table = _make_client(self.options)
         data = client.get_table_data(table)
+        _check_schema_drift(self, table, data.metadata.schema_string)
         if data.version is not None:
             self._version = data.version
         new = [f for f in data.files if f.id not in self._seen]
@@ -409,6 +425,7 @@ class DeltaSharingCDFStreamReader(DataSourceStreamReader):
         client, table = _make_client(self.options)
         changes = client.get_table_changes(
             table, starting_version=lo + 1, ending_version=hi)
+        _check_schema_drift(self, table, changes.metadata.schema_string)
         return [
             _CDFFilePartition(f.url, f.size, f.id,
                               dict(f.partition_values), kind,

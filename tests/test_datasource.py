@@ -435,3 +435,27 @@ def test_cdf_batch_read_rejected(registered):
              .option("profile_json", json.dumps(srv.profile_doc()))
              .option("table", "s.d.t")
              .option("readChangeFeed", "true").load().collect())
+
+
+def test_stream_schema_drift_fails_loudly(tmp_path):
+    """A schema evolution under a running stream must error, not silently
+    decode new files with the stale schema."""
+    from datafusion_delta_sharing_spark.errors import DeltaSharingError
+    from datafusion_delta_sharing_spark.sources.datasource import (
+        DeltaSharingStreamReader,
+    )
+
+    srv, table = _server({})
+    with srv:
+        opts = {"profile_json": json.dumps(srv.profile_doc()),
+                "table": "s.d.t", "stream_log_dir": str(tmp_path)}
+        reader = DeltaSharingStreamReader(opts, _stream_schema())
+        reader.latestOffset()          # pins the first schema seen
+        table.schema_string = json.dumps({"type": "struct", "fields": [
+            {"name": "id", "type": "long", "nullable": False,
+             "metadata": {}},
+            {"name": "renamed", "type": "double", "nullable": True,
+             "metadata": {}},
+        ]})
+        with pytest.raises(DeltaSharingError, match="schema .* changed"):
+            reader.latestOffset()

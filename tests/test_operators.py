@@ -1013,3 +1013,33 @@ def test_wav_roundtrip_and_audio_features(spark):
     stereo = np.stack([square, -square], axis=1).astype(np.int16)
     _, s2 = MM.decode_audio(MM.encode_wav(stereo, rate))
     assert s2.shape == (rate, 2)
+
+
+def test_kfold_and_group_split_properties(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from datafusion_delta_sharing_spark.functions import splits as SP
+    from datafusion_delta_sharing_spark.harness import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = docs.select(
+        "doc_id", "source",
+        SP.kfold_assign("doc_id", k=5).alias("fold"),
+        SP.group_split_assign("source").alias("grp"))
+    folds = {r.fold: r.cnt for r in
+             out.groupBy("fold").agg(F.count("*").alias("cnt")).collect()}
+    assert set(folds) == {0, 1, 2, 3, 4}      # all folds populated
+    assert max(folds.values()) < 2.5 * min(folds.values())  # roughly even
+    # leakage-safety: every source maps to exactly one split
+    per_source = (out.groupBy("source")
+                  .agg(F.countDistinct("grp").alias("n")).collect())
+    assert all(r.n == 1 for r in per_source)
+    # determinism across repartitioning
+    again = (docs.repartition(13)
+             .select(SP.kfold_assign("doc_id", k=5).alias("fold2"),
+                     "doc_id"))
+    joined = out.join(again, "doc_id")
+    assert joined.filter(F.col("fold") != F.col("fold2")).count() == 0
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="k must be"):
+        SP.kfold_assign("doc_id", k=1)

@@ -86,6 +86,17 @@ def q_ngram_jaccard(spark, sf_dir):
     return DD.ngram_jaccard_pairs(docs, "text", "doc_id", k=5, threshold=0.15)
 
 
+def q_ngram_jaccard_prefix(spark, sf_dir):
+    """PPJoin prefix filtering (lossless): identical output to
+    ``ngram_jaccard`` — same threshold, SAME ORACLE — but the candidate
+    self-join runs over rarest-first prefixes of each shingle set, the
+    scale path when even the df-cut join is too hot. Hash-exact equality
+    with the quadratic-candidate oracle IS the losslessness proof."""
+    docs = _docs_with_near_copies(spark, sf_dir)
+    return DD.ngram_jaccard_pairs_prefix(docs, "text", "doc_id", k=5,
+                                         threshold=0.15)
+
+
 def q_ngram_jaccard_dfcut(spark, sf_dir):
     """Jaccard with the posting-list df-cut engaged (VERDICT r2 #7): shingles
     shared by more than _MAX_DOC_FREQ docs are dropped before the self-join,
@@ -293,6 +304,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_exact_subset": q_dedup_exact_subset,
     "ngram_jaccard": q_ngram_jaccard,
+    "ngram_jaccard_prefix": q_ngram_jaccard_prefix,
     "ngram_jaccard_dfcut": q_ngram_jaccard_dfcut,
     "dedup_components": q_dedup_components,
     "dedup_minhash": q_dedup_minhash,
@@ -374,6 +386,12 @@ ORACLES = {
         ) WHERE rn = 1
     """,
     "ngram_jaccard": f"""
+        WITH {_DOCS_AUG}, {_posts_cte('docs_aug')},
+        {_JACCARD_TAIL.format(posts='posts')}
+    """,
+    # prefix filtering is lossless, so the oracle is the SAME quadratic
+    # formulation — hash equality proves no pair was filtered away
+    "ngram_jaccard_prefix": f"""
         WITH {_DOCS_AUG}, {_posts_cte('docs_aug')},
         {_JACCARD_TAIL.format(posts='posts')}
     """,

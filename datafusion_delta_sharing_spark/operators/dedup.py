@@ -410,3 +410,69 @@ def dedup_survivors(df: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
         .filter(F.col(id_col) == F.col("component"))
         .drop("id", "component")
     )
+
+
+def ngram_jaccard_pairs_prefix(df: DataFrame, text_col: str, id_col: str,
+                               k: int = 5,
+                               threshold: float = 0.2) -> DataFrame:
+    """Same output as :func:`ngram_jaccard_pairs` (all pairs with shingle
+    Jaccard >= threshold) through PPJoin-style PREFIX FILTERING — the
+    lossless candidate reducer for similarity self-joins at scale.
+
+    Shingles are globally ordered rarest-first (document frequency, then
+    shingle); a set A only needs its first ``|A| - ceil(t*|A|) + 1``
+    shingles in the candidate join, because two sets with overlap >= a
+    must share an element inside both such prefixes (if every common
+    element sat past A's prefix, fewer than a could fit). The self-join
+    therefore runs over the prefix posting lists only — at t=0.2 that is
+    ~20% fewer posting rows and quadratically fewer candidate pairs on
+    the hot shingles — and the exact Jaccard verify touches candidate
+    pairs alone. Prefix lengths use integer ceil via the threshold's
+    exact fraction, so no float edge can shorten a prefix and lose a
+    pair. Guarantee: output IDENTICAL to the plain quadratic-candidate
+    form (asserted against the same oracle)."""
+    from fractions import Fraction
+
+    from pyspark.sql import Window
+
+    frac = Fraction(str(threshold))
+    num, den = frac.numerator, frac.denominator
+
+    posts = shingle_sets(df, text_col, id_col, k).cache()
+    sizes = posts.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    dfreq = posts.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
+    w = Window.partitionBy("id").orderBy("_df", "sh")
+    ranked = (posts.join(dfreq, "sh")
+              .withColumn("_rk", F.row_number().over(w))
+              .join(sizes, "id"))
+    # integer ceil(t*sz) = (num*sz + den - 1) div den — exact
+    prefix_len = (F.col("sz")
+                  - ((F.lit(num) * F.col("sz") + F.lit(den - 1))
+                     .cast("long") / F.lit(den)).cast("long") + 1)
+    prefix = (ranked.filter(F.col("_rk") <= prefix_len)
+              .select("id", "sh"))
+    pa, pb = prefix.alias("pa"), prefix.alias("pb")
+    candidates = (
+        pa.join(pb, (F.col("pa.sh") == F.col("pb.sh"))
+                & (F.col("pa.id") < F.col("pb.id")))
+        .select(F.col("pa.id").alias("id_a"), F.col("pb.id").alias("id_b"))
+        .distinct())
+    # exact verify on candidate pairs only: explode A's postings per
+    # candidate, probe B's posting set with an equi-join on (id, sh)
+    posts_a = posts.select(F.col("id").alias("id_a"), "sh")
+    posts_b = posts.select(F.col("id").alias("id_b"), "sh")
+    inter = (candidates.join(posts_a, "id_a")
+             .join(posts_b, ["id_b", "sh"])
+             .groupBy("id_a", "id_b")
+             .agg(F.count(F.lit(1)).alias("n_inter")))
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a").join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_inter")
+                    / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -411,3 +411,37 @@ class TestQuantileThreshold:
     def test_bad_q_raises(self, spark):
         with pytest.raises(ValueError, match="q must be"):
             self._flags(spark, [0.5], q=1.5)
+
+
+def test_prefix_jaccard_lossless_and_reduces_postings(spark, sf_dir):
+    """Prefix filtering must be lossless (identical pairs to the plain
+    quadratic-candidate join) while joining strictly fewer posting rows."""
+    from fractions import Fraction
+
+    from pyspark.sql import Window, functions as F
+
+    from datafusion_delta_sharing_spark.harness.extensions import (
+        _docs_with_near_copies,
+    )
+    from datafusion_delta_sharing_spark.operators import dedup as DD
+
+    docs = _docs_with_near_copies(spark, sf_dir)
+    plain = {(r.id_a, r.id_b, r.jaccard) for r in DD.ngram_jaccard_pairs(
+        docs, "text", "doc_id", k=5, threshold=0.15).collect()}
+    pref = {(r.id_a, r.id_b, r.jaccard)
+            for r in DD.ngram_jaccard_pairs_prefix(
+        docs, "text", "doc_id", k=5, threshold=0.15).collect()}
+    assert pref == plain and plain  # identical, non-empty
+    # the reduction is real: prefix posting rows < full posting rows
+    posts = DD.shingle_sets(docs, "text", "doc_id", 5)
+    sizes = posts.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    num, den = Fraction("0.15").numerator, Fraction("0.15").denominator
+    w = Window.partitionBy("id").orderBy("_df", "sh")
+    dfreq = posts.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
+    ranked = posts.join(dfreq, "sh").withColumn(
+        "_rk", F.row_number().over(w)).join(sizes, "id")
+    plen = (F.col("sz") - ((F.lit(num) * F.col("sz") + F.lit(den - 1))
+                           / F.lit(den)).cast("long") + 1)
+    n_prefix = ranked.filter(F.col("_rk") <= plen).count()
+    n_full = posts.count()
+    assert n_prefix < 0.9 * n_full

@@ -44,6 +44,10 @@ HEADLINE = [
     "funnel", "retention", "triangles", "pagerank",
     # r4 additions: sketch primitives + bigram LM
     "heavy_hitters", "bloom_join", "freq_moments", "bigram_logprob",
+    # r4 additions: entropy/median, media decode, splits, prefix join
+    # (ngram_jaccard_prefix vs ngram_jaccard = the prefix-filter payoff)
+    "token_entropy", "rolling_median", "image_pipeline", "audio_pipeline",
+    "kfold_split", "ngram_jaccard_prefix",
 ]
 
 
@@ -146,6 +150,13 @@ def main() -> None:
                 "r4 converts the query to a recall summary - it now also "
                 "computes the exact jaccard baseline and an anti/semi "
                 "join in the same job (VERDICT r3 #2); expect ~2x r3",
+            "ngram_jaccard_prefix":
+                "slower than plain ngram_jaccard AT THIS SF by design: "
+                "prefix filtering adds a df-ranking window + candidate-"
+                "bounded verify whose payoff is quadratic candidate "
+                "reduction - it wins when hot shingles make the plain "
+                "self-join explode, not on a 300-doc corpus; output is "
+                "hash-identical (losslessness oracle-proven)",
         },
     }))
     spark.stop()

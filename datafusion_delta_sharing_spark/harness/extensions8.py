@@ -216,6 +216,68 @@ def _kfold_split_sql():
     """
 
 
+def q_window_distribution(spark, sf_dir):
+    """Distribution window functions per language: percent_rank,
+    cume_dist, and quartile (ntile) of document length — deterministic
+    tie-break on doc_id. Per-entity partitions; no global sort."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    return docs.select(
+        "doc_id", "lang", "n_chars",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(4).over(w).alias("quartile"))
+
+
+_WINDOW_DISTRIBUTION_SQL = """
+    SELECT doc_id, lang, n_chars,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile
+    FROM documents
+    WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id)
+"""
+
+
+def q_mad_outliers(spark, sf_dir):
+    """Robust outlier flags: per language, documents whose length
+    deviates from the group median by more than 3 median-absolute-
+    deviations. Medians of integers land on .0/.5 exactly, so the
+    comparison is float-safe and the oracle hash-exact. Two grouped
+    aggregates (median, then MAD) + a broadcast-joined flag pass."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars")
+    med = docs.groupBy("lang").agg(
+        F.expr("percentile(n_chars, 0.5)").alias("med"))
+    dev = docs.join(F.broadcast(med), "lang").withColumn(
+        "dev", F.abs(F.col("n_chars") - F.col("med")))
+    mad = dev.groupBy("lang").agg(
+        F.expr("percentile(dev, 0.5)").alias("mad"))
+    return (dev.join(F.broadcast(mad), "lang")
+            .select("doc_id", "lang", "n_chars",
+                    F.round("dev", 6).alias("dev"),
+                    (F.col("dev") > 3 * F.col("mad")).alias("is_outlier")))
+
+
+_MAD_OUTLIERS_SQL = """
+    WITH med AS (
+        SELECT lang, median(n_chars) AS med FROM documents GROUP BY lang
+    ),
+    dev AS (
+        SELECT d.doc_id, d.lang, d.n_chars,
+               abs(d.n_chars - m.med) AS dev
+        FROM documents d JOIN med m USING (lang)
+    ),
+    mad AS (SELECT lang, median(dev) AS mad FROM dev GROUP BY lang)
+    SELECT d.doc_id, d.lang, d.n_chars,
+           round(d.dev, 6) AS dev,
+           d.dev > 3 * m.mad AS is_outlier
+    FROM dev d JOIN mad m USING (lang)
+"""
+
+
 QUERIES = {
     "heavy_hitters": q_heavy_hitters,
     "bloom_join": q_bloom_join,
@@ -226,6 +288,8 @@ QUERIES = {
     "image_pipeline": q_image_pipeline,
     "audio_pipeline": q_audio_pipeline,
     "kfold_split": q_kfold_split,
+    "window_distribution": q_window_distribution,
+    "mad_outliers": q_mad_outliers,
 }
 
 ORACLES = {
@@ -242,4 +306,6 @@ ORACLES = {
     "image_pipeline": _IMAGE_PIPELINE_SQL,
     "audio_pipeline": _AUDIO_PIPELINE_SQL,
     "kfold_split": _kfold_split_sql(),
+    "window_distribution": _WINDOW_DISTRIBUTION_SQL,
+    "mad_outliers": _MAD_OUTLIERS_SQL,
 }

@@ -49,6 +49,10 @@ class MockSharingServer:
         self.page_size = page_size
         self.parquet_bytes = parquet_bytes or {}  # path -> bytes, served w/ Range
         self.forbidden_paths: set[str] = set()  # served as 403 (expired URL)
+        # optional OAuth client-credentials endpoint (/oauth/token):
+        # configure with {"client_id": .., "client_secret": .., "expires_in": N}
+        self.oauth: dict | None = None
+        self.issued_tokens: list[str] = []
         # path -> remaining count of 429 responses before success (retry
         # tests); decremented per hit, Retry-After: 0 sent to skip waits
         self.throttle_paths: dict[str, int] = {}
@@ -102,7 +106,10 @@ class MockSharingServer:
                 self.wfile.write(payload)
 
             def _check_auth(self) -> bool:
-                if self.headers.get("Authorization") != f"Bearer {TOKEN}":
+                sent = self.headers.get("Authorization")
+                ok = {f"Bearer {TOKEN}"} | {
+                    f"Bearer {t}" for t in outer.issued_tokens}
+                if sent not in ok:
                     self._send(401, json.dumps({
                         "errorCode": "UNAUTHENTICATED",
                         "message": "invalid bearer token",
@@ -144,6 +151,8 @@ class MockSharingServer:
                 self._record(body)
                 if self._maybe_throttle(urlparse(self.path).path):
                     return
+                if urlparse(self.path).path == "/oauth/token":
+                    return outer._route_token(self, body)
                 if not self._check_auth():
                     return
                 parsed = urlparse(self.path)
@@ -242,6 +251,23 @@ class MockSharingServer:
                                  "application/x-ndjson",
                                  headers={"Delta-Table-Version": str(table.version)})
         self._not_found(handler, route)
+
+    def _route_token(self, handler, body: str):
+        """OAuth2 client-credentials token endpoint (form-encoded body)."""
+        if self.oauth is None:
+            return self._not_found(handler, "/oauth/token")
+        form = {k: v[0] for k, v in parse_qs(body).items()}
+        if (form.get("grant_type") != "client_credentials"
+                or form.get("client_id") != self.oauth["client_id"]
+                or form.get("client_secret") != self.oauth["client_secret"]):
+            return handler._send(401, json.dumps(
+                {"error": "invalid_client"}).encode())
+        token = f"oauth-token-{len(self.issued_tokens)}"
+        self.issued_tokens.append(token)
+        handler._send(200, json.dumps({
+            "access_token": token, "token_type": "bearer",
+            "expires_in": self.oauth.get("expires_in", 3600),
+        }).encode())
 
     def _route_changes(self, handler, ids: tuple, query: dict):
         table = self._find(*ids)

@@ -2,10 +2,18 @@
 
 Parity target: ``/root/reference/src/profile.rs`` — a profile is a small JSON
 document with ``shareCredentialsVersion``, ``endpoint``, ``bearerToken`` and
-optional ``expirationTime`` (src/profile.rs:30-35). Only credentials version 1
-with a bearer token is supported (src/profile.rs:80-95); expired tokens are
-rejected at authorization time (src/profile.rs:317-324, 342-356); the token is
-redacted from debug output (src/profile.rs tests, token redaction).
+optional ``expirationTime`` (src/profile.rs:30-35). The reference supports
+only credentials version 1 with a bearer token (src/profile.rs:80-95);
+expired tokens are rejected at authorization time (src/profile.rs:317-324,
+342-356); the token is redacted from debug output.
+
+BEYOND the reference: credentials version 2 with
+``type: "oauth_client_credentials"`` (delta-sharing PROFILE.md) —
+``OAuthClientCredentialsProfile`` fetches short-lived access tokens from
+``tokenEndpoint`` via the OAuth2 client-credentials grant, caches them, and
+refreshes ahead of expiry. ``Profile.from_json`` dispatches on the version,
+so every consumer (client, reader, DataSource executors reconstructing from
+``profile_json``) gets the right behavior transparently.
 """
 
 from __future__ import annotations
@@ -61,7 +69,9 @@ class Profile:
 
     @classmethod
     def from_json(cls, doc: str | dict) -> "Profile":
-        """Build a profile from a JSON string or already-parsed dict."""
+        """Build a profile from a JSON string or already-parsed dict.
+        Dispatches on ``shareCredentialsVersion``: 1 -> bearer token,
+        2 + ``oauth_client_credentials`` -> OAuth profile."""
         if isinstance(doc, str):
             try:
                 doc = json.loads(doc)
@@ -69,6 +79,8 @@ class Profile:
                 raise ProfileError(f"malformed profile JSON: {exc}") from exc
         if not isinstance(doc, dict):
             raise ProfileError("profile JSON must be an object")
+        if int(doc.get("shareCredentialsVersion", _SUPPORTED_VERSION)) == 2:
+            return OAuthClientCredentialsProfile.from_doc(doc)
         missing = [k for k in ("shareCredentialsVersion", "endpoint", "bearerToken")
                    if k not in doc]
         if missing:
@@ -116,3 +128,98 @@ class Profile:
             f"Profile(endpoint={self.endpoint!r}, bearer_token='<redacted>', "
             f"version={self.share_credentials_version})"
         )
+
+
+class OAuthClientCredentialsProfile:
+    """Credentials-version-2 profile: short-lived access tokens via the
+    OAuth2 client-credentials grant (delta-sharing PROFILE.md; the
+    reference supports only v1 bearer tokens). Duck-type compatible with
+    :class:`Profile` — same ``endpoint`` / ``share_credentials_version``
+    / ``authorization_header()`` surface — so the client, reader, and
+    DataSource executors use it transparently.
+
+    Tokens are cached per instance and refreshed ``_SKEW_S`` seconds
+    before expiry; each executor reconstructing the profile from
+    ``profile_json`` fetches its own token (no cross-process sharing
+    needed — the grant is cheap and idempotent).
+    """
+
+    _SKEW_S = 60.0
+
+    def __init__(self, endpoint: str, token_endpoint: str, client_id: str,
+                 client_secret: str, scope: str | None = None):
+        if not endpoint or not (endpoint.startswith("http://")
+                                or endpoint.startswith("https://")):
+            raise ProfileError(
+                f"profile endpoint must be an http(s) URL, got {endpoint!r}")
+        if not token_endpoint or not client_id or not client_secret:
+            raise ProfileError(
+                "oauth_client_credentials profile needs tokenEndpoint, "
+                "clientId and clientSecret")
+        self.endpoint = endpoint.rstrip("/")
+        self.token_endpoint = token_endpoint
+        self.client_id = client_id
+        self._client_secret = client_secret
+        self.scope = scope
+        self.share_credentials_version = 2
+        self._token: str | None = None
+        self._token_expiry: float = 0.0
+
+    @classmethod
+    def from_doc(cls, doc: dict) -> "OAuthClientCredentialsProfile":
+        kind = doc.get("type", "oauth_client_credentials")
+        if kind != "oauth_client_credentials":
+            raise ProfileError(
+                f"unsupported shareCredentialsVersion 2 type {kind!r}; "
+                "only oauth_client_credentials is supported")
+        missing = [k for k in ("endpoint", "tokenEndpoint", "clientId",
+                               "clientSecret") if not doc.get(k)]
+        if missing:
+            raise ProfileError(
+                f"profile missing required field(s): {', '.join(missing)}")
+        return cls(endpoint=str(doc["endpoint"]),
+                   token_endpoint=str(doc["tokenEndpoint"]),
+                   client_id=str(doc["clientId"]),
+                   client_secret=str(doc["clientSecret"]),
+                   scope=doc.get("scope"))
+
+    def _fetch_token(self) -> None:
+        import time
+
+        import requests
+
+        body = {"grant_type": "client_credentials",
+                "client_id": self.client_id,
+                "client_secret": self._client_secret}
+        if self.scope:
+            body["scope"] = self.scope
+        resp = requests.post(self.token_endpoint, data=body, timeout=30.0)
+        if resp.status_code >= 400:
+            raise ProfileError(
+                f"token endpoint returned HTTP {resp.status_code}: "
+                f"{resp.text[:200]}")
+        try:
+            doc = resp.json()
+            token = doc["access_token"]
+        except (ValueError, KeyError) as exc:
+            raise ProfileError(
+                f"malformed token response: {exc}") from exc
+        self._token = str(token)
+        expires_in = float(doc.get("expires_in", 3600))
+        self._token_expiry = time.time() + expires_in - self._SKEW_S
+
+    def authorization_header(self, now=None) -> dict[str, str]:
+        import time
+
+        if self._token is None or time.time() >= self._token_expiry:
+            self._fetch_token()
+        return {"Authorization": f"Bearer {self._token}"}
+
+    def is_expired(self, now=None) -> bool:
+        return False  # tokens self-refresh; the grant itself doesn't expire
+
+    def __str__(self) -> str:  # never leak the secret or token
+        return (f"OAuthClientCredentialsProfile(endpoint={self.endpoint!r}, "
+                f"client_id={self.client_id!r}, secret='<redacted>')")
+
+    __repr__ = __str__

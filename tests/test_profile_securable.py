@@ -54,6 +54,10 @@ def test_profile_missing_fields():
 
 def test_profile_bad_version():
     with pytest.raises(ProfileError, match="version"):
+        Profile.from_json({**VALID, "shareCredentialsVersion": 3})
+    # version 2 dispatches to OAuth and demands its fields (a bearer-only
+    # doc marked v2 is a config error, reported as the missing fields)
+    with pytest.raises(ProfileError, match="tokenEndpoint"):
         Profile.from_json({**VALID, "shareCredentialsVersion": 2})
 
 
@@ -100,3 +104,50 @@ def test_parse_securable_dispatch():
 def test_malformed_securables_rejected(bad):
     with pytest.raises(SecurableError):
         parse_securable(bad)
+
+
+def test_oauth_profile_end_to_end():
+    """shareCredentialsVersion 2: token fetched from the token endpoint,
+    cached across calls, refreshed after expiry, secrets redacted."""
+    import json as _json
+
+    from datafusion_delta_sharing_spark.client import DeltaSharingClient
+    from datafusion_delta_sharing_spark.errors import ProfileError
+    from datafusion_delta_sharing_spark.profile import (
+        OAuthClientCredentialsProfile,
+        Profile,
+    )
+    from tests.mock_server import MockSharingServer, MockTable
+
+    schema = _json.dumps({"type": "struct", "fields": [
+        {"name": "id", "type": "long", "nullable": False, "metadata": {}}]})
+    srv = MockSharingServer(
+        [MockTable(share="s", schema="d", name="t", schema_string=schema)])
+    with srv:
+        srv.oauth = {"client_id": "cid", "client_secret": "sekrit123",
+                     "expires_in": 3600}
+        doc = {"shareCredentialsVersion": 2,
+               "type": "oauth_client_credentials",
+               "endpoint": srv.endpoint,
+               "tokenEndpoint": f"{srv.base_url}/oauth/token",
+               "clientId": "cid", "clientSecret": "sekrit123"}
+        profile = Profile.from_json(_json.dumps(doc))
+        assert isinstance(profile, OAuthClientCredentialsProfile)
+        assert "sekrit123" not in str(profile) + repr(profile)
+        client = DeltaSharingClient(profile)
+        assert [s.name for s in client.list_shares()] == ["s"]
+        client.list_shares()
+        assert len(srv.issued_tokens) == 1      # cached, not re-fetched
+        profile._token_expiry = 0.0             # force refresh
+        client.list_shares()
+        assert len(srv.issued_tokens) == 2
+        # wrong secret -> clear error from the token endpoint
+        bad = Profile.from_json(_json.dumps({**doc, "clientSecret": "no"}))
+        with pytest.raises(ProfileError, match="401"):
+            DeltaSharingClient(bad).list_shares()
+        # missing fields -> validation error
+        with pytest.raises(ProfileError, match="tokenEndpoint"):
+            Profile.from_json(_json.dumps(
+                {"shareCredentialsVersion": 2, "endpoint": srv.endpoint,
+                 "type": "oauth_client_credentials", "clientId": "x",
+                 "clientSecret": "y"}))

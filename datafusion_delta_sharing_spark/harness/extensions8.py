@@ -278,6 +278,50 @@ _MAD_OUTLIERS_SQL = """
 """
 
 
+_INCR_CUTOVER = 3000  # event_id boundary: "already ingested" vs new batch
+
+
+def q_incremental_agg(spark, sf_dir):
+    """Algebraic incremental aggregation: per-(day, event_type) stats
+    maintained as mergeable partials — the stored state (events below the
+    cutover, pre-aggregated) absorbs a new batch WITHOUT rescanning
+    history: merge = sum the partial (n, total) pairs and re-derive the
+    average at read time. The oracle recomputes from scratch over all
+    events; hash equality proves the merge is exact. At 100 TB this is
+    the difference between touching one day's data and touching the
+    archive — same pattern as the bucketed dedup index, applied to
+    aggregates."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"))
+
+    def partial(df):
+        return df.groupBy("day", "event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("total"))
+
+    state = partial(ev.filter(F.col("event_id") < _INCR_CUTOVER))
+    batch = partial(ev.filter(F.col("event_id") >= _INCR_CUTOVER))
+    merged = (state.unionByName(batch)
+              .groupBy("day", "event_type")
+              .agg(F.sum("n").cast("bigint").alias("n"),
+                   F.sum("total").alias("total")))
+    return merged.select(
+        "day", "event_type", "n",
+        F.round("total", 6).alias("total"),
+        F.round(F.col("total") / F.col("n"), 6).alias("avg_value"))
+
+
+_INCREMENTAL_AGG_SQL = """
+    SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+           count(*) AS n,
+           round(sum(value), 6) AS total,
+           round(sum(value) / count(*), 6) AS avg_value
+    FROM events
+    GROUP BY strftime(ts, '%Y-%m-%d'), event_type
+"""
+
+
 QUERIES = {
     "heavy_hitters": q_heavy_hitters,
     "bloom_join": q_bloom_join,
@@ -290,6 +334,7 @@ QUERIES = {
     "kfold_split": q_kfold_split,
     "window_distribution": q_window_distribution,
     "mad_outliers": q_mad_outliers,
+    "incremental_agg": q_incremental_agg,
 }
 
 ORACLES = {
@@ -308,4 +353,5 @@ ORACLES = {
     "kfold_split": _kfold_split_sql(),
     "window_distribution": _WINDOW_DISTRIBUTION_SQL,
     "mad_outliers": _MAD_OUTLIERS_SQL,
+    "incremental_agg": _INCREMENTAL_AGG_SQL,
 }

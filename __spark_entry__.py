@@ -36,8 +36,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # rows; bucketed embedding_neardup; triangles_degcut).
 _MODULE_ORDER = ("connector", "extensions", "extensions2", "extensions3",
                  "extensions4", "extensions5", "extensions6", "extensions7",
-                 "extensions8", "formats", "tpch", "tierb5", "tierb4",
-                 "tierb3", "tierb2", "tierb6", "tierb7", "tierb")
+                 "extensions8", "extensions9", "formats", "tpch", "tierb5",
+                 "tierb4", "tierb3", "tierb2", "tierb6", "tierb7", "tierb8",
+                 "tierb")
 
 _WINDOW = (
     # tpch: the 4 adapted queries never driver-checked

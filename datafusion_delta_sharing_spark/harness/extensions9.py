@@ -1,0 +1,144 @@
+"""Extension queries batch 9: asymmetric containment dedup, distributed
+linear algebra (covariance / random projection), the skyline operator,
+and the streaming upsert sink.
+
+Each query is exact and hash-checkable: the linalg operators quantize to
+fixed-point integers so sums are order-independent, the skyline oracle is
+the quadratic NOT EXISTS definition (a different formulation than the
+bucketed plan it checks), and the upsert oracle is the whole-history
+batch aggregate the incremental merge must reproduce across microbatch
+boundaries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datafusion_delta_sharing_spark.harness import load_table
+from datafusion_delta_sharing_spark.harness.extensions import _posts_cte
+from datafusion_delta_sharing_spark.operators import dedup as DD
+from datafusion_delta_sharing_spark.operators import linalg as LA
+from datafusion_delta_sharing_spark.operators import skyline as SKY
+from datafusion_delta_sharing_spark.streaming import upsert as UP
+
+_CONT_DOCS = 150          # doc subset for the containment check
+_CONT_OFFSET = 1_000_000  # id offset for planted truncated copies
+_CONT_THRESHOLD = 0.9     # near-full containment (quote/excerpt grade)
+_PROJ_DIMS = 8
+_PROJ_SEED = 7
+_PRICE_BUCKET = 10_000    # cents: ~11 buckets over the part price domain
+
+
+def _docs_with_excerpts(spark, sf_dir):
+    """Planted excerpts: the first half of every doc's words reappears as
+    doc_id + offset. An excerpt's shingles are a subset of the original's,
+    so containment is exactly 1.0 from the smaller side — the signal
+    Jaccard misses (the union is dominated by the long doc)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _CONT_DOCS).select("doc_id", "text")
+    halves = docs.select(
+        (F.col("doc_id") + F.lit(_CONT_OFFSET)).alias("doc_id"),
+        F.array_join(
+            F.expr("slice(split(trim(text), '\\\\s+'), 1, "
+                   "greatest(1, size(split(trim(text), '\\\\s+')) div 2))"),
+            " ").alias("text"))
+    return docs.unionByName(halves)
+
+
+_DOCS_EXCERPTS_SQL = f"""
+    docs_exc AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < {_CONT_DOCS}
+        UNION ALL
+        SELECT doc_id + {_CONT_OFFSET} AS doc_id,
+               array_to_string(words[1:greatest(1, len(words) // 2)], ' ')
+                   AS text
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+')
+                         AS words
+              FROM documents WHERE doc_id < {_CONT_DOCS})
+    )
+"""
+
+
+def q_containment_pairs(spark, sf_dir):
+    return DD.containment_pairs(_docs_with_excerpts(spark, sf_dir),
+                                "text", "doc_id", k=5,
+                                threshold=_CONT_THRESHOLD)
+
+
+def q_embedding_covariance(spark, sf_dir):
+    """Exact integer covariance accumulator over the full embedding table
+    — the distributed pass of PCA/whitening."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return LA.embedding_covariance(emb, "embedding", "vec_id")
+
+
+def q_random_projection(spark, sf_dir):
+    """Seeded ±1 projection of every embedding to 8 integer components —
+    JL sketching with a formula-generated matrix."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return LA.random_projection(emb, "embedding", "vec_id",
+                                out_dims=_PROJ_DIMS, seed=_PROJ_SEED)
+
+
+def q_pareto_frontier(spark, sf_dir):
+    """Price/size skyline of the part catalog: parts where no other part
+    is both cheaper and larger."""
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.round(F.col("p_retailprice").cast("double") * 100)
+        .cast("bigint").alias("cost_cents"),
+        "p_size")
+    return SKY.pareto_frontier(part, "p_partkey", "cost_cents", "p_size",
+                               bucket_width=_PRICE_BUCKET)
+
+
+def q_stream_upsert(spark, sf_dir):
+    """foreachBatch merge into bucket-partitioned parquet state across 3
+    microbatches; the returned state must equal the batch aggregate."""
+    return UP.stream_upsert_totals(spark, sf_dir)
+
+
+_CONTAINMENT_TAIL = f"""
+    sizes AS (SELECT id, count(*) AS sz FROM posts GROUP BY id),
+    inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+        FROM posts a JOIN posts b ON a.sh = b.sh AND a.id < b.id
+        GROUP BY a.id, b.id
+    )
+    SELECT id_a, id_b,
+           round(n_inter / least(sa.sz, sb.sz), 6) AS containment,
+           CASE WHEN sa.sz <= sb.sz THEN 'a_in_b' ELSE 'b_in_a' END
+               AS contained
+    FROM inter
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE round(n_inter / least(sa.sz, sb.sz), 6) >= {_CONT_THRESHOLD}
+"""
+
+
+QUERIES = {
+    "containment_pairs": q_containment_pairs,
+    "embedding_covariance": q_embedding_covariance,
+    "random_projection": q_random_projection,
+    "pareto_frontier": q_pareto_frontier,
+    "stream_upsert": q_stream_upsert,
+}
+
+ORACLES = {
+    "containment_pairs": f"""
+        WITH {_DOCS_EXCERPTS_SQL}, {_posts_cte('docs_exc')},
+        {_CONTAINMENT_TAIL}
+    """,
+    "embedding_covariance": LA.embedding_covariance_sql(
+        "embeddings", "embedding", "vec_id"),
+    "random_projection": LA.random_projection_sql(
+        "embeddings", "embedding", "vec_id",
+        out_dims=_PROJ_DIMS, seed=_PROJ_SEED),
+    "pareto_frontier": SKY.pareto_frontier_sql(
+        "(SELECT p_partkey,"
+        " CAST(round(CAST(p_retailprice AS DOUBLE) * 100) AS BIGINT)"
+        "     AS cost_cents,"
+        " p_size FROM part)",
+        "p_partkey", "cost_cents", "p_size"),
+    "stream_upsert": UP.stream_upsert_totals_sql("events"),
+}

@@ -476,3 +476,53 @@ def ngram_jaccard_pairs_prefix(df: DataFrame, text_col: str, id_col: str,
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+# -- n-gram containment (asymmetric near-dup: quote/subset detection) -----
+
+
+def containment_pairs(df: DataFrame, text_col: str, id_col: str,
+                      k: int = 5, threshold: float = 0.6,
+                      max_doc_freq: int | None = None) -> DataFrame:
+    """All pairs with shingle containment |A∩B| / min(|A|,|B|) >= threshold,
+    plus which side is the contained one. Containment catches what Jaccard
+    misses: a short doc quoted inside a much longer one has tiny Jaccard
+    (union is dominated by the long doc) but containment ~1 — the standard
+    signal for excerpt/quote dedup in corpus curation.
+
+    Same scale shape as :func:`ngram_jaccard_pairs` (one posting-list
+    self-equi-join on shingle + one pair-keyed aggregate, optional df-cut
+    bounding per-shingle fan-out); only the final scoring differs, so the
+    candidate machinery is shared, not duplicated.
+    """
+    from pyspark.sql import Window
+
+    posts = shingle_sets(df, text_col, id_col, k)
+    if max_doc_freq is not None:
+        posts = (
+            posts.withColumn(
+                "_df", F.count(F.lit(1)).over(Window.partitionBy("sh")))
+            .filter(F.col("_df") <= max_doc_freq)
+            .drop("_df")
+        )
+    posts = posts.cache()
+    sizes = posts.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = posts.alias("a"), posts.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh"))
+               & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a").join(sb, "id_b")
+        .withColumn("containment",
+                    F.round(F.col("n_inter")
+                            / F.least("sz_a", "sz_b"), 6))
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment",
+                F.when(F.col("sz_a") <= F.col("sz_b"), F.lit("a_in_b"))
+                .otherwise(F.lit("b_in_a")).alias("contained"))
+    )

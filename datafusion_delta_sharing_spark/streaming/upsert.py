@@ -1,0 +1,149 @@
+"""Streaming upsert sink: foreachBatch merge of per-key running totals
+into bucket-partitioned parquet state.
+
+This is the production Structured Streaming sink pattern the windowed
+harness queries don't cover: arbitrary per-key state maintained OUTSIDE
+the streaming engine, merged per microbatch. Parquet has no MERGE, so the
+classic recipe is: partition the state table by a hash bucket of the key,
+and per batch rewrite ONLY the buckets that received updates (dynamic
+partition overwrite). At 100 TB the rewrite cost per batch is
+(touched buckets / total buckets) × state size — pick the bucket count so
+one bucket ≈ one task's worth of state; untouched buckets are never read
+or written.
+
+foreachBatch delivers at-least-once (a batch replays after a crash
+mid-write), so the merge must be idempotent: every state row carries the
+``last_batch`` id that produced its bucket, and a replayed batch skips
+buckets already stamped with its id — the merge-then-overwrite is applied
+exactly once per (bucket, batch) even when some buckets of the batch
+committed before the crash and some did not. This is the same
+commit-version bookkeeping a table format does transactionally, done with
+plain parquet at partition granularity.
+
+Event values are quantized to integer cents BEFORE summation, so the
+merged totals are exact and independent of batch boundaries — the oracle
+(one batch aggregate over all events) must match bit-for-bit no matter
+how the stream was microbatched.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from datafusion_delta_sharing_spark.streaming.windows import stream_events
+
+_STATE_SCHEMA = ("bucket bigint, user_id bigint, total_cents bigint, "
+                 "n_events bigint, last_batch bigint")
+
+
+def _state_df(spark: SparkSession, state_dir: str) -> DataFrame:
+    return spark.read.schema(_STATE_SCHEMA).parquet(state_dir)
+
+
+def upsert_totals_sink(spark: SparkSession, state_dir: str,
+                       n_buckets: int = 8):
+    """writeStream foreachBatch callback merging per-user (total_cents,
+    n_events) into ``state_dir``, rewriting only touched, not-yet-stamped
+    buckets."""
+    os.makedirs(state_dir, exist_ok=True)
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        updates = (
+            batch_df.select(
+                "user_id",
+                F.round(F.col("value") * 100).cast("bigint").alias("cents"))
+            .groupBy("user_id")
+            .agg(F.sum("cents").alias("total_cents"),
+                 F.count(F.lit(1)).alias("n_events"))
+            .withColumn("bucket", F.pmod("user_id", F.lit(n_buckets))
+                        .cast("bigint"))
+        ).localCheckpoint()  # reused 3×; bounded by distinct users in batch
+        touched = [r.bucket for r in
+                   updates.select("bucket").distinct().collect()]
+        if not touched:
+            return
+        current = _state_df(spark, state_dir).filter(
+            F.col("bucket").isin(touched))
+        # replay guard: a bucket whose rows are already stamped with this
+        # batch_id committed before a crash — skip it, don't double-merge
+        done = {r.bucket for r in current.groupBy("bucket")
+                .agg(F.max("last_batch").alias("lb"))
+                .filter(F.col("lb") >= batch_id).collect()}
+        todo = [b for b in touched if b not in done]
+        if not todo:
+            return
+        merged = (
+            current.filter(F.col("bucket").isin(todo))
+            .select("bucket", "user_id", "total_cents", "n_events")
+            .unionByName(updates.filter(F.col("bucket").isin(todo))
+                         .select("bucket", "user_id", "total_cents",
+                                 "n_events"))
+            .groupBy("bucket", "user_id")
+            .agg(F.sum("total_cents").alias("total_cents"),
+                 F.sum("n_events").alias("n_events"))
+            .withColumn("last_batch", F.lit(batch_id).cast("bigint"))
+        )
+        # dynamic overwrite: only partitions present in `merged` (= the
+        # todo buckets) are replaced; the rest of the state is untouched
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        merged.write.mode("overwrite").partitionBy("bucket").parquet(state_dir)
+
+    return _merge
+
+
+def stage_event_slices(spark: SparkSession, sf_dir: str,
+                       n_slices: int = 3) -> str:
+    """Split the events table into ``n_slices`` files in a temp dir so the
+    file stream (maxFilesPerTrigger=1) runs one microbatch per slice —
+    without this the single-file source collapses to one batch and the
+    cross-batch merge arithmetic is never exercised."""
+    # same decode pins as stream_events: the raw table may be
+    # TIMESTAMP(NANOS), batch-readable only under nanosAsLong
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    out = tempfile.mkdtemp(prefix="upsert_src_")
+    events = spark.read.option(
+        "pathGlobFilter", "events.parquet").parquet(sf_dir)
+    for i in range(n_slices):
+        (events.filter(F.pmod("event_id", F.lit(n_slices)) == i)
+         .coalesce(1).write.mode("append").parquet(out))
+    return out
+
+
+def stream_upsert_totals(spark: SparkSession, sf_dir: str,
+                         n_buckets: int = 8, n_slices: int = 3) -> DataFrame:
+    """Run the upsert pipeline to completion over ``n_slices`` microbatches
+    and return the final state (user_id, total_cents, n_events)."""
+    src = stage_event_slices(spark, sf_dir, n_slices)
+    state_dir = tempfile.mkdtemp(prefix="upsert_state_")
+    events = stream_events(spark, src, glob="*.parquet",
+                           maxFilesPerTrigger="1")
+    query = (
+        events.select("user_id", "value")
+        .writeStream.outputMode("update")
+        .foreachBatch(upsert_totals_sink(spark, state_dir,
+                                         n_buckets=n_buckets))
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="upsert_ckpt_"))
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    return (_state_df(spark, state_dir)
+            .select("user_id", "total_cents", "n_events"))
+
+
+def stream_upsert_totals_sql(events_sql: str = "events") -> str:
+    """DuckDB oracle: the whole-history batch aggregate the incremental
+    merge must reproduce exactly, regardless of microbatch boundaries."""
+    return f"""
+    SELECT user_id,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents,
+           count(*) AS n_events
+    FROM {events_sql} GROUP BY user_id
+    """

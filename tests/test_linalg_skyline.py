@@ -1,0 +1,184 @@
+"""Linear-algebra operators (operators/linalg.py), the skyline operator
+(operators/skyline.py), containment dedup, and the streaming upsert
+merge's replay guard."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from datafusion_delta_sharing_spark.harness import load_table
+from datafusion_delta_sharing_spark.operators import dedup as DD
+from datafusion_delta_sharing_spark.operators import linalg as LA
+from datafusion_delta_sharing_spark.operators import skyline as SKY
+
+
+def _as_rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+# -- covariance: the explode-join and the pandas gram path must agree -----
+
+
+def test_gram_pandas_equals_explode_join(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").limit(120)
+    cols = ["dim_i", "dim_j", "n_vecs", "cov_num"]
+    exploded = _as_rows(
+        LA.embedding_covariance(emb, "embedding", "vec_id"), cols)
+    pandas_path = _as_rows(LA.gram_matrix_pandas(emb, "embedding"), cols)
+    assert exploded == pandas_path
+    assert len(exploded) > 0
+
+
+def test_gram_pandas_wide_dim_smoke(spark):
+    """d=512: the pandas path emits d(d+1)/2 partials per PARTITION and
+    its values match a straight numpy covariance accumulator."""
+    rng = np.random.default_rng(42)
+    mat = rng.normal(size=(40, 512)).astype("float32")
+    pdf = pd.DataFrame({"vec_id": range(40), "embedding": list(mat)})
+    emb = spark.createDataFrame(pdf).repartition(4)
+    out = LA.gram_matrix_pandas(emb, "embedding").toPandas()
+    assert len(out) == 512 * 513 // 2
+
+    q = np.rint(mat.astype("float64") * LA.COMPONENT_SCALE).astype("int64")
+    gram, sums, n = q.T @ q, q.sum(axis=0), q.shape[0]
+    probe = out[(out.dim_i == 3) & (out.dim_j == 200)].iloc[0]
+    assert probe.n_vecs == n
+    assert probe.cov_num == n * gram[3, 200] - sums[3] * sums[200]
+
+
+def test_covariance_diagonal_is_nonnegative(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").limit(80)
+    diag = (LA.embedding_covariance(emb, "embedding", "vec_id")
+            .filter(F.col("dim_i") == F.col("dim_j")))
+    assert diag.filter(F.col("cov_num") < 0).count() == 0
+
+
+# -- random projection ----------------------------------------------------
+
+
+def test_random_projection_matches_numpy(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 20)
+    out = LA.random_projection(emb, "embedding", "vec_id",
+                               out_dims=4, seed=9).toPandas()
+    vecs = {r.vec_id: np.array(r.embedding, dtype="float64")
+            for r in emb.collect()}
+    assert len(out) == len(vecs) * 4
+
+    def sign(seed, i, j, out_dims):
+        key = seed * 1_000_003 + i * out_dims + j
+        v = (1103515245 * key + 12345) % 2147483648
+        return 1 - 2 * ((v // 65536) % 2)
+
+    for _, row in out[out.id < 3].iterrows():
+        q = np.rint(vecs[row.id] * LA.COMPONENT_SCALE).astype("int64")
+        expect = sum(int(q[i]) * sign(9, i, int(row.out_dim), 4)
+                     for i in range(len(q)))
+        assert row.comp_q == expect
+
+
+def test_random_projection_signs_are_balanced():
+    """The LCG bit-16 parity should be ~50/50 — bit 0 would alternate."""
+    signs = [(1 - 2 * ((((1103515245 * k + 12345) % 2147483648)
+                        // 65536) % 2)) for k in range(4096)]
+    assert 0.45 < signs.count(1) / len(signs) < 0.55
+
+
+# -- skyline --------------------------------------------------------------
+
+
+def _naive_frontier(points):
+    out = []
+    for i, (c, g) in enumerate(points):
+        dominated = any(
+            bc <= c and bg >= g and (bc < c or bg > g)
+            for j, (bc, bg) in enumerate(points) if j != i)
+        if not dominated:
+            out.append((i, c, g))
+    return sorted(out)
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(st.tuples(st.integers(-50, 50), st.integers(-50, 50)),
+                min_size=1, max_size=40),
+       st.sampled_from([1, 7, 1000]))
+def test_pareto_frontier_matches_naive(spark, points, width):
+    df = spark.createDataFrame(
+        [(i, c, g) for i, (c, g) in enumerate(points)],
+        "id long, cost long, gain long")
+    got = _as_rows(
+        SKY.pareto_frontier(df, "id", "cost", "gain", bucket_width=width),
+        ["id", "cost", "gain"])
+    assert got == _naive_frontier(points)
+
+
+def test_pareto_keeps_equal_ties(spark):
+    df = spark.createDataFrame(
+        [(1, 10, 5), (2, 10, 5), (3, 20, 4)], "id long, cost long, gain long")
+    got = _as_rows(SKY.pareto_frontier(df, "id", "cost", "gain", 4),
+                   ["id", "cost", "gain"])
+    # duplicates don't dominate each other; (3,20,4) is dominated
+    assert got == [(1, 10, 5), (2, 10, 5)]
+
+
+# -- containment ----------------------------------------------------------
+
+
+def test_containment_catches_excerpts_jaccard_misses(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 10) & (F.col("n_chars") > 400)
+    ).select("doc_id", "text")
+    halves = docs.select(
+        (F.col("doc_id") + F.lit(1000)).alias("doc_id"),
+        F.array_join(F.expr(
+            "slice(split(trim(text), '\\\\s+'), 1, "
+            "greatest(1, size(split(trim(text), '\\\\s+')) div 2))"),
+            " ").alias("text"))
+    corpus = docs.unionByName(halves)
+    n_docs = docs.count()
+    assert n_docs > 0
+
+    cont = DD.containment_pairs(corpus, "text", "doc_id",
+                                k=5, threshold=0.99).toPandas()
+    planted = cont[cont.id_b == cont.id_a + 1000]
+    assert len(planted) == n_docs          # every excerpt is caught
+    assert (planted.containment == 1.0).all()
+    assert (planted.contained == "b_in_a").all()
+
+    # the same pairs score LOW on Jaccard — the asymmetric measure is
+    # the one that sees excerpts (the halves are ~half the shingles)
+    jac = DD.ngram_jaccard_pairs(corpus, "text", "doc_id",
+                                 k=5, threshold=0.0).toPandas()
+    jac_planted = jac[jac.id_b == jac.id_a + 1000]
+    assert (jac_planted.jaccard < 0.7).all()
+
+
+# -- streaming upsert replay guard ---------------------------------------
+
+
+def test_upsert_merge_is_replay_idempotent(spark, sf_dir, tmp_path):
+    from datafusion_delta_sharing_spark.streaming import upsert as UP
+
+    state = str(tmp_path / "state")
+    merge = UP.upsert_totals_sink(spark, state, n_buckets=4)
+    batch = (load_table(spark, sf_dir, "events")
+             .select("user_id", "value").limit(500).localCheckpoint())
+
+    merge(batch, 0)
+    once = {(r.user_id, r.total_cents, r.n_events)
+            for r in UP._state_df(spark, state).collect()}
+    assert once
+
+    merge(batch, 0)   # crash-replay of the same batch id: must be a no-op
+    twice = {(r.user_id, r.total_cents, r.n_events)
+             for r in UP._state_df(spark, state).collect()}
+    assert twice == once
+
+    merge(batch, 1)   # a NEW batch id genuinely accumulates
+    thrice = {r.user_id: (r.total_cents, r.n_events)
+              for r in UP._state_df(spark, state).collect()}
+    for (uid, cents, n) in once:
+        assert thrice[uid] == (2 * cents, 2 * n)

@@ -34,26 +34,39 @@ from pyspark.sql import DataFrame, functions as F
 def recall_summary(exact: DataFrame, found: DataFrame, keys: list[str],
                    bound: float, check_precision: bool = False) -> DataFrame:
     """One-row summary comparing an approximate result against its exact
-    baseline on the given key columns. All three inputs to the verdict are
-    single-row aggregates combined with scalar cross-joins (broadcast of
-    one row — no data shuffle beyond the two aggregations)."""
-    ex = exact.select(*keys)
-    fd = found.select(*keys)
-    n_exact = ex.agg(F.count(F.lit(1)).alias("n_exact"))
-    n_hit = (ex.join(fd, keys, "left_semi")
-             .agg(F.count(F.lit(1)).alias("n_hit")))
-    out = n_exact.crossJoin(n_hit)
+    baseline on the given key columns.
+
+    Plan: per-key counts on each side, ONE full-outer equi-join, one
+    global aggregate. The obvious spelling (count + left-semi + left-anti)
+    re-executes each input DAG per use — and both inputs here are
+    expensive (the exact baseline is the posting-list self-join, the
+    approximate side is the whole LSH pipeline); the outer-join form
+    computes each exactly once and matches the semi/anti arithmetic for
+    any key multiplicity (hit = every exact row whose key appears in
+    found; false = every found row whose key has no exact match).
+    """
+    exk = (exact.select(*keys).groupBy(*keys)
+           .agg(F.count(F.lit(1)).alias("_ex_n")))
+    fdk = (found.select(*keys).groupBy(*keys)
+           .agg(F.count(F.lit(1)).alias("_fd_n")))
+    joined = exk.join(fdk, keys, "full_outer")
+    aggs = [
+        F.coalesce(F.sum("_ex_n"), F.lit(0)).cast("bigint").alias("n_exact"),
+        F.sum(F.when(F.col("_fd_n").isNotNull(),
+                     F.col("_ex_n"))).alias("n_hit"),
+    ]
     if check_precision:
-        n_false = (fd.join(ex, keys, "left_anti")
-                   .agg(F.count(F.lit(1)).alias("n_false")))
-        out = out.crossJoin(n_false)
+        aggs.append(F.coalesce(
+            F.sum(F.when(F.col("_ex_n").isNull(), F.col("_fd_n"))),
+            F.lit(0)).cast("bigint").alias("n_false"))
+    out = joined.agg(*aggs)
     # same expression shape as the SQL mirror: floor((1.0 - bound) * n)
     allowed = F.floor(F.lit(1.0 - bound) * F.col("n_exact")).cast("bigint")
     cols = [F.col("n_exact"), allowed.alias("n_missed_allowed")]
     if check_precision:
         cols.append(F.col("n_false"))
-    cols.append(((F.col("n_exact") - F.col("n_hit")) <= allowed)
-                .alias("recall_ok"))
+    cols.append(((F.col("n_exact") - F.coalesce(F.col("n_hit"), F.lit(0)))
+                 <= allowed).alias("recall_ok"))
     return out.select(*cols)
 
 

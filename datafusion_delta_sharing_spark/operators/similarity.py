@@ -92,21 +92,24 @@ def lsh_signature(df: DataFrame, dim: int, n_planes: int = 12,
 
 def _signature_expr(vec_col: str, planes: list[list[float]]):
     """Packed sign-bit signature of ``vec_col`` against the given planes —
-    bit p = (v · h_p) > 0. Pure zip_with/aggregate, JVM-side."""
-    bits = []
-    for p, plane in enumerate(planes):
-        plane_col = F.array(*[F.lit(v) for v in plane])
-        dot_p = F.aggregate(
-            F.zip_with(F.col(vec_col), plane_col,
-                       lambda x, h: x.cast("double") * h),
-            F.lit(0.0), lambda acc, x: acc + x)
-        bits.append(F.when(dot_p > 0,
-                           F.shiftleft(F.lit(1).cast("long"), p))
-                    .otherwise(F.lit(0).cast("long")))
-    signature = bits[0]
-    for b in bits[1:]:
-        signature = signature.bitwiseOR(b)
-    return signature
+    bit p = (v · h_p) > 0. The plane matrix is ONE nested-array literal
+    iterated by higher-order functions (transform over planes, zip_with/
+    aggregate per dot, indexed transform for the bit pack), not n_planes
+    unrolled aggregate expressions: the unrolled form made Catalyst
+    analyze + Janino compile a 4096-literal tree PER TABLE (~10 s of
+    driver time for 8 tables × 8 planes before the first row moved —
+    measured on ann_lsh_topk). Same fold order per dot, so results are
+    bit-identical to the unrolled spelling."""
+    mat = F.array(*[F.array(*[F.lit(v) for v in plane]) for plane in planes])
+    dots = F.transform(mat, lambda plane: F.aggregate(
+        F.zip_with(F.col(vec_col), plane, lambda x, h: x.cast("double") * h),
+        F.lit(0.0), lambda acc, x: acc + x))
+    # bit p as 2^p via pow (exact in double for p <= 52; n_planes <= 16)
+    bits = F.transform(dots, lambda d, p: F.when(
+        d > 0, F.pow(F.lit(2.0), p.cast("double")).cast("long"))
+        .otherwise(F.lit(0).cast("long")))
+    return F.aggregate(bits, F.lit(0).cast("long"),
+                       lambda acc, b: acc + b)
 
 
 def _lsh_buckets(df: DataFrame, dim: int, n_planes: int, n_tables: int,

@@ -48,6 +48,9 @@ HEADLINE = [
     # (ngram_jaccard_prefix vs ngram_jaccard = the prefix-filter payoff)
     "token_entropy", "rolling_median", "image_pipeline", "audio_pipeline",
     "kfold_split", "ngram_jaccard_prefix",
+    # r4 additions: containment dedup, distributed linalg, skyline
+    "containment_pairs", "embedding_covariance", "random_projection",
+    "pareto_frontier",
 ]
 
 
@@ -148,8 +151,10 @@ def main() -> None:
             # intentional r4 workload change, not a regression:
             "dedup_minhash":
                 "r4 converts the query to a recall summary - it now also "
-                "computes the exact jaccard baseline and an anti/semi "
-                "join in the same job (VERDICT r3 #2); expect ~2x r3",
+                "computes the exact jaccard baseline in the same job "
+                "(VERDICT r3 #2); expect ~2x r3. The summary itself is a "
+                "single-pass full-outer join (each input DAG computed "
+                "once; isolated n=5 best 3.02s at sf0.1)",
             "ngram_jaccard_prefix":
                 "slower than plain ngram_jaccard AT THIS SF by design: "
                 "prefix filtering adds a df-ranking window + candidate-"

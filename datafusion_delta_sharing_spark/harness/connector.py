@@ -62,6 +62,33 @@ def _stage_partitioned_orders(spark: SparkSession, sf_dir: str) -> str:
     return out
 
 
+def _stage_cdf_customer(spark: SparkSession, sf_dir: str) -> dict:
+    """Stage the customer table as three single-file slices keyed by
+    c_custkey % 3 — the raw material for a CDF share: slices 1+2 form the
+    base snapshot (v1), slice 0 arrives as an ``add`` commit (v2), slice 2
+    leaves as a ``remove`` commit (v3). Reconstructing the table from
+    base + feed must therefore yield exactly ``c_custkey % 3 != 2`` — a
+    result that requires BOTH change kinds to be applied."""
+    import hashlib
+
+    src = os.path.abspath(os.path.join(sf_dir, "customer.parquet"))
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{src}:{st.st_mtime_ns}:{st.st_size}:cdf".encode()).hexdigest()[:16]
+    out = os.path.join(_STAGE_ROOT, key, "customer_cdf")
+    cust = spark.read.parquet(src).select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+    paths = {}
+    for mod in (0, 1, 2):
+        slice_dir = os.path.join(out, f"slice{mod}")
+        if not os.path.exists(os.path.join(slice_dir, "_SUCCESS")):
+            (cust.filter(F.col("c_custkey") % 3 == mod)
+             .coalesce(1).write.mode("overwrite").parquet(slice_dir))
+        paths[mod] = sorted(glob.glob(
+            os.path.join(slice_dir, "*.parquet")))[0]
+    return paths
+
+
 def _ensure_served(spark: SparkSession, sf_dir: str) -> dict:
     if sf_dir in _SERVED:
         return _SERVED[sf_dir]
@@ -107,6 +134,25 @@ def _ensure_served(spark: SparkSession, sf_dir: str) -> dict:
             "partition_values": {"o_orderstatus": status},
         })
 
+    cdf_paths = _stage_cdf_customer(spark, sf_dir)
+    cdf_schema = spark.read.parquet(cdf_paths[1]).schema.json()
+
+    def _cdf_file(mod: int) -> dict:
+        return {"id": f"cdf-slice{mod}",
+                "url": f"file://{cdf_paths[mod]}",
+                "size": os.path.getsize(cdf_paths[mod]),
+                "partition_values": {}}
+
+    cdf_table = MockTable(share=_SHARE, schema=_SCHEMA, name="customer_cdf",
+                          schema_string=cdf_schema,
+                          files=[_cdf_file(1), _cdf_file(2)])
+    cdf_table.changes.extend([
+        {"kind": "add", "version": 2, "timestamp": 1_700_000_000_000,
+         **_cdf_file(0)},
+        {"kind": "remove", "version": 3, "timestamp": 1_700_000_060_000,
+         **_cdf_file(2)},
+    ])
+
     server = MockSharingServer(
         [
             MockTable(share=_SHARE, schema=_SCHEMA, name="customer",
@@ -116,6 +162,7 @@ def _ensure_served(spark: SparkSession, sf_dir: str) -> dict:
                       schema_string=orders_schema,
                       partition_columns=["o_orderstatus"],
                       files=order_files),
+            cdf_table,
         ],
         parquet_bytes=customer_blobs,
     )
@@ -214,11 +261,27 @@ def q_connector_catalog_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def q_connector_cdf_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC consumption end-to-end (A34): a stale snapshot (slices 1+2 of
+    customer) plus the real ``/changes`` feed (add slice 0 at v2, remove
+    slice 2 at v3) reconstructed with operators/cdc.apply_changes. The
+    result is right ONLY if both the insert and the delete commit are
+    fetched through the protocol and applied in version order."""
+    from datafusion_delta_sharing_spark.operators import cdc as CDC
+
+    reader = _reader(spark, sf_dir)
+    base = reader.table(f"{_SHARE}.{_SCHEMA}.customer_cdf")
+    changes = reader.table_changes(f"{_SHARE}.{_SCHEMA}.customer_cdf",
+                                   starting_version=2)
+    return CDC.apply_changes(base, changes, ["c_custkey"])
+
+
 QUERIES = {
     "connector_flagship": q_connector_flagship,
     "connector_partitioned": q_connector_partitioned,
     "connector_datasource": q_connector_datasource,
     "connector_catalog_sql": q_connector_catalog_sql,
+    "connector_cdf_apply": q_connector_cdf_apply,
 }
 
 ORACLES = {
@@ -249,5 +312,10 @@ ORACLES = {
         JOIN customer c ON c.c_custkey = o.o_custkey
         WHERE o.o_orderstatus = 'O'
         GROUP BY c.c_mktsegment
+    """,
+    # base (mod 1, 2) + add (mod 0) - remove (mod 2) = mod != 2
+    "connector_cdf_apply": """
+        SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+        FROM customer WHERE c_custkey % 3 != 2
     """,
 }

@@ -21,7 +21,8 @@ from datafusion_delta_sharing_spark.operators import linalg as LA
 from datafusion_delta_sharing_spark.operators import skyline as SKY
 from datafusion_delta_sharing_spark.streaming import upsert as UP
 
-_CONT_DOCS = 150          # doc subset for the containment check
+_CONT_DOCS = 150          # doc subset for the containment check (pinned:
+                          # bench delta_vs_prev must compare equal work)
 _CONT_OFFSET = 1_000_000  # id offset for planted truncated copies
 _CONT_THRESHOLD = 0.9     # near-full containment (quote/excerpt grade)
 _PROJ_DIMS = 8

@@ -1,0 +1,49 @@
+"""CDC application: reconstruct a current snapshot from a base snapshot
+plus a Change Data Feed.
+
+The consumer-side half of A34 (``DeltaSharingReader.table_changes``,
+sources/reader.py — the reference's client stops at ``todo!()``,
+src/client/mod.rs:384-386): given yesterday's materialized snapshot and
+the change feed since, produce today's table without re-reading the full
+share. Per key, the LAST action wins (by ``_commit_version``; within one
+commit an update's postimage beats its preimage), so out-of-order change
+rows and multi-step histories (delete then re-insert, repeated updates)
+collapse correctly.
+
+Scale shape: one window over the changes keyed by the primary key (the
+feed is small relative to the table — that is the point of CDC), one
+left-anti join of the base against the touched-key set, one union. The
+base table is never shuffled beyond the anti-join's key exchange; with
+the base bucketed by key (sources/sinks.py:write_bucketed) even that
+exchange disappears on the big side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+_INSERT_LIKE = ("insert", "update_postimage")
+
+
+def apply_changes(base: DataFrame, changes: DataFrame,
+                  key_cols: list[str]) -> DataFrame:
+    """Apply a CDF (``_change_type`` / ``_commit_version`` metadata
+    columns, as produced by ``table_changes``) to ``base``; returns the
+    reconstructed snapshot with ``base``'s columns.
+
+    Rows whose key is touched by the feed are dropped from the base; the
+    latest insert-like action per key re-materializes the row. A key
+    whose last action is delete-like stays gone.
+    """
+    insert_like = F.col("_change_type").isin(*_INSERT_LIKE)
+    w = (Window.partitionBy(*key_cols)
+         .orderBy(F.desc("_commit_version"),
+                  F.desc(insert_like.cast("int"))))
+    last = (changes
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1))
+    survivors = (last.filter(F.col("_change_type").isin(*_INSERT_LIKE))
+                 .select(*base.columns))
+    touched = changes.select(*key_cols).distinct()
+    return (base.join(touched, key_cols, "left_anti")
+            .unionByName(survivors))

@@ -102,6 +102,10 @@ class FileAction:
     version: int | None = None
     timestamp: int | None = None
     expiration_timestamp: int | None = None
+    # Delta deletion vector descriptor (delta-format responses). Parsed so
+    # the scan layer can REFUSE the file loudly: silently reading the
+    # parquet would resurrect every soft-deleted row.
+    deletion_vector: dict | None = None
 
     @classmethod
     def from_json(cls, doc: dict) -> "FileAction":
@@ -116,6 +120,7 @@ class FileAction:
             version=doc.get("version"),
             timestamp=doc.get("timestamp"),
             expiration_timestamp=doc.get("expirationTimestamp"),
+            deletion_vector=doc.get("deletionVector"),
         )
 
     def parsed_stats(self) -> dict | None:

@@ -327,6 +327,8 @@ class MockSharingServer:
             }
             if f.get("stats") is not None:
                 doc["stats"] = f["stats"]
+            if f.get("deletion_vector") is not None:
+                doc["deletionVector"] = f["deletion_vector"]
             lines.append(json.dumps({"file": doc}))
         handler._send(200, "\n".join(lines).encode(), "application/x-ndjson",
                       headers={"Delta-Table-Version": str(served_version)})

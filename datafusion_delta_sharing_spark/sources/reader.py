@@ -475,6 +475,16 @@ class DeltaSharingReader:
         partition_columns = list(metadata.partition_columns)
         files = list(data.files)
 
+        dv_files = [f.id or f.url for f in files if f.deletion_vector]
+        if dv_files:
+            # like the decimal>38 gap (sources/schema.py): fail loudly
+            # rather than silently returning soft-deleted rows
+            raise DeltaSharingError(
+                "table serves files with deletion vectors "
+                f"({dv_files[:3]}{'...' if len(dv_files) > 3 else ''}); "
+                "applying DVs is not supported — ask the provider for a "
+                "parquet-format share (no DVs) or a compacted snapshot")
+
         if self.use_stats_pruning and predicate_op is not None:
             files = [f for f in files
                      if may_match(predicate_op, f.parsed_stats())]

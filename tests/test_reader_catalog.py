@@ -381,3 +381,21 @@ def test_sql_string_literal_not_rewritten(spark, local_server):
     assert row.lit == "s.d.t"
     assert row.n == 4  # 4 rows with tag='a'; NULL-tag rows fail the <>
 
+
+
+def test_deletion_vector_files_are_refused(spark, tmp_path):
+    """A file action carrying a deletionVector must fail the scan loudly:
+    reading the raw parquet would resurrect every soft-deleted row."""
+    from datafusion_delta_sharing_spark.errors import DeltaSharingError
+
+    p = _write_local(tmp_path, "dv.parquet", [1, 2], [1.0, 2.0])
+    files = [{"id": "dv1", "url": f"file://{p}", "size": 0,
+              "partition_values": {"day": "2021-04-28", "tag": "a"},
+              "deletion_vector": {"storageType": "u", "pathOrInlineDv": "x",
+                                  "sizeInBytes": 40, "cardinality": 1}}]
+    table = MockTable(share="s", schema="d", name="t",
+                      schema_string=SCHEMA_STRING,
+                      partition_columns=PARTITION_COLUMNS, files=files)
+    with MockSharingServer([table]) as srv:
+        with pytest.raises(DeltaSharingError, match="deletion vector"):
+            _reader(spark, srv).table("s.d.t").collect()

@@ -25,15 +25,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # Window management (VERDICT r2 structural note): entries named in _WINDOW
 # are pulled to the front, in order; everything else follows in module
 # order. Rotation state lives in WINDOW_PLAN.json (per-query driver-row
-# provenance r1-r4 + the r5 plan). r4 window = 50 of the 67 queries that
-# had no driver CORRECTNESS row in rounds 1-3 (all judge-verified green in
-# r3). The r5 remainder (17, also listed in WINDOW_PLAN.json): line_dedup,
-# unigram_logprob, token_budget, dedup_incremental, zorder_stats,
-# fuzzy_join, pad_case_funcs, trig_funcs, bitwise_funcs, array_hof,
-# join_salted, time_spine, try_arith, mask_funcs, url_funcs,
-# variant_funcs, udaf_grouped_agg — plus any query whose semantics changed
-# in r4 (dedup_minhash, dedup_simhash, ann_lsh_topk, ann_ivf_topk recall
-# rows; bucketed embedding_neardup; triangles_degcut).
+# provenance r1-r4 + the authoritative r5_planned list, 45 entries). r4
+# window = 50 of the 67 queries that had no driver CORRECTNESS row in
+# rounds 1-3 (all judge-verified green in r3). r5 = the 17 never-checked
+# leftovers + the queries whose semantics changed in r4 (recall-summary
+# rows, bucketed embedding_neardup, triangles_degcut) + every query added
+# during r4 (extensions8/extensions9/tierb8, table_profile_approx,
+# connector_cdf_apply) — see WINDOW_PLAN.json "r5_planned" for the exact
+# list; 45 of the 50 slots are already assigned.
 _MODULE_ORDER = ("connector", "extensions", "extensions2", "extensions3",
                  "extensions4", "extensions5", "extensions6", "extensions7",
                  "extensions8", "extensions9", "formats", "tpch", "tierb5",

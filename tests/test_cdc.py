@@ -36,3 +36,41 @@ def test_apply_changes_empty_feed_is_identity(spark):
     got = sorted((r.k, r.v) for r in
                  CDC.apply_changes(base, changes, ["k"]).collect())
     assert got == [(1, "a"), (2, "b")]
+
+
+def test_apply_changes_matches_replay_simulation(spark):
+    """Property check: for randomized multi-version feeds, apply_changes
+    equals a sequential per-version replay (deterministic seeds, no
+    hypothesis fixture interplay with the session-scoped spark)."""
+    import random
+
+    for seed in range(6):
+        rng = random.Random(seed)
+        keys = list(range(8))
+        base_rows = [(k, f"v{k}") for k in keys if rng.random() < 0.6]
+        feed_rows = []
+        state = dict(base_rows)
+        for version in range(2, 2 + rng.randint(1, 4)):
+            for k in rng.sample(keys, rng.randint(1, 5)):
+                if k in state:
+                    if rng.random() < 0.5:
+                        feed_rows.append((k, state[k], "delete", version))
+                        del state[k]
+                    else:
+                        new = f"v{k}.{version}"
+                        feed_rows.append(
+                            (k, state[k], "update_preimage", version))
+                        feed_rows.append((k, new, "update_postimage", version))
+                        state[k] = new
+                elif rng.random() < 0.7:
+                    new = f"n{k}.{version}"
+                    feed_rows.append((k, new, "insert", version))
+                    state[k] = new
+        base = spark.createDataFrame(base_rows or [(99, "z")],
+                                     "k long, v string")
+        if not base_rows:
+            state[99] = "z"
+        changes = _feed(spark, feed_rows)
+        got = sorted((r.k, r.v) for r in
+                     CDC.apply_changes(base, changes, ["k"]).collect())
+        assert got == sorted(state.items()), f"seed {seed}"

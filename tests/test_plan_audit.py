@@ -23,8 +23,7 @@ _ALLOWS: dict[str, frozenset] = {
         "winsorize", "contingency", "quantile_bin", "triangles",
         "triangles_degcut", "basket_rules", "rolling_wau",
         "quality_filter", "tfidf_top", "pmi_collocations",
-        "distinctive_terms", "corpus_overlap", "dedup_minhash",
-        "dedup_simhash", "ann_lsh_topk", "ann_ivf_topk",
+        "distinctive_terms", "corpus_overlap",
         "unigram_logprob", "bigram_logprob")},
     # intentional non-equi-join demonstrations (the operator IS the BNLJ)
     "cross_join": frozenset({"bnl_join"}),

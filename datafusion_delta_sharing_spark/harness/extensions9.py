@@ -99,6 +99,13 @@ def q_stream_upsert(spark, sf_dir):
     return UP.stream_upsert_totals(spark, sf_dir)
 
 
+# transformWithStateInPandas (streaming/tws.py) is implemented but NOT
+# registered: its state-server protocol needs protobuf, absent from this
+# environment (require_tws_runtime raises the documented gate). The
+# stateful-operator slot is covered by applyInPandasWithState
+# (`stateful_stream`); tests/test_streaming_ingest.py pins the gate.
+
+
 _CONTAINMENT_TAIL = f"""
     sizes AS (SELECT id, count(*) AS sz FROM posts GROUP BY id),
     inter AS (

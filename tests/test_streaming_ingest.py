@@ -56,3 +56,35 @@ def test_foreachbatch_incremental_dedup(spark, tmp_path):
     assert final == {1, 2, 11, 13}
     digests = {r.text_md5 for r in spark.read.parquet(idx).collect()}
     assert len(digests) == 4  # one digest per distinct text, no dupes
+
+
+def test_transform_with_state_gate_raises_clearly(spark):
+    """transformWithStateInPandas needs protobuf (absent here): the gate
+    must raise the documented NotImplementedError up front, not let Spark
+    crash the driver worker mid-query. If protobuf IS present, the full
+    pipeline must match the batch aggregate."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from datafusion_delta_sharing_spark.streaming import tws
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        have_protobuf = True
+    except ImportError:
+        have_protobuf = False
+
+    if not have_protobuf:
+        with pytest.raises(NotImplementedError, match="protobuf"):
+            tws.tws_user_totals(spark, "/root/testdata/sf0.001")
+        return
+
+    got = tws.tws_user_totals(spark, "/root/testdata/sf0.001")
+    events = spark.read.option("pathGlobFilter", "events.parquet").parquet(
+        "/root/testdata/sf0.001")
+    want = (events.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                 .alias("total_cents")))
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))

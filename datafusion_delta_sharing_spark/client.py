@@ -51,6 +51,10 @@ class ProtocolAction:
 
     @classmethod
     def from_json(cls, doc: dict) -> "ProtocolAction":
+        # delta-format responses wrap the fields (PROTOCOL.md
+        # "responseformat=delta"): {"protocol": {"deltaProtocol": {...}}}
+        if "deltaProtocol" in doc:
+            doc = doc["deltaProtocol"]
         return cls(min_reader_version=int(doc.get("minReaderVersion", 1)))
 
 
@@ -73,6 +77,12 @@ class MetadataAction:
 
     @classmethod
     def from_json(cls, doc: dict) -> "MetadataAction":
+        # delta-format responses nest the table fields in "deltaMetadata"
+        # while version/size/numFiles stay at the outer level — merge with
+        # the inner fields winning
+        inner = doc.get("deltaMetadata")
+        if inner is not None:
+            doc = {**doc, **inner}
         return cls(
             id=doc.get("id", ""),
             schema_string=doc.get("schemaString", ""),
@@ -109,6 +119,22 @@ class FileAction:
 
     @classmethod
     def from_json(cls, doc: dict) -> "FileAction":
+        # delta-format responses wrap the data-file fields in a
+        # deltaSingleAction (add / remove / cdc) whose "path" IS the
+        # presigned URL; outer id/version/timestamp/expirationTimestamp
+        # stay authoritative
+        dsa = doc.get("deltaSingleAction")
+        if dsa is not None:
+            inner = (dsa.get("add") or dsa.get("remove")
+                     or dsa.get("cdc") or {})
+            doc = {**doc,
+                   "url": inner.get("path", doc.get("url")),
+                   "partitionValues": inner.get(
+                       "partitionValues", doc.get("partitionValues")),
+                   "size": inner.get("size", doc.get("size", 0)),
+                   "stats": inner.get("stats", doc.get("stats")),
+                   "deletionVector": inner.get(
+                       "deletionVector", doc.get("deletionVector"))}
         raw_pv = doc.get("partitionValues") or {}
         partition_values = {k: ("" if v is None else str(v)) for k, v in raw_pv.items()}
         return cls(
@@ -251,13 +277,21 @@ class DeltaSharingClient:
             ) from last_exc
         return self._check(resp)
 
+    # advertised on every request (PROTOCOL.md capabilities header): both
+    # response formats parse — delta-format actions are unwrapped by the
+    # action classes, and deletion-vector files are refused at scan time
+    CAPABILITIES_HEADER = {
+        "delta-sharing-capabilities": "responseformat=parquet,delta"}
+
     def _get(self, url: str, params: dict | None = None) -> requests.Response:
-        headers = self.profile.authorization_header()
+        headers = {**self.profile.authorization_header(),
+                   **self.CAPABILITIES_HEADER}
         return self._with_retry(lambda: self.session.get(
             url, headers=headers, params=params or {}, timeout=self.timeout))
 
     def _post(self, url: str, body: dict) -> requests.Response:
-        headers = self.profile.authorization_header()
+        headers = {**self.profile.authorization_header(),
+                   **self.CAPABILITIES_HEADER}
         headers["Content-Type"] = "application/json"
         return self._with_retry(lambda: self.session.post(
             url, headers=headers, json=body, timeout=self.timeout))

@@ -38,6 +38,10 @@ class MockTable:
     # "timestamp": int, **file fields} served by /changes filtered on
     # startingVersion/endingVersion
     changes: list = field(default_factory=list)
+    # "parquet" (default) or "delta": delta wraps protocol/metaData fields
+    # and file actions in deltaProtocol/deltaMetadata/deltaSingleAction
+    # per PROTOCOL.md responseformat=delta
+    response_format: str = "parquet"
 
 
 class MockSharingServer:
@@ -92,6 +96,8 @@ class MockSharingServer:
                     "query": {k: v[0] for k, v in parse_qs(parsed.query).items()},
                     "body": body,
                     "auth": self.headers.get("Authorization"),
+                    "capabilities": self.headers.get(
+                        "delta-sharing-capabilities"),
                 })
 
             def _send(self, status: int, payload: bytes,
@@ -319,29 +325,49 @@ class MockSharingServer:
             served_files, served_version = table.history[pinned], pinned
         lines = [self._metadata_ndjson(table)]
         for f in served_files:
-            doc = {
-                "url": f["url"],
-                "id": f["id"],
-                "partitionValues": f.get("partition_values", {}),
-                "size": f.get("size", 0),
-            }
-            if f.get("stats") is not None:
-                doc["stats"] = f["stats"]
-            if f.get("deletion_vector") is not None:
-                doc["deletionVector"] = f["deletion_vector"]
+            if table.response_format == "delta":
+                add = {
+                    "path": f["url"],
+                    "partitionValues": f.get("partition_values", {}),
+                    "size": f.get("size", 0),
+                }
+                if f.get("stats") is not None:
+                    add["stats"] = f["stats"]
+                if f.get("deletion_vector") is not None:
+                    add["deletionVector"] = f["deletion_vector"]
+                doc = {"id": f["id"],
+                       "deltaSingleAction": {"add": add}}
+            else:
+                doc = {
+                    "url": f["url"],
+                    "id": f["id"],
+                    "partitionValues": f.get("partition_values", {}),
+                    "size": f.get("size", 0),
+                }
+                if f.get("stats") is not None:
+                    doc["stats"] = f["stats"]
+                if f.get("deletion_vector") is not None:
+                    doc["deletionVector"] = f["deletion_vector"]
             lines.append(json.dumps({"file": doc}))
         handler._send(200, "\n".join(lines).encode(), "application/x-ndjson",
                       headers={"Delta-Table-Version": str(served_version)})
 
     def _metadata_ndjson(self, table: MockTable) -> str:
+        meta = {
+            "id": table.table_id,
+            "format": {"provider": "parquet"},
+            "schemaString": table.schema_string,
+            "partitionColumns": table.partition_columns,
+        }
+        if table.response_format == "delta":
+            return "\n".join([
+                json.dumps({"protocol": {"deltaProtocol": {
+                    "minReaderVersion": 1, "minWriterVersion": 2}}}),
+                json.dumps({"metaData": {"deltaMetadata": meta}}),
+            ])
         return "\n".join([
             json.dumps({"protocol": {"minReaderVersion": 1}}),
-            json.dumps({"metaData": {
-                "id": table.table_id,
-                "format": {"provider": "parquet"},
-                "schemaString": table.schema_string,
-                "partitionColumns": table.partition_columns,
-            }}),
+            json.dumps({"metaData": meta}),
         ])
 
     def _find(self, share: str, schema: str, name: str) -> MockTable | None:

@@ -399,3 +399,44 @@ def test_deletion_vector_files_are_refused(spark, tmp_path):
     with MockSharingServer([table]) as srv:
         with pytest.raises(DeltaSharingError, match="deletion vector"):
             _reader(spark, srv).table("s.d.t").collect()
+
+
+def test_delta_response_format_round_trips(spark, tmp_path):
+    """responseformat=delta: protocol/metaData/file fields arrive wrapped
+    in deltaProtocol/deltaMetadata/deltaSingleAction; the client unwraps
+    them and the scan returns the same rows as the parquet format. The
+    capabilities header advertising both formats must be on the request."""
+    table = MockTable(share="s", schema="d", name="t",
+                      schema_string=SCHEMA_STRING,
+                      partition_columns=PARTITION_COLUMNS,
+                      files=_mock_files_local(tmp_path),
+                      response_format="delta")
+    with MockSharingServer([table]) as srv:
+        df = _reader(spark, srv).table("s.d.t")
+        rows = {r.id: (r.amount, str(r.day), r.tag) for r in df.collect()}
+        assert len(rows) == 6
+        assert rows[1] == (1.0, "2021-04-28", "a")
+        # empty partition value decodes to NULL (empty→NULL protocol rule)
+        assert rows[5] == (5.0, "2021-04-29", None)
+        caps = [req["capabilities"]
+                for req in srv.requests if "/query" in req["path"]]
+        assert caps and all(c == "responseformat=parquet,delta"
+                            for c in caps)
+
+
+def test_delta_format_deletion_vector_refused(spark, tmp_path):
+    p = _write_local(tmp_path, "dv2.parquet", [1], [1.0])
+    files = [{"id": "dv", "url": f"file://{p}", "size": 0,
+              "partition_values": {"day": "2021-04-28", "tag": "a"},
+              "deletion_vector": {"storageType": "u",
+                                  "pathOrInlineDv": "x",
+                                  "sizeInBytes": 40, "cardinality": 1}}]
+    table = MockTable(share="s", schema="d", name="t",
+                      schema_string=SCHEMA_STRING,
+                      partition_columns=PARTITION_COLUMNS, files=files,
+                      response_format="delta")
+    with MockSharingServer([table]) as srv:
+        from datafusion_delta_sharing_spark.errors import DeltaSharingError
+
+        with pytest.raises(DeltaSharingError, match="deletion vector"):
+            _reader(spark, srv).table("s.d.t").collect()

@@ -488,6 +488,18 @@ class DeltaSharingClient:
                 metadata = MetadataAction.from_json(action)
             elif kind in ("add", "remove", "cdf"):
                 actions.append((kind, FileAction.from_json(action)))
+            elif kind == "file" and "deltaSingleAction" in action:
+                # delta-format CDF: every change arrives as a "file" line
+                # whose deltaSingleAction holds add / remove / cdc — map
+                # the inner kind back to the parquet-format vocabulary
+                # ("cdc" → "cdf") so downstream grouping is format-blind
+                dsa = action["deltaSingleAction"]
+                inner_kind = next(
+                    (k for k in ("add", "remove", "cdc") if k in dsa), None)
+                if inner_kind is not None:
+                    actions.append(
+                        ("cdf" if inner_kind == "cdc" else inner_kind,
+                         FileAction.from_json(action)))
         if protocol is None or metadata is None:
             raise DeltaSharingError(
                 "changes response missing protocol or metaData line")

@@ -294,6 +294,20 @@ class MockSharingServer:
             v = ch["version"]
             if v < start or (end is not None and v > end):
                 continue
+            if table.response_format == "delta":
+                inner_kind = "cdc" if ch["kind"] == "cdf" else ch["kind"]
+                doc = {
+                    "id": ch["id"],
+                    "version": v,
+                    "timestamp": ch.get("timestamp", 0),
+                    "deltaSingleAction": {inner_kind: {
+                        "path": ch["url"],
+                        "partitionValues": ch.get("partition_values", {}),
+                        "size": ch.get("size", 0),
+                    }},
+                }
+                lines.append(json.dumps({"file": doc}))
+                continue
             doc = {
                 "url": ch["url"],
                 "id": ch["id"],

@@ -459,3 +459,55 @@ def test_stream_schema_drift_fails_loudly(tmp_path):
         ]})
         with pytest.raises(DeltaSharingError, match="schema .* changed"):
             reader.latestOffset()
+
+
+def test_table_changes_delta_format(spark, tmp_path):
+    """Delta-format CDF: every change arrives as a "file" line wrapping a
+    deltaSingleAction (add / remove / cdc, path = presigned URL); the
+    client maps the inner kinds back to the parquet-format vocabulary so
+    the CDF DataFrame is response-format-blind."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datafusion_delta_sharing_spark.client import DeltaSharingClient
+    from datafusion_delta_sharing_spark.profile import Profile
+    from datafusion_delta_sharing_spark.sources.reader import (
+        DeltaSharingReader,
+    )
+
+    plain_schema = json.dumps({"type": "struct", "fields": [
+        {"name": "id", "type": "long", "nullable": False, "metadata": {}},
+        {"name": "amount", "type": "double", "nullable": True,
+         "metadata": {}},
+    ]})
+    add_path = tmp_path / "d_add.parquet"
+    pq.write_table(pa.table({"id": pa.array([1, 2], pa.int64()),
+                             "amount": pa.array([1.0, 2.0], pa.float64())}),
+                   add_path)
+    cdf_path = tmp_path / "d_cdf.parquet"
+    pq.write_table(pa.table({
+        "id": pa.array([2, 2], pa.int64()),
+        "amount": pa.array([2.0, 5.0], pa.float64()),
+        "_change_type": pa.array(["update_preimage", "update_postimage"]),
+    }), cdf_path)
+
+    table = MockTable(share="s", schema="d", name="cdf_delta",
+                      schema_string=plain_schema, response_format="delta")
+    table.changes.extend([
+        {"kind": "add", "version": 1, "timestamp": 1_600_000_000_000,
+         "url": f"file://{add_path}", "id": "a", "size": 1},
+        {"kind": "cdf", "version": 2, "timestamp": 1_600_000_060_000,
+         "url": f"file://{cdf_path}", "id": "c", "size": 1},
+    ])
+    with MockSharingServer([table]) as srv:
+        reader = DeltaSharingReader(
+            spark, DeltaSharingClient(Profile.from_json(srv.profile_doc())))
+        df = reader.table_changes("s.d.cdf_delta", starting_version=1)
+        rows = sorted((r._commit_version, r._change_type, r.id, r.amount)
+                      for r in df.collect())
+        assert rows == [
+            (1, "insert", 1, 1.0),
+            (1, "insert", 2, 2.0),
+            (2, "update_postimage", 2, 5.0),
+            (2, "update_preimage", 2, 2.0),
+        ]

@@ -42,6 +42,9 @@ class MockTable:
     # and file actions in deltaProtocol/deltaMetadata/deltaSingleAction
     # per PROTOCOL.md responseformat=delta
     response_format: str = "parquet"
+    # table properties surfaced in metaData.configuration (e.g.
+    # delta.columnMapping.mode for the reader's refusal path)
+    configuration: dict = field(default_factory=dict)
 
 
 class MockSharingServer:
@@ -373,6 +376,8 @@ class MockSharingServer:
             "schemaString": table.schema_string,
             "partitionColumns": table.partition_columns,
         }
+        if table.configuration:
+            meta["configuration"] = table.configuration
         if table.response_format == "delta":
             return "\n".join([
                 json.dumps({"protocol": {"deltaProtocol": {

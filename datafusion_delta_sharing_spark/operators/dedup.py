@@ -136,6 +136,23 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     sets); pairs whose overlap is exclusively boilerplate are the accepted
     recall trade. ``None`` keeps every shingle (exact word-shingle Jaccard).
     """
+    scored = _pair_overlaps(df, text_col, id_col, k, max_doc_freq)
+    return (
+        scored.withColumn(
+            "jaccard",
+            F.round(F.col("n_inter")
+                    / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _pair_overlaps(df: DataFrame, text_col: str, id_col: str, k: int,
+                   max_doc_freq: int | None) -> DataFrame:
+    """Shared candidate machinery for the set-overlap scorers (Jaccard,
+    containment): (id_a, id_b, n_inter, sz_a, sz_b) for every pair with
+    at least one common shingle. One posting-list self-equi-join + one
+    pair-keyed aggregate; optional df-cut bounds per-shingle fan-out."""
     from pyspark.sql import Window
 
     posts = shingle_sets(df, text_col, id_col, k)
@@ -160,15 +177,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
-    return (
-        inter.join(sa, "id_a").join(sb, "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(F.col("n_inter")
-                    / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")), 6))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return inter.join(sa, "id_a").join(sb, "id_b")
 
 
 # -- MinHash + LSH --------------------------------------------------------
@@ -490,37 +499,16 @@ def containment_pairs(df: DataFrame, text_col: str, id_col: str,
     (union is dominated by the long doc) but containment ~1 — the standard
     signal for excerpt/quote dedup in corpus curation.
 
-    Same scale shape as :func:`ngram_jaccard_pairs` (one posting-list
-    self-equi-join on shingle + one pair-keyed aggregate, optional df-cut
-    bounding per-shingle fan-out); only the final scoring differs, so the
-    candidate machinery is shared, not duplicated.
+    Same scale shape as :func:`ngram_jaccard_pairs` — both score the
+    pair-overlap frame produced by :func:`_pair_overlaps` (one posting-
+    list self-equi-join on shingle + one pair-keyed aggregate, optional
+    df-cut bounding per-shingle fan-out); only the scoring differs.
     """
-    from pyspark.sql import Window
-
-    posts = shingle_sets(df, text_col, id_col, k)
-    if max_doc_freq is not None:
-        posts = (
-            posts.withColumn(
-                "_df", F.count(F.lit(1)).over(Window.partitionBy("sh")))
-            .filter(F.col("_df") <= max_doc_freq)
-            .drop("_df")
-        )
-    posts = posts.cache()
-    sizes = posts.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    a, b = posts.alias("a"), posts.alias("b")
-    inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh"))
-               & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    scored = _pair_overlaps(df, text_col, id_col, k, max_doc_freq)
     return (
-        inter.join(sa, "id_a").join(sb, "id_b")
-        .withColumn("containment",
-                    F.round(F.col("n_inter")
-                            / F.least("sz_a", "sz_b"), 6))
+        scored.withColumn("containment",
+                          F.round(F.col("n_inter")
+                                  / F.least("sz_a", "sz_b"), 6))
         .filter(F.col("containment") >= threshold)
         .select("id_a", "id_b", "containment",
                 F.when(F.col("sz_a") <= F.col("sz_b"), F.lit("a_in_b"))

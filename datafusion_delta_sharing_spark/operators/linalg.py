@@ -117,9 +117,11 @@ def gram_matrix_pandas(emb: DataFrame, vec_col: str,
         for pdf in batches:
             if pdf.empty:
                 continue
-            mat = np.rint(
-                np.stack(pdf[vec_col].to_numpy()).astype("float64") * scale
-            ).astype("int64")
+            x = np.stack(pdf[vec_col].to_numpy()).astype("float64") * scale
+            # half-AWAY-from-zero to match F.round / DuckDB round —
+            # np.rint is half-to-EVEN and diverges on dyadic components
+            # (0.0625 * 1000 = 62.5 → 63 there, 62 via rint)
+            mat = (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype("int64")
             n, d = mat.shape
             gram = mat.T @ mat                 # d×d exact in int64
             sums = mat.sum(axis=0)

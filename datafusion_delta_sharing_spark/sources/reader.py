@@ -471,6 +471,17 @@ class DeltaSharingReader:
                 f"unsupported file format {metadata.format_provider!r}; "
                 "the protocol serves parquet"
             )
+        cm_mode = metadata.configuration.get("delta.columnMapping.mode")
+        if cm_mode and cm_mode != "none":
+            # column mapping renames the PHYSICAL parquet columns to
+            # col-<guid>; reading them under the logical schema silently
+            # yields all-NULL columns. Refuse loudly, like deletion
+            # vectors — common on delta-format responses
+            raise DeltaSharingError(
+                f"table uses column mapping (delta.columnMapping.mode="
+                f"{cm_mode!r}), which this reader does not translate; "
+                "ask the provider for a share without column mapping or "
+                "a parquet-format response with translated columns")
         full_schema = schema_from_string(metadata.schema_string)
         partition_columns = list(metadata.partition_columns)
         files = list(data.files)

@@ -86,11 +86,6 @@ def tws_user_totals(spark: SparkSession, sf_dir: str,
     FINAL cumulative emission (latest = the row with the key's max
     n_events — emissions are strictly increasing per key)."""
     require_tws_runtime()
-    # transformWithState is implemented only on the RocksDB state store
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state."
-        "RocksDBStateStoreProvider")
     src = stage_event_slices(spark, sf_dir, n_slices)
     events = stream_events(spark, src, glob="*.parquet",
                            maxFilesPerTrigger="1")
@@ -112,12 +107,28 @@ def tws_user_totals(spark: SparkSession, sf_dir: str,
     def _append(batch_df: DataFrame, _batch_id: int) -> None:
         batch_df.write.mode("append").parquet(data_dir)
 
-    query = (stated.writeStream.outputMode("update").foreachBatch(_append)
-             .option("checkpointLocation", ckpt).start())
+    # transformWithState runs only on the RocksDB state store; scope the
+    # provider switch to this query (restore after stop) so later
+    # streaming queries in the session keep their configured provider
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_provider = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider")
     try:
-        query.processAllAvailable()
+        query = (stated.writeStream.outputMode("update")
+                 .foreachBatch(_append)
+                 .option("checkpointLocation", ckpt).start())
+        try:
+            query.processAllAvailable()
+        finally:
+            query.stop()
     finally:
-        query.stop()
+        if prev_provider is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev_provider)
     os.makedirs(data_dir, exist_ok=True)
     emissions = spark.read.schema(OUTPUT_SCHEMA).parquet(data_dir)
     return (emissions.groupBy("user_id")

@@ -87,9 +87,12 @@ def upsert_totals_sink(spark: SparkSession, state_dir: str,
             .withColumn("last_batch", F.lit(batch_id).cast("bigint"))
         )
         # dynamic overwrite: only partitions present in `merged` (= the
-        # todo buckets) are replaced; the rest of the state is untouched
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        merged.write.mode("overwrite").partitionBy("bucket").parquet(state_dir)
+        # todo buckets) are replaced; the rest of the state is untouched.
+        # Scoped per write — leaking 'dynamic' into the session would
+        # silently change every later partitioned overwrite's semantics
+        (merged.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("bucket").parquet(state_dir))
 
     return _merge
 

@@ -42,11 +42,29 @@ def test_gram_pandas_wide_dim_smoke(spark):
     out = LA.gram_matrix_pandas(emb, "embedding").toPandas()
     assert len(out) == 512 * 513 // 2
 
-    q = np.rint(mat.astype("float64") * LA.COMPONENT_SCALE).astype("int64")
+    x = mat.astype("float64") * LA.COMPONENT_SCALE
+    q = (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype("int64")
     gram, sums, n = q.T @ q, q.sum(axis=0), q.shape[0]
     probe = out[(out.dim_i == 3) & (out.dim_j == 200)].iloc[0]
     assert probe.n_vecs == n
     assert probe.cov_num == n * gram[3, 200] - sums[3] * sums[200]
+
+
+def test_gram_pandas_half_rounding_matches_spark(spark):
+    """Regression: dyadic components (exactly-representable x.5 after
+    scaling, e.g. 0.0625 * 1000 = 62.5) round half-AWAY-from-zero in
+    F.round/DuckDB; np.rint's half-to-even silently diverged here."""
+    pdf = pd.DataFrame({
+        "vec_id": [0, 1],
+        "embedding": [np.array([0.0625, 0.1], dtype="float32"),
+                      np.array([-0.0625, 0.2], dtype="float32")],
+    })
+    emb = spark.createDataFrame(pdf)
+    cols = ["dim_i", "dim_j", "n_vecs", "cov_num"]
+    exploded = _as_rows(
+        LA.embedding_covariance(emb, "embedding", "vec_id"), cols)
+    pandas_path = _as_rows(LA.gram_matrix_pandas(emb, "embedding"), cols)
+    assert exploded == pandas_path
 
 
 def test_covariance_diagonal_is_nonnegative(spark, sf_dir):

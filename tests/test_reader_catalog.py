@@ -440,3 +440,20 @@ def test_delta_format_deletion_vector_refused(spark, tmp_path):
 
         with pytest.raises(DeltaSharingError, match="deletion vector"):
             _reader(spark, srv).table("s.d.t").collect()
+
+
+def test_column_mapped_tables_are_refused(spark, tmp_path):
+    """delta.columnMapping.mode renames the physical parquet columns to
+    col-<guid>; reading under the logical schema would return all-NULL
+    columns. The scan must refuse loudly, like deletion vectors."""
+    from datafusion_delta_sharing_spark.errors import DeltaSharingError
+
+    table = MockTable(share="s", schema="d", name="t",
+                      schema_string=SCHEMA_STRING,
+                      partition_columns=PARTITION_COLUMNS,
+                      files=_mock_files_local(tmp_path),
+                      response_format="delta",
+                      configuration={"delta.columnMapping.mode": "name"})
+    with MockSharingServer([table]) as srv:
+        with pytest.raises(DeltaSharingError, match="column mapping"):
+            _reader(spark, srv).table("s.d.t").collect()

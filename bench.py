@@ -148,13 +148,14 @@ def main() -> None:
                 "n=5 best 0.700s (r3 0.86, r2 0.70) - variance",
             "grouped_map_zscore":
                 "n=5 best 1.096s (r3 1.80, r2 1.23) - variance",
-            # intentional r4 workload change, not a regression:
+            # intentional r4 workload change, fully absorbed:
             "dedup_minhash":
                 "r4 converts the query to a recall summary - it now also "
                 "computes the exact jaccard baseline in the same job "
-                "(VERDICT r3 #2); expect ~2x r3. The summary itself is a "
-                "single-pass full-outer join (each input DAG computed "
-                "once; isolated n=5 best 3.02s at sf0.1)",
+                "(VERDICT r3 #2). The single-pass full-outer summary "
+                "(each input DAG computed once) plus the matrix-literal "
+                "LSH signatures brought it back to r3 par (~2.0s vs "
+                "1.94s) despite the doubled work",
             "ngram_jaccard_prefix":
                 "slower than plain ngram_jaccard AT THIS SF by design: "
                 "prefix filtering adds a df-ranking window + candidate-"

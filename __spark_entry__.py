@@ -25,14 +25,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # Window management (VERDICT r2 structural note): entries named in _WINDOW
 # are pulled to the front, in order; everything else follows in module
 # order. Rotation state lives in WINDOW_PLAN.json (per-query driver-row
-# provenance r1-r4 + the authoritative r5_planned list, 45 entries). r4
-# window = 50 of the 67 queries that had no driver CORRECTNESS row in
-# rounds 1-3 (all judge-verified green in r3). r5 = the 17 never-checked
-# leftovers + the queries whose semantics changed in r4 (recall-summary
-# rows, bucketed embedding_neardup, triangles_degcut) + every query added
-# during r4 (extensions8/extensions9/tierb8, table_profile_approx,
-# connector_cdf_apply) — see WINDOW_PLAN.json "r5_planned" for the exact
-# list; 45 of the 50 slots are already assigned.
+# provenance r1-r5). r5 window (VERDICT r4 #1) = the 45 "r5_planned"
+# entries — the 40 r4-added queries that have never had a driver row plus
+# the 5 recall-summary/bucketed queries whose semantics changed in r4 —
+# plus 5 chosen re-attestations: the 4 connector queries (this round's
+# deletion-vector work touches sources/reader.py, so the connector path
+# gets fresh rows) and approx_count_distinct (its only driver rows predate
+# the bounded-error oracle; a fresh row upgrades no_oracle -> pass). After
+# this rotation the driver-row union covers all 193 registry queries.
+# Registry growth is FROZEN this round (VERDICT r4 #1): new work lands as
+# tests, not registry entries — enforced by
+# tests/test_harness_connector.py::test_window_plan_covers_registry.
 _MODULE_ORDER = ("connector", "extensions", "extensions2", "extensions3",
                  "extensions4", "extensions5", "extensions6", "extensions7",
                  "extensions8", "extensions9", "formats", "tpch", "tierb5",
@@ -40,30 +43,35 @@ _MODULE_ORDER = ("connector", "extensions", "extensions2", "extensions3",
                  "tierb")
 
 _WINDOW = (
-    # tpch: the 4 adapted queries never driver-checked
-    "tpch_q2", "tpch_q11", "tpch_q16", "tpch_q20",
-    # streaming breadth
-    "stream_join", "stream_dedup", "stream_enrich",
-    # headline LLM-pipeline extensions
-    "semantic_dedup", "decontaminate", "pipeline_e2e",
-    # format breadth
-    "csv_scan", "json_scan", "orc_scan",
-    # extensions5 table ops (10)
-    "table_profile", "dq_checks", "histogram", "ohlc_rollup", "gap_fill",
-    "winsorize", "skew_report", "contingency", "quantile_bin", "twap",
-    # extensions6 behavioral batch (5)
-    "funnel", "retention", "triangles", "pagerank", "interval_join",
-    # extensions7 warehouse patterns (5)
-    "scd2_build", "event_transitions", "basket_rules", "rolling_wau",
-    "label_index",
-    # extensions2 corpus curation (13)
-    "dup_spans", "quality_filter", "repetition_metrics",
-    "stratified_sample", "weighted_mixture", "doc_chunks", "seq_pack",
-    "train_split", "pii_redact", "tfidf_top", "vocab_topk",
-    "embed_normalize", "embed_quantize",
-    # extensions3 (4 of 8; rest rotate to r5)
-    "pmi_collocations", "grouped_quantiles", "distinctive_terms",
-    "corpus_overlap",
+    # --- WINDOW_PLAN.json r5_planned (45), in plan order -------------------
+    # r3 stragglers never driver-checked
+    "line_dedup", "unigram_logprob", "token_budget", "dedup_incremental",
+    "zorder_stats", "fuzzy_join",
+    # tierb3/6/7 scalar-function breadth (r4 additions)
+    "pad_case_funcs", "trig_funcs", "bitwise_funcs", "array_hof",
+    "join_salted", "time_spine", "try_arith", "mask_funcs", "url_funcs",
+    "variant_funcs", "udaf_grouped_agg",
+    # r4 semantics changes: recall-bound summary rows + bucketed plans
+    "dedup_minhash", "dedup_simhash", "ann_lsh_topk", "ann_ivf_topk",
+    "embedding_neardup",
+    # extensions6/5 r4 additions
+    "triangles_degcut", "table_profile_approx",
+    # extensions8 sketches + LM metrics
+    "heavy_hitters", "bloom_join", "freq_moments", "bigram_logprob",
+    "token_entropy", "rolling_median",
+    # multimodal + splits
+    "image_pipeline", "audio_pipeline", "kfold_split",
+    # extensions9 + tierb8
+    "ngram_jaccard_prefix", "window_distribution", "mad_outliers",
+    "incremental_agg", "containment_pairs", "embedding_covariance",
+    "random_projection", "pareto_frontier", "stream_upsert",
+    "exact_percentiles", "listagg_ordered", "connector_cdf_apply",
+    # --- 5 chosen re-attestations ------------------------------------------
+    # connector path: re-attest after this round's deletion-vector changes
+    "connector_flagship", "connector_partitioned", "connector_datasource",
+    "connector_catalog_sql",
+    # only driver rows predate the bounded-error oracle (r1/r2 no_oracle)
+    "approx_count_distinct",
 )
 
 

@@ -48,3 +48,49 @@ def test_connector_catalog_sql_join(spark):
     rows = C.q_connector_catalog_sql(spark, SF_DIR).collect()
     assert len(rows) >= 1
     assert all(r.revenue > 0 for r in rows)
+
+
+def test_window_plan_covers_registry():
+    """VERDICT r4 #6: the driver-window rotation must be self-checking.
+
+    Invariants: (a) every _WINDOW name resolves in the registry, (b) the
+    window has exactly the driver's 50 slots with no duplicates, (c) every
+    r5_planned entry made it into the r5 window, and (d) every registry
+    query either already has a driver provenance row in WINDOW_PLAN.json
+    or sits in the r5 window — so adding a registry query without a
+    rotation plan fails the build instead of silently re-opening the
+    attestation gap (registry growth is frozen until the union is 193/193).
+    """
+    import json
+    import pathlib
+    import sys
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    sys.path.insert(0, str(repo))
+    try:
+        import __spark_entry__ as entry
+    finally:
+        sys.path.pop(0)
+
+    plan = json.loads((repo / "WINDOW_PLAN.json").read_text())
+    registry = set(entry.queries().keys())
+    window = list(entry._WINDOW)
+
+    assert len(window) == plan["window_size"] == 50
+    assert len(set(window)) == len(window), "duplicate window entries"
+    missing = [q for q in window if q not in registry]
+    assert not missing, f"window names not in registry: {missing}"
+    assert set(plan["r5_planned"]) <= set(window), (
+        "r5_planned entries dropped from the window")
+    assert window == plan["r5_window"], (
+        "_WINDOW and WINDOW_PLAN.json r5_window diverged")
+
+    assert len(registry) == plan["registry_size"], (
+        f"registry grew to {len(registry)} without a WINDOW_PLAN update "
+        f"(recorded {plan['registry_size']}); add a rotation plan first")
+    attested = {q for q, rounds in plan["provenance"].items()
+                if any(v == "pass" for v in rounds.values())}
+    unplanned = registry - attested - set(window)
+    assert not unplanned, (
+        f"registry queries with no driver provenance and no window slot: "
+        f"{sorted(unplanned)}")

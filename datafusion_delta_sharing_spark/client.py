@@ -211,13 +211,21 @@ class DeltaSharingClient:
 
     def __init__(self, profile: Profile, session: requests.Session | None = None,
                  max_results: int | None = None, timeout: float = 60.0,
-                 retries: int = 4, backoff_base: float = 0.5):
+                 retries: int = 4, backoff_base: float = 0.5,
+                 capabilities: str | None = None):
         self.profile = profile
         self.session = session or requests.Session()
         self.max_results = max_results
         self.timeout = timeout
         self.retries = retries
         self.backoff_base = backoff_base
+        # ADVICE r4: the delta-format opt-in is configurable — a provider
+        # that answers the delta capability with features this reader
+        # refuses at scan time (column mapping, exotic DV encodings) can be
+        # re-queried with capabilities="responseformat=parquet" to get a
+        # parquet response or a clean server-side error instead
+        self.capabilities = (capabilities if capabilities is not None
+                             else self.DEFAULT_CAPABILITIES)
 
     # -- low-level --------------------------------------------------------
 
@@ -279,9 +287,13 @@ class DeltaSharingClient:
 
     # advertised on every request (PROTOCOL.md capabilities header): both
     # response formats parse — delta-format actions are unwrapped by the
-    # action classes, and deletion-vector files are refused at scan time
-    CAPABILITIES_HEADER = {
-        "delta-sharing-capabilities": "responseformat=parquet,delta"}
+    # action classes, and deletion vectors are applied at scan time
+    # (unsupported DV encodings / column mapping are refused there)
+    DEFAULT_CAPABILITIES = "responseformat=parquet,delta"
+
+    @property
+    def CAPABILITIES_HEADER(self) -> dict:
+        return {"delta-sharing-capabilities": self.capabilities}
 
     def _get(self, url: str, params: dict | None = None) -> requests.Response:
         headers = {**self.profile.authorization_header(),

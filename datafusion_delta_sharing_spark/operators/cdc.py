@@ -34,11 +34,22 @@ def apply_changes(base: DataFrame, changes: DataFrame,
     Rows whose key is touched by the feed are dropped from the base; the
     latest insert-like action per key re-materializes the row. A key
     whose last action is delete-like stays gone.
+
+    Uniqueness contract (ADVICE r4): ``key_cols`` must be a primary key of
+    the feed — at most one insert-like change row per (key,
+    _commit_version). A Delta CDF from a keyed MERGE/UPDATE/DELETE
+    satisfies this by construction. For feeds that violate it (duplicate
+    keys within one commit), the same-version tie is broken by a
+    deterministic full-row hash so the output is at least stable across
+    runs and partitionings — but which duplicate survives is then a
+    property of the row contents, not of any within-commit ordering the
+    feed itself does not carry.
     """
     insert_like = F.col("_change_type").isin(*_INSERT_LIKE)
     w = (Window.partitionBy(*key_cols)
          .orderBy(F.desc("_commit_version"),
-                  F.desc(insert_like.cast("int"))))
+                  F.desc(insert_like.cast("int")),
+                  F.desc(F.xxhash64(F.struct(*changes.columns)))))
     last = (changes
             .withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1))

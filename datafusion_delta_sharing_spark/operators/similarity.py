@@ -100,6 +100,13 @@ def _signature_expr(vec_col: str, planes: list[list[float]]):
     driver time for 8 tables × 8 planes before the first row moved —
     measured on ann_lsh_topk). Same fold order per dot, so results are
     bit-identical to the unrolled spelling."""
+    if len(planes) > 52:
+        # bits are packed as a sum of pow(2.0, p) doubles — exact only for
+        # p <= 52 (and the long accumulator caps at 63). Past that the
+        # signature would be silently wrong, so refuse loudly (ADVICE r4)
+        raise ValueError(
+            f"n_planes={len(planes)} exceeds the 52-bit double-exact "
+            "packing limit; use <= 52 planes (or multiple hash tables)")
     mat = F.array(*[F.array(*[F.lit(v) for v in plane]) for plane in planes])
     dots = F.transform(mat, lambda plane: F.aggregate(
         F.zip_with(F.col(vec_col), plane, lambda x, h: x.cast("double") * h),

@@ -480,8 +480,10 @@ class DeltaSharingReader:
             raise DeltaSharingError(
                 f"table uses column mapping (delta.columnMapping.mode="
                 f"{cm_mode!r}), which this reader does not translate; "
-                "ask the provider for a share without column mapping or "
-                "a parquet-format response with translated columns")
+                "retry with DeltaSharingClient(capabilities="
+                "'responseformat=parquet') — providers translate columns "
+                "in parquet-format responses — or ask the provider for a "
+                "share without column mapping")
         full_schema = schema_from_string(metadata.schema_string)
         partition_columns = list(metadata.partition_columns)
         files = list(data.files)

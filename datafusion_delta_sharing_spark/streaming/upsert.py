@@ -86,6 +86,12 @@ def upsert_totals_sink(spark: SparkSession, state_dir: str,
                  F.sum("n_events").alias("n_events"))
             .withColumn("last_batch", F.lit(batch_id).cast("bigint"))
         )
+        # materialize BEFORE overwriting: `merged` still reads state_dir
+        # lazily through `current`, and writing over a path the same job
+        # reads is committer-sensitive (other Spark write paths raise
+        # "Cannot overwrite a path that is also being read from") —
+        # checkpointing severs the lineage to the directory (ADVICE r4)
+        merged = merged.localCheckpoint()
         # dynamic overwrite: only partitions present in `merged` (= the
         # todo buckets) are replaced; the rest of the state is untouched.
         # Scoped per write — leaking 'dynamic' into the session would

@@ -1043,3 +1043,13 @@ def test_kfold_and_group_split_properties(spark, sf_dir):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="k must be"):
         SP.kfold_assign("doc_id", k=1)
+
+
+def test_lsh_signature_plane_count_guard():
+    """ADVICE r4: signatures pack bits as pow(2.0, p) doubles — exact only
+    for p <= 52, so a wider plane set must refuse instead of silently
+    producing wrong buckets."""
+    from datafusion_delta_sharing_spark.operators import similarity as SIM
+
+    with pytest.raises(ValueError, match="52"):
+        SIM._signature_expr("embedding", [[1.0]] * 53)

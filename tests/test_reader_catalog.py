@@ -457,3 +457,21 @@ def test_column_mapped_tables_are_refused(spark, tmp_path):
     with MockSharingServer([table]) as srv:
         with pytest.raises(DeltaSharingError, match="column mapping"):
             _reader(spark, srv).table("s.d.t").collect()
+
+
+def test_capabilities_header_is_configurable(spark, tmp_path):
+    """ADVICE r4: a provider that answers the delta capability with
+    features this reader refuses (column mapping, exotic DVs) can be
+    re-queried parquet-only; the opt-out must reach the wire."""
+    table = MockTable(share="s", schema="d", name="t",
+                      schema_string=SCHEMA_STRING,
+                      partition_columns=PARTITION_COLUMNS,
+                      files=_mock_files_local(tmp_path))
+    with MockSharingServer([table]) as srv:
+        client = DeltaSharingClient(Profile.from_json(srv.profile_doc()),
+                                    capabilities="responseformat=parquet")
+        df = DeltaSharingReader(spark, client).table("s.d.t")
+        assert df.count() == 6
+        caps = [req["capabilities"]
+                for req in srv.requests if "/query" in req["path"]]
+        assert caps and all(c == "responseformat=parquet" for c in caps)

@@ -299,15 +299,18 @@ class MockSharingServer:
                 continue
             if table.response_format == "delta":
                 inner_kind = "cdc" if ch["kind"] == "cdf" else ch["kind"]
+                inner = {
+                    "path": ch["url"],
+                    "partitionValues": ch.get("partition_values", {}),
+                    "size": ch.get("size", 0),
+                }
+                if ch.get("deletion_vector") is not None:
+                    inner["deletionVector"] = ch["deletion_vector"]
                 doc = {
                     "id": ch["id"],
                     "version": v,
                     "timestamp": ch.get("timestamp", 0),
-                    "deltaSingleAction": {inner_kind: {
-                        "path": ch["url"],
-                        "partitionValues": ch.get("partition_values", {}),
-                        "size": ch.get("size", 0),
-                    }},
+                    "deltaSingleAction": {inner_kind: inner},
                 }
                 lines.append(json.dumps({"file": doc}))
                 continue
@@ -319,6 +322,8 @@ class MockSharingServer:
                 "version": v,
                 "timestamp": ch.get("timestamp", 0),
             }
+            if ch.get("deletion_vector") is not None:
+                doc["deletionVector"] = ch["deletion_vector"]
             lines.append(json.dumps({ch["kind"]: doc}))
         handler._send(200, "\n".join(lines).encode(),
                       "application/x-ndjson",

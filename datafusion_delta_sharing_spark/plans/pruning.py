@@ -146,7 +146,12 @@ def prune_for_limit(files: list, limit: int) -> list:
     """Keep a prefix of files whose stats-known record counts cover
     ``limit``. ONLY sound when no predicate of any kind applies (rows
     survive 1:1 into the limit). A file without numRecords makes the rest
-    unprunable — return the original list unchanged."""
+    unprunable — return the original list unchanged.
+
+    A deletion vector shrinks a file's LOGICAL row count below its
+    physical numRecords: counting the physical number would under-deliver
+    the limit, so the DV cardinality is subtracted (and a DV without a
+    usable cardinality makes coverage unboundable, like missing stats)."""
     kept, covered = [], 0
     for f in files:
         kept.append(f)
@@ -154,7 +159,13 @@ def prune_for_limit(files: list, limit: int) -> list:
         n = stats.get("numRecords") if stats else None
         if not isinstance(n, int):
             return files  # unknown count: cannot bound coverage
-        covered += n
+        dv = getattr(f, "deletion_vector", None)
+        if dv is not None:
+            card = dv.get("cardinality")
+            if not isinstance(card, int):
+                return files  # deleted count unknown: cannot bound
+            n -= card
+        covered += max(n, 0)
         if covered >= limit:
             return kept
     return kept

@@ -58,6 +58,9 @@ from datafusion_delta_sharing_spark.errors import DeltaSharingError, PredicateEr
 from datafusion_delta_sharing_spark.plans.predicates import Op, ValueType, conjunction
 from datafusion_delta_sharing_spark.plans.pruning import may_match
 from datafusion_delta_sharing_spark.securable import Table
+from datafusion_delta_sharing_spark.sources.dv import (
+    validate_descriptor as validate_dv_descriptor,
+)
 
 
 def _make_client(options) -> tuple:
@@ -81,18 +84,22 @@ def _make_client(options) -> tuple:
 
 class _FilePartition(InputPartition):
     def __init__(self, url: str, size: int, file_id: str,
-                 partition_values: dict[str, str]):
+                 partition_values: dict[str, str],
+                 deletion_vector: dict | None = None):
         self.url = url
         self.size = size
         self.file_id = file_id
         self.partition_values = partition_values
+        self.deletion_vector = deletion_vector
 
 
 class _CDFFilePartition(_FilePartition):
     def __init__(self, url: str, size: int, file_id: str,
                  partition_values: dict[str, str], kind: str,
-                 version: int, timestamp: int):
-        super().__init__(url, size, file_id, partition_values)
+                 version: int, timestamp: int,
+                 deletion_vector: dict | None = None):
+        super().__init__(url, size, file_id, partition_values,
+                         deletion_vector)
         self.kind = kind          # add | remove | cdf
         self.version = version
         self.timestamp = timestamp  # ms epoch
@@ -165,7 +172,11 @@ class DeltaSharingBatchReader(DataSourceReader):
         if not files:
             # Spark requires >= 1 partition; empty sentinel yields no batches
             return [_FilePartition("", 0, "", {})]
-        return [_FilePartition(f.url, f.size, f.id, dict(f.partition_values))
+        for f in files:
+            if f.deletion_vector:  # refuse unresolvable DVs at plan time
+                validate_dv_descriptor(f.deletion_vector)
+        return [_FilePartition(f.url, f.size, f.id, dict(f.partition_values),
+                               deletion_vector=f.deletion_vector)
                 for f in files]
 
     def read(self, partition: _FilePartition):
@@ -193,6 +204,10 @@ def _read_file_partition(options, full_schema: T.StructType,
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    from datafusion_delta_sharing_spark.sources.dv import (
+        dv_positions,
+        positions_mask,
+    )
     from datafusion_delta_sharing_spark.sources.reader import (
         _open_parquet_source,
         _spark_struct_to_arrow_schema,
@@ -207,6 +222,8 @@ def _read_file_partition(options, full_schema: T.StructType,
     arrow_schema = _spark_struct_to_arrow_schema(full_schema)
     decoded = decode_partition_values(
         partition.partition_values, full_schema, partition_columns)
+    dv = getattr(partition, "deletion_vector", None)
+    deleted = dv_positions(dv) if dv else None
 
     try:
         reader = pq.ParquetFile(
@@ -214,7 +231,15 @@ def _read_file_partition(options, full_schema: T.StructType,
     except Exception:
         url, size = _refresh_file_url(options, partition.file_id)
         reader = pq.ParquetFile(_open_parquet_source(url, size))
+    file_row = 0  # physical row position within the file
     for batch in reader.iter_batches(columns=data_cols or None):
+        if deleted is not None:
+            mask = positions_mask(deleted, file_row, batch.num_rows)
+            file_row += batch.num_rows
+            if mask is not None:
+                batch = batch.filter(pa.array(mask))
+                if batch.num_rows == 0:
+                    continue
         n = batch.num_rows
         arrays = []
         for field in full_schema.fields:
@@ -337,7 +362,8 @@ class DeltaSharingStreamReader(DataSourceStreamReader):
         if new:
             self._latest_batch += 1
             manifest = [{"id": f.id, "url": f.url, "size": f.size,
-                         "partition_values": dict(f.partition_values)}
+                         "partition_values": dict(f.partition_values),
+                         "deletion_vector": f.deletion_vector}
                         for f in new]
             self._batches[self._latest_batch] = manifest
             self._seen.update(f.id for f in new)
@@ -357,8 +383,9 @@ class DeltaSharingStreamReader(DataSourceStreamReader):
                     f"stream commit log at {self._log_path} (log lost or "
                     "truncated) — refusing to guess the original file set")
             for f in manifest:
-                parts.append(_FilePartition(f["url"], f["size"], f["id"],
-                                            f["partition_values"]))
+                parts.append(_FilePartition(
+                    f["url"], f["size"], f["id"], f["partition_values"],
+                    deletion_vector=f.get("deletion_vector")))
         return parts
 
     def read(self, partition: _FilePartition) -> Iterator:
@@ -430,7 +457,8 @@ class DeltaSharingCDFStreamReader(DataSourceStreamReader):
             _CDFFilePartition(f.url, f.size, f.id,
                               dict(f.partition_values), kind,
                               f.version if f.version is not None else hi,
-                              f.timestamp or 0)
+                              f.timestamp or 0,
+                              deletion_vector=f.deletion_vector)
             for kind, f in changes.actions
         ]
 

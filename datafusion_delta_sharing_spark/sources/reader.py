@@ -52,6 +52,11 @@ from datafusion_delta_sharing_spark.plans.predicates import (
 from datafusion_delta_sharing_spark.plans.pruning import may_match, prune_for_limit
 from datafusion_delta_sharing_spark.profile import Profile
 from datafusion_delta_sharing_spark.securable import Table
+from datafusion_delta_sharing_spark.sources.dv import (
+    dv_positions,
+    positions_mask,
+    validate_descriptor as validate_dv_descriptor,
+)
 from datafusion_delta_sharing_spark.sources.schema import (
     decode_partition_values,
     schema_from_string,
@@ -194,6 +199,10 @@ def _fetch_batches_task(
     from datafusion_delta_sharing_spark.sources.schema import (
         decode_partition_values as _decode,
     )
+    from datafusion_delta_sharing_spark.sources.dv import (
+        dv_positions as _dv_positions,
+        positions_mask as _positions_mask,
+    )
     from datafusion_delta_sharing_spark.sources.reader import (
         _open_parquet_source,
         _spark_struct_to_arrow_schema,
@@ -228,6 +237,9 @@ def _fetch_batches_task(
         for row in rows:
             url, size, file_id = row["url"], row["size"], row["file_id"]
             partition_values = json.loads(row["partition_values"])
+            dv_doc = row.get("deletion_vector")
+            deleted = (_dv_positions(json.loads(dv_doc), session=session)
+                       if dv_doc else None)
 
             def open_reader(target_url: str):
                 source = _open_parquet_source(target_url, size, session=session)
@@ -243,7 +255,15 @@ def _fetch_batches_task(
                 reader = open_reader(fresh_url)
 
             decoded = _decode(partition_values, full_schema, part_cols)
+            file_row = 0  # physical row position within THIS file
             for data in reader.iter_batches(columns=data_cols or None):
+                if deleted is not None:
+                    mask = _positions_mask(deleted, file_row, data.num_rows)
+                    file_row += data.num_rows
+                    if mask is not None:
+                        data = data.filter(pa.array(mask))
+                        if data.num_rows == 0:
+                            continue
                 n = data.num_rows
                 arrays = []
                 for name in out_names:
@@ -262,6 +282,19 @@ def _spark_struct_to_arrow_schema(struct: T.StructType):
     from pyspark.sql.pandas.types import to_arrow_schema
 
     return to_arrow_schema(struct)
+
+
+def _normalized_path_expr(col):
+    """File-identity columns (``input_file_name()``, ``_metadata.file_path``)
+    come back as percent-encoded ``file://`` URIs; normalize to the decoded
+    filesystem path so they join against driver-side paths. Scheme off,
+    then protect literal '+' before url_decode (form-decoding would turn it
+    into a space). ``file:(//)?+`` with a possessive group strips file:/p
+    and file:///p but leaves file://host/p (non-empty authority) alone."""
+    return F.url_decode(
+        F.regexp_replace(
+            F.regexp_replace(col, r"^file:(//)?+(?=/)", ""),
+            r"\+", "%2B"))
 
 
 # ---------------------------------------------------------------------------
@@ -488,15 +521,14 @@ class DeltaSharingReader:
         partition_columns = list(metadata.partition_columns)
         files = list(data.files)
 
-        dv_files = [f.id or f.url for f in files if f.deletion_vector]
-        if dv_files:
-            # like the decimal>38 gap (sources/schema.py): fail loudly
-            # rather than silently returning soft-deleted rows
-            raise DeltaSharingError(
-                "table serves files with deletion vectors "
-                f"({dv_files[:3]}{'...' if len(dv_files) > 3 else ''}); "
-                "applying DVs is not supported — ask the provider for a "
-                "parquet-format share (no DVs) or a compacted snapshot")
+        # deletion vectors are APPLIED (soft-deleted rows anti-filtered by
+        # position, sources/dv.py — beyond the reference, which drops the
+        # deletionVector field and would resurrect deleted rows). Validate
+        # resolvability up front: unsupported storage types ('u', unknown)
+        # still fail loudly at plan time, never as a mid-scan task error.
+        for f in files:
+            if f.deletion_vector:
+                validate_dv_descriptor(f.deletion_vector)
 
         if self.use_stats_pruning and predicate_op is not None:
             files = [f for f in files
@@ -529,6 +561,36 @@ class DeltaSharingReader:
     # up the plan: switch to one scan + input_file_name partition join
     MAX_PARTITION_SCANS = 16
 
+    @staticmethod
+    def _local_dv_rows(files: list[FileAction]) -> list[tuple]:
+        """[(decoded local path, deleted row position)] for files carrying
+        deletion vectors. Decoded driver-side: on this strategy the files
+        are driver-local anyway (tests / pre-staged data) and the row
+        count is bounded by the summed DV cardinalities; the distributed
+        strategy decodes inside the fetch task instead."""
+        from urllib.parse import unquote
+
+        rows = []
+        for f in files:
+            if not f.deletion_vector:
+                continue
+            is_uri = f.url.startswith("file:")
+            path = urlparse(f.url).path if is_uri else f.url
+            key = unquote(path) if is_uri else path
+            for p in dv_positions(f.deletion_vector):
+                rows.append((key, int(p)))
+        return rows
+
+    def _anti_join_dv(self, df: DataFrame, dv_rows: list[tuple],
+                      file_col: str = "__dv_file") -> DataFrame:
+        """Drop (file, position) pairs named by the deletion vectors. The
+        positions side is cardinality-sized; Catalyst/AQE picks broadcast
+        when it is small and a shuffled anti-join when it is not."""
+        pos_df = self.spark.createDataFrame(
+            dv_rows, f"{file_col} string, __dv_pos bigint")
+        return (df.join(pos_df, [file_col, "__dv_pos"], "left_anti")
+                .drop("__dv_pos"))
+
     def _read_local(self, files: list[FileAction], full_schema: T.StructType,
                     partition_columns: list[str],
                     columns: Sequence[str] | None) -> DataFrame:
@@ -549,19 +611,31 @@ class DeltaSharingReader:
             return self._read_local_single_scan(
                 files, full_schema, data_schema, partition_columns, columns)
 
+        dv_rows = self._local_dv_rows(files)
         parts: list[DataFrame] = []
         for _, group in sorted(groups.items()):
             paths = [urlparse(f.url).path if f.url.startswith("file:") else f.url
                      for f in group]
             df = self.spark.read.schema(data_schema).parquet(*paths)
+            select_cols = [f.name for f in full_schema.fields]
+            if dv_rows:
+                # row positions come from the scan's hidden _metadata
+                # struct; soft-deleted (file, position) pairs are
+                # anti-joined away after the union
+                df = (df.withColumn("__dv_file", _normalized_path_expr(
+                          F.col("_metadata.file_path")))
+                      .withColumn("__dv_pos", F.col("_metadata.row_index")))
+                select_cols = select_cols + ["__dv_file", "__dv_pos"]
             decoded = decode_partition_values(
                 group[0].partition_values, full_schema, partition_columns
             )
             for name in partition_columns:
                 dtype = full_schema[name].dataType
                 df = df.withColumn(name, F.lit(decoded[name]).cast(dtype))
-            parts.append(df.select(*[f.name for f in full_schema.fields]))
+            parts.append(df.select(*select_cols))
         out = reduce(DataFrame.unionByName, parts)
+        if dv_rows:
+            out = self._anti_join_dv(out, dv_rows).drop("__dv_file")
         if columns:
             out = out.select(*columns)
         return out
@@ -583,17 +657,12 @@ class DeltaSharingReader:
 
         paths = [urlparse(f.url).path if f.url.startswith("file:") else f.url
                  for f in files]
-        # scheme off, then protect literal '+' before url_decode (which is
-        # form-decoding and would otherwise turn '+' into a space).
-        # file:(//)?+ with a possessive group: strips file:/p and file:///p
-        # but leaves file://host/p (non-empty authority) untouched — the old
-        # file:/* pattern would have mangled the host into a directory
-        normalized_file = F.url_decode(
-            F.regexp_replace(
-                F.regexp_replace(F.input_file_name(), r"^file:(//)?+(?=/)", ""),
-                r"\+", "%2B"))
         scan = (self.spark.read.schema(data_schema).parquet(*paths)
-                .withColumn("__file", normalized_file))
+                .withColumn("__file",
+                            _normalized_path_expr(F.input_file_name())))
+        dv_rows = self._local_dv_rows(files)
+        if dv_rows:
+            scan = scan.withColumn("__dv_pos", F.col("_metadata.row_index"))
 
         part_fields = [full_schema[c] for c in partition_columns]
         map_schema = T.StructType(
@@ -607,7 +676,10 @@ class DeltaSharingReader:
             key = unquote(path) if f.url.startswith("file:") else path
             rows.append(tuple([key] + [decoded[c] for c in partition_columns]))
         mapping = self.spark.createDataFrame(rows, map_schema)
-        out = (scan.join(F.broadcast(mapping), "__file").drop("__file")
+        joined = scan.join(F.broadcast(mapping), "__file")
+        if dv_rows:
+            joined = self._anti_join_dv(joined, dv_rows, file_col="__file")
+        out = (joined.drop("__file")
                .select(*[f.name for f in full_schema.fields]))
         if columns:
             out = out.select(*columns)
@@ -630,6 +702,10 @@ class DeltaSharingReader:
                 "file_id": f.id,
                 "size": f.size,
                 "partition_values": json.dumps(f.partition_values),
+                # decoded INSIDE the fetch task — DV bytes never
+                # concentrate on the driver (100 TB posture)
+                "deletion_vector": (json.dumps(f.deletion_vector)
+                                    if f.deletion_vector else None),
             }
             for f in files
         ]
@@ -638,6 +714,7 @@ class DeltaSharingReader:
             T.StructField("file_id", T.StringType(), False),
             T.StructField("size", T.LongType(), False),
             T.StructField("partition_values", T.StringType(), False),
+            T.StructField("deletion_vector", T.StringType(), True),
         ])
         total_bytes = sum(f.size for f in files) or 1
         n_tasks = max(1, min(len(files),

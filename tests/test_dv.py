@@ -1,0 +1,136 @@
+"""Deletion-vector codec tests (sources/dv.py): Z85, roaring containers,
+the Delta DV blob/file framings, and the corruption guards."""
+
+import struct
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from datafusion_delta_sharing_spark.errors import DeltaSharingError
+from datafusion_delta_sharing_spark.sources import dv
+
+
+def test_z85_spec_vector():
+    # the canonical test case from ZeroMQ RFC 32
+    raw = bytes([0x86, 0x4F, 0xD2, 0x6F, 0xB5, 0x59, 0xF7, 0x5B])
+    assert dv.z85_encode(raw) == "HelloWorld"
+    assert dv.z85_decode("HelloWorld") == raw
+
+
+def test_z85_rejects_bad_input():
+    with pytest.raises(DeltaSharingError, match="multiple of 5"):
+        dv.z85_decode("abcd")
+    with pytest.raises(DeltaSharingError, match="not a\n? ?Z85"):
+        dv.z85_decode("abcd~")
+    with pytest.raises(ValueError, match="multiple of 4"):
+        dv.z85_encode(b"abc")
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.sets(st.integers(min_value=0, max_value=2**33), max_size=300),
+       st.booleans())
+def test_dv_blob_round_trip(positions, use_runs):
+    data = dv.encode_dv_data(sorted(positions), use_runs=use_runs)
+    got = dv.decode_dv_data(data)
+    assert list(got) == sorted(positions)
+
+
+def test_bitmap_container_round_trip():
+    # >4096 values under one 16-bit key forces the bitmap container
+    vals = list(range(0, 10000, 2))
+    for use_runs in (False, True):
+        got = dv.decode_dv_data(dv.encode_dv_data(vals, use_runs=use_runs))
+        assert list(got) == vals
+
+
+def test_inline_descriptor_round_trip():
+    desc = dv.inline_descriptor([0, 3, 9, 2**32 + 1])
+    assert desc["storageType"] == "i"
+    assert desc["cardinality"] == 4
+    assert list(dv.dv_positions(desc)) == [0, 3, 9, 2**32 + 1]
+
+
+def test_dv_file_framing_and_crc(tmp_path):
+    blobs = [dv.encode_dv_data([1, 3, 5]),
+             dv.encode_dv_data(range(5000), use_runs=True)]
+    blob, offsets = dv.encode_dv_file(blobs)
+    assert blob[0] == dv.DV_FILE_FORMAT_VERSION
+    path = tmp_path / "x.dv"
+    path.write_bytes(blob)
+    for data, off, expect in zip(blobs, offsets,
+                                 ([1, 3, 5], list(range(5000)))):
+        desc = {"storageType": "p", "pathOrInlineDv": str(path),
+                "offset": off, "sizeInBytes": len(data),
+                "cardinality": len(expect)}
+        assert list(dv.dv_positions(desc)) == expect
+    # flip one payload byte -> CRC must catch it
+    corrupt = bytearray(blob)
+    corrupt[offsets[0] + 4 + 2] ^= 0xFF
+    (tmp_path / "bad.dv").write_bytes(bytes(corrupt))
+    with pytest.raises(DeltaSharingError, match="CRC"):
+        dv.dv_positions({"storageType": "p",
+                         "pathOrInlineDv": str(tmp_path / "bad.dv"),
+                         "offset": offsets[0],
+                         "sizeInBytes": len(blobs[0])})
+
+
+def test_corruption_guards():
+    with pytest.raises(DeltaSharingError, match="magic"):
+        dv.decode_dv_data(struct.pack("<iq", 123, 0))
+    with pytest.raises(DeltaSharingError, match="too short"):
+        dv.decode_dv_data(b"\x00\x01")
+    with pytest.raises(DeltaSharingError, match="trailing"):
+        dv.decode_dv_data(dv.encode_dv_data([1, 2]) + b"\x00")
+    desc = dv.inline_descriptor([1, 2, 3])
+    desc["cardinality"] = 7
+    with pytest.raises(DeltaSharingError, match="cardinality"):
+        dv.dv_positions(desc)
+    desc = dv.inline_descriptor([1, 2, 3])
+    desc["sizeInBytes"] += 8
+    with pytest.raises(DeltaSharingError, match="sizeInBytes"):
+        dv.dv_positions(desc)
+
+
+def test_unsupported_storage_types_refused():
+    with pytest.raises(DeltaSharingError, match="storageType='u'"):
+        dv.validate_descriptor({"storageType": "u", "pathOrInlineDv": "x"})
+    with pytest.raises(DeltaSharingError, match="unsupported storageType"):
+        dv.validate_descriptor({"storageType": "z", "pathOrInlineDv": "x"})
+    with pytest.raises(DeltaSharingError, match="storageType='u'"):
+        dv.dv_positions({"storageType": "u", "pathOrInlineDv": "x"})
+
+
+def test_positions_mask_half_open_ranges():
+    pos = dv.dv_positions(dv.inline_descriptor([0, 3, 9]))
+    assert list(dv.positions_mask(pos, 0, 5)) == [False, True, True, False,
+                                                  True]
+    assert dv.positions_mask(pos, 4, 5) is None      # 9 not in [4, 9)
+    assert list(dv.positions_mask(pos, 5, 5)) == [True] * 4 + [False]
+    assert dv.positions_mask(pos, 10, 5) is None
+
+
+def test_prune_for_limit_subtracts_dv_cardinality():
+    import json as _json
+
+    from datafusion_delta_sharing_spark.client import FileAction
+    from datafusion_delta_sharing_spark.plans.pruning import prune_for_limit
+
+    def fa(fid, n, card=None):
+        d = {"url": f"file:///{fid}", "id": fid,
+             "stats": _json.dumps({"numRecords": n})}
+        if card is not None:
+            d["deletionVector"] = {"storageType": "i", "pathOrInlineDv": "",
+                                   "sizeInBytes": 0, "cardinality": card}
+        return FileAction.from_json(d)
+
+    files = [fa("a", 10, card=8), fa("b", 10), fa("c", 10)]
+    # physical counts would stop after 'a'+'b' (20 >= 12); logically 'a'
+    # only contributes 2 rows, so 'b' alone does not cover limit=12
+    assert [f.id for f in prune_for_limit(files, 12)] == ["a", "b"]
+    assert [f.id for f in prune_for_limit(files, 13)] == ["a", "b", "c"]
+    # a DV without a usable cardinality makes coverage unboundable
+    bad = fa("a", 10, card=8)
+    object.__setattr__(bad, "deletion_vector",
+                       {"storageType": "i"})  # no cardinality
+    assert prune_for_limit([bad, fa("b", 10)], 5) == [bad, fa("b", 10)]

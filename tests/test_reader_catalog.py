@@ -475,3 +475,115 @@ def test_capabilities_header_is_configurable(spark, tmp_path):
         caps = [req["capabilities"]
                 for req in srv.requests if "/query" in req["path"]]
         assert caps and all(c == "responseformat=parquet" for c in caps)
+
+
+# ---------------------------------------------------------------------------
+# Deletion vectors applied on the reader strategies (VERDICT r4 #2)
+# ---------------------------------------------------------------------------
+
+
+def _dv_write_grouped(tmp_path, name, ids, row_group_size=2) -> str:
+    path = tmp_path / name
+    sink = io.BytesIO()
+    pq.write_table(pa.table({"id": pa.array(ids, pa.int64()),
+                             "amount": pa.array([float(i) for i in ids],
+                                                pa.float64())}),
+                   sink, row_group_size=row_group_size)
+    path.write_bytes(sink.getvalue())
+    return str(path)
+
+
+def test_dv_applied_on_local_strategy(spark, tmp_path):
+    """Inline DVs on the local per-partition-group scan: soft-deleted
+    (file, row position) pairs are anti-joined away; rows from a DV-free
+    file in the same partition group are untouched."""
+    from datafusion_delta_sharing_spark.sources import dv
+
+    p1 = _dv_write_grouped(tmp_path, "dv1.parquet", [1, 2, 3, 4, 5])
+    p2 = _dv_write_grouped(tmp_path, "dv2.parquet", [6, 7, 8])
+    files = [
+        {"id": "f1", "url": f"file://{p1}", "size": 0,
+         "partition_values": {"day": "2021-04-28", "tag": "a"},
+         # positions 1 and 4 -> ids 2 and 5
+         "deletion_vector": dv.inline_descriptor([1, 4])},
+        {"id": "f2", "url": f"file://{p2}", "size": 0,
+         "partition_values": {"day": "2021-04-28", "tag": "a"}},
+    ]
+    table = MockTable(share="s", schema="d", name="t",
+                      schema_string=SCHEMA_STRING,
+                      partition_columns=PARTITION_COLUMNS, files=files)
+    with MockSharingServer([table]) as srv:
+        df = _reader(spark, srv).table("s.d.t")
+        assert sorted(r.id for r in df.collect()) == [1, 3, 4, 6, 7, 8]
+        # projection after the DV anti-join still works
+        thin = _reader(spark, srv).table("s.d.t", columns=["id"])
+        assert sorted(r.id for r in thin.collect()) == [1, 3, 4, 6, 7, 8]
+
+
+def test_dv_applied_on_local_single_scan_strategy(spark, tmp_path):
+    """>MAX_PARTITION_SCANS distinct partition tuples switches to the one-
+    scan + file-identity join; the DV anti-join must ride that path too."""
+    from datafusion_delta_sharing_spark.sources import dv
+
+    files = []
+    for i in range(20):
+        ids = [i * 10 + j for j in range(3)]
+        p = _dv_write_grouped(tmp_path, f"ss{i}.parquet", ids)
+        f = {"id": f"ss{i}", "url": f"file://{p}", "size": 0,
+             "partition_values": {"day": f"2021-04-{(i % 28) + 1:02d}",
+                                  "tag": f"t{i}"}}
+        if i % 3 == 0:  # delete the middle row (position 1) of every 3rd file
+            f["deletion_vector"] = dv.inline_descriptor([1])
+        files.append(f)
+    table = MockTable(share="s", schema="d", name="t",
+                      schema_string=SCHEMA_STRING,
+                      partition_columns=PARTITION_COLUMNS, files=files)
+    expected = sorted(i * 10 + j for i in range(20) for j in range(3)
+                      if not (i % 3 == 0 and j == 1))
+    with MockSharingServer([table]) as srv:
+        df = _reader(spark, srv).table("s.d.t")
+        assert sorted(r.id for r in df.collect()) == expected
+
+
+def test_dv_applied_on_distributed_strategy(spark, tmp_path):
+    """http URLs take the mapInArrow fetch path: the DV decodes INSIDE the
+    executor task and masks batches by file-row position."""
+    from datafusion_delta_sharing_spark.sources import dv
+
+    ids = list(range(12))
+    sink = io.BytesIO()
+    pq.write_table(pa.table({"id": pa.array(ids, pa.int64()),
+                             "amount": pa.array([float(i) for i in ids],
+                                                pa.float64())}),
+                   sink, row_group_size=4)
+    blob = sink.getvalue()
+    table = MockTable(share="s", schema="d", name="t",
+                      schema_string=SCHEMA_STRING,
+                      partition_columns=PARTITION_COLUMNS, files=[])
+    with MockSharingServer([table], parquet_bytes={"/dv.parquet": blob}) as srv:
+        table.files.append(
+            {"id": "dv", "url": f"{srv.base_url}/dv.parquet",
+             "size": len(blob),
+             "partition_values": {"day": "2021-04-28", "tag": "a"},
+             "deletion_vector": dv.inline_descriptor([0, 5, 11])})
+        df = _reader(spark, srv).table("s.d.t")
+        assert sorted(r.id for r in df.collect()) == sorted(
+            set(ids) - {0, 5, 11})
+
+
+def test_delta_format_deletion_vector_applied(spark, tmp_path):
+    """A delta-format response whose add action carries an inline DV reads
+    correctly (the r4 refusal is now only for unresolvable storage types)."""
+    from datafusion_delta_sharing_spark.sources import dv
+
+    p = _dv_write_grouped(tmp_path, "dvd.parquet", [1, 2, 3, 4])
+    files = [{"id": "dvd", "url": f"file://{p}", "size": 0,
+              "partition_values": {"day": "2021-04-28", "tag": "a"},
+              "deletion_vector": dv.inline_descriptor([2])}]
+    table = MockTable(share="s", schema="d", name="t",
+                      schema_string=SCHEMA_STRING,
+                      partition_columns=PARTITION_COLUMNS, files=files,
+                      response_format="delta")
+    with MockSharingServer([table]) as srv:
+        df = _reader(spark, srv).table("s.d.t")
+        assert sorted(r.id for r in df.collect()) == [1, 2, 4]

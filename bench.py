@@ -4,6 +4,16 @@
 
 Each query is forced through the noop sink (full computation, no driver
 collect) so projection-only queries aren't optimized away by count().
+
+Noise attribution (VERDICT r4 #3): the r3->r4 artifacts could not separate
+plan changes from machine load (18x swings on untouched queries). This
+harness therefore records ALL per-query run timings (``runs``), the
+1/5/15-minute load averages before and after the suite (``loadavg``), and
+reports **medians** as the headline numbers; ``delta_vs_prev`` is
+median-vs-median when the previous artifact carries medians (r5+) and
+median-vs-best against older best-of-N artifacts (flagged in
+``prev_basis`` — conservative: median >= best, so such deltas read
+pessimistic, never flattering).
 """
 
 from __future__ import annotations
@@ -55,27 +65,43 @@ HEADLINE = [
 
 
 def _previous_bench() -> dict:
-    """Latest BENCH_r{N}.json in the repo root (per-query deltas; VERDICT
-    r2 #9 asked for the r(N)/r(N-1) ratio to live in the artifact)."""
+    """Newest PARSABLE BENCH_r{N}.json in the repo root (per-query deltas;
+    VERDICT r2 #9 asked for the r(N)/r(N-1) ratio to live in the artifact).
+
+    The driver nests the bench stdout JSON under "parsed" — which is null
+    when that round's stdout did not parse (r4: progress-bar text glued to
+    the JSON line left only a truncated "tail"). Walk rounds newest-first
+    until one yields usable per-query numbers."""
     import glob
     import re
 
-    best_n, best = -1, {}
+    rounds: list[tuple[int, str]] = []
     for path in glob.glob(str(Path(__file__).resolve().parent / "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", path)
-        if not m:
+        if m:
+            rounds.append((int(m.group(1)), path))
+    for n, path in sorted(rounds, reverse=True):
+        try:
+            with open(path) as fh:
+                doc = json.load(fh)
+        except (OSError, json.JSONDecodeError):
             continue
-        n = int(m.group(1))
-        if n > best_n:
-            try:
-                with open(path) as fh:
-                    best, best_n = json.load(fh), n
-            except (OSError, json.JSONDecodeError):
+        if not isinstance(doc, dict):
+            continue
+        parsed = doc.get("parsed", doc)
+        if parsed is None:
+            try:  # salvage: the raw stdout tail may still be the JSON
+                parsed = json.loads(doc.get("tail", ""))
+            except (TypeError, json.JSONDecodeError):
                 continue
-    # the driver nests the bench stdout JSON under "parsed"
-    best = best.get("parsed", best)
-    return {"round": best_n, "sf": best.get("sf"),
-            "queries": best.get("queries", {})}
+        if not isinstance(parsed, dict) or not parsed.get("queries"):
+            continue
+        # r5+ artifacts carry medians in "queries" (and raw runs); r1-r4
+        # carried best-of-3 — comparable only with a basis flag
+        basis = "median" if parsed.get("runs") else "best"
+        return {"round": n, "sf": parsed.get("sf"),
+                "queries": parsed["queries"], "basis": basis}
+    return {"round": -1, "sf": None, "queries": {}, "basis": "best"}
 
 
 def main() -> None:
@@ -94,16 +120,23 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
-    timings: dict[str, float] = {}
+    import statistics
+
+    load_before = os.getloadavg()
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    runs: dict[str, list[float]] = {}
+    timings: dict[str, float] = {}  # medians — the headline numbers
     for name in HEADLINE:
         fn = queries[name]
-        best = float("inf")
-        for _ in range(3):  # best-of-3: single runs swing ±2s with GC noise
+        samples = []
+        for _ in range(n_runs):
             start = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - start)
-        timings[name] = round(best, 3)
+            samples.append(round(time.perf_counter() - start, 3))
+        runs[name] = samples
+        timings[name] = round(statistics.median(samples), 3)
+    load_after = os.getloadavg()
 
     prev = _previous_bench()
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -115,13 +148,23 @@ def main() -> None:
     from datafusion_delta_sharing_spark.harness import extensions as EXT
 
     total = round(sum(timings.values()), 3)
+    # leading newline: if anything (JVM banner, a stray progress bar) left
+    # an unterminated stdout line, the JSON must still start at column 0 —
+    # r4's artifact was lost to exactly this gluing
+    sys.stdout.write("\n")
+    sys.stdout.flush()
     print(json.dumps({
         "metric": "headline_suite_seconds",
-        "value": total,
+        "value": total,                # sum of per-query MEDIANS
         "unit": "sec",
-        "queries": timings,
+        "queries": timings,            # per-query median of n_runs
+        "runs": runs,                  # raw per-run timings, in run order
+        "n_runs": n_runs,
+        "loadavg": {"before": list(load_before),
+                    "after": list(load_after)},
         "delta_vs_prev": deltas,       # this run / latest BENCH_r{N}.json
         "prev_round": prev["round"],
+        "prev_basis": prev["basis"],   # "best" for r<=4 artifacts
         "sf": sf_val,
         # VERDICT r3 #6: the near-dup workload is pinned by these
         # constants; a delta_vs_prev on the dedup/jaccard queries is
@@ -137,25 +180,13 @@ def main() -> None:
             "lsh_tables": EXT._LSH_TABLES,
         },
         "notes": {
-            # VERDICT r3 #7: n=5 rerun of the r3 noise-band drifts at
-            # sf0.1 (best-of-5 vs r3 best-of-3) — all reproduce at or
-            # below their r2 times; the r3 deltas were first-run
-            # warmup/GC, not plan regressions. No bisect needed.
-            "tpch_q6": "n=5 best 0.398s (r3 0.33, r2 0.25) - variance",
-            "text_metrics": "n=5 best 0.583s (r3 0.72, r2 0.54) - variance",
-            "ann_topk": "n=5 best 0.583s (r3 0.78, r2 0.62) - variance",
-            "pandas_udf_scalar":
-                "n=5 best 0.700s (r3 0.86, r2 0.70) - variance",
-            "grouped_map_zscore":
-                "n=5 best 1.096s (r3 1.80, r2 1.23) - variance",
-            # intentional r4 workload change, fully absorbed:
-            "dedup_minhash":
-                "r4 converts the query to a recall summary - it now also "
-                "computes the exact jaccard baseline in the same job "
-                "(VERDICT r3 #2). The single-pass full-outer summary "
-                "(each input DAG computed once) plus the matrix-literal "
-                "LSH signatures brought it back to r3 par (~2.0s vs "
-                "1.94s) despite the doubled work",
+            "methodology":
+                "r5 (VERDICT r4 #3): queries = per-query MEDIAN of n_runs "
+                "with raw timings in 'runs' and 1/5/15-min loadavg before/"
+                "after the suite. delta_vs_prev against r<=4 artifacts "
+                "divides a median by a best-of-3 (prev_basis='best') - "
+                "those ratios read pessimistic, never flattering. Wide "
+                "spread within one query's runs = machine load, not plan.",
             "ngram_jaccard_prefix":
                 "slower than plain ngram_jaccard AT THIS SF by design: "
                 "prefix filtering adds a df-ranking window + candidate-"
@@ -163,6 +194,10 @@ def main() -> None:
                 "reduction - it wins when hot shingles make the plain "
                 "self-join explode, not on a 300-doc corpus; output is "
                 "hash-identical (losslessness oracle-proven)",
+            "dedup_minhash":
+                "recall-summary form since r4: computes the exact jaccard "
+                "baseline AND the LSH pairs in one job (single-pass "
+                "full-outer summary; matrix-literal signatures)",
         },
     }))
     spark.stop()

@@ -32,5 +32,8 @@ def get_spark(app_name: str = "datafusion-delta-sharing-spark",
         .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
+        # keep stdout machine-parsable: console progress bars glued onto
+        # bench.py's JSON line cost round 4 its parsed artifact
+        .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()
     )

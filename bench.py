@@ -188,12 +188,14 @@ def main() -> None:
                 "those ratios read pessimistic, never flattering. Wide "
                 "spread within one query's runs = machine load, not plan.",
             "ngram_jaccard_prefix":
-                "slower than plain ngram_jaccard AT THIS SF by design: "
-                "prefix filtering adds a df-ranking window + candidate-"
-                "bounded verify whose payoff is quadratic candidate "
-                "reduction - it wins when hot shingles make the plain "
-                "self-join explode, not on a 300-doc corpus; output is "
-                "hash-identical (losslessness oracle-proven)",
+                "slower than plain ngram_jaccard AT THIS SF by design; "
+                "the crossover is now MEASURED (SCALING.md r5 probe): "
+                "prefix wins 7-9x on a skewed corpus at high threshold "
+                "(10k docs, 50% boilerplate, t=0.8: plain 41-58s vs "
+                "prefix ~6s) and cannot win at t=0.2 where the prefix "
+                "keeps ~80% of postings - use the df-cut form for "
+                "low-threshold near-dup; output is hash-identical "
+                "(losslessness oracle-proven)",
             "dedup_minhash":
                 "recall-summary form since r4: computes the exact jaccard "
                 "baseline AND the LSH pairs in one job (single-pass "

@@ -459,11 +459,17 @@ def ngram_jaccard_pairs_prefix(df: DataFrame, text_col: str, id_col: str,
                   - ((F.lit(num) * F.col("sz") + F.lit(den - 1))
                      .cast("long") / F.lit(den)).cast("long") + 1)
     prefix = (ranked.filter(F.col("_rk") <= prefix_len)
-              .select("id", "sh"))
+              .select("id", "sh", "sz"))
     pa, pb = prefix.alias("pa"), prefix.alias("pb")
+    # PPJoin length filter (lossless, r5 probe-driven): J >= num/den forces
+    # den*min(|A|,|B|) >= num*max(|A|,|B|) (intersection <= min, union >=
+    # max), so size-discrepant pairs never reach the verify join — exact
+    # integer arithmetic, no float edge
+    length_ok = (F.lit(den) * F.least(F.col("pa.sz"), F.col("pb.sz"))
+                 >= F.lit(num) * F.greatest(F.col("pa.sz"), F.col("pb.sz")))
     candidates = (
         pa.join(pb, (F.col("pa.sh") == F.col("pb.sh"))
-                & (F.col("pa.id") < F.col("pb.id")))
+                & (F.col("pa.id") < F.col("pb.id")) & length_ok)
         .select(F.col("pa.id").alias("id_a"), F.col("pb.id").alias("id_b"))
         .distinct())
     # exact verify on candidate pairs only: explode A's postings per

@@ -445,3 +445,30 @@ def test_prefix_jaccard_lossless_and_reduces_postings(spark, sf_dir):
     n_prefix = ranked.filter(F.col("_rk") <= plen).count()
     n_full = posts.count()
     assert n_prefix < 0.9 * n_full
+
+
+def test_prefix_jaccard_length_filter_is_lossless(spark):
+    """r5: the PPJoin length filter (den*min(sz) >= num*max(sz)) prunes
+    size-discrepant candidate pairs BEFORE the verify join. It must stay
+    lossless on crafted inputs where a short doc's full shingle set sits
+    inside a much longer doc's (high containment, low Jaccard — exactly
+    the pair the filter removes early) alongside genuine near-dup pairs
+    that must survive."""
+    from datafusion_delta_sharing_spark.operators import dedup as DD
+
+    base = " ".join(f"w{i}" for i in range(40))
+    rows = [
+        (1, base),                               # original
+        (2, base + " tail1 tail2"),              # near-dup of 1 (J high)
+        (3, " ".join(f"w{i}" for i in range(8))),  # short excerpt of 1
+        (4, " ".join(f"x{i}" for i in range(40))),  # unrelated
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for t in (0.5, 0.2):
+        plain = {(r.id_a, r.id_b, r.jaccard) for r in DD.ngram_jaccard_pairs(
+            docs, "text", "doc_id", k=5, threshold=t).collect()}
+        pref = {(r.id_a, r.id_b, r.jaccard)
+                for r in DD.ngram_jaccard_pairs_prefix(
+            docs, "text", "doc_id", k=5, threshold=t).collect()}
+        assert pref == plain
+        assert (1, 2) in {(a, b) for a, b, _ in plain}  # near-dup survives

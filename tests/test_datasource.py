@@ -607,3 +607,34 @@ def test_dv_unsupported_storage_fails_at_plan_time(registered):
         with pytest.raises((AnalysisException, PythonException),
                            match="storageType='u'"):
             df.collect()
+
+
+def test_table_changes_with_deletion_vector(spark, tmp_path):
+    """A change feed whose add action carries a DV emits only the
+    surviving rows — a MERGE that soft-deletes rows of the new file in
+    the same commit must not resurrect them through the CDF path."""
+    from datafusion_delta_sharing_spark.client import DeltaSharingClient
+    from datafusion_delta_sharing_spark.profile import Profile
+    from datafusion_delta_sharing_spark.sources import dv
+    from datafusion_delta_sharing_spark.sources.reader import (
+        DeltaSharingReader,
+    )
+
+    plain_schema = json.dumps({"type": "struct", "fields": [
+        {"name": "id", "type": "long", "nullable": False, "metadata": {}},
+    ]})
+    add_path = tmp_path / "dvadd.parquet"
+    pq.write_table(pa.table({"id": pa.array([10, 11, 12, 13], pa.int64())}),
+                   add_path)
+    table = MockTable(share="s", schema="d", name="cdv",
+                      schema_string=plain_schema)
+    table.changes.append(
+        {"kind": "add", "version": 1, "timestamp": 1_600_000_000_000,
+         "url": f"file://{add_path}", "id": "a", "size": 1,
+         "deletion_vector": dv.inline_descriptor([1, 3])})
+    with MockSharingServer([table]) as srv:
+        reader = DeltaSharingReader(
+            spark, DeltaSharingClient(Profile.from_json(srv.profile_doc())))
+        df = reader.table_changes("s.d.cdv", starting_version=1)
+        rows = sorted((r.id, r._change_type) for r in df.collect())
+        assert rows == [(10, "insert"), (12, "insert")]

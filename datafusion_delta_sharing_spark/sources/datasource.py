@@ -360,6 +360,9 @@ class DeltaSharingStreamReader(DataSourceStreamReader):
             self._version = data.version
         new = [f for f in data.files if f.id not in self._seen]
         if new:
+            for f in new:
+                if f.deletion_vector:  # refuse unresolvable DVs at plan time
+                    validate_dv_descriptor(f.deletion_vector)
             self._latest_batch += 1
             manifest = [{"id": f.id, "url": f.url, "size": f.size,
                          "partition_values": dict(f.partition_values),
@@ -453,6 +456,9 @@ class DeltaSharingCDFStreamReader(DataSourceStreamReader):
         changes = client.get_table_changes(
             table, starting_version=lo + 1, ending_version=hi)
         _check_schema_drift(self, table, changes.metadata.schema_string)
+        for _, f in changes.actions:
+            if f.deletion_vector:  # refuse unresolvable DVs at plan time
+                validate_dv_descriptor(f.deletion_vector)
         return [
             _CDFFilePartition(f.url, f.size, f.id,
                               dict(f.partition_values), kind,

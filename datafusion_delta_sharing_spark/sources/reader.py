@@ -163,11 +163,25 @@ class _RangedHttpFile(io.RawIOBase):
         return self._size
 
 
+def _local_path(url: str) -> str:
+    """``file:`` URL -> decoded filesystem path; bare paths pass through.
+
+    file: URLs carry %xx escapes per RFC 8089 (a path with spaces arrives
+    as ``file:///a%20b``); the filesystem wants the decoded form. Bare
+    paths are already literal and must NOT be unquoted (a literal '%40'
+    directory is rare but legal)."""
+    from urllib.parse import unquote
+
+    if not url.startswith("file:"):
+        return url
+    return unquote(urlparse(url).path)
+
+
 def _open_parquet_source(url: str, size: int, session=None):
     """Local paths open directly; http(s) URLs go through ranged reads."""
     parsed = urlparse(url)
     if parsed.scheme in ("", "file"):
-        return parsed.path if parsed.scheme == "file" else url
+        return _local_path(url)
     if parsed.scheme in ("http", "https"):
         return _RangedHttpFile(url, size, session=session)
     raise DeltaSharingError(f"unsupported file URL scheme {parsed.scheme!r} in {url}")
@@ -574,9 +588,7 @@ class DeltaSharingReader:
         for f in files:
             if not f.deletion_vector:
                 continue
-            is_uri = f.url.startswith("file:")
-            path = urlparse(f.url).path if is_uri else f.url
-            key = unquote(path) if is_uri else path
+            key = _local_path(f.url)
             for p in dv_positions(f.deletion_vector):
                 rows.append((key, int(p)))
         return rows
@@ -614,8 +626,7 @@ class DeltaSharingReader:
         dv_rows = self._local_dv_rows(files)
         parts: list[DataFrame] = []
         for _, group in sorted(groups.items()):
-            paths = [urlparse(f.url).path if f.url.startswith("file:") else f.url
-                     for f in group]
+            paths = [_local_path(f.url) for f in group]
             df = self.spark.read.schema(data_schema).parquet(*paths)
             select_cols = [f.name for f in full_schema.fields]
             if dv_rows:
@@ -653,10 +664,7 @@ class DeltaSharingReader:
         both join sides are normalized to the *decoded* filesystem path
         (scheme stripped, ``%xx`` unescaped) — a path with spaces or other
         URI-special characters must not silently drop its rows."""
-        from urllib.parse import unquote
-
-        paths = [urlparse(f.url).path if f.url.startswith("file:") else f.url
-                 for f in files]
+        paths = [_local_path(f.url) for f in files]
         scan = (self.spark.read.schema(data_schema).parquet(*paths)
                 .withColumn("__file",
                             _normalized_path_expr(F.input_file_name())))
@@ -671,10 +679,9 @@ class DeltaSharingReader:
         for f, path in zip(files, paths):
             decoded = decode_partition_values(
                 f.partition_values, full_schema, partition_columns)
-            # file: URLs carry %xx escapes (decode them); bare paths are
-            # already literal filesystem paths
-            key = unquote(path) if f.url.startswith("file:") else path
-            rows.append(tuple([key] + [decoded[c] for c in partition_columns]))
+            # paths come decoded from _local_path, matching the normalized
+            # (scheme-stripped, %xx-unescaped) Spark-side file identity
+            rows.append(tuple([path] + [decoded[c] for c in partition_columns]))
         mapping = self.spark.createDataFrame(rows, map_schema)
         joined = scan.join(F.broadcast(mapping), "__file")
         if dv_rows:

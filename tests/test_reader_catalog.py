@@ -587,3 +587,30 @@ def test_delta_format_deletion_vector_applied(spark, tmp_path):
     with MockSharingServer([table]) as srv:
         df = _reader(spark, srv).table("s.d.t")
         assert sorted(r.id for r in df.collect()) == [1, 2, 4]
+
+
+def test_percent_encoded_file_url_with_dv(spark, tmp_path):
+    """RFC 8089 file: URLs are percent-encoded; the scan must decode the
+    path (r5 fix: the encoded form previously failed PATH_NOT_FOUND) and
+    the DV anti-join key must match the scan's file identity — a space in
+    the path must neither lose rows nor resurrect soft-deleted ones."""
+    from datafusion_delta_sharing_spark.sources import dv
+
+    d = tmp_path / "dir with space"
+    d.mkdir()
+    p = d / "file with space.parquet"
+    sink = io.BytesIO()
+    pq.write_table(pa.table({"id": pa.array([1, 2, 3], pa.int64()),
+                             "amount": pa.array([1.0, 2.0, 3.0],
+                                                pa.float64())}), sink)
+    p.write_bytes(sink.getvalue())
+    from urllib.parse import quote
+    files = [{"id": "sp", "url": "file://" + quote(str(p)), "size": 0,
+              "partition_values": {"day": "2021-04-28", "tag": "a"},
+              "deletion_vector": dv.inline_descriptor([1])}]
+    table = MockTable(share="s", schema="d", name="t",
+                      schema_string=SCHEMA_STRING,
+                      partition_columns=PARTITION_COLUMNS, files=files)
+    with MockSharingServer([table]) as srv:
+        df = _reader(spark, srv).table("s.d.t")
+        assert sorted(r.id for r in df.collect()) == [1, 3]

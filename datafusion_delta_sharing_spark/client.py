@@ -287,9 +287,12 @@ class DeltaSharingClient:
 
     # advertised on every request (PROTOCOL.md capabilities header): both
     # response formats parse — delta-format actions are unwrapped by the
-    # action classes, and deletion vectors are applied at scan time
-    # (unsupported DV encodings / column mapping are refused there)
-    DEFAULT_CAPABILITIES = "responseformat=parquet,delta"
+    # action classes, and deletion vectors are applied at scan time, so
+    # readerfeatures declares them (a compliant provider withholds
+    # DV-bearing delta responses from clients that do not). columnmapping
+    # is deliberately NOT declared: this reader refuses it
+    DEFAULT_CAPABILITIES = ("responseformat=parquet,delta;"
+                            "readerfeatures=deletionvectors")
 
     @property
     def CAPABILITIES_HEADER(self) -> dict:

@@ -20,9 +20,21 @@ exchange disappears on the big side.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, Window, functions as F, types as T
 
 _INSERT_LIKE = ("insert", "update_postimage")
+
+
+def _hashable(dtype: T.DataType) -> bool:
+    """xxhash64 refuses MAP inputs (unordered — no canonical hash), at any
+    nesting depth; the tiebreaker must skip such columns."""
+    if isinstance(dtype, T.MapType):
+        return False
+    if isinstance(dtype, T.ArrayType):
+        return _hashable(dtype.elementType)
+    if isinstance(dtype, T.StructType):
+        return all(_hashable(f.dataType) for f in dtype.fields)
+    return True
 
 
 def apply_changes(base: DataFrame, changes: DataFrame,
@@ -40,16 +52,22 @@ def apply_changes(base: DataFrame, changes: DataFrame,
     _commit_version). A Delta CDF from a keyed MERGE/UPDATE/DELETE
     satisfies this by construction. For feeds that violate it (duplicate
     keys within one commit), the same-version tie is broken by a
-    deterministic full-row hash so the output is at least stable across
-    runs and partitionings — but which duplicate survives is then a
-    property of the row contents, not of any within-commit ordering the
-    feed itself does not carry.
+    deterministic row hash so the output is at least stable across runs
+    and partitionings — but which duplicate survives is then a property
+    of the row contents, not of any within-commit ordering the feed
+    itself does not carry. MAP-typed columns are excluded from the hash
+    (xxhash64 cannot canonicalize an unordered map); duplicates differing
+    ONLY in map columns therefore still tie arbitrarily.
     """
     insert_like = F.col("_change_type").isin(*_INSERT_LIKE)
+    hash_cols = [f.name for f in changes.schema.fields
+                 if _hashable(f.dataType)]
+    tiebreak = (F.xxhash64(F.struct(*hash_cols)) if hash_cols
+                else F.lit(0))
     w = (Window.partitionBy(*key_cols)
          .orderBy(F.desc("_commit_version"),
                   F.desc(insert_like.cast("int")),
-                  F.desc(F.xxhash64(F.struct(*changes.columns)))))
+                  F.desc(tiebreak)))
     last = (changes
             .withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1))

@@ -223,14 +223,33 @@ def _read_file_partition(options, full_schema: T.StructType,
     decoded = decode_partition_values(
         partition.partition_values, full_schema, partition_columns)
     dv = getattr(partition, "deletion_vector", None)
-    deleted = dv_positions(dv) if dv else None
+
+    def dv_deleted(descriptor):
+        """Decode the DV; on an expired presigned DV URL (401/403),
+        re-resolve the file once and retry with the fresh descriptor —
+        the same escape hatch the data URL gets below."""
+        import requests
+
+        try:
+            return dv_positions(descriptor)
+        except requests.HTTPError as exc:
+            status = (exc.response.status_code
+                      if exc.response is not None else None)
+            if status not in (401, 403):
+                raise
+            fresh = _refresh_file_action(options, partition.file_id)
+            if not fresh.deletion_vector:
+                return None
+            return dv_positions(fresh.deletion_vector)
+
+    deleted = dv_deleted(dv) if dv else None
 
     try:
         reader = pq.ParquetFile(
             _open_parquet_source(partition.url, partition.size))
     except Exception:
-        url, size = _refresh_file_url(options, partition.file_id)
-        reader = pq.ParquetFile(_open_parquet_source(url, size))
+        fresh = _refresh_file_action(options, partition.file_id)
+        reader = pq.ParquetFile(_open_parquet_source(fresh.url, fresh.size))
     file_row = 0  # physical row position within the file
     for batch in reader.iter_batches(columns=data_cols or None):
         if deleted is not None:
@@ -276,15 +295,18 @@ def _snapshot_pins(options) -> tuple[int | None, str | None]:
     return version, options.get("timestampAsOf")
 
 
-def _refresh_file_url(options, file_id: str) -> tuple[str, int]:
-    """Re-resolve a file's presigned URL by id (expired-URL escape hatch);
-    the re-list stays inside the same pinned snapshot, if any."""
+def _refresh_file_action(options, file_id: str):
+    """Re-resolve a file by id via a fresh listing (expired-URL escape
+    hatch); the re-list stays inside the same pinned snapshot, if any.
+    Returns the fresh FileAction — URL, size AND deletion-vector
+    descriptor, whose presigned DV URL can expire exactly like the data
+    URL."""
     client, table = _make_client(options)
     version, timestamp = _snapshot_pins(options)
     data = client.get_table_data(table, version=version, timestamp=timestamp)
     for f in data.files:
         if f.id == file_id:
-            return f.url, f.size
+            return f
     raise DeltaSharingError(
         f"file {file_id!r} of {table.full_name()} is no longer listed "
         "(expired or vacuumed) — cannot replay this partition")

@@ -310,14 +310,24 @@ def inline_descriptor(positions: Sequence[int],
 # --------------------------------------------------------------------------
 
 
+_RESOLVABLE_DV_SCHEMES = ("", "file", "http", "https")
+
+
 def _fetch_dv_file(path: str, session=None) -> bytes:
-    from urllib.parse import urlparse
+    from urllib.parse import unquote, urlparse
 
     parsed = urlparse(path)
     if parsed.scheme in ("", "file"):
-        with open(parsed.path if parsed.scheme == "file" else path,
-                  "rb") as fh:
-            return fh.read()
+        # file: URLs are percent-encoded per RFC 8089 (same rule as the
+        # parquet-side _local_path); bare paths are already literal
+        local = unquote(parsed.path) if parsed.scheme == "file" else path
+        try:
+            with open(local, "rb") as fh:
+                return fh.read()
+        except OSError as exc:
+            raise DeltaSharingError(
+                f"cannot read deletion vector file {path!r}: {exc}"
+            ) from exc
     if parsed.scheme in ("http", "https"):
         import requests
 
@@ -343,6 +353,19 @@ def validate_descriptor(descriptor: dict) -> None:
         raise DeltaSharingError(
             f"file carries a deletion vector with unsupported storageType="
             f"{storage!r}; supported: 'i' (inline), 'p' (absolute URL)")
+    if storage == "p":
+        from urllib.parse import urlparse
+
+        scheme = urlparse(descriptor.get("pathOrInlineDv", "")).scheme
+        if scheme not in _RESOLVABLE_DV_SCHEMES:
+            # object-store schemes (s3://, abfss://, ...) are legal Delta
+            # 'p' paths but this client has no credentials for them —
+            # refuse at PLAN time, not as a retried mid-scan task error
+            raise DeltaSharingError(
+                f"deletion vector file scheme {scheme!r} is not "
+                "resolvable by a sharing client (supported: file, "
+                "http(s)); ask the provider for presigned DV URLs or "
+                "inline descriptors")
 
 
 def dv_positions(descriptor: dict, session=None) -> np.ndarray:

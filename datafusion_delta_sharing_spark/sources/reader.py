@@ -233,7 +233,9 @@ def _fetch_batches_task(
     part_cols = [n for n in out_names if n in partition_columns]
     session = requests.Session()
 
-    def refreshed_url(file_id: str) -> str | None:
+    def refreshed_action(file_id: str):
+        """Fresh FileAction for ``file_id`` via a re-list, or None — the
+        presigned DATA url and the presigned DV url expire together."""
         if not profile_doc or not table_fqn:
             return None
         from datafusion_delta_sharing_spark.client import DeltaSharingClient as C
@@ -243,8 +245,23 @@ def _fetch_batches_task(
         fresh = C(P.from_json(profile_doc)).get_table_data(Tb.from_str(table_fqn))
         for f in fresh.files:
             if f.id == file_id:
-                return f.url
+                return f
         return None
+
+    def dv_deleted(descriptor: dict, file_id: str):
+        try:
+            return _dv_positions(descriptor, session=session)
+        except requests.HTTPError as exc:
+            status = (exc.response.status_code
+                      if exc.response is not None else None)
+            if status not in (401, 403):
+                raise
+            fresh = refreshed_action(file_id)
+            if fresh is None:
+                raise
+            if not fresh.deletion_vector:
+                return None
+            return _dv_positions(fresh.deletion_vector, session=session)
 
     for desc_batch in descriptor_batches:
         rows = desc_batch.to_pylist()
@@ -252,7 +269,7 @@ def _fetch_batches_task(
             url, size, file_id = row["url"], row["size"], row["file_id"]
             partition_values = json.loads(row["partition_values"])
             dv_doc = row.get("deletion_vector")
-            deleted = (_dv_positions(json.loads(dv_doc), session=session)
+            deleted = (dv_deleted(json.loads(dv_doc), file_id)
                        if dv_doc else None)
 
             def open_reader(target_url: str):
@@ -263,10 +280,10 @@ def _fetch_batches_task(
                 reader = open_reader(url)
             except requests.HTTPError as exc:
                 status = exc.response.status_code if exc.response is not None else None
-                fresh_url = refreshed_url(file_id) if status in (401, 403) else None
-                if fresh_url is None:
+                fresh = refreshed_action(file_id) if status in (401, 403) else None
+                if fresh is None:
                     raise
-                reader = open_reader(fresh_url)
+                reader = open_reader(fresh.url)
 
             decoded = _decode(partition_values, full_schema, part_cols)
             file_row = 0  # physical row position within THIS file
@@ -582,8 +599,6 @@ class DeltaSharingReader:
         are driver-local anyway (tests / pre-staged data) and the row
         count is bounded by the summed DV cardinalities; the distributed
         strategy decodes inside the fetch task instead."""
-        from urllib.parse import unquote
-
         rows = []
         for f in files:
             if not f.deletion_vector:

@@ -74,3 +74,21 @@ def test_apply_changes_matches_replay_simulation(spark):
         got = sorted((r.k, r.v) for r in
                      CDC.apply_changes(base, changes, ["k"]).collect())
         assert got == sorted(state.items()), f"seed {seed}"
+
+
+def test_apply_changes_tolerates_map_columns(spark):
+    """r5 review fix: the deterministic tiebreaker must skip MAP-typed
+    columns (xxhash64 refuses maps) instead of failing the whole apply
+    at plan time for feeds that carry one."""
+    from datafusion_delta_sharing_spark.operators.cdc import apply_changes
+
+    base = spark.createDataFrame(
+        [(1, {"a": "1"})], "id long, attrs map<string,string>")
+    changes = spark.createDataFrame(
+        [(1, {"a": "2"}, "update_postimage", 2),
+         (3, {"b": "9"}, "insert", 2)],
+        "id long, attrs map<string,string>, _change_type string, "
+        "_commit_version long")
+    rows = {r.id: dict(r.attrs) for r in
+            apply_changes(base, changes, ["id"]).collect()}
+    assert rows == {1: {"a": "2"}, 3: {"b": "9"}}

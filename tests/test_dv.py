@@ -134,3 +134,36 @@ def test_prune_for_limit_subtracts_dv_cardinality():
     object.__setattr__(bad, "deletion_vector",
                        {"storageType": "i"})  # no cardinality
     assert prune_for_limit([bad, fa("b", 10)], 5) == [bad, fa("b", 10)]
+
+
+def test_dv_file_percent_encoded_file_url(tmp_path):
+    """storageType='p' behind an RFC 8089 percent-encoded file: URL must
+    decode the path (r5 review fix — parity with the parquet-side
+    _local_path rule) and missing files raise DeltaSharingError, not a
+    bare OSError."""
+    from urllib.parse import quote
+
+    d = tmp_path / "dv dir with space"
+    d.mkdir()
+    data = dv.encode_dv_data([4, 7])
+    blob, offsets = dv.encode_dv_file([data])
+    path = d / "x.dv"
+    path.write_bytes(blob)
+    desc = {"storageType": "p", "pathOrInlineDv": "file://" + quote(str(path)),
+            "offset": offsets[0], "sizeInBytes": len(data), "cardinality": 2}
+    assert list(dv.dv_positions(desc)) == [4, 7]
+    desc["pathOrInlineDv"] = "file://" + quote(str(d / "missing.dv"))
+    with pytest.raises(DeltaSharingError, match="cannot read"):
+        dv.dv_positions(desc)
+
+
+def test_dv_object_store_scheme_refused_at_plan_time():
+    """'p' with an object-store scheme (legal Delta, unreachable for a
+    sharing client with no storage credentials) must fail validation —
+    plan time, not a retried executor task error."""
+    desc = {"storageType": "p", "pathOrInlineDv": "s3://bucket/x.dv",
+            "offset": 1, "sizeInBytes": 40, "cardinality": 1}
+    with pytest.raises(DeltaSharingError, match="not\n? ?resolvable"):
+        dv.validate_descriptor(desc)
+    with pytest.raises(DeltaSharingError, match="not\n? ?resolvable"):
+        dv.dv_positions(desc)

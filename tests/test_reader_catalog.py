@@ -420,8 +420,10 @@ def test_delta_response_format_round_trips(spark, tmp_path):
         assert rows[5] == (5.0, "2021-04-29", None)
         caps = [req["capabilities"]
                 for req in srv.requests if "/query" in req["path"]]
-        assert caps and all(c == "responseformat=parquet,delta"
-                            for c in caps)
+        assert caps and all(
+            c == "responseformat=parquet,delta;"
+                 "readerfeatures=deletionvectors"
+            for c in caps)
 
 
 def test_delta_format_deletion_vector_refused(spark, tmp_path):

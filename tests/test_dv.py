@@ -167,3 +167,65 @@ def test_dv_object_store_scheme_refused_at_plan_time():
         dv.validate_descriptor(desc)
     with pytest.raises(DeltaSharingError, match="not\n? ?resolvable"):
         dv.dv_positions(desc)
+
+
+def test_decode_handcrafted_spec_fixture_no_runs():
+    """Decode a bitmap serialized BY HAND from the RoaringFormatSpec text
+    (not by our own encoder): no-run layout = u32 cookie 12346, u32
+    container count, (key, card-1) descriptive pairs, u32 offsets, then
+    array containers of sorted u16s. Values {7, 70, 65536+9} span two
+    containers. Wrapped as a Delta blob: magic + u64 bitmap count + u32
+    high key + the 32-bit bitmap."""
+    bitmap = (
+        struct.pack("<II", 12346, 2)           # cookie, 2 containers
+        + struct.pack("<HH", 0, 1)             # key 0, card-1 = 1
+        + struct.pack("<HH", 1, 0)             # key 1, card-1 = 0
+        + struct.pack("<II", 24, 28)           # offsets: after 8+8+8 bytes
+        + struct.pack("<HH", 7, 70)            # container 0: {7, 70}
+        + struct.pack("<H", 9)                 # container 1: {9}
+    )
+    blob = struct.pack("<iq", dv.DV_MAGIC, 1) + struct.pack("<I", 0) + bitmap
+    assert list(dv.decode_dv_data(blob)) == [7, 70, 65536 + 9]
+
+
+def test_decode_handcrafted_spec_fixture_with_runs():
+    """Run-container layout by hand: u16 cookie 12347, u16 size-1, run
+    bitset (ceil(size/8) bytes), descriptive pairs, NO offsets when
+    size < 4, then per run container u16 n_runs + (start, len-1) pairs.
+    One run container holding 5..9 (run start 5, length-1 = 4)."""
+    bitmap = (
+        struct.pack("<HH", 12347, 0)           # run cookie, 1 container
+        + bytes([0b00000001])                  # container 0 is a run
+        + struct.pack("<HH", 0, 4)             # key 0, card-1 = 4
+        + struct.pack("<H", 1)                 # 1 run
+        + struct.pack("<HH", 5, 4)             # start 5, len-1 = 4
+    )
+    blob = struct.pack("<iq", dv.DV_MAGIC, 1) + struct.pack("<I", 0) + bitmap
+    assert list(dv.decode_dv_data(blob)) == [5, 6, 7, 8, 9]
+
+
+def test_decode_handcrafted_high_key_bitmap():
+    """A second 32-bit bitmap under high key 2 maps to positions
+    2*2^32 + v (the 64-bit RoaringBitmapArray key rule)."""
+    bm = (struct.pack("<II", 12346, 1)
+          + struct.pack("<HH", 0, 0)
+          + struct.pack("<I", 16)
+          + struct.pack("<H", 42))
+    blob = (struct.pack("<iq", dv.DV_MAGIC, 2)
+            + struct.pack("<I", 0) + bm
+            + struct.pack("<I", 2) + bm)
+    assert list(dv.decode_dv_data(blob)) == [42, 2 * 2**32 + 42]
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.sets(st.integers(min_value=0, max_value=5000), max_size=60),
+       st.integers(min_value=0, max_value=5100),
+       st.integers(min_value=1, max_value=400))
+def test_positions_mask_property(positions, start, n):
+    pos = dv.dv_positions(dv.inline_descriptor(sorted(positions)))
+    mask = dv.positions_mask(pos, start, n)
+    expect = [start + i not in positions for i in range(n)]
+    if mask is None:
+        assert all(expect)
+    else:
+        assert list(mask) == expect

@@ -593,28 +593,43 @@ class DeltaSharingReader:
     MAX_PARTITION_SCANS = 16
 
     @staticmethod
-    def _local_dv_rows(files: list[FileAction]) -> list[tuple]:
-        """[(decoded local path, deleted row position)] for files carrying
-        deletion vectors. Decoded driver-side: on this strategy the files
-        are driver-local anyway (tests / pre-staged data) and the row
-        count is bounded by the summed DV cardinalities; the distributed
-        strategy decodes inside the fetch task instead."""
-        rows = []
+    def _local_dv_rows(files: list[FileAction]):
+        """(file path, deleted row position) pandas frame for files
+        carrying deletion vectors, or None. Decoded driver-side: on this
+        strategy the files are driver-local anyway (tests / pre-staged
+        data) and the row count is bounded by the summed DV cardinalities;
+        the distributed strategy decodes inside the fetch task instead.
+        Built as a pandas frame so createDataFrame ships it over Arrow —
+        a 10 % DV on a 600k-row file is 60k positions, and the
+        row-at-a-time tuple path made the anti-join cost 4× the scan."""
+        import numpy as np
+        import pandas as pd
+
+        paths: list[str] = []
+        arrays = []
         for f in files:
             if not f.deletion_vector:
                 continue
-            key = _local_path(f.url)
-            for p in dv_positions(f.deletion_vector):
-                rows.append((key, int(p)))
-        return rows
+            pos = dv_positions(f.deletion_vector)
+            if len(pos) == 0:
+                continue
+            paths.append(_local_path(f.url))
+            arrays.append(pos.astype("int64"))
+        if not paths:
+            return None
+        return pd.DataFrame({
+            "__dv_file": np.repeat(np.array(paths, dtype=object),
+                                   [len(a) for a in arrays]),
+            "__dv_pos": np.concatenate(arrays),
+        })
 
-    def _anti_join_dv(self, df: DataFrame, dv_rows: list[tuple],
+    def _anti_join_dv(self, df: DataFrame, dv_rows,
                       file_col: str = "__dv_file") -> DataFrame:
         """Drop (file, position) pairs named by the deletion vectors. The
         positions side is cardinality-sized; Catalyst/AQE picks broadcast
         when it is small and a shuffled anti-join when it is not."""
         pos_df = self.spark.createDataFrame(
-            dv_rows, f"{file_col} string, __dv_pos bigint")
+            dv_rows.rename(columns={"__dv_file": file_col}))
         return (df.join(pos_df, [file_col, "__dv_pos"], "left_anti")
                 .drop("__dv_pos"))
 
@@ -644,7 +659,7 @@ class DeltaSharingReader:
             paths = [_local_path(f.url) for f in group]
             df = self.spark.read.schema(data_schema).parquet(*paths)
             select_cols = [f.name for f in full_schema.fields]
-            if dv_rows:
+            if dv_rows is not None:
                 # row positions come from the scan's hidden _metadata
                 # struct; soft-deleted (file, position) pairs are
                 # anti-joined away after the union
@@ -660,7 +675,7 @@ class DeltaSharingReader:
                 df = df.withColumn(name, F.lit(decoded[name]).cast(dtype))
             parts.append(df.select(*select_cols))
         out = reduce(DataFrame.unionByName, parts)
-        if dv_rows:
+        if dv_rows is not None:
             out = self._anti_join_dv(out, dv_rows).drop("__dv_file")
         if columns:
             out = out.select(*columns)
@@ -684,7 +699,7 @@ class DeltaSharingReader:
                 .withColumn("__file",
                             _normalized_path_expr(F.input_file_name())))
         dv_rows = self._local_dv_rows(files)
-        if dv_rows:
+        if dv_rows is not None:
             scan = scan.withColumn("__dv_pos", F.col("_metadata.row_index"))
 
         part_fields = [full_schema[c] for c in partition_columns]
@@ -699,7 +714,7 @@ class DeltaSharingReader:
             rows.append(tuple([path] + [decoded[c] for c in partition_columns]))
         mapping = self.spark.createDataFrame(rows, map_schema)
         joined = scan.join(F.broadcast(mapping), "__file")
-        if dv_rows:
+        if dv_rows is not None:
             joined = self._anti_join_dv(joined, dv_rows, file_col="__file")
         out = (joined.drop("__file")
                .select(*[f.name for f in full_schema.fields]))

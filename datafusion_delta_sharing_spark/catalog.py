@@ -48,7 +48,14 @@ class DeltaSharingCatalog:
         for share in share_objs:
             for table in self.client.list_all_tables(share):
                 self.tables[table.full_name()] = table
+        # Spark SQL identifiers are case-insensitive: `Sales.Retail.Orders`
+        # must resolve to the same share as `sales.retail.orders`
+        self._tables_ci = {fqn.lower(): fqn for fqn in self.tables}
         self._resolved: dict[str, DataFrame] = {}
+        # view-name ownership: share='a__b',schema='c' and share='a',
+        # schema='b__c' flatten to the SAME view name — clobbering would
+        # silently read the wrong table, so collisions refuse loudly
+        self._view_owner: dict[str, str] = {}
 
     # -- discovery surface (A30-A31) --------------------------------------
 
@@ -81,13 +88,29 @@ class DeltaSharingCatalog:
     def table(self, fqn: str) -> DataFrame:
         """Resolve ``share.schema.table`` to a DataFrame, memoized — the
         analogue of ``SchemaProvider::table`` building a provider on first
-        reference (catalog/mod.rs:196-220)."""
+        reference (catalog/mod.rs:196-220). Lookup is case-insensitive,
+        like Spark SQL identifiers."""
         if fqn not in self.tables:
-            raise KeyError(f"table {fqn!r} not found in catalog; "
-                           f"known: {sorted(self.tables)[:10]}")
+            canonical = self._tables_ci.get(fqn.lower())
+            if canonical is None:
+                raise KeyError(f"table {fqn!r} not found in catalog; "
+                               f"known: {sorted(self.tables)[:10]}")
+            fqn = canonical
         if fqn not in self._resolved:
+            view = self.tables[fqn].view_name()
+            if not re.fullmatch(r"[A-Za-z_][\w]*", view):
+                raise KeyError(
+                    f"table {fqn!r} flattens to {view!r}, which is not a "
+                    "valid Spark view identifier — access it via "
+                    "catalog.table(...) without SQL, or rename the share")
+            owner = self._view_owner.setdefault(view, fqn)
+            if owner != fqn:
+                raise KeyError(
+                    f"view name collision: {fqn!r} and {owner!r} both "
+                    f"flatten to {view!r}; register one of them manually "
+                    "under a different view name")
             df = self.reader.table(self.tables[fqn])
-            df.createOrReplaceTempView(self.tables[fqn].view_name())
+            df.createOrReplaceTempView(view)
             self._resolved[fqn] = df
         return self._resolved[fqn]
 
@@ -143,19 +166,30 @@ class DeltaSharingCatalog:
         (the reference's examples/catalog.rs:8-15 surface). Identifiers are
         only rewritten in code regions — never inside quoted strings,
         backticks, or comments."""
-        if self._INFO_SCHEMA_RE.search(query):
+        # the info-schema trigger must count CODE-region matches only: a
+        # string literal spelling 'information_schema.tables' must neither
+        # rewrite nor clobber a user temp view of that name as a side effect
+        info_hits = 0
+
+        def info_sub(text: str) -> str:
+            nonlocal info_hits
+            new, k = self._INFO_SCHEMA_RE.subn(
+                "information_schema__tables", text)
+            info_hits += k
+            return new
+
+        rewritten = self._rewrite_code_regions(query, info_sub)
+        if info_hits:
             self.list_tables().createOrReplaceTempView(
                 "information_schema__tables")
-            query = self._rewrite_code_regions(
-                query,
-                lambda text: self._INFO_SCHEMA_RE.sub(
-                    "information_schema__tables", text))
+            query = rewritten
 
         def replace(match: re.Match) -> str:
             fqn = ".".join(match.groups())
-            if fqn in self.tables:
-                self.table(fqn)  # ensure view exists
-                return self.tables[fqn].view_name()
+            canonical = self._tables_ci.get(fqn.lower())
+            if canonical is not None:
+                self.table(canonical)  # ensure view exists
+                return self.tables[canonical].view_name()
             return match.group(0)
 
         return self.spark.sql(self._rewrite_code_regions(

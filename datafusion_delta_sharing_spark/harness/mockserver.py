@@ -165,15 +165,38 @@ class MockSharingServer:
                 if not self._check_auth():
                     return
                 parsed = urlparse(self.path)
-                route = parsed.path[len("/delta-sharing"):]
+                route = (parsed.path[len("/delta-sharing"):]
+                         if parsed.path.startswith("/delta-sharing")
+                         else parsed.path)  # same guard as do_GET
                 outer._route_post(self, route, body)
 
             def _serve_parquet(self, path: str):
+                """Range support for the full RFC-7233 single-range forms:
+                bytes=a-b, open-ended bytes=a-, and the suffix bytes=-n
+                (the footer-first read HTTP file layers send). Unsatisfiable
+                ranges get a proper 416, not a bogus 206."""
                 blob = outer.parquet_bytes[path]
                 range_header = self.headers.get("Range")
                 if range_header:
-                    m = re.fullmatch(r"bytes=(\d+)-(\d+)", range_header.strip())
-                    start, end = int(m.group(1)), int(m.group(2))
+                    m = re.fullmatch(r"bytes=(\d*)-(\d*)",
+                                     range_header.strip())
+                    if m is None or m.group(0) == "bytes=-":
+                        return self._send(400, b"bad Range header")
+                    a, b = m.group(1), m.group(2)
+                    if a == "":            # suffix: last b bytes
+                        start = max(0, len(blob) - int(b))
+                        end = len(blob) - 1
+                    else:
+                        start = int(a)
+                        end = int(b) if b else len(blob) - 1
+                    end = min(end, len(blob) - 1)
+                    if start > end or start >= len(blob):
+                        self.send_response(416)
+                        self.send_header("Content-Range",
+                                         f"bytes */{len(blob)}")
+                        self.send_header("Content-Length", "0")
+                        self.end_headers()
+                        return
                     chunk = blob[start:end + 1]
                     self.send_response(206)
                     self.send_header("Content-Type", "application/octet-stream")
@@ -289,6 +312,23 @@ class MockSharingServer:
                 "message": "startingVersion or startingTimestamp required",
             }).encode())
         start = int(query.get("startingVersion", -1))
+        if "startingVersion" not in query:
+            # resolve startingTimestamp -> first version at/after it, like
+            # a real server; ignoring it would serve the full history and
+            # mask broken client timestamp handling
+            from datetime import datetime, timezone
+
+            ts = query["startingTimestamp"].replace("Z", "+00:00")
+            cutoff_ms = int(datetime.fromisoformat(ts)
+                            .astimezone(timezone.utc).timestamp() * 1000)
+            versions = [ch["version"] for ch in table.changes
+                        if ch.get("timestamp", 0) >= cutoff_ms]
+            if not versions:
+                return handler._send(400, json.dumps({
+                    "errorCode": "INVALID_PARAMETER_VALUE",
+                    "message": "startingTimestamp after the latest commit",
+                }).encode())
+            start = min(versions)
         end = int(query["endingVersion"]) if "endingVersion" in query \
             else None
         lines = [self._metadata_ndjson(table)]
@@ -338,7 +378,15 @@ class MockSharingServer:
             return self._not_found(handler, "/".join(m.groups()))
         served_files, served_version = table.files, table.version
         try:
-            pinned = json.loads(body).get("version") if body else None
+            doc = json.loads(body) if body else {}
+            # valid JSON that is not an object ('42', 'null') must 400,
+            # not kill the handler thread with AttributeError
+            if not isinstance(doc, dict):
+                return handler._send(400, json.dumps({
+                    "errorCode": "INVALID_PARAMETER_VALUE",
+                    "message": "query body must be a JSON object",
+                }).encode())
+            pinned = doc.get("version")
         except json.JSONDecodeError:
             pinned = None
         if pinned is not None and pinned != table.version:

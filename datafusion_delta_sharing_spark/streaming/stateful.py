@@ -33,7 +33,10 @@ def _update_user_state(
     for pdf in batches:
         n += len(pdf)
         total += float(pdf["value"].sum())
-    state.update((n, round(total, 2)))
+    # state carries the UNROUNDED running total; rounding is emission-only.
+    # Rounding into the state would re-round each microbatch and drift from
+    # the batch-groupBy oracle as soon as the stream spans >1 batch
+    state.update((n, total))
     yield pd.DataFrame({
         "user_id": [key[0]],
         "n_events": [n],

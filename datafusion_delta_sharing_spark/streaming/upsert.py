@@ -33,10 +33,13 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from datafusion_delta_sharing_spark.streaming.windows import stream_events
+from datafusion_delta_sharing_spark.streaming.windows import (
+    set_stream_decode_confs,
+    stream_events,
+)
 
 _STATE_SCHEMA = ("bucket bigint, user_id bigint, total_cents bigint, "
-                 "n_events bigint, last_batch bigint")
+                 "n_events bigint, last_batch bigint, last_run string")
 
 
 def _state_df(spark: SparkSession, state_dir: str) -> DataFrame:
@@ -44,10 +47,17 @@ def _state_df(spark: SparkSession, state_dir: str) -> DataFrame:
 
 
 def upsert_totals_sink(spark: SparkSession, state_dir: str,
-                       n_buckets: int = 8):
+                       n_buckets: int = 8, run_id: str = ""):
     """writeStream foreachBatch callback merging per-user (total_cents,
     n_events) into ``state_dir``, rewriting only touched, not-yet-stamped
-    buckets."""
+    buckets.
+
+    ``run_id`` identifies the streaming QUERY (use its checkpoint
+    location): batch ids only mean "already applied" within one
+    checkpoint lineage. Without it, a new query with a fresh checkpoint
+    pointed at existing state would see its restarted batch ids 0..N
+    already stamped and silently discard real data as phantom replays —
+    the stamp is (run, batch), not batch alone."""
     os.makedirs(state_dir, exist_ok=True)
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
@@ -67,10 +77,13 @@ def upsert_totals_sink(spark: SparkSession, state_dir: str,
             return
         current = _state_df(spark, state_dir).filter(
             F.col("bucket").isin(touched))
-        # replay guard: a bucket whose rows are already stamped with this
-        # batch_id committed before a crash — skip it, don't double-merge
+        # replay guard: a bucket already stamped with (this run, >= this
+        # batch_id) committed before a crash — skip it, don't double-merge.
+        # Stamps from OTHER runs never count: a new query's batch ids
+        # restart at 0 and its data is real, not a replay
         done = {r.bucket for r in current.groupBy("bucket")
-                .agg(F.max("last_batch").alias("lb"))
+                .agg(F.max(F.when(F.col("last_run") == run_id,
+                                  F.col("last_batch"))).alias("lb"))
                 .filter(F.col("lb") >= batch_id).collect()}
         todo = [b for b in touched if b not in done]
         if not todo:
@@ -85,6 +98,7 @@ def upsert_totals_sink(spark: SparkSession, state_dir: str,
             .agg(F.sum("total_cents").alias("total_cents"),
                  F.sum("n_events").alias("n_events"))
             .withColumn("last_batch", F.lit(batch_id).cast("bigint"))
+            .withColumn("last_run", F.lit(run_id))
         )
         # materialize BEFORE overwriting: `merged` still reads state_dir
         # lazily through `current`, and writing over a path the same job
@@ -111,8 +125,7 @@ def stage_event_slices(spark: SparkSession, sf_dir: str,
     cross-batch merge arithmetic is never exercised."""
     # same decode pins as stream_events: the raw table may be
     # TIMESTAMP(NANOS), batch-readable only under nanosAsLong
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    set_stream_decode_confs(spark)
     out = tempfile.mkdtemp(prefix="upsert_src_")
     events = spark.read.option(
         "pathGlobFilter", "events.parquet").parquet(sf_dir)
@@ -128,14 +141,18 @@ def stream_upsert_totals(spark: SparkSession, sf_dir: str,
     and return the final state (user_id, total_cents, n_events)."""
     src = stage_event_slices(spark, sf_dir, n_slices)
     state_dir = tempfile.mkdtemp(prefix="upsert_state_")
+    ckpt = tempfile.mkdtemp(prefix="upsert_ckpt_")
     events = stream_events(spark, src, glob="*.parquet",
                            maxFilesPerTrigger="1")
     query = (
         events.select("user_id", "value")
         .writeStream.outputMode("update")
+        # run identity = the checkpoint location: stable across driver
+        # restarts of THIS query (same batch-id lineage), different for
+        # any new query pointed at the same state
         .foreachBatch(upsert_totals_sink(spark, state_dir,
-                                         n_buckets=n_buckets))
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="upsert_ckpt_"))
+                                         n_buckets=n_buckets, run_id=ckpt))
+        .option("checkpointLocation", ckpt)
         .start()
     )
     try:

@@ -62,6 +62,15 @@ def _events_schema(ts_type: T.DataType) -> T.StructType:
 EVENTS_RAW_SCHEMA = _events_schema(T.LongType())
 
 
+def set_stream_decode_confs(spark: SparkSession) -> None:
+    """The session-level decode pins every streaming helper needs (shared
+    so upsert.stage_event_slices and stream_events cannot drift): UTC
+    session tz + nanosAsLong for TIMESTAMP(NANOS) testdata. See the
+    stream_events docstring for why these are NOT scope-restored."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
 def stream_events(spark: SparkSession, path: str,
                   glob: str = "events.parquet", **options: str) -> DataFrame:
     """Streaming read of the events table, ts normalized to TIMESTAMP (ltz).
@@ -73,9 +82,17 @@ def stream_events(spark: SparkSession, path: str,
     schema — hardcoding either layout mis-decodes the other by 1000x.
     Session tz is pinned UTC so the NTZ->LTZ cast (watermarks require ltz)
     cannot shift instants.
+
+    The two confs are DELIBERATELY session-level and not restored: the
+    returned stream is lazy — its micro-batches read these confs when the
+    query executes, long after this function returns, so a scoped
+    save/restore (the tws.py pattern, safe there because it runs its
+    query to completion) would silently undo the decode pins mid-stream.
+    The cost is visible session state: later batch reads in the same
+    session see nanosAsLong=true and UTC; callers needing different
+    settings must use a separate SparkSession.
     """
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    set_stream_decode_confs(spark)
     probe = spark.read.option("pathGlobFilter", glob).parquet(path)
     ts_dtype = dict(probe.dtypes).get("ts")
     # explicit branch per probed encoding (ADVICE r3: assuming "anything

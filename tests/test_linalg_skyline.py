@@ -200,3 +200,33 @@ def test_upsert_merge_is_replay_idempotent(spark, sf_dir, tmp_path):
               for r in UP._state_df(spark, state).collect()}
     for (uid, cents, n) in once:
         assert thrice[uid] == (2 * cents, 2 * n)
+
+
+def test_upsert_new_run_over_existing_state_merges(spark, sf_dir, tmp_path):
+    """r5 review fix: batch ids only mean 'already applied' within one run
+    (checkpoint lineage). A NEW query pointed at existing state restarts
+    its batch ids at 0 — its data is real and must merge, not be
+    discarded as a phantom replay; replays within each run stay no-ops."""
+    from datafusion_delta_sharing_spark.streaming import upsert as UP
+
+    state = str(tmp_path / "state")
+    batch = (load_table(spark, sf_dir, "events")
+             .select("user_id", "value").limit(500).localCheckpoint())
+
+    run_a = UP.upsert_totals_sink(spark, state, n_buckets=4, run_id="ckpt-a")
+    run_a(batch, 0)
+    first = {r.user_id: (r.total_cents, r.n_events)
+             for r in UP._state_df(spark, state).collect()}
+    assert first
+
+    run_b = UP.upsert_totals_sink(spark, state, n_buckets=4, run_id="ckpt-b")
+    run_b(batch, 0)   # same batch id, DIFFERENT run: real data
+    second = {r.user_id: (r.total_cents, r.n_events)
+              for r in UP._state_df(spark, state).collect()}
+    for uid, (cents, n) in first.items():
+        assert second[uid] == (2 * cents, 2 * n)
+
+    run_b(batch, 0)   # replay within run b: no-op
+    third = {r.user_id: (r.total_cents, r.n_events)
+             for r in UP._state_df(spark, state).collect()}
+    assert third == second

@@ -616,3 +616,55 @@ def test_percent_encoded_file_url_with_dv(spark, tmp_path):
     with MockSharingServer([table]) as srv:
         df = _reader(spark, srv).table("s.d.t")
         assert sorted(r.id for r in df.collect()) == [1, 3]
+
+
+def test_catalog_sql_case_insensitive_three_part_names(spark, local_server):
+    """Spark SQL identifiers are case-insensitive; the three-part-name
+    rewriter must resolve `S.D.T` to the same share as `s.d.t` (r5 review
+    fix — the miss used to surface as TABLE_OR_VIEW_NOT_FOUND)."""
+    catalog = DeltaSharingCatalog(
+        spark, Profile.from_json(local_server.profile_doc()))
+    out = catalog.sql("SELECT count(*) AS n FROM S.D.T WHERE id <= 4")
+    assert out.collect()[0].n == 4
+    # the Python API resolves case-insensitively too
+    assert catalog.table("S.d.T").count() == 6
+
+
+def test_catalog_info_schema_literal_does_not_register_view(spark,
+                                                            local_server):
+    """A string literal spelling information_schema.tables must not
+    trigger the listing side effect (registering the temp view would
+    clobber a user view of that name)."""
+    spark.catalog.dropTempView("information_schema__tables")
+    catalog = DeltaSharingCatalog(
+        spark, Profile.from_json(local_server.profile_doc()))
+    row = catalog.sql(
+        "SELECT 'see information_schema.tables' AS note").collect()[0]
+    assert row.note == "see information_schema.tables"
+    assert not spark.catalog.tableExists("information_schema__tables")
+    # and the real reference still resolves
+    assert catalog.sql(
+        "SELECT count(*) AS n FROM information_schema.tables"
+    ).collect()[0].n == 1
+
+
+def test_mock_server_suffix_and_open_ranges(local_server, tmp_path):
+    """The mock's Range support must cover the RFC-7233 single-range forms
+    real HTTP file layers send (suffix 'bytes=-n' is the footer-first
+    read), plus 416 on unsatisfiable ranges."""
+    import requests
+
+    table = MockTable(share="s", schema="d", name="t",
+                      schema_string=SCHEMA_STRING,
+                      partition_columns=[], files=[])
+    blob = bytes(range(200)) * 2
+    with MockSharingServer([table], parquet_bytes={"/b.bin": blob}) as srv:
+        url = f"{srv.base_url}/b.bin"
+        r = requests.get(url, headers={"Range": "bytes=-100"})
+        assert r.status_code == 206 and r.content == blob[-100:]
+        r = requests.get(url, headers={"Range": "bytes=350-"})
+        assert r.status_code == 206 and r.content == blob[350:]
+        r = requests.get(url, headers={"Range": f"bytes={len(blob)}-"})
+        assert r.status_code == 416
+        r = requests.get(url, headers={"Range": "bytes=0-99"})
+        assert r.status_code == 206 and r.content == blob[:100]

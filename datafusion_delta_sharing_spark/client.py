@@ -23,7 +23,7 @@ from __future__ import annotations
 import json
 import time
 from dataclasses import dataclass, field as dc_field
-from datetime import datetime
+from datetime import datetime, timezone
 from typing import Any, Iterator
 from urllib.parse import quote
 
@@ -137,6 +137,12 @@ class FileAction:
                        "deletionVector", doc.get("deletionVector"))}
         raw_pv = doc.get("partitionValues") or {}
         partition_values = {k: ("" if v is None else str(v)) for k, v in raw_pv.items()}
+        if not doc.get("url"):
+            # missing parquet-format 'url' or delta-format inner 'path':
+            # fail HERE with a protocol error, not with urlparse(None)
+            # deep inside an executor scan
+            raise DeltaSharingError(
+                f"file action has no url/path: {str(doc)[:200]}")
         return cls(
             url=doc["url"],
             id=doc.get("id", ""),
@@ -194,7 +200,14 @@ def _parse_ndjson_actions(text: str) -> Iterator[tuple[str, dict]]:
         line = line.strip()
         if not line:
             continue
-        doc = json.loads(line)
+        try:
+            doc = json.loads(line)
+        except json.JSONDecodeError as exc:
+            # truncated bodies (connection cut mid-response) must surface
+            # as the client's error type, same as wrong-shape lines below
+            raise DeltaSharingError(
+                f"malformed NDJSON action line: {line[:200]} ({exc})"
+            ) from exc
         if not isinstance(doc, dict) or len(doc) != 1:
             raise DeltaSharingError(f"malformed NDJSON action line: {line[:200]}")
         kind, body = next(iter(doc.items()))
@@ -240,8 +253,11 @@ class DeltaSharingClient:
         message = resp.text[:500]
         try:
             body = resp.json()
-            error_code = body.get("errorCode")
-            message = body.get("message", message)
+            # non-object JSON error bodies ('"oops"', '[..]') must still
+            # map to the client's error types, not AttributeError
+            if isinstance(body, dict):
+                error_code = body.get("errorCode")
+                message = body.get("message", message)
         except ValueError:
             pass
         cls = ClientHttpError if resp.status_code < 500 else ServerHttpError
@@ -386,6 +402,12 @@ class DeltaSharingClient:
         params = {}
         if starting_timestamp is not None:
             if isinstance(starting_timestamp, datetime):
+                # a tz-aware non-UTC datetime must be CONVERTED before the
+                # 'Z' suffix labels it UTC — stamping local wall time as
+                # Zulu would ask the server for the wrong point in time
+                if starting_timestamp.tzinfo is not None:
+                    starting_timestamp = starting_timestamp.astimezone(
+                        timezone.utc)
                 starting_timestamp = (
                     starting_timestamp.strftime("%Y-%m-%dT%H:%M:%SZ")
                 )
@@ -436,7 +458,11 @@ class DeltaSharingClient:
         if json_predicate_hints is not None:
             body["jsonPredicateHints"] = json_predicate_hints
         if limit_hint is not None:
-            body["limitHint"] = str(limit_hint)
+            # JSON number per the delta-sharing PROTOCOL spec. Deliberate
+            # deviation from the reference, which stringifies it
+            # (mod.rs:336 lim.to_string()) — a strictly-typed server
+            # rejects the string form, and lenient ones accept both
+            body["limitHint"] = int(limit_hint)
         if version is not None:
             body["version"] = int(version)
         if timestamp is not None:

@@ -93,6 +93,10 @@ def _may_match(node: Op, stats: dict) -> bool:
     if node.op == "and":
         return all(_may_match(c, stats) for c in node.children)
     if node.op == "or":
+        # an empty disjunction is un-analyzable, not false: any([]) would
+        # prune EVERY file, breaking the never-prune-on-doubt invariant
+        if not node.children:
+            return True
         return any(_may_match(c, stats) for c in node.children)
     if node.op == "isNull":
         child = node.children[0]

@@ -31,7 +31,9 @@ _SUPPORTED_VERSION = 1
 def _parse_expiration(raw: str) -> datetime:
     """Parse an RFC-3339 expiration timestamp into an aware UTC datetime."""
     text = raw.strip()
-    if text.endswith("Z"):
+    # RFC 3339 permits lowercase 'z'; keep in sync with the equivalent
+    # normalizations in plans/pruning._coerce and schema.decode_partition_value
+    if text.endswith(("Z", "z")):
         text = text[:-1] + "+00:00"
     try:
         parsed = datetime.fromisoformat(text)
@@ -79,7 +81,14 @@ class Profile:
                 raise ProfileError(f"malformed profile JSON: {exc}") from exc
         if not isinstance(doc, dict):
             raise ProfileError("profile JSON must be an object")
-        if int(doc.get("shareCredentialsVersion", _SUPPORTED_VERSION)) == 2:
+        try:
+            version = int(doc.get("shareCredentialsVersion",
+                                  _SUPPORTED_VERSION))
+        except (TypeError, ValueError) as exc:
+            raise ProfileError(
+                "profile shareCredentialsVersion must be an integer, got "
+                f"{doc.get('shareCredentialsVersion')!r}") from exc
+        if version == 2:
             return OAuthClientCredentialsProfile.from_doc(doc)
         missing = [k for k in ("shareCredentialsVersion", "endpoint", "bearerToken")
                    if k not in doc]
@@ -91,7 +100,7 @@ class Profile:
         return cls(
             endpoint=str(doc["endpoint"]).rstrip("/"),
             bearer_token=str(doc["bearerToken"]),
-            share_credentials_version=int(doc["shareCredentialsVersion"]),
+            share_credentials_version=version,
             expiration_time=expiration,
         )
 

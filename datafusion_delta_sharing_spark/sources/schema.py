@@ -57,6 +57,10 @@ def _validate_decimals(type_doc: Any) -> None:
         kind = type_doc.get("type")
         if kind == "struct":
             for field_doc in type_doc.get("fields", []):
+                if not isinstance(field_doc, dict):
+                    raise SchemaError(
+                        f"malformed schemaString: struct field {field_doc!r} "
+                        "is not an object")
                 _validate_decimals(field_doc.get("type"))
         elif kind == "array":
             _validate_decimals(type_doc.get("elementType"))
@@ -117,11 +121,19 @@ def decode_partition_value(raw: str | None, dtype: T.DataType) -> Any:
             return _dt.date.fromisoformat(raw)
         if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
             text = raw.strip()
-            if text.endswith("Z"):
+            if text.endswith(("Z", "z")):
                 text = text[:-1] + "+00:00"
             parsed = _dt.datetime.fromisoformat(text.replace(" ", "T", 1))
             if parsed.tzinfo is not None:
-                parsed = parsed.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+                parsed = parsed.astimezone(_dt.timezone.utc)
+                if isinstance(dtype, T.TimestampNTZType):
+                    # NTZ is wall-clock; an explicit offset pins the
+                    # instant, so normalize to the UTC wall time
+                    parsed = parsed.replace(tzinfo=None)
+                # TimestampType keeps tzinfo: a NAIVE datetime would be
+                # re-interpreted in the session timezone downstream
+                # (F.lit / pa.array), silently shifting the instant for
+                # any session not pinned to UTC
             return parsed
     except (ValueError, decimal.InvalidOperation, ArithmeticError) as exc:
         raise SchemaError(

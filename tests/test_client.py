@@ -119,7 +119,7 @@ def test_table_data_with_hints(client, server):
     assert data.files[0].parsed_stats()["numRecords"] == 10
     assert data.files[1].parsed_stats() is None
     body = json.loads(server.requests[-1]["body"])
-    assert body == {"jsonPredicateHints": hints, "limitHint": "100"}
+    assert body == {"jsonPredicateHints": hints, "limitHint": 100}
 
 
 def test_table_data_no_hints_empty_body(client, server):
@@ -217,3 +217,104 @@ def test_no_retry_on_plain_4xx(server):
     hits = [r for r in server.requests
             if r["path"].endswith("/shares/nope")]
     assert len(hits) == 1  # 404 is terminal, not retried
+
+
+# -- r5 protocol-robustness fixes ------------------------------------------
+
+
+def test_version_timestamp_converted_to_utc(server, client):
+    """A tz-aware non-UTC starting_timestamp must be CONVERTED to UTC
+    before the 'Z' suffix labels it — stamping +05:30 wall time as Zulu
+    would ask for the wrong snapshot."""
+    from datetime import datetime, timedelta, timezone
+
+    ist = timezone(timedelta(hours=5, minutes=30))
+    client.get_table_version(
+        Table(share="sales", schema="emea", name="orders"),
+        starting_timestamp=datetime(2024, 1, 1, 12, 0, tzinfo=ist))
+    q = [r["query"] for r in server.requests if "/version" in r["path"]][-1]
+    assert q["startingTimestamp"] == "2024-01-01T06:30:00Z"
+
+
+def test_ndjson_truncated_line_raises_client_error():
+    from datafusion_delta_sharing_spark.client import _parse_ndjson_actions
+    from datafusion_delta_sharing_spark.errors import DeltaSharingError
+
+    with pytest.raises(DeltaSharingError, match="malformed NDJSON"):
+        list(_parse_ndjson_actions('{"file": {"url"'))
+
+
+def test_file_action_without_url_raises_client_error():
+    from datafusion_delta_sharing_spark.client import FileAction
+    from datafusion_delta_sharing_spark.errors import DeltaSharingError
+
+    with pytest.raises(DeltaSharingError, match="no url/path"):
+        FileAction.from_json({"id": "x"})
+    with pytest.raises(DeltaSharingError, match="no url/path"):
+        FileAction.from_json({"id": "x", "deltaSingleAction": {"add": {}}})
+
+
+def test_error_body_non_object_json_still_maps():
+    """HTTP 4xx/5xx with a valid-JSON non-object body ('\"oops\"') must
+    map to the client error types, not AttributeError."""
+    class FakeResp:
+        status_code = 500
+        text = '"internal"'
+
+        headers: dict = {}
+
+        def json(self):
+            return "internal"
+
+    from datafusion_delta_sharing_spark.errors import ServerHttpError
+
+    client = DeltaSharingClient(Profile.from_json(json.dumps({
+        "shareCredentialsVersion": 1, "endpoint": "http://x",
+        "bearerToken": "t"})))
+    with pytest.raises(ServerHttpError):
+        client._check(FakeResp())
+
+
+def test_profile_bad_version_raises_profile_error():
+    from datafusion_delta_sharing_spark.errors import ProfileError
+
+    for bad in (None, "2.0", []):
+        with pytest.raises(ProfileError, match="shareCredentialsVersion"):
+            Profile.from_json({"shareCredentialsVersion": bad,
+                               "endpoint": "http://x", "bearerToken": "t"})
+
+
+def test_empty_or_disjunction_never_prunes():
+    from datafusion_delta_sharing_spark.plans.predicates import Op, ValueType
+    from datafusion_delta_sharing_spark.plans.pruning import may_match
+
+    stats = {"minValues": {"id": 1}, "maxValues": {"id": 5},
+             "nullCount": {"id": 0}}
+    empty_or = Op(op="or", children=())
+    assert may_match(empty_or, stats) is True
+    inner = Op.equal(Op.column("id", ValueType.LONG),
+                     Op.literal(99, ValueType.LONG))
+    assert may_match(Op(op="and", children=(empty_or, inner)), stats) is False
+
+
+def test_timestamp_partition_value_with_offset_keeps_instant():
+    """An offset-carrying timestamp partition value decodes to an AWARE
+    datetime for TimestampType (a naive one would be re-read in the
+    session tz, shifting the instant); NTZ normalizes to the UTC wall."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from datafusion_delta_sharing_spark.sources.schema import (
+        decode_partition_value,
+    )
+
+    aware = decode_partition_value("2021-04-29T10:00:00+02:00",
+                                   T.TimestampType())
+    assert aware.tzinfo is not None
+    assert aware.astimezone(dt.timezone.utc).hour == 8
+    naive = decode_partition_value("2021-04-29 10:00:00", T.TimestampType())
+    assert naive.tzinfo is None and naive.hour == 10
+    ntz = decode_partition_value("2021-04-29T10:00:00Z",
+                                 T.TimestampNTZType())
+    assert ntz.tzinfo is None and ntz.hour == 10

@@ -107,7 +107,26 @@ def _signature_expr(vec_col: str, planes: list[list[float]]):
         raise ValueError(
             f"n_planes={len(planes)} exceeds the 52-bit double-exact "
             "packing limit; use <= 52 planes (or multiple hash tables)")
-    mat = F.array(*[F.array(*[F.lit(v) for v in plane]) for plane in planes])
+    return _signature_from_mat(vec_col, _matrix_literal(planes))
+
+
+def _matrix_literal(planes: list[list[float]]):
+    """Plane matrix -> ONE array-of-arrays literal Column, built as a SQL
+    expression string so the whole matrix costs a single py4j call:
+    per-element construction (nested F.array/F.lit — and F.lit(list),
+    which expands to the same) is one driver RPC per element, profiled at
+    ~7s of ann_lsh_topk wall time (8 tables x 8 planes x 64 dims = 4096
+    round trips) before the first job started. repr() is the shortest
+    exact round-trip form, so the doubles are bit-identical to the lit()
+    spelling."""
+    rows = ",".join(
+        "array(" + ",".join(f"{float(v)!r}D" for v in plane) + ")"
+        for plane in planes)
+    return F.expr(f"array({rows})")
+
+
+def _signature_from_mat(vec_col: str, mat):
+    """Packed sign-bit signature against a (planes x dim) matrix Column."""
     dots = F.transform(mat, lambda plane: F.aggregate(
         F.zip_with(F.col(vec_col), plane, lambda x, h: x.cast("double") * h),
         F.lit(0.0), lambda acc, x: acc + x))
@@ -124,15 +143,29 @@ def _lsh_buckets(df: DataFrame, dim: int, n_planes: int, n_tables: int,
     """(id, table, bucket) posting rows — one per hash table. The vector
     column is dropped BEFORE the table-explode so embeddings never ride
     the n_tables×-duplicated exchange (same rule as the MinHash band
-    explode, VERDICT r1 #5); they re-attach per candidate after dedup."""
-    sigs = [F.struct(F.lit(t).alias("t"),
-                     _signature_expr(vec_col, _hyperplanes(dim, n_planes, t))
-                     .alias("b"))
-            for t in range(n_tables)]
+    explode, VERDICT r1 #5); they re-attach per candidate after dedup.
+
+    All tables share ONE 3-D literal (table x plane x dim) iterated by a
+    single transform + posexplode: building a separate signature
+    expression per table cost n_tables x the HOF-construction py4j
+    round-trips (~0.4s each) on the driver. Per-table values are
+    unchanged — same plane derivation, same fold order — so buckets are
+    bit-identical to the per-table spelling."""
+    if n_planes > 52:
+        raise ValueError(
+            f"n_planes={n_planes} exceeds the 52-bit double-exact "
+            "packing limit; use <= 52 planes (or multiple hash tables)")
+    tables_rows = ",".join(
+        "array(" + ",".join(
+            "array(" + ",".join(f"{float(v)!r}D" for v in plane) + ")"
+            for plane in _hyperplanes(dim, n_planes, t)) + ")"
+        for t in range(n_tables))
+    tables_mat = F.expr(f"array({tables_rows})")
+    sig_per_table = F.transform(
+        tables_mat, lambda mat: _signature_from_mat(vec_col, mat))
     return (df.select(F.col(id_col).alias("id"),
-                      F.explode(F.array(*sigs)).alias("tb"))
-            .select("id", F.col("tb.t").alias("table"),
-                    F.col("tb.b").alias("bucket")))
+                      F.posexplode(sig_per_table).alias("table", "bucket"))
+            .select("id", "table", "bucket"))
 
 
 def lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,

@@ -61,6 +61,13 @@ HEADLINE = [
     # r4 additions: containment dedup, distributed linalg, skyline
     "containment_pairs", "embedding_covariance", "random_projection",
     "pareto_frontier",
+    # r5 bench-breadth additions (existing registry queries, previously
+    # unbenched): the near-dup/ANN recall-summary stack, percentile and
+    # interval shapes, warehouse SCD, end-to-end streaming upsert, CDF
+    # snapshot reconstruction through the mock connector
+    "semantic_dedup", "dedup_simhash", "ann_lsh_topk", "ann_ivf_topk",
+    "exact_percentiles", "listagg_ordered", "interval_join", "scd2_build",
+    "stream_upsert", "connector_cdf_apply",
 ]
 
 

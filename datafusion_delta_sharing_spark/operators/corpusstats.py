@@ -70,7 +70,7 @@ def grouped_quantiles_sql(source_sql: str, group_col: str, score_sql: str,
         SELECT c.grp AS {group_col}, {float(q)} AS q,
                min(c._s) AS {score_name}
         FROM cum c JOIN tot t ON c.grp = t.grp
-        WHERE c._cum >= ceil({q} * t._n)
+        WHERE c._cum >= ceil(CAST({q} AS DOUBLE) * t._n)
         GROUP BY c.grp""" for q in qs]
     return base + " UNION ALL ".join(parts)
 
@@ -100,7 +100,16 @@ def distinctive_terms(a: DataFrame, b: DataFrame, text_col: str,
                           * (F.col("_nb") - F.col("c_b") + 1))
               .withColumn("odds_den",
                           (F.col("c_b") + 1)
-                          * (F.col("_na") - F.col("c_a") + 1)))
+                          * (F.col("_na") - F.col("c_a") + 1))
+              # same exact-bigint bound as pmi_collocations: the odds
+              # products wrap silently past 2^63 — refuse loudly instead
+              .filter(F.when(
+                  (F.col("c_a").cast("double") + 1)
+                  * (F.col("_nb").cast("double") + 1) < F.lit(0.9e19),
+                  F.lit(True)).otherwise(F.raise_error(F.lit(
+                      "distinctive_terms: odds products exceed the "
+                      "exact-bigint range; use log-space doubles at "
+                      "this corpus size")))))
     return (joined
             .orderBy((F.col("odds_num") * 1.0 / F.col("odds_den")).desc(),
                      "token")

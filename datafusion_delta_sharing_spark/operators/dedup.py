@@ -207,6 +207,12 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     (band index, band hash), then verify true Jaccard on the candidate pairs
     only. Candidate generation is an equi-join shuffle on the band hash —
     the classic shingle->minhash->band->bucket-join pipeline."""
+    if bands < 1 or num_hashes % bands:
+        # a non-dividing band count would silently drop the trailing
+        # num_hashes % bands signature entries (lower recall than asked),
+        # and bands > num_hashes would call zero-arg xxhash64
+        raise ValueError(
+            f"bands={bands} must divide num_hashes={num_hashes}")
     rows = num_hashes // bands
     signed = minhash_signature(df, text_col, id_col, num_hashes, k).cache()
     band_cols = []
@@ -330,7 +336,12 @@ def pigeonhole_neardup_pairs(hashed: DataFrame, max_hamming: int) -> DataFrame:
     bands = hashed.select(
         "id", "simhash",
         F.posexplode(F.array(
-            *[F.shiftright("simhash", off).bitwiseAND(F.lit((1 << width) - 1))
+            # a full-width (64-bit) chunk needs the all-ones mask as -1:
+            # (1<<64)-1 exceeds LongType and fails analysis (max_hamming=0
+            # produces exactly one such chunk)
+            *[F.shiftright("simhash", off).bitwiseAND(
+                F.lit(-1 if width >= 64 else (1 << width) - 1)
+                .cast("long"))
               for off, width in bounds])).alias("band", "val"),
     )
     a, b = bands.alias("a"), bands.alias("b")
@@ -411,13 +422,19 @@ def connected_components(vertices: DataFrame, pairs: DataFrame,
 
 def dedup_survivors(df: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
     """End-to-end near-dup dedup: cluster the candidate pairs, keep one row
-    per component (the min-id canonical)."""
+    per component (the min-id canonical). The component frame's columns
+    are prefixed before the join: a caller whose id column is literally
+    named ``id`` (the common case) would otherwise collide with the
+    cluster frame's ``id``, making the filter ambiguous and the final
+    drop remove the caller's column too."""
     vertices = df.select(F.col(id_col).alias("id"))
-    components = connected_components(vertices, pairs)
+    components = connected_components(vertices, pairs).select(
+        F.col("id").alias("__dedup_id"),
+        F.col("component").alias("__dedup_component"))
     return (
-        df.join(components, df[id_col] == components.id)
-        .filter(F.col(id_col) == F.col("component"))
-        .drop("id", "component")
+        df.join(components, df[id_col] == components.__dedup_id)
+        .filter(F.col("__dedup_id") == F.col("__dedup_component"))
+        .drop("__dedup_id", "__dedup_component")
     )
 
 

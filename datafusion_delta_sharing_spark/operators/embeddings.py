@@ -11,18 +11,15 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from datafusion_delta_sharing_spark.functions.vector import (
+    l2_norm,  # noqa: F401 (re-export; single definition — a drifting
+)             # duplicate here would silently diverge from cosine's norm)
+
 _FIXED_POINT = 1_000_000  # 1e-6 resolution for cross-engine digests
 
 
 def _as_double(x: Column) -> Column:
     return x.cast("double")
-
-
-def l2_norm(vec: Column | str) -> Column:
-    """Euclidean norm of an array column (double)."""
-    v = F.col(vec) if isinstance(vec, str) else vec
-    return F.sqrt(F.aggregate(
-        v, F.lit(0.0), lambda acc, x: acc + _as_double(x) * _as_double(x)))
 
 
 def l2_normalize_digest(emb: DataFrame, vec_col: str, id_col: str) -> DataFrame:

@@ -44,7 +44,10 @@ def prepare_training_corpus(docs: DataFrame, text_col: str, id_col: str,
     chunks = chunk_documents(train, text_col, id_col,
                              chunk_size=chunk_size, overlap=overlap)
     with_uid = chunks.select(
-        (F.col(id_col) * _UID_BASE + F.col("chunk_id")).alias("chunk_uid"),
+        # cast BEFORE the multiply: an IntegerType id wraps silently past
+        # ~21474 under non-ANSI int arithmetic, colliding chunk_uids
+        (F.col(id_col).cast("long") * _UID_BASE
+         + F.col("chunk_id")).alias("chunk_uid"),
         F.col("n_tokens").alias("n_tok"))
     packed = pack_sequences(with_uid, "chunk_uid", "n_tok",
                             budget=budget, n_buckets=n_buckets)
@@ -74,7 +77,7 @@ def prepare_training_corpus_sql(source_sql: str, text_col: str, id_col: str,
     chunks = chunk_documents_sql(train, text_col, id_col,
                                  chunk_size=chunk_size, overlap=overlap)
     pack_src = f"""(
-        SELECT {id_col} * {_UID_BASE} + chunk_id AS chunk_uid, n_tokens
+        SELECT CAST({id_col} AS BIGINT) * {_UID_BASE} + chunk_id AS chunk_uid, n_tokens
         FROM ({chunks})
     )"""
     packed = pack_sequences_sql(pack_src, "chunk_uid", "n_tokens",

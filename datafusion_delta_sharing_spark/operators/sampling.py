@@ -107,7 +107,7 @@ def quantile_threshold_flags_sql(source_sql: str, score_sql: str,
             FROM counts
         ), thr AS (
             SELECT min(_score) AS _thr FROM cum
-            WHERE _cum >= ceil({q} * (SELECT count(*) FROM scored))
+            WHERE _cum >= ceil(CAST({q} AS DOUBLE) * (SELECT count(*) FROM scored))
         )
         SELECT s.{id_col}, s._score AS {score_name},
                s._score >= t._thr AS kept
@@ -157,9 +157,9 @@ def winsorize_sql(source_sql: str, score_sql: str, id_col: str,
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _cum
             FROM (SELECT _score, count(*) AS _c FROM scored GROUP BY _score)
         ), thr AS (
-            SELECT min(CASE WHEN _cum >= ceil({q_lo} *
+            SELECT min(CASE WHEN _cum >= ceil(CAST({q_lo} AS DOUBLE) *
                        (SELECT count(*) FROM scored)) THEN _score END) AS _lo,
-                   min(CASE WHEN _cum >= ceil({q_hi} *
+                   min(CASE WHEN _cum >= ceil(CAST({q_hi} AS DOUBLE) *
                        (SELECT count(*) FROM scored)) THEN _score END) AS _hi
             FROM cum
         )
@@ -202,7 +202,7 @@ def quantile_bin_sql(source_sql: str, score_sql: str, id_col: str,
                      score_name: str = "score") -> str:
     """DuckDB mirror of :func:`quantile_bin`."""
     thr_cols = ", ".join(
-        f"min(CASE WHEN _cum >= ceil({q} * (SELECT count(*) FROM scored))"
+        f"min(CASE WHEN _cum >= ceil(CAST({q} AS DOUBLE) * (SELECT count(*) FROM scored))"
         f" THEN _score END) AS _t{i}" for i, q in enumerate(qs))
     bin_expr = " + ".join(
         f"(CASE WHEN s._score > t._t{i} THEN 1 ELSE 0 END)"

@@ -114,7 +114,7 @@ def heavy_hitters_sql(source_sql: str, value_col: str,
         FROM {source_sql}
         WHERE {value_col} IS NOT NULL
         GROUP BY {value_col}
-        HAVING count(*) >= ceil({min_frac} * (
+        HAVING count(*) >= ceil(CAST({min_frac} AS DOUBLE) * (
             SELECT count(*) FROM {source_sql}
             WHERE {value_col} IS NOT NULL))
     """

@@ -28,6 +28,17 @@ def salted_join(skewed: DataFrame, replicated: DataFrame, on: str | list[str],
     if overlap:
         raise ValueError(
             f"ambiguous non-key columns on both sides: {sorted(overlap)}")
+    if how not in ("inner", "left", "left_outer", "leftouter", "semi",
+                   "left_semi", "leftsemi", "anti", "left_anti", "leftanti"):
+        # outer-preserving the REPLICATED side is not salt-equivalent: an
+        # unmatched replicated key survives once per salt copy, inflating
+        # right/full results `salts`x — refuse rather than silently
+        # duplicate (the equivalence claim only holds when unmatched
+        # replicated rows are dropped)
+        raise ValueError(
+            f"salted_join does not support how={how!r}: outer-preserving "
+            "the replicated side would emit its unmatched rows once per "
+            "salt; use inner/left/semi/anti, or salt the other side")
 
     salted_left = skewed.withColumn(
         SALT_COL,

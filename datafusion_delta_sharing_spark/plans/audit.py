@@ -57,6 +57,40 @@ def shuffles(df: DataFrame) -> int:
     return len(re.findall(r"\bExchange\b", _executed_plan(df)))
 
 
+def _global_sorts_aggregate_reduced(plan: str) -> bool:
+    """True iff every global Sort in the plan has an Aggregate inside its
+    OWN subtree (its input is aggregate-reduced). The old check searched
+    for an Aggregate anywhere after the Sort in the plan STRING, so an
+    aggregate in a sibling join branch (big_fact.join(dim.groupBy(...))
+    .orderBy(...)) suppressed the finding for a full-data sort.
+
+    Subtree walk over the tree-string: a child's operator name is
+    indented deeper than its parent's; the subtree ends at the first line
+    whose name position is <= the Sort's. WholeStageCodegen '*(n) '
+    markers are stripped first so name positions reflect tree art only.
+    """
+    text = re.sub(r"\*\(\d+\) ", "", plan)
+    lines = text.splitlines()
+    for i, line in enumerate(lines):
+        m = re.search(r"\bSort \[[^\]]*\], true", line)
+        if not m:
+            continue
+        depth = line.index("Sort")
+        reduced = False
+        for child in lines[i + 1:]:
+            name = re.search(r"[A-Za-z]", child)
+            if name is None:
+                continue
+            if name.start() <= depth:
+                break  # left the Sort's subtree
+            if "Aggregate" in child:
+                reduced = True
+                break
+        if not reduced:
+            return False
+    return True
+
+
 def audit(df: DataFrame, allow: set[str] | frozenset[str] = frozenset()
           ) -> list[Finding]:
     """Lint the physical plan; returns findings not named in ``allow``."""
@@ -81,14 +115,14 @@ def audit(df: DataFrame, allow: set[str] | frozenset[str] = frozenset()
             "row-at-a-time Python UDF (BatchEvalPython): 10-100x slower "
             "than Arrow-batched pandas_udf; rewrite with built-ins or "
             "a vectorized UDF tier"))
-    sort_m = re.search(r"\bSort \[[^\]]*\], true", plan)
-    if sort_m and "TakeOrderedAndProject" not in plan and \
-            not re.search(r"Aggregate", plan[sort_m.end():]):
+    if "TakeOrderedAndProject" not in plan and \
+            not _global_sorts_aggregate_reduced(plan):
         found.append(Finding(
             "global_sort",
-            "global Sort without a top-k operator: full range-partitioned "
-            "sort materialization; add a limit (TakeOrderedAndProject), "
-            "sortWithinPartitions, or drop the ordering"))
+            "global Sort without a top-k operator over unaggregated "
+            "input: full range-partitioned sort materialization; add a "
+            "limit (TakeOrderedAndProject), sortWithinPartitions, or "
+            "drop the ordering"))
     for m in re.finditer(
             r"DataFilters: \[(.*?)(?:\]|\.\.\.), Format:", plan):
         # a cast() DIRECTLY around a column attribute in a comparison

@@ -472,3 +472,19 @@ def test_prefix_jaccard_length_filter_is_lossless(spark):
             docs, "text", "doc_id", k=5, threshold=t).collect()}
         assert pref == plain
         assert (1, 2) in {(a, b) for a, b, _ in plain}  # near-dup survives
+
+
+def test_prepare_training_corpus_int_ids_do_not_wrap(spark):
+    """chunk_uid = doc_id * 100_000 must be computed in BIGINT: an
+    IntegerType doc id above ~21474 wraps int32 under non-ANSI arithmetic,
+    silently corrupting (or colliding) chunk uids. Every output doc_id
+    must round-trip to one of the input ids."""
+    from datafusion_delta_sharing_spark.operators import pipeline as PL
+
+    text = "the quick brown fox jumps over the lazy dog. " * 40
+    ids = [21_000 + 7_919 * i for i in range(12)] + [2_000_000_000]
+    docs = spark.createDataFrame([(i, text + f" doc{i}") for i in ids],
+                                 "doc_id int, text string")
+    out = PL.prepare_training_corpus(docs, "text", "doc_id").collect()
+    assert out  # with train=0.8 over 13 hash-split ids, some must land
+    assert {r.doc_id for r in out} <= set(ids)

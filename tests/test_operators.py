@@ -323,6 +323,22 @@ def test_salted_join_rejects_ambiguous_columns(spark):
         salted_join(a, b, "k")
 
 
+def test_salted_join_rejects_outer_preserving_replicated(spark):
+    """Outer-preserving the REPLICATED side is not salt-equivalent: an
+    unmatched replicated key would survive once per salt copy, inflating
+    right/full results ``salts``x — must refuse, not silently duplicate."""
+    from datafusion_delta_sharing_spark.operators.skew import salted_join
+
+    a = spark.createDataFrame([(1, "x")], "k long, v string")
+    b = spark.createDataFrame([(1, 10), (2, 20)], "k long, w long")
+    for how in ("right", "full", "right_outer", "full_outer"):
+        with pytest.raises(ValueError, match="does not support"):
+            salted_join(a, b, "k", how=how)
+    # left join stays supported: unmatched SKEWED rows appear exactly once
+    left = salted_join(a.withColumn("k", F.lit(99)), b, "k", how="left")
+    assert left.count() == 1
+
+
 # -- IVF ANN --------------------------------------------------------------
 
 
@@ -462,6 +478,34 @@ def test_simhash_pigeonhole_recall_at_guarantee_radius(spark):
                 f"radius {max_hamming}: pair (0,{other}) missed: {got}")
 
 
+def test_pigeonhole_max_hamming_zero_uses_full_width_mask(spark):
+    """max_hamming=0 yields a single 64-bit chunk whose all-ones mask must
+    be the long -1: the naive (1<<64)-1 literal overflows LongType and
+    fails analysis. Exact-duplicate fingerprints (including negative
+    longs) still pair; near-misses do not."""
+    from datafusion_delta_sharing_spark.operators.dedup import (
+        pigeonhole_neardup_pairs)
+
+    rows = [(0, 123456789), (1, 123456789), (2, -987654321), (3, -987654321),
+            (4, 123456788)]
+    hashed = spark.createDataFrame(rows, "id long, simhash long")
+    got = {(r.id_a, r.id_b)
+           for r in pigeonhole_neardup_pairs(hashed, 0).collect()}
+    assert got == {(0, 1), (2, 3)}
+
+
+def test_minhash_lsh_rejects_non_dividing_bands(spark):
+    """bands that do not divide num_hashes would silently drop the
+    trailing signature entries (quietly lower recall) — refuse instead."""
+    docs = make_docs(spark, [(1, "some text here")])
+    with pytest.raises(ValueError, match="must divide"):
+        DD.minhash_lsh_pairs(docs, "text", "doc_id",
+                             num_hashes=16, bands=5)
+    with pytest.raises(ValueError, match="must divide"):
+        DD.minhash_lsh_pairs(docs, "text", "doc_id",
+                             num_hashes=16, bands=0)
+
+
 def test_dedup_survivors_keeps_canonical(spark):
     df = spark.createDataFrame(
         [(1, "x"), (2, "x2"), (3, "x3"), (4, "y")],
@@ -469,6 +513,19 @@ def test_dedup_survivors_keeps_canonical(spark):
     pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
     out = DD.dedup_survivors(df, pairs, "doc_id").collect()
     assert sorted(r.doc_id for r in out) == [1, 4]
+
+
+def test_dedup_survivors_id_column_named_id(spark):
+    """A caller whose id column is literally named ``id`` (the common
+    case) must not collide with the component frame's internal columns:
+    pre-fix, the join was ambiguous and the final drop removed the
+    caller's own column."""
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "x2"), (4, "y")], "id long, text string")
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    out = DD.dedup_survivors(df, pairs, "id").collect()
+    assert sorted(r.id for r in out) == [1, 4]
+    assert set(out[0].asDict()) == {"id", "text"}
 
 
 # -- corpus curation (line dedup / unigram logprob / semantic dedup /

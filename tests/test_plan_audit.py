@@ -78,6 +78,32 @@ def test_detects_global_sort_but_not_topk(spark, sf_dir):
         docs.orderBy("n_chars").limit(5))}
 
 
+def test_global_sort_check_is_subtree_scoped():
+    """An Aggregate that appears AFTER the Sort in the plan string but in a
+    SIBLING branch (outside the Sort's subtree) must not suppress the
+    finding — the pre-fix check scanned the flat string, so any later
+    aggregate masked a full-data sort. An Aggregate genuinely below the
+    Sort still counts as aggregate-reduced input."""
+    sibling = """\
+SortMergeJoin [k#1], [k2#9], Inner
+:- Sort [n_chars#3 ASC NULLS FIRST], true, 0
+:  +- Exchange rangepartitioning(n_chars#3 ASC NULLS FIRST, 32)
+:     +- FileScan parquet big[k#1,n_chars#3]
++- HashAggregate(keys=[k2#9], functions=[count(1)])
+   +- Exchange hashpartitioning(k2#9, 32)
+      +- FileScan parquet dim[k2#9]
+"""
+    assert not A._global_sorts_aggregate_reduced(sibling)
+    reduced = """\
+Sort [cnt#7L ASC NULLS FIRST], true, 0
++- Exchange rangepartitioning(cnt#7L ASC NULLS FIRST, 32)
+   +- HashAggregate(keys=[lang#2], functions=[count(1)])
+      +- Exchange hashpartitioning(lang#2, 32)
+         +- FileScan parquet docs[lang#2]
+"""
+    assert A._global_sorts_aggregate_reduced(reduced)
+
+
 def test_detects_unpushed_filter(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     # type-mismatched comparison wraps the COLUMN in a cast -> pushdown

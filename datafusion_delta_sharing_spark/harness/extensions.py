@@ -184,30 +184,32 @@ def _emb_with_planted_neighbors(spark, sf_dir):
     near-random organic data its recall is structurally ~0 whatever the
     wiring (measured 0.03/0.0 pre-r4), so the recall check runs on the
     workload the operator exists for. The baseline stays honest: exact
-    brute-force top-k over the SAME augmented corpus, same job."""
+    brute-force top-k over the SAME augmented corpus, same job.
+
+    The copies come from ONE explode over the copy index, not a
+    _ANN_COPIES-way union of per-copy frames: the union spelling made the
+    driver build and analyze a separate transform branch per copy (~1.9 s
+    of plan-construction wall time at any SF — measured r5; the values
+    are hash-identical since the copy index enters the same expression as
+    a double either way)."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding")
     queries = emb.filter(F.col("vec_id") <= _ANN_QUERIES)
     vec_type = dict(emb.dtypes)["embedding"]
-
-    def _perturb(c: int):
-        # two-arg lambda: transform() fills every declared parameter, so
-        # the copy index must come from a closure, not a default arg
-        return lambda x, i: (
-            x.cast("double")
-            * (1.0 + 0.12 * F.sin(i.cast("double") + F.lit(float(c)))))
-
-    copies = [
+    copies = (
         queries.select(
-            (F.col("vec_id") + F.lit(c * _AUG_OFFSET)).alias("vec_id"),
-            F.transform("embedding", _perturb(c))
-            .cast(vec_type).alias("embedding"))
-        for c in range(1, _ANN_COPIES + 1)
-    ]
-    corpus = emb
-    for cp in copies:
-        corpus = corpus.unionByName(cp)
-    return corpus, queries
+            "vec_id", "embedding",
+            F.explode(F.sequence(F.lit(1), F.lit(_ANN_COPIES))).alias("c"))
+        .select(
+            (F.col("vec_id")
+             + F.col("c").cast("long") * F.lit(_AUG_OFFSET)).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: (x.cast("double")
+                              * (1.0 + 0.12 * F.sin(i.cast("double")
+                                                    + F.col("c").cast("double"))))
+            ).cast(vec_type).alias("embedding")))
+    return emb.unionByName(copies), queries
 
 
 def q_ann_lsh_topk(spark, sf_dir):

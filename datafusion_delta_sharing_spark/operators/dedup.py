@@ -12,7 +12,6 @@ skew-join handles moderate cases, salting the band key is the escape hatch.
 
 from __future__ import annotations
 
-from functools import reduce
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -263,25 +262,23 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
 def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """64-bit SimHash over whitespace tokens: explode -> xxhash64 per token
     -> per-bit ±1 majority vote -> recombine. The vote is 64 conditional
-    sums in one hash aggregate (single shuffle on id)."""
+    sums in one hash aggregate (single shuffle on id).
+
+    The per-bit expressions are parsed SQL strings, not composed Column
+    objects: the Column spelling cost ~10k py4j round-trips (~1.6 s of
+    driver wall time per call, measured r5) before any job started. Same
+    operators (>> & = if sum shiftleft |), bit-identical fingerprints."""
     tokens = (
         df.select(F.col(id_col).alias("id"),
                   F.explode(F.split(F.trim(F.col(text_col)),
                                     WS_TOKEN_SPLIT)).alias("tok"))
         .withColumn("h", F.xxhash64("tok"))
     )
-    votes = [
-        F.sum(F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1)
-              .otherwise(-1)).alias(f"v{i}")
-        for i in range(64)
-    ]
+    votes = [F.expr(f"sum(if(((h >> {i}) & 1) = 1, 1, -1))").alias(f"v{i}")
+             for i in range(64)]
     voted = tokens.groupBy("id").agg(*votes)
-    bit_terms = [
-        F.when(F.col(f"v{i}") > 0,
-               F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
-        for i in range(64)
-    ]
-    fingerprint = reduce(lambda x, y: x.bitwiseOR(y), bit_terms)
+    fingerprint = F.expr(" | ".join(
+        f"if(v{i} > 0, shiftleft(1L, {i}), 0L)" for i in range(64)))
     return voted.select("id", fingerprint.alias("simhash"))
 
 

@@ -427,6 +427,46 @@ def test_connected_components_chain_converges(spark):
     assert set(labels.values()) == {0}
 
 
+def test_connected_components_random_graphs_match_union_find(spark):
+    """Min-label propagation vs a pure-Python union-find on seeded random
+    graphs — the planted-cluster tests only cover star/path shapes, but
+    LSH candidate graphs are arbitrary. Five seeds x 40 vertices with
+    edge density around the percolation threshold (where component
+    structure is most fragile: many mid-sized, odd-shaped components)."""
+    import random
+
+    n = 40
+    for seed in range(5):
+        rng = random.Random(seed)
+        edges = [(a, b) for a in range(n) for b in range(a + 1, n)
+                 if rng.random() < 0.04]
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # min-id canonical per component, matching the operator's contract
+        root_min = {}
+        for v in range(n):
+            r = find(v)
+            root_min[r] = min(root_min.get(r, v), v)
+        expected = {v: root_min[find(v)] for v in range(n)}
+
+        vertices = spark.createDataFrame([(i,) for i in range(n)], "id long")
+        pairs = spark.createDataFrame(
+            edges or [(0, 0)], "id_a long, id_b long")
+        got = {r.id: r.component for r in
+               DD.connected_components(vertices, pairs).collect()}
+        assert got == expected, f"seed {seed}: {got} != {expected}"
+
+
 def test_connected_components_unconverged_raises(spark):
     """VERDICT r2 #8: exiting at max_iterations with labels still moving
     must raise, not silently return split components."""

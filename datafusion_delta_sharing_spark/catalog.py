@@ -49,8 +49,16 @@ class DeltaSharingCatalog:
             for table in self.client.list_all_tables(share):
                 self.tables[table.full_name()] = table
         # Spark SQL identifiers are case-insensitive: `Sales.Retail.Orders`
-        # must resolve to the same share as `sales.retail.orders`
-        self._tables_ci = {fqn.lower(): fqn for fqn in self.tables}
+        # must resolve to the same share as `sales.retail.orders`. Sharing
+        # names ARE case-sensitive server-side, so two catalog tables may
+        # differ only in case: mark that lowercase key ambiguous (None)
+        # instead of letting dict insertion order pick a winner — an
+        # exact-spelled reference still resolves, anything else refuses
+        # loudly rather than silently reading the other table
+        self._tables_ci: dict[str, str | None] = {}
+        for fqn in self.tables:
+            low = fqn.lower()
+            self._tables_ci[low] = None if low in self._tables_ci else fqn
         self._resolved: dict[str, DataFrame] = {}
         # view-name ownership: share='a__b',schema='c' and share='a',
         # schema='b__c' flatten to the SAME view name — clobbering would
@@ -91,8 +99,15 @@ class DeltaSharingCatalog:
         reference (catalog/mod.rs:196-220). Lookup is case-insensitive,
         like Spark SQL identifiers."""
         if fqn not in self.tables:
-            canonical = self._tables_ci.get(fqn.lower())
+            low = fqn.lower()
+            canonical = self._tables_ci.get(low)
             if canonical is None:
+                if low in self._tables_ci:
+                    raise KeyError(
+                        f"table name {fqn!r} is ambiguous: multiple "
+                        "catalog tables differ only in case "
+                        f"({sorted(t for t in self.tables if t.lower() == low)}); "
+                        "spell the name exactly")
                 raise KeyError(f"table {fqn!r} not found in catalog; "
                                f"known: {sorted(self.tables)[:10]}")
             fqn = canonical
@@ -103,11 +118,15 @@ class DeltaSharingCatalog:
                     f"table {fqn!r} flattens to {view!r}, which is not a "
                     "valid Spark view identifier — access it via "
                     "catalog.table(...) without SQL, or rename the share")
-            owner = self._view_owner.setdefault(view, fqn)
+            # ownership is CASE-INSENSITIVE: Spark temp-view names are —
+            # 's__d__t' and 'S__d__t' would silently clobber each other
+            # in createOrReplaceTempView even though the strings differ
+            owner = self._view_owner.setdefault(view.lower(), fqn)
             if owner != fqn:
                 raise KeyError(
                     f"view name collision: {fqn!r} and {owner!r} both "
-                    f"flatten to {view!r}; register one of them manually "
+                    f"flatten to {view!r} (Spark view names are "
+                    "case-insensitive); register one of them manually "
                     "under a different view name")
             df = self.reader.table(self.tables[fqn])
             df.createOrReplaceTempView(view)
@@ -186,7 +205,15 @@ class DeltaSharingCatalog:
 
         def replace(match: re.Match) -> str:
             fqn = ".".join(match.groups())
-            canonical = self._tables_ci.get(fqn.lower())
+            # exact spelling wins BEFORE the case-insensitive map: with
+            # two tables differing only in case, the ci key is ambiguous
+            # (None) and must not shadow an exactly-spelled reference
+            canonical = fqn if fqn in self.tables else \
+                self._tables_ci.get(fqn.lower())
+            if canonical is None and fqn.lower() in self._tables_ci:
+                raise KeyError(
+                    f"table name {fqn!r} in SQL is ambiguous: multiple "
+                    "catalog tables differ only in case; spell one exactly")
             if canonical is not None:
                 self.table(canonical)  # ensure view exists
                 return self.tables[canonical].view_name()

@@ -319,8 +319,24 @@ class MockSharingServer:
             from datetime import datetime, timezone
 
             ts = query["startingTimestamp"].replace("Z", "+00:00")
-            cutoff_ms = int(datetime.fromisoformat(ts)
-                            .astimezone(timezone.utc).timestamp() * 1000)
+            try:
+                parsed = datetime.fromisoformat(ts)
+            except ValueError:
+                # a malformed timestamp must 400 like every other bad
+                # parameter — an uncaught ValueError in the handler
+                # thread drops the connection with no response
+                return handler._send(400, json.dumps({
+                    "errorCode": "INVALID_PARAMETER_VALUE",
+                    "message": "startingTimestamp is not a valid "
+                               "RFC-3339 timestamp",
+                }).encode())
+            if parsed.tzinfo is None:
+                # protocol timestamps are UTC; astimezone() on a naive
+                # datetime would interpret it in HOST-local time and
+                # shift the cutoff by the host tz offset
+                parsed = parsed.replace(tzinfo=timezone.utc)
+            cutoff_ms = int(parsed.astimezone(timezone.utc)
+                            .timestamp() * 1000)
             versions = [ch["version"] for ch in table.changes
                         if ch.get("timestamp", 0) >= cutoff_ms]
             if not versions:

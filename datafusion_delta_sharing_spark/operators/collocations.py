@@ -61,17 +61,22 @@ def pmi_collocations(docs: DataFrame, text_col: str, id_col: str,
         .crossJoin(F.broadcast(n_tok)).crossJoin(F.broadcast(n_big))
         .withColumn("ratio_num", F.col("c_ab") * F.col("n") * F.col("n"))
         .withColumn("ratio_den", F.col("m") * F.col("c_a") * F.col("c_b"))
-        # exact-bigint bound: c_ab*n*n wraps SILENTLY past 2^63 under
-        # non-ANSI arithmetic, corrupting the PMI ranking with no error.
-        # Guard in double (conservative 0.9 margin absorbs the float
-        # slack) and refuse loudly; past this corpus size use a log-space
-        # double PMI, which no longer needs hash-exact integer parity
+        # exact-bigint bound: BOTH products (c_ab*n*n and m*c_a*c_b) wrap
+        # SILENTLY past 2^63 under non-ANSI arithmetic, corrupting the
+        # PMI ranking with no error — the denominator overflows first on
+        # corpora with two frequent tokens co-occurring rarely. Guard in
+        # double (conservative 0.9 margin absorbs the float slack) and
+        # refuse loudly; past this corpus size use a log-space double
+        # PMI, which no longer needs hash-exact integer parity
         .filter(F.when(
-            F.col("c_ab").cast("double") * F.col("n").cast("double")
-            * F.col("n").cast("double") < F.lit(0.9e19),
+            (F.col("c_ab").cast("double") * F.col("n").cast("double")
+             * F.col("n").cast("double") < F.lit(0.9e19))
+            & (F.col("m").cast("double") * F.col("c_a").cast("double")
+               * F.col("c_b").cast("double") < F.lit(0.9e19)),
             F.lit(True)).otherwise(F.raise_error(F.lit(
-                "pmi_collocations: c_ab*n*n exceeds the exact-bigint "
-                "range; compute PMI in log-space doubles at this scale"))))
+                "pmi_collocations: c_ab*n*n or m*c_a*c_b exceeds the "
+                "exact-bigint range; compute PMI in log-space doubles "
+                "at this scale"))))
     )
     return (scored
             .orderBy((F.col("ratio_num") * 1.0 / F.col("ratio_den")).desc(),

@@ -101,11 +101,15 @@ def distinctive_terms(a: DataFrame, b: DataFrame, text_col: str,
               .withColumn("odds_den",
                           (F.col("c_b") + 1)
                           * (F.col("_na") - F.col("c_a") + 1))
-              # same exact-bigint bound as pmi_collocations: the odds
-              # products wrap silently past 2^63 — refuse loudly instead
+              # same exact-bigint bound as pmi_collocations: BOTH odds
+              # products wrap silently past 2^63 — the denominator
+              # ((c_b+1)*(_na-c_a+1)) overflows first when corpus A dwarfs
+              # corpus B — refuse loudly instead
               .filter(F.when(
-                  (F.col("c_a").cast("double") + 1)
-                  * (F.col("_nb").cast("double") + 1) < F.lit(0.9e19),
+                  ((F.col("c_a").cast("double") + 1)
+                   * (F.col("_nb").cast("double") + 1) < F.lit(0.9e19))
+                  & ((F.col("c_b").cast("double") + 1)
+                     * (F.col("_na").cast("double") + 1) < F.lit(0.9e19)),
                   F.lit(True)).otherwise(F.raise_error(F.lit(
                       "distinctive_terms: odds products exceed the "
                       "exact-bigint range; use log-space doubles at "

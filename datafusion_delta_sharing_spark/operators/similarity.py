@@ -100,14 +100,30 @@ def _signature_expr(vec_col: str, planes: list[list[float]]):
     driver time for 8 tables × 8 planes before the first row moved —
     measured on ann_lsh_topk). Same fold order per dot, so results are
     bit-identical to the unrolled spelling."""
-    if len(planes) > 52:
-        # bits are packed as a sum of pow(2.0, p) doubles — exact only for
-        # p <= 52 (and the long accumulator caps at 63). Past that the
-        # signature would be silently wrong, so refuse loudly (ADVICE r4)
-        raise ValueError(
-            f"n_planes={len(planes)} exceeds the 52-bit double-exact "
-            "packing limit; use <= 52 planes (or multiple hash tables)")
+    _check_packable(len(planes))
     return _signature_from_mat(vec_col, _matrix_literal(planes))
+
+
+def _check_packable(n_planes: int) -> None:
+    """Bits are packed as a sum of pow(2.0, p) doubles — exact only for
+    p <= 52 (and the long accumulator caps at 63). Past that the signature
+    would be silently wrong, so refuse loudly (ADVICE r4). ONE guard shared
+    by the single-matrix and per-table paths — a limit fix must not be
+    able to diverge between them."""
+    if n_planes > 52:
+        raise ValueError(
+            f"n_planes={n_planes} exceeds the 52-bit double-exact "
+            "packing limit; use <= 52 planes (or multiple hash tables)")
+
+
+def _matrix_rows_sql(planes: list[list[float]]) -> str:
+    """Plane matrix -> 'array(...),array(...)' SQL literal rows. repr() is
+    the shortest exact round-trip form, so the doubles are bit-identical
+    to the lit() spelling. Shared by both literal builders — a formatting
+    fix (e.g. NaN handling) must apply to both."""
+    return ",".join(
+        "array(" + ",".join(f"{float(v)!r}D" for v in plane) + ")"
+        for plane in planes)
 
 
 def _matrix_literal(planes: list[list[float]]):
@@ -116,13 +132,8 @@ def _matrix_literal(planes: list[list[float]]):
     per-element construction (nested F.array/F.lit — and F.lit(list),
     which expands to the same) is one driver RPC per element, profiled at
     ~7s of ann_lsh_topk wall time (8 tables x 8 planes x 64 dims = 4096
-    round trips) before the first job started. repr() is the shortest
-    exact round-trip form, so the doubles are bit-identical to the lit()
-    spelling."""
-    rows = ",".join(
-        "array(" + ",".join(f"{float(v)!r}D" for v in plane) + ")"
-        for plane in planes)
-    return F.expr(f"array({rows})")
+    round trips) before the first job started."""
+    return F.expr(f"array({_matrix_rows_sql(planes)})")
 
 
 def _signature_from_mat(vec_col: str, mat):
@@ -151,14 +162,9 @@ def _lsh_buckets(df: DataFrame, dim: int, n_planes: int, n_tables: int,
     round-trips (~0.4s each) on the driver. Per-table values are
     unchanged — same plane derivation, same fold order — so buckets are
     bit-identical to the per-table spelling."""
-    if n_planes > 52:
-        raise ValueError(
-            f"n_planes={n_planes} exceeds the 52-bit double-exact "
-            "packing limit; use <= 52 planes (or multiple hash tables)")
+    _check_packable(n_planes)
     tables_rows = ",".join(
-        "array(" + ",".join(
-            "array(" + ",".join(f"{float(v)!r}D" for v in plane) + ")"
-            for plane in _hyperplanes(dim, n_planes, t)) + ")"
+        f"array({_matrix_rows_sql(_hyperplanes(dim, n_planes, t))})"
         for t in range(n_tables))
     tables_mat = F.expr(f"array({tables_rows})")
     sig_per_table = F.transform(

@@ -28,8 +28,12 @@ def salted_join(skewed: DataFrame, replicated: DataFrame, on: str | list[str],
     if overlap:
         raise ValueError(
             f"ambiguous non-key columns on both sides: {sorted(overlap)}")
-    if how not in ("inner", "left", "left_outer", "leftouter", "semi",
-                   "left_semi", "leftsemi", "anti", "left_anti", "leftanti"):
+    # normalize the way Spark's JoinType.apply does (lowercase, drop
+    # underscores) so salt-safe spellings like 'LEFT' or 'Left_Outer'
+    # keep working
+    if how.lower().replace("_", "") not in (
+            "inner", "left", "leftouter", "semi",
+            "leftsemi", "anti", "leftanti"):
         # outer-preserving the REPLICATED side is not salt-equivalent: an
         # unmatched replicated key survives once per salt copy, inflating
         # right/full results `salts`x — refuse rather than silently

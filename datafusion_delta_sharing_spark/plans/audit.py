@@ -58,11 +58,23 @@ def shuffles(df: DataFrame) -> int:
 
 
 def _global_sorts_aggregate_reduced(plan: str) -> bool:
-    """True iff every global Sort in the plan has an Aggregate inside its
-    OWN subtree (its input is aggregate-reduced). The old check searched
-    for an Aggregate anywhere after the Sort in the plan STRING, so an
-    aggregate in a sibling join branch (big_fact.join(dim.groupBy(...))
-    .orderBy(...)) suppressed the finding for a full-data sort.
+    """True iff every global Sort's input is aggregate-reduced: within the
+    Sort's OWN subtree, an Aggregate appears in pre-order BEFORE any
+    join/union. Two prior generations of this check were fooled:
+
+    - matching an Aggregate anywhere after the Sort in the plan STRING let
+      an aggregate in a SIBLING join branch (big_fact.join(dim.groupBy())
+      .orderBy(...) with the Sort under the join) mask a full-data sort;
+    - matching anywhere in the Sort's SUBTREE let an aggregate on a join's
+      build side (Sort over big_fact.join(dim.groupBy(...))) count, even
+      though the sort input is join-sized, not aggregate-sized.
+
+    The tree string is pre-order (parent before children), so hitting an
+    Aggregate before any Join/CartesianProduct/Union means the aggregate
+    dominates the rest of the sort's input — its output IS what gets
+    sorted. Hitting a join/union first means unaggregated branches feed
+    the sort. (A union-of-aggregates false-positives; that shape belongs
+    in the audit allow map.)
 
     Subtree walk over the tree-string: a child's operator name is
     indented deeper than its parent's; the subtree ends at the first line
@@ -83,6 +95,8 @@ def _global_sorts_aggregate_reduced(plan: str) -> bool:
                 continue
             if name.start() <= depth:
                 break  # left the Sort's subtree
+            if re.search(r"Join\b|CartesianProduct|\bUnion\b", child):
+                break  # unaggregated branches feed the sort
             if "Aggregate" in child:
                 reduced = True
                 break

@@ -181,6 +181,18 @@ def test_table_changes_filters_versions(server):
     assert q["query"] == {"startingVersion": "2", "endingVersion": "3"}
 
 
+def test_table_changes_malformed_starting_timestamp_400s(server):
+    """The mock must answer a malformed startingTimestamp with the
+    protocol's INVALID_PARAMETER_VALUE 400 — an uncaught ValueError in
+    the handler thread would drop the connection with no response."""
+    from datafusion_delta_sharing_spark.errors import ClientHttpError
+
+    client = DeltaSharingClient(Profile.from_json(server.profile_doc()))
+    with pytest.raises(ClientHttpError, match="RFC-3339"):
+        client.get_table_changes(Table.from_str("sales.emea.orders"),
+                                 starting_timestamp="not-a-date")
+
+
 def test_partition_values_none_normalized():
     from datafusion_delta_sharing_spark.client import FileAction
     f = FileAction.from_json({"url": "u", "id": "i",

@@ -337,6 +337,12 @@ def test_salted_join_rejects_outer_preserving_replicated(spark):
     # left join stays supported: unmatched SKEWED rows appear exactly once
     left = salted_join(a.withColumn("k", F.lit(99)), b, "k", how="left")
     assert left.count() == 1
+    # Spark join-type strings are case-insensitive and underscore-blind;
+    # salt-safe spellings like 'LEFT' / 'Left_Outer' must keep working
+    assert salted_join(a, b, "k", how="LEFT").count() == 1
+    assert salted_join(a, b, "k", how="Left_Outer").count() == 1
+    with pytest.raises(ValueError, match="does not support"):
+        salted_join(a, b, "k", how="FULL_OUTER")
 
 
 # -- IVF ANN --------------------------------------------------------------

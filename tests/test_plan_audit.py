@@ -30,7 +30,16 @@ _ALLOWS: dict[str, frozenset] = {
     "join_theta": frozenset({"bnl_join"}),
     # scalar-subquery crossJoins in TPC-H adaptations
     "tpch_q22": frozenset({"bnl_join"}),
-    "tpch_q11": frozenset({"bnl_join"}),
+    "tpch_q11": frozenset({"bnl_join", "global_sort"}),
+    # global_sort allows below: the r5 subtree-scoped lint stops crediting
+    # an Aggregate that sits BELOW a join in the sort's input (a join of
+    # anything with an unaggregated branch is join-sized). These three
+    # sorts ARE aggregate-reduced in fact — the join partner is a one-row
+    # scalar threshold (q11), a per-key aggregate against the small
+    # supplier dim (q15), or a semi-join that only FILTERS the supplier
+    # dim (q20) — cardinality knowledge the tree-text lint cannot have.
+    "tpch_q15": frozenset({"global_sort"}),
+    "tpch_q20": frozenset({"global_sort"}),
 }
 
 
@@ -102,6 +111,19 @@ Sort [cnt#7L ASC NULLS FIRST], true, 0
          +- FileScan parquet docs[lang#2]
 """
     assert A._global_sorts_aggregate_reduced(reduced)
+    # an Aggregate on the BUILD side of a join INSIDE the Sort's subtree
+    # must not count either: the sort input is join-sized. Pre-order hits
+    # the join before the aggregate, so the sort is correctly flagged
+    build_side = """\
+Sort [x#3 ASC NULLS FIRST], true, 0
++- Exchange rangepartitioning(x#3 ASC NULLS FIRST, 32)
+   +- BroadcastHashJoin [k#1], [k2#9], Inner, BuildRight
+      :- FileScan parquet big_fact[k#1,x#3]
+      +- BroadcastExchange HashedRelationBroadcastMode
+         +- HashAggregate(keys=[k2#9], functions=[count(1)])
+            +- FileScan parquet dim[k2#9]
+"""
+    assert not A._global_sorts_aggregate_reduced(build_side)
 
 
 def test_detects_unpushed_filter(spark, sf_dir):

@@ -630,6 +630,32 @@ def test_catalog_sql_case_insensitive_three_part_names(spark, local_server):
     assert catalog.table("S.d.T").count() == 6
 
 
+def test_catalog_case_ambiguous_names_refuse(spark):
+    """Sharing names are case-sensitive server-side, so 's.d.t' and
+    'S.d.t' can coexist. A wrong-case reference must refuse loudly, not
+    silently resolve to whichever table the ci-map saw last; and because
+    Spark temp-view names are case-INsensitive, registering both views
+    would clobber — the second exact-spelled access must refuse too."""
+    ta = MockTable(share="s", schema="d", name="t",
+                   schema_string=SCHEMA_STRING,
+                   partition_columns=[], files=[])
+    tb = MockTable(share="S", schema="d", name="t",
+                   schema_string=SCHEMA_STRING,
+                   partition_columns=[], files=[])
+    with MockSharingServer([ta, tb]) as srv:
+        catalog = DeltaSharingCatalog(
+            spark, Profile.from_json(srv.profile_doc()))
+        with pytest.raises(KeyError, match="ambiguous"):
+            catalog.table("s.D.T")
+        with pytest.raises(KeyError, match="ambiguous"):
+            catalog.sql("SELECT * FROM s.D.T")
+        # exact spelling resolves; the second one hits the view-name
+        # clobber guard instead of silently replacing the first view
+        assert catalog.table("s.d.t").count() == 0
+        with pytest.raises(KeyError, match="collision"):
+            catalog.table("S.d.t")
+
+
 def test_catalog_info_schema_literal_does_not_register_view(spark,
                                                             local_server):
     """A string literal spelling information_schema.tables must not

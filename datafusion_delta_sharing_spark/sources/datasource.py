@@ -174,7 +174,7 @@ class DeltaSharingBatchReader(DataSourceReader):
             return [_FilePartition("", 0, "", {})]
         for f in files:
             if f.deletion_vector:  # refuse unresolvable DVs at plan time
-                validate_dv_descriptor(f.deletion_vector)
+                validate_dv_descriptor(f.deletion_vector, data_url=f.url)
         return [_FilePartition(f.url, f.size, f.id, dict(f.partition_values),
                                deletion_vector=f.deletion_vector)
                 for f in files]
@@ -384,7 +384,7 @@ class DeltaSharingStreamReader(DataSourceStreamReader):
         if new:
             for f in new:
                 if f.deletion_vector:  # refuse unresolvable DVs at plan time
-                    validate_dv_descriptor(f.deletion_vector)
+                    validate_dv_descriptor(f.deletion_vector, data_url=f.url)
             self._latest_batch += 1
             manifest = [{"id": f.id, "url": f.url, "size": f.size,
                          "partition_values": dict(f.partition_values),
@@ -480,7 +480,7 @@ class DeltaSharingCDFStreamReader(DataSourceStreamReader):
         _check_schema_drift(self, table, changes.metadata.schema_string)
         for _, f in changes.actions:
             if f.deletion_vector:  # refuse unresolvable DVs at plan time
-                validate_dv_descriptor(f.deletion_vector)
+                validate_dv_descriptor(f.deletion_vector, data_url=f.url)
         return [
             _CDFFilePartition(f.url, f.size, f.id,
                               dict(f.partition_values), kind,

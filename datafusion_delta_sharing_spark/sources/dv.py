@@ -148,7 +148,10 @@ def _decode_roaring32(buf: bytes, pos: int) -> tuple[np.ndarray, int]:
         if run_flags[i]:
             (n_runs,) = struct.unpack_from("<H", buf, pos)
             pos += 2
-            pairs = np.frombuffer(buf, np.uint16, 2 * n_runs, pos
+            # explicit '<u2': the spec mandates little-endian; bare
+            # np.uint16 is NATIVE-endian and silently misreads on
+            # big-endian hosts (s390x)
+            pairs = np.frombuffer(buf, np.dtype("<u2"), 2 * n_runs, pos
                                   ).reshape(n_runs, 2)
             pos += 4 * n_runs
             vals = np.concatenate([
@@ -156,7 +159,7 @@ def _decode_roaring32(buf: bytes, pos: int) -> tuple[np.ndarray, int]:
                 for s, l in pairs]) if n_runs else np.empty(0, np.uint32)
         elif cards[i] <= _ARRAY_MAX_CARD:
             vals = np.frombuffer(
-                buf, np.uint16, int(cards[i]), pos).astype(np.uint32)
+                buf, np.dtype("<u2"), int(cards[i]), pos).astype(np.uint32)
             pos += 2 * int(cards[i])
         else:
             bits = np.frombuffer(buf, np.uint8, 8192, pos)
@@ -196,7 +199,7 @@ def _encode_roaring32(values: np.ndarray, use_runs: bool = False) -> bytes:
             bodies.append(body)
             is_run.append(True)
         elif len(g) <= _ARRAY_MAX_CARD:
-            bodies.append(g.tobytes())
+            bodies.append(g.astype("<u2").tobytes())  # spec little-endian
             is_run.append(False)
         else:
             bits = np.zeros(65536, dtype=np.uint8)
@@ -259,7 +262,17 @@ def decode_dv_data(data: bytes) -> np.ndarray:
     if pos != len(data):
         raise DeltaSharingError(
             f"corrupt deletion vector: {len(data) - pos} trailing bytes")
-    return (np.concatenate(parts) if parts else np.empty(0, dtype=np.uint64))
+    out = (np.concatenate(parts) if parts else np.empty(0, dtype=np.uint64))
+    if len(out) > 1 and not np.all(out[1:] > out[:-1]):
+        # the 64-bit keys are checked ascending above, but 32-bit
+        # container keys and array-container values inside each bitmap
+        # are trusted by the sequential decode; unsorted output would
+        # make positions_mask's searchsorted silently resurrect deleted
+        # rows (or drop live ones) — refuse loudly instead
+        raise DeltaSharingError(
+            "corrupt deletion vector: decoded positions are not "
+            "strictly ascending")
+    return out
 
 
 def encode_dv_data(positions: Sequence[int], use_runs: bool = False) -> bytes:
@@ -313,16 +326,28 @@ def inline_descriptor(positions: Sequence[int],
 _RESOLVABLE_DV_SCHEMES = ("", "file", "http", "https")
 
 
-def _fetch_dv_file(path: str, session=None) -> bytes:
-    from urllib.parse import unquote, urlparse
+def _fetch_dv_file(path: str, session=None,
+                   offset: int | None = None,
+                   length: int | None = None) -> bytes:
+    """Read DV file bytes. For http(s) with a known (offset, length),
+    fetch ONLY the version byte and the frame slice via Range requests —
+    Delta packs many files' DVs into one shared DV file, so a full
+    download per data file is O(file) x N tasks instead of O(DV slice)
+    (r5 review). A server that ignores Range (200) degrades to the full
+    read. Returns bytes indexable as if the WHOLE file were read (a
+    zero-filled prefix stands in for the unfetched middle)."""
+    from urllib.parse import urlparse
 
     parsed = urlparse(path)
     if parsed.scheme in ("", "file"):
-        # file: URLs are percent-encoded per RFC 8089 (same rule as the
-        # parquet-side _local_path); bare paths are already literal
-        local = unquote(parsed.path) if parsed.scheme == "file" else path
+        # same file:-URL decode rule as the parquet side — ONE shared
+        # helper (reader._local_path), imported lazily to avoid the
+        # module cycle (reader imports dv at module level)
+        from datafusion_delta_sharing_spark.sources.reader import (
+            _local_path)
+
         try:
-            with open(local, "rb") as fh:
+            with open(_local_path(path), "rb") as fh:
                 return fh.read()
         except OSError as exc:
             raise DeltaSharingError(
@@ -331,17 +356,44 @@ def _fetch_dv_file(path: str, session=None) -> bytes:
     if parsed.scheme in ("http", "https"):
         import requests
 
-        resp = (session or requests).get(path, timeout=120)
+        http = session or requests
+        if offset is not None and length is not None and offset > 0:
+            head = http.get(path, timeout=120,
+                            headers={"Range": "bytes=0-0"})
+            head.raise_for_status()
+            slice_resp = http.get(
+                path, timeout=120,
+                headers={"Range": f"bytes={offset}-{offset + length - 1}"})
+            if slice_resp.status_code == 416:
+                raise DeltaSharingError(
+                    f"corrupt deletion vector: offset {offset} is past "
+                    f"the end of DV file {path!r}")
+            slice_resp.raise_for_status()
+            if head.status_code == 206 and slice_resp.status_code == 206:
+                body = slice_resp.content[:length]
+                return (head.content[:1]
+                        + b"\x00" * (offset - 1) + body)
+            # server ignored Range: either response already holds the
+            # full file
+            return (slice_resp.content
+                    if slice_resp.status_code == 200 else head.content)
+        resp = http.get(path, timeout=120)
         resp.raise_for_status()
         return resp.content
     raise DeltaSharingError(
         f"unsupported deletion vector file scheme {parsed.scheme!r}")
 
 
-def validate_descriptor(descriptor: dict) -> None:
+def validate_descriptor(descriptor: dict, data_url: str | None = None) -> None:
     """Driver-side pre-flight: refuse storage types the executors could
     never resolve BEFORE any task is scheduled (clear error at plan time
-    instead of a task failure mid-scan)."""
+    instead of a task failure mid-scan).
+
+    ``data_url`` (the data file's own URL) adds a consistency check: a
+    file:/bare-path DV paired with an http(s) data file means remote
+    executors fetching the data could never open the DV — that too must
+    refuse at plan time, not as a retried mid-scan task error (r5
+    review)."""
     storage = descriptor.get("storageType")
     if storage == "u":
         raise DeltaSharingError(
@@ -366,6 +418,14 @@ def validate_descriptor(descriptor: dict) -> None:
                 "resolvable by a sharing client (supported: file, "
                 "http(s)); ask the provider for presigned DV URLs or "
                 "inline descriptors")
+        if (data_url is not None and scheme in ("", "file")
+                and urlparse(data_url).scheme in ("http", "https")):
+            raise DeltaSharingError(
+                "deletion vector is a local file path but its data file "
+                f"is served over {urlparse(data_url).scheme}: remote "
+                "executors fetching the data cannot open the DV; ask "
+                "the provider for a presigned DV URL or an inline "
+                "descriptor")
 
 
 def dv_positions(descriptor: dict, session=None) -> np.ndarray:
@@ -389,27 +449,52 @@ def dv_positions(descriptor: dict, session=None) -> np.ndarray:
                 f"not match the {len(raw)}-byte decoded payload")
         data = raw[:size]
     elif storage == "p":
-        blob = _fetch_dv_file(payload, session=session)
+        offset = descriptor.get("offset")
+        if offset is None:
+            # offset is OPTIONAL in the Delta protocol; reference readers
+            # default a missing offset rather than failing. The first DV
+            # frame sits right after the 1-byte format version; a wrong
+            # default fails LOUDLY downstream (size/magic/CRC checks)
+            offset = 1
+        if isinstance(offset, bool) or not isinstance(offset, int) \
+                or offset < 1:
+            raise DeltaSharingError(
+                "deletion vector descriptor with storageType='p' has a "
+                f"non-integer or out-of-range offset {offset!r}")
+        blob = _fetch_dv_file(
+            payload, session=session, offset=offset,
+            length=(4 + size + 4) if isinstance(size, int) else None)
         if not blob or blob[0] != DV_FILE_FORMAT_VERSION:
             raise DeltaSharingError(
                 "corrupt deletion vector file: bad format version "
                 f"{blob[0] if blob else 'EOF'}")
-        offset = descriptor.get("offset")
-        if not isinstance(offset, int):
+        if offset + 4 > len(blob):
             raise DeltaSharingError(
-                "deletion vector descriptor with storageType='p' has no "
-                "integer offset")
+                f"corrupt deletion vector: offset {offset} is past the "
+                f"end of the {len(blob)}-byte DV file")
         (stored_size,) = struct.unpack_from(">I", blob, offset)
         if isinstance(size, int) and stored_size != size:
             raise DeltaSharingError(
                 f"corrupt deletion vector: stored size {stored_size} != "
                 f"descriptor sizeInBytes {size}")
+        if offset + 4 + stored_size + 4 > len(blob):
+            raise DeltaSharingError(
+                f"corrupt deletion vector: frame of {stored_size} bytes "
+                f"at offset {offset} overruns the {len(blob)}-byte "
+                "DV file")
         data = blob[offset + 4:offset + 4 + stored_size]
         (crc,) = struct.unpack_from(">I", blob, offset + 4 + stored_size)
         if binascii.crc32(data) & 0xFFFFFFFF != crc:
             raise DeltaSharingError(
                 "corrupt deletion vector: CRC-32 mismatch")
-    positions = decode_dv_data(data)
+    try:
+        positions = decode_dv_data(data)
+    except (struct.error, ValueError) as exc:
+        # truncated containers surface as struct.error / numpy ValueError
+        # deep in the roaring decode; translate to the module's error
+        # type so corruption always fails the same way
+        raise DeltaSharingError(
+            f"corrupt deletion vector: {exc}") from exc
     card = descriptor.get("cardinality")
     if isinstance(card, int) and card != len(positions):
         raise DeltaSharingError(

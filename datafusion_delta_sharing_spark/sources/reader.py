@@ -559,7 +559,7 @@ class DeltaSharingReader:
         # still fail loudly at plan time, never as a mid-scan task error.
         for f in files:
             if f.deletion_vector:
-                validate_dv_descriptor(f.deletion_vector)
+                validate_dv_descriptor(f.deletion_vector, data_url=f.url)
 
         if self.use_stats_pruning and predicate_op is not None:
             files = [f for f in files

@@ -92,6 +92,107 @@ def test_corruption_guards():
         dv.dv_positions(desc)
 
 
+def test_unsorted_positions_refused():
+    """A corrupt DV whose container values are unsorted must refuse: the
+    executor-side positions_mask runs searchsorted, so unsorted output
+    would silently resurrect deleted rows. Craft an array container with
+    descending values — every other guard (magic, count, cardinality,
+    trailing) passes."""
+    good = dv.encode_dv_data([3, 5])
+    bad = bytearray(good)
+    # the two uint16 array values are the last 4 bytes (offsets layout
+    # puts container bodies at the tail); swap them -> [5, 3]
+    bad[-4:] = good[-2:] + good[-4:-2]
+    assert list(dv.decode_dv_data(good)) == [3, 5]
+    with pytest.raises(DeltaSharingError, match="ascending"):
+        dv.decode_dv_data(bytes(bad))
+
+
+def test_missing_offset_defaults_to_first_frame(tmp_path):
+    """'offset' is optional in the Delta protocol; a single-DV file's
+    frame starts right after the 1-byte format version, so a descriptor
+    without offset must decode (reference readers default it too)."""
+    data = dv.encode_dv_data([2, 9])
+    blob, offsets = dv.encode_dv_file([data])
+    assert offsets[0] == 1
+    path = tmp_path / "single.dv"
+    path.write_bytes(blob)
+    desc = {"storageType": "p", "pathOrInlineDv": str(path),
+            "sizeInBytes": len(data), "cardinality": 2}
+    assert list(dv.dv_positions(desc)) == [2, 9]
+    # but a present-and-garbage offset still refuses
+    with pytest.raises(DeltaSharingError, match="offset"):
+        dv.dv_positions({**desc, "offset": "seven"})
+    with pytest.raises(DeltaSharingError, match="offset"):
+        dv.dv_positions({**desc, "offset": 0})
+
+
+def test_out_of_range_offset_and_truncation_refuse(tmp_path):
+    """Bounds violations must surface as DeltaSharingError — an offset
+    past EOF or a frame overrunning the file used to raise raw
+    struct.error from unpack_from (opaque retried task errors)."""
+    data = dv.encode_dv_data([1])
+    blob, offsets = dv.encode_dv_file([data])
+    path = tmp_path / "t.dv"
+    path.write_bytes(blob)
+    desc = {"storageType": "p", "pathOrInlineDv": str(path),
+            "offset": len(blob) + 10, "sizeInBytes": len(data)}
+    with pytest.raises(DeltaSharingError, match="past the end"):
+        dv.dv_positions(desc)
+    (tmp_path / "trunc.dv").write_bytes(blob[:-6])  # cut mid-frame
+    with pytest.raises(DeltaSharingError, match="overruns"):
+        dv.dv_positions({"storageType": "p",
+                         "pathOrInlineDv": str(tmp_path / "trunc.dv"),
+                         "offset": offsets[0], "sizeInBytes": len(data)})
+
+
+def test_ranged_http_fetch_of_shared_dv_file():
+    """Delta packs many files' DVs into one shared DV file; the http path
+    must fetch only the version byte + the descriptor's frame slice via
+    Range requests, not the whole file per task (r5 review). Decoding the
+    SECOND frame exercises the stitched-blob offset arithmetic; a server
+    that ignores Range still works (the code falls back to the 200
+    body)."""
+    import json
+
+    from tests.mock_server import MockSharingServer, MockTable
+
+    schema = json.dumps({"type": "struct", "fields": [
+        {"name": "id", "type": "long", "nullable": True, "metadata": {}}]})
+    data1 = dv.encode_dv_data([1])
+    data2 = dv.encode_dv_data([4, 9], use_runs=True)
+    blob, offsets = dv.encode_dv_file([data1, data2])
+    table = MockTable(share="s", schema="d", name="t",
+                      schema_string=schema, partition_columns=[], files=[])
+    with MockSharingServer([table], parquet_bytes={"/m.dv": blob}) as srv:
+        for off, data, expect in ((offsets[0], data1, [1]),
+                                  (offsets[1], data2, [4, 9])):
+            desc = {"storageType": "p",
+                    "pathOrInlineDv": f"{srv.base_url}/m.dv",
+                    "offset": off, "sizeInBytes": len(data),
+                    "cardinality": len(expect)}
+            assert list(dv.dv_positions(desc)) == expect
+        # corrupt offsets past EOF surface the module's error type, not
+        # an opaque HTTP/struct error
+        with pytest.raises(DeltaSharingError, match="past the end|offset"):
+            dv.dv_positions({"storageType": "p",
+                             "pathOrInlineDv": f"{srv.base_url}/m.dv",
+                             "offset": len(blob) + 64,
+                             "sizeInBytes": len(data1)})
+
+
+def test_local_dv_with_http_data_refused_at_plan_time():
+    """A file:-path DV paired with an http(s) data file cannot be opened
+    by the remote executors that fetch the data — must refuse at plan
+    time, not as a retried mid-scan task error."""
+    desc = {"storageType": "p", "pathOrInlineDv": "file:///tmp/x.dv",
+            "offset": 1, "sizeInBytes": 4, "cardinality": 1}
+    dv.validate_descriptor(desc)  # no data context: allowed
+    dv.validate_descriptor(desc, data_url="file:///tmp/data.parquet")
+    with pytest.raises(DeltaSharingError, match="local file path"):
+        dv.validate_descriptor(desc, data_url="https://ex.com/d.parquet")
+
+
 def test_unsupported_storage_types_refused():
     with pytest.raises(DeltaSharingError, match="storageType='u'"):
         dv.validate_descriptor({"storageType": "u", "pathOrInlineDv": "x"})

@@ -365,9 +365,10 @@ class MockSharingServer:
                 doc = {
                     "id": ch["id"],
                     "version": v,
-                    "timestamp": ch.get("timestamp", 0),
                     "deltaSingleAction": {inner_kind: inner},
                 }
+                if "timestamp" in ch:  # optional in the protocol
+                    doc["timestamp"] = ch["timestamp"]
                 lines.append(json.dumps({"file": doc}))
                 continue
             doc = {
@@ -376,8 +377,9 @@ class MockSharingServer:
                 "partitionValues": ch.get("partition_values", {}),
                 "size": ch.get("size", 0),
                 "version": v,
-                "timestamp": ch.get("timestamp", 0),
             }
+            if "timestamp" in ch:  # optional in the protocol
+                doc["timestamp"] = ch["timestamp"]
             if ch.get("deletion_vector") is not None:
                 doc["deletionVector"] = ch["deletion_vector"]
             lines.append(json.dumps({ch["kind"]: doc}))

@@ -165,7 +165,6 @@ class DeltaSharingBatchReader(DataSourceReader):
         version, timestamp = _snapshot_pins(self.options)
         data = client.get_table_data(table, json_predicate_hints=hints,
                                      version=version, timestamp=timestamp)
-        self.partition_columns = list(data.metadata.partition_columns)
         files = list(data.files)
         if self.hints_op is not None:
             files = [f for f in files if may_match(self.hints_op, f.parsed_stats())]
@@ -194,7 +193,7 @@ def _partition_columns_of(options, full_schema: T.StructType,
 
 
 def _read_file_partition(options, full_schema: T.StructType,
-                         partition: _FilePartition):
+                         partition: _FilePartition, refresh=None):
     """Executor-side read of ONE shared file: ranged-HTTP (or file://)
     parquet -> Arrow batches cast to the share schema, typed partition
     values re-attached per batch (A2/A3/A20). Shared by the batch and
@@ -223,11 +222,17 @@ def _read_file_partition(options, full_schema: T.StructType,
     decoded = decode_partition_values(
         partition.partition_values, full_schema, partition_columns)
     dv = getattr(partition, "deletion_vector", None)
+    if refresh is None:
+        refresh = lambda: _refresh_file_action(options, partition.file_id)  # noqa: E731
 
     def dv_deleted(descriptor):
         """Decode the DV; on an expired presigned DV URL (401/403),
         re-resolve the file once and retry with the fresh descriptor —
-        the same escape hatch the data URL gets below."""
+        the same escape hatch the data URL gets below. The fresh DV must
+        describe the SAME deletion set (a replayed microbatch must emit
+        its original rows): if the table gained deletes since the batch
+        was logged, silently using the new DV would change row content
+        between original and replay — refuse loudly instead."""
         import requests
 
         try:
@@ -237,19 +242,37 @@ def _read_file_partition(options, full_schema: T.StructType,
                       if exc.response is not None else None)
             if status not in (401, 403):
                 raise
-            fresh = _refresh_file_action(options, partition.file_id)
-            if not fresh.deletion_vector:
-                return None
-            return dv_positions(fresh.deletion_vector)
+            fresh_dv = refresh().deletion_vector
+            if not fresh_dv or any(
+                    fresh_dv.get(k) != descriptor.get(k)
+                    for k in ("storageType", "sizeInBytes", "cardinality")):
+                raise DeltaSharingError(
+                    f"deletion vector of file {partition.file_id!r} "
+                    "changed between the logged microbatch and its "
+                    "replay; cannot reproduce the original rows "
+                    f"(logged {descriptor!r}, current {fresh_dv!r})"
+                ) from exc
+            return dv_positions(fresh_dv)
 
     deleted = dv_deleted(dv) if dv else None
 
-    try:
-        reader = pq.ParquetFile(
-            _open_parquet_source(partition.url, partition.size))
-    except Exception:
-        fresh = _refresh_file_action(options, partition.file_id)
-        reader = pq.ParquetFile(_open_parquet_source(fresh.url, fresh.size))
+    def _open(url, size):
+        import requests
+
+        try:
+            return pq.ParquetFile(_open_parquet_source(url, size))
+        except requests.HTTPError as exc:
+            # ONLY auth failures mean an expired presigned URL; anything
+            # else (corrupt footer, 404, scheme errors) must surface as
+            # itself, not be masked by a pointless re-listing
+            status = (exc.response.status_code
+                      if exc.response is not None else None)
+            if status not in (401, 403):
+                raise
+            fresh = refresh()
+            return pq.ParquetFile(_open_parquet_source(fresh.url, fresh.size))
+
+    reader = _open(partition.url, partition.size)
     file_row = 0  # physical row position within the file
     for batch in reader.iter_batches(columns=data_cols or None):
         if deleted is not None:
@@ -267,8 +290,16 @@ def _read_file_partition(options, full_schema: T.StructType,
                 arrays.append(pa.nulls(n, atype) if decoded[field.name] is None
                               else pa.array([decoded[field.name]] * n, type=atype))
             else:
-                col = batch.column(batch.schema.get_field_index(field.name))
-                arrays.append(col.cast(atype))
+                idx = batch.schema.get_field_index(field.name)
+                if idx < 0:
+                    # schema evolution: files written before a column was
+                    # added lack it — Delta semantics is NULL. Indexing
+                    # with the raw -1 would silently return the LAST
+                    # column's data under this name (pyarrow negative
+                    # indexing), which is data corruption, not an error
+                    arrays.append(pa.nulls(n, atype))
+                else:
+                    arrays.append(batch.column(idx).cast(atype))
         yield pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
 
 
@@ -291,7 +322,12 @@ def _snapshot_pins(options) -> tuple[int | None, str | None]:
     """``versionAsOf`` / ``timestampAsOf`` reader options -> query-body
     snapshot pins (protocol time travel; reproducible training reads)."""
     raw = options.get("versionAsOf")
-    version = int(raw) if raw is not None else None
+    try:
+        version = int(raw) if raw is not None else None
+    except (TypeError, ValueError) as exc:
+        raise DeltaSharingError(
+            f"versionAsOf must be an integer version, got {raw!r}"
+        ) from exc
     return version, options.get("timestampAsOf")
 
 
@@ -310,6 +346,24 @@ def _refresh_file_action(options, file_id: str):
     raise DeltaSharingError(
         f"file {file_id!r} of {table.full_name()} is no longer listed "
         "(expired or vacuumed) — cannot replay this partition")
+
+
+def _refresh_cdf_file_action(options, file_id: str, version: int):
+    """Expired-URL escape hatch for CDF partitions: change-action files
+    (remove/cdc) never appear in the snapshot listing `_refresh_file_action`
+    consults, so a CDF replay must re-resolve through `/changes` for the
+    partition's own commit version (r5 review — without this, routine URL
+    expiry permanently wedged CDF streams on remove/cdc files)."""
+    client, table = _make_client(options)
+    changes = client.get_table_changes(
+        table, starting_version=version, ending_version=version)
+    for _, f in changes.actions:
+        if f.id == file_id:
+            return f
+    raise DeltaSharingError(
+        f"change file {file_id!r} of {table.full_name()} version "
+        f"{version} is no longer served (vacuumed) — cannot replay "
+        "this partition")
 
 
 class DeltaSharingStreamReader(DataSourceStreamReader):
@@ -362,11 +416,20 @@ class DeltaSharingStreamReader(DataSourceStreamReader):
                 self._latest_batch = max(self._latest_batch, rec["batch"])
                 self._version = max(self._version, rec.get("version", -1))
                 self._seen.update(f["id"] for f in rec["files"])
+                if rec.get("schema"):
+                    # restore the schema pin across driver restarts: the
+                    # logged manifests' files were written under THIS
+                    # schema — a memory-only pin would silently accept a
+                    # post-restart schema change and mis-decode replays
+                    self._schema_string_seen = rec["schema"]
 
     def _append_log(self, batch: int, version: int, files: list[dict]) -> None:
         with open(self._log_path, "a", encoding="utf-8") as fh:
-            fh.write(json.dumps({"batch": batch, "version": version,
-                                 "files": files}) + "\n")
+            fh.write(json.dumps({
+                "batch": batch, "version": version, "files": files,
+                # persist the drift pin (see _load_log)
+                "schema": getattr(self, "_schema_string_seen", None),
+            }) + "\n")
             fh.flush()
 
     # -- DataSourceStreamReader contract ----------------------------------
@@ -457,8 +520,14 @@ class DeltaSharingCDFStreamReader(DataSourceStreamReader):
             [f for f in schema.fields if f.name not in meta_names])
         start_opt = options.get("startingVersion")
         if start_opt is not None:
+            try:
+                start_v = int(start_opt)
+            except (TypeError, ValueError) as exc:
+                raise DeltaSharingError(
+                    "startingVersion must be an integer version, got "
+                    f"{start_opt!r}") from exc
             # serve changes FROM startingVersion (inclusive)
-            self._initial = {"version": int(start_opt) - 1}
+            self._initial = {"version": start_v - 1}
         else:
             client, table = _make_client(options)
             self._initial = {"version": client.get_table_version(table)}
@@ -485,7 +554,9 @@ class DeltaSharingCDFStreamReader(DataSourceStreamReader):
             _CDFFilePartition(f.url, f.size, f.id,
                               dict(f.partition_values), kind,
                               f.version if f.version is not None else hi,
-                              f.timestamp or 0,
+                              # keep None: a missing commit timestamp must
+                              # surface as NULL, not a silent 1970 epoch
+                              f.timestamp,
                               deletion_vector=f.deletion_vector)
             for kind, f in changes.actions
         ]
@@ -507,8 +578,10 @@ class DeltaSharingCDFStreamReader(DataSourceStreamReader):
         cv_type = arrow_out.field("_commit_version").type
         cts_type = arrow_out.field("_commit_timestamp").type
         literal_ct = ("insert" if partition.kind == "add" else "delete")
+        refresh = lambda: _refresh_cdf_file_action(  # noqa: E731
+            self.options, partition.file_id, partition.version)
         for batch in _read_file_partition(self.options, file_schema,
-                                          partition):
+                                          partition, refresh=refresh):
             n = batch.num_rows
             cols = {name: batch.column(i)
                     for i, name in enumerate(batch.schema.names)}
@@ -519,8 +592,10 @@ class DeltaSharingCDFStreamReader(DataSourceStreamReader):
                 elif field.name == "_commit_version":
                     arrays.append(pa.array([partition.version] * n, cv_type))
                 elif field.name == "_commit_timestamp":
-                    arrays.append(pa.array(
-                        [partition.timestamp * 1000] * n).cast(cts_type))
+                    ts_us = (partition.timestamp * 1000
+                             if partition.timestamp is not None else None)
+                    arrays.append(pa.array([ts_us] * n,
+                                           type=pa.int64()).cast(cts_type))
                 else:
                     arrays.append(cols[field.name].cast(
                         arrow_out.field(field.name).type))
@@ -541,7 +616,18 @@ class DeltaSharingDataSource(DataSource):
         from datafusion_delta_sharing_spark.sources.schema import schema_from_string
 
         client, table = _make_client(self.options)
-        _, metadata = client.get_table_metadata(table)
+        version, timestamp = _snapshot_pins(self.options)
+        if version is not None or timestamp is not None:
+            # time travel: the CURRENT metadata may have columns the
+            # pinned snapshot's files do not (schema evolution after the
+            # pin) — fetch the metadata the snapshot was written with
+            # from the same pinned query the readers use. limit_hint=0:
+            # only the metadata line matters here
+            metadata = client.get_table_data(
+                table, version=version, timestamp=timestamp,
+                limit_hint=0).metadata
+        else:
+            _, metadata = client.get_table_metadata(table)
         # remember partition columns for the readers (options travel)
         self.options["partition_columns"] = json.dumps(
             list(metadata.partition_columns))

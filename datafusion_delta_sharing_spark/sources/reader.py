@@ -303,8 +303,16 @@ def _fetch_batches_task(
                         arrays.append(pa.nulls(n, arrow_type) if decoded[name] is None
                                       else pa.array([decoded[name]] * n, type=arrow_type))
                     else:
-                        col = data.column(data.schema.get_field_index(name))
-                        arrays.append(col.cast(arrow_out.field(name).type))
+                        idx = data.schema.get_field_index(name)
+                        if idx < 0:
+                            # schema evolution: pre-add files lack the
+                            # column — NULL per Delta semantics; raw -1
+                            # would silently alias the LAST column
+                            arrays.append(
+                                pa.nulls(n, arrow_out.field(name).type))
+                        else:
+                            arrays.append(data.column(idx).cast(
+                                arrow_out.field(name).type))
                 yield pa.RecordBatch.from_arrays(arrays, schema=arrow_out)
 
 

@@ -638,3 +638,57 @@ def test_table_changes_with_deletion_vector(spark, tmp_path):
         df = reader.table_changes("s.d.cdv", starting_version=1)
         rows = sorted((r.id, r._change_type) for r in df.collect())
         assert rows == [(10, "insert"), (12, "insert")]
+
+
+def test_missing_column_reads_as_nulls(registered):
+    """Schema evolution: a file written before a column was added lacks
+    it. Delta semantics is NULL — pre-fix, pyarrow's get_field_index
+    returned -1 and batch.column(-1) silently served the LAST column's
+    data under the missing name (data corruption, not an error)."""
+    spark = registered
+    sink = io.BytesIO()
+    pq.write_table(pa.table({"id": pa.array([1, 2], pa.int64())}), sink)
+    blobs = {"/old_schema.parquet": sink.getvalue()}
+    srv, table = _server(blobs)
+    with srv:
+        table.files.append({
+            "id": "old", "url": f"{srv.base_url}/old_schema.parquet",
+            "size": len(blobs["/old_schema.parquet"]),
+            "partition_values": {"day": "2021-04-28"}})
+        rows = (spark.read.format("deltasharing")
+                .option("profile_json", json.dumps(srv.profile_doc()))
+                .option("table", "s.d.t").load().collect())
+        assert sorted(r.id for r in rows) == [1, 2]
+        assert all(r.amount is None for r in rows)  # NOT id's values
+
+
+def test_cdf_missing_commit_timestamp_is_null(registered, tmp_path):
+    """'timestamp' is optional on change actions; a missing one must
+    surface as a NULL _commit_timestamp, not a silent 1970 epoch."""
+    plain_schema = json.dumps({"type": "struct", "fields": [
+        {"name": "id", "type": "long", "nullable": False, "metadata": {}}]})
+    p = tmp_path / "nots.parquet"
+    pq.write_table(pa.table({"id": pa.array([5], pa.int64())}), p)
+    table = MockTable(share="s", schema="d", name="nots",
+                      schema_string=plain_schema, version=1)
+    table.changes.append(  # no "timestamp" key at all
+        {"kind": "add", "version": 1, "url": f"file://{p}",
+         "id": "n1", "size": 1})
+    spark = registered
+    with MockSharingServer([table]) as srv:
+        sink = f"cdf_nots_{uuid.uuid4().hex[:8]}"
+        stream = (spark.readStream.format("deltasharing")
+                  .option("profile_json", json.dumps(srv.profile_doc()))
+                  .option("table", "s.d.nots")
+                  .option("readChangeFeed", "true")
+                  .option("startingVersion", "1").load())
+        query = (stream.writeStream.outputMode("append")
+                 .format("memory").queryName(sink).start())
+        try:
+            query.processAllAvailable()
+            [row] = spark.table(sink).collect()
+        finally:
+            query.stop()
+        assert (row.id, row._change_type, row._commit_version) == \
+            (5, "insert", 1)
+        assert row._commit_timestamp is None

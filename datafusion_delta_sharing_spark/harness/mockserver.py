@@ -56,6 +56,7 @@ class MockSharingServer:
         self.page_size = page_size
         self.parquet_bytes = parquet_bytes or {}  # path -> bytes, served w/ Range
         self.forbidden_paths: set[str] = set()  # served as 403 (expired URL)
+        self.ignore_range = False  # True: serve 200 full body, no Range
         # optional OAuth client-credentials endpoint (/oauth/token):
         # configure with {"client_id": .., "client_secret": .., "expires_in": N}
         self.oauth: dict | None = None
@@ -177,6 +178,11 @@ class MockSharingServer:
                 ranges get a proper 416, not a bogus 206."""
                 blob = outer.parquet_bytes[path]
                 range_header = self.headers.get("Range")
+                if outer.ignore_range:
+                    # simulate a server/proxy that drops Range support:
+                    # 200 with the whole body (clients must cope — RFC
+                    # 7233 makes Range advisory)
+                    range_header = None
                 if range_header:
                     m = re.fullmatch(r"bytes=(\d*)-(\d*)",
                                      range_header.strip())

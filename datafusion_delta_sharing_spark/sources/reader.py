@@ -145,15 +145,25 @@ class _RangedHttpFile(io.RawIOBase):
                     raise requests.HTTPError(
                         f"server error {resp.status_code}", response=resp)
                 resp.raise_for_status()
-                data = resp.content
+                if resp.status_code == 200:
+                    # server ignored the Range header: the body is the
+                    # WHOLE file. Treating it as the requested slice
+                    # corrupts reads silently (parquet starts AND ends
+                    # with PAR1, so even the footer probe mis-binds)
+                    data = resp.content[self._pos:end + 1]
+                else:
+                    data = resp.content
                 self._pos += len(data)
                 return data
-            except (requests.ConnectionError, requests.Timeout) as exc:
-                last_exc = exc
             except requests.HTTPError as exc:
                 status = exc.response.status_code if exc.response is not None else None
                 if status is None or status < 500:
                     raise
+                last_exc = exc
+            except requests.RequestException as exc:
+                # resets mid-body surface as ChunkedEncodingError /
+                # ContentDecodingError, NOT ConnectionError — catching
+                # the base class keeps the bounded retry for all of them
                 last_exc = exc
             if attempt < self._RETRIES:
                 time.sleep(self._BACKOFF_S * (2 ** attempt))
@@ -169,11 +179,16 @@ def _local_path(url: str) -> str:
     file: URLs carry %xx escapes per RFC 8089 (a path with spaces arrives
     as ``file:///a%20b``); the filesystem wants the decoded form. Bare
     paths are already literal and must NOT be unquoted (a literal '%40'
-    directory is rare but legal)."""
+    directory is rare but legal) — but they ARE absolutized: the result
+    is used as a file-identity JOIN key against Spark's
+    ``_metadata.file_path`` / ``input_file_name`` (always absolute), so
+    a relative listing path would match nothing and silently drop every
+    row (or resurrect DV-deleted ones) instead of erroring."""
+    import os
     from urllib.parse import unquote
 
     if not url.startswith("file:"):
-        return url
+        return os.path.abspath(url)
     return unquote(urlparse(url).path)
 
 
@@ -195,6 +210,7 @@ def _fetch_batches_task(
     columns: Sequence[str] | None,
     profile_doc: str | None,
     table_fqn: str | None,
+    refresh_spec_json: str | None = None,
 ) -> Iterator["pyarrow.RecordBatch"]:  # noqa: F821
     """mapInArrow worker: file descriptors in, table record batches out.
 
@@ -233,20 +249,42 @@ def _fetch_batches_task(
     part_cols = [n for n in out_names if n in partition_columns]
     session = requests.Session()
 
+    fresh_actions: dict | None = None
+
     def refreshed_action(file_id: str):
-        """Fresh FileAction for ``file_id`` via a re-list, or None — the
-        presigned DATA url and the presigned DV url expire together."""
+        """Fresh FileAction for ``file_id`` via ONE re-list per task
+        (cached — pre-r5 each expired file triggered its own full,
+        un-hinted listing, and a file whose DV and data URLs both
+        expired triggered two). The re-list honors the read's snapshot
+        pin (version/timestamp) — an unpinned re-list would splice a
+        NEWER snapshot's URLs and deletion vectors into a time-traveled
+        scan. CDF file groups re-resolve through /changes for their own
+        commit version: remove/cdc files never appear in a snapshot
+        listing, so the snapshot path could not recover them at all."""
+        nonlocal fresh_actions
         if not profile_doc or not table_fqn:
             return None
-        from datafusion_delta_sharing_spark.client import DeltaSharingClient as C
-        from datafusion_delta_sharing_spark.profile import Profile as P
-        from datafusion_delta_sharing_spark.securable import Table as Tb
+        if fresh_actions is None:
+            from datafusion_delta_sharing_spark.client import DeltaSharingClient as C
+            from datafusion_delta_sharing_spark.profile import Profile as P
+            from datafusion_delta_sharing_spark.securable import Table as Tb
 
-        fresh = C(P.from_json(profile_doc)).get_table_data(Tb.from_str(table_fqn))
-        for f in fresh.files:
-            if f.id == file_id:
-                return f
-        return None
+            client = C(P.from_json(profile_doc))
+            tb = Tb.from_str(table_fqn)
+            spec = (json.loads(refresh_spec_json)
+                    if refresh_spec_json else {})
+            changes_version = spec.get("changes_version")
+            if changes_version is not None:
+                ch = client.get_table_changes(
+                    tb, starting_version=changes_version,
+                    ending_version=changes_version)
+                fresh_actions = {f.id: f for _, f in ch.actions}
+            else:
+                data = client.get_table_data(
+                    tb, version=spec.get("version"),
+                    timestamp=spec.get("timestamp"))
+                fresh_actions = {f.id: f for f in data.files}
+        return fresh_actions.get(file_id)
 
     def dv_deleted(descriptor: dict, file_id: str):
         try:
@@ -259,9 +297,20 @@ def _fetch_batches_task(
             fresh = refreshed_action(file_id)
             if fresh is None:
                 raise
-            if not fresh.deletion_vector:
-                return None
-            return _dv_positions(fresh.deletion_vector, session=session)
+            fresh_dv = fresh.deletion_vector
+            if not fresh_dv or any(
+                    fresh_dv.get(k) != descriptor.get(k)
+                    for k in ("storageType", "sizeInBytes", "cardinality")):
+                # only possible on an UNPINNED refresh: the table's DV
+                # changed between listing and scan — silently using the
+                # new one would tear the snapshot (other files already
+                # scanned under the old state). Refuse; re-running the
+                # read gets a consistent snapshot
+                raise DeltaSharingError(
+                    f"deletion vector of file {file_id!r} changed "
+                    "between listing and scan; re-run the read for a "
+                    "consistent snapshot") from exc
+            return _dv_positions(fresh_dv, session=session)
 
     for desc_batch in descriptor_batches:
         rows = desc_batch.to_pylist()
@@ -420,7 +469,15 @@ class DeltaSharingReader:
                 predicate_op = None  # Unsupported -> no hint, engine-side filter only
 
         data = self.client.get_table_data(
-            table, json_predicate_hints=hints, limit_hint=limit,
+            table, json_predicate_hints=hints,
+            # the limit hint is only sound with NO predicate: a server
+            # that prunes files by cumulative row count assumes the
+            # client reads rows unfiltered — with a predicate (pushed or
+            # residual) the limit applies AFTER filtering, so pruned
+            # files could hold the only matching rows (r5 review; the
+            # official Spark connector also sends limitHint only for
+            # filterless limits)
+            limit_hint=limit if predicate is None else None,
             version=version, timestamp=timestamp,
         )
         # limit-based file pruning is only sound with NO predicate at all:
@@ -512,7 +569,12 @@ class DeltaSharingReader:
             metadata = cdf_metadata if kind == "cdf" else changes.metadata
             data = TableData(protocol=changes.protocol, metadata=metadata,
                              files=tuple(files), version=changes.version)
-            df = self._dataframe_from_listing(table, data)
+            # expired-URL refreshes must go through /changes for this
+            # commit: remove/cdc files never appear in a snapshot listing
+            df = self._dataframe_from_listing(
+                table, data,
+                refresh_spec={"changes_version": ver} if ver is not None
+                else None)
             if kind != "cdf":
                 df = df.withColumn(
                     "_change_type",
@@ -536,7 +598,8 @@ class DeltaSharingReader:
     def _dataframe_from_listing(self, table: Table, data: TableData,
                                 predicate_op: Op | None = None,
                                 columns: Sequence[str] | None = None,
-                                limit: int | None = None) -> DataFrame:
+                                limit: int | None = None,
+                                refresh_spec: dict | None = None) -> DataFrame:
         metadata = data.metadata
         if metadata.format_provider.lower() != "parquet":
             raise DeltaSharingError(
@@ -585,16 +648,25 @@ class DeltaSharingReader:
                 raise DeltaSharingError(f"unknown column(s) in projection: {unknown}")
 
         if not files:
-            out_schema = (T.StructType([f for f in full_schema.fields
-                                        if f.name in set(columns)])
+            # CALLER column order, not table-schema order: the non-empty
+            # paths return columns as projected, and a positionally-bound
+            # consumer (union, toPandas().iloc) must see the same layout
+            # whether or not pruning emptied the listing
+            out_schema = (T.StructType([full_schema[c] for c in columns])
                           if columns else full_schema)
             return self.spark.createDataFrame([], out_schema)
 
         local = all(urlparse(f.url).scheme in ("", "file") for f in files)
         if local:
             return self._read_local(files, full_schema, partition_columns, columns)
+        if refresh_spec is None:
+            # pin executor-side URL refreshes to the snapshot THIS listing
+            # came from (Delta-Table-Version header): an unpinned re-list
+            # would splice a newer snapshot into a running scan
+            refresh_spec = {"version": data.version}
         return self._read_distributed(table, files, full_schema,
-                                      partition_columns, columns)
+                                      partition_columns, columns,
+                                      refresh_spec)
 
     # above this many distinct partition tuples, per-group scans would blow
     # up the plan: switch to one scan + input_file_name partition join
@@ -732,7 +804,8 @@ class DeltaSharingReader:
 
     def _read_distributed(self, table: Table, files: list[FileAction],
                           full_schema: T.StructType, partition_columns: list[str],
-                          columns: Sequence[str] | None) -> DataFrame:
+                          columns: Sequence[str] | None,
+                          refresh_spec: dict | None = None) -> DataFrame:
         """The scale path: parallelize the descriptor list, fetch + decode on
         executors via mapInArrow, one task per ~bytes_per_task of parquet."""
         data_schema = T.StructType(
@@ -752,7 +825,13 @@ class DeltaSharingReader:
                 "deletion_vector": (json.dumps(f.deletion_vector)
                                     if f.deletion_vector else None),
             }
-            for f in files
+            # size-descending (LPT order): round-robin repartition then
+            # spreads the n largest files across n distinct tasks instead
+            # of letting skewed sizes cluster into straggler tasks —
+            # byte-count task sizing is otherwise defeated by row-count
+            # distribution. (A single file larger than bytes_per_task
+            # still bounds wall-clock: file granularity is the floor.)
+            for f in sorted(files, key=lambda fa: -fa.size)
         ]
         desc_schema = T.StructType([
             T.StructField("url", T.StringType(), False),
@@ -778,10 +857,14 @@ class DeltaSharingReader:
         full_json = full_schema.json()
         cols = list(columns) if columns else None
         pcols = list(partition_columns)
+        spec_json = (json.dumps({k: v for k, v in refresh_spec.items()
+                                 if v is not None})
+                     if refresh_spec else None)
 
         def fetch(batches):
             return _fetch_batches_task(
-                batches, data_json, full_json, pcols, cols, profile_doc, fqn
+                batches, data_json, full_json, pcols, cols, profile_doc, fqn,
+                spec_json,
             )
 
         return desc_df.mapInArrow(fetch, out_schema)

@@ -79,7 +79,7 @@ def main() -> None:
             df = DeltaSharingReader.load(spark, f"{profile_path}#sales.emea.orders")
             df.orderBy("id").show()
 
-            print("== predicate + limit (hints pushed, files pruned) ==")
+            print("== predicate + limit (predicate hints pushed; limit exact client-side) ==")
             reader = DeltaSharingReader(
                 spark, __import__("datafusion_delta_sharing_spark.client",
                                   fromlist=["DeltaSharingClient"]

@@ -694,3 +694,68 @@ def test_mock_server_suffix_and_open_ranges(local_server, tmp_path):
         assert r.status_code == 416
         r = requests.get(url, headers={"Range": "bytes=0-99"})
         assert r.status_code == 206 and r.content == blob[:100]
+
+
+def test_range_ignoring_server_still_reads_correctly(spark):
+    """RFC 7233 makes Range advisory: a server/proxy that answers 200
+    with the whole body must not corrupt ranged reads — pre-fix the full
+    body was treated as the requested slice (parquet starts AND ends with
+    PAR1, so the footer probe mis-bound silently)."""
+    ids = list(range(25))
+    buf = io.BytesIO()
+    pq.write_table(pa.table({"id": pa.array(ids, pa.int64()),
+                             "amount": pa.array([float(i) for i in ids],
+                                                pa.float64())}),
+                   buf, row_group_size=7)
+    blob = buf.getvalue()
+    table = MockTable(share="s", schema="d", name="t",
+                      schema_string=SCHEMA_STRING,
+                      partition_columns=PARTITION_COLUMNS, files=[])
+    with MockSharingServer([table], parquet_bytes={"/nr.parquet": blob}) as srv:
+        srv.ignore_range = True
+        table.files.append(
+            {"id": "nr", "url": f"{srv.base_url}/nr.parquet",
+             "size": len(blob),
+             "partition_values": {"day": "2021-04-28", "tag": "a"}})
+        df = _reader(spark, srv).table("s.d.t")
+        assert sorted(r.id for r in df.collect()) == ids
+
+
+def test_limit_hint_not_sent_with_predicate(spark, local_server):
+    """limitHint together with a predicate is unsound: a server pruning
+    files by cumulative row count assumes unfiltered reads, so the only
+    files holding matches could be pruned. The hint must go out only for
+    filterless limits; the exact limit still applies client-side."""
+    reader = _reader(spark, local_server)
+    reader.table("s.d.t", predicate="id >= 2", limit=2)
+    body = json.loads([r for r in local_server.requests
+                       if r["path"].endswith("/query")][-1]["body"])
+    assert "limitHint" not in body
+    assert "jsonPredicateHints" in body
+    reader.table("s.d.t", limit=2)
+    body = json.loads([r for r in local_server.requests
+                       if r["path"].endswith("/query")][-1]["body"])
+    assert body.get("limitHint") == 2
+
+
+def test_empty_listing_preserves_projection_order(spark, local_server):
+    """When pruning (or the server) eliminates every file, the empty
+    DataFrame must carry the CALLER's column order — table-schema order
+    silently mis-binds positional consumers the moment data shrinks."""
+    reader = _reader(spark, local_server)
+    df = reader.table("s.d.t", predicate="id > 999999", limit=None,
+                      columns=["amount", "id"])
+    assert df.columns[:2] == ["amount", "id"]
+
+
+def test_local_path_absolutizes_bare_paths():
+    """Bare relative listing paths are join keys against Spark's always-
+    absolute _metadata.file_path; a relative key matches nothing and
+    silently drops every row (or resurrects DV-deleted ones)."""
+    import os
+
+    from datafusion_delta_sharing_spark.sources.reader import _local_path
+
+    assert os.path.isabs(_local_path("rel/part-0.parquet"))
+    assert _local_path("/abs/p.parquet") == "/abs/p.parquet"
+    assert _local_path("file:///a%20b/x.parquet") == "/a b/x.parquet"

@@ -20,6 +20,7 @@ Endpoints (Delta Sharing protocol, all relative to the profile endpoint):
 
 from __future__ import annotations
 
+import io
 import json
 import time
 from dataclasses import dataclass, field as dc_field
@@ -48,6 +49,7 @@ class ProtocolAction:
     """``{"protocol": {"minReaderVersion": N}}`` (action.rs:10-30)."""
 
     min_reader_version: int = 1
+    reader_features: tuple[str, ...] = ()
 
     @classmethod
     def from_json(cls, doc: dict) -> "ProtocolAction":
@@ -55,7 +57,13 @@ class ProtocolAction:
         # "responseformat=delta"): {"protocol": {"deltaProtocol": {...}}}
         if "deltaProtocol" in doc:
             doc = doc["deltaProtocol"]
-        return cls(min_reader_version=int(doc.get("minReaderVersion", 1)))
+        return cls(
+            min_reader_version=int(doc.get("minReaderVersion", 1)),
+            # kept so the scan layer can refuse features it cannot honor
+            # (silently ignoring a required reader feature risks wrong
+            # rows, the same class of failure as unapplied DVs)
+            reader_features=tuple(doc.get("readerFeatures") or ()),
+        )
 
 
 @dataclass(frozen=True)
@@ -147,7 +155,9 @@ class FileAction:
             url=doc["url"],
             id=doc.get("id", ""),
             partition_values=partition_values,
-            size=int(doc.get("size", 0)),
+            # "size": null (some serializers emit it for optional
+            # remove.size) must not TypeError deep in parsing
+            size=int(doc.get("size") or 0),
             stats=doc.get("stats"),
             version=doc.get("version"),
             timestamp=doc.get("timestamp"),
@@ -196,7 +206,9 @@ class TableChanges:
 def _parse_ndjson_actions(text: str) -> Iterator[tuple[str, dict]]:
     """Yield ``(kind, body)`` per NDJSON line; kind is the single wrapper key
     (``protocol`` / ``metaData`` / ``file``), per response.rs:140-177."""
-    for line in text.splitlines():
+    # iterate lazily: splitlines() materializes a second full copy of a
+    # listing body that can be hundreds of MB for a million-file table
+    for line in io.StringIO(text):
         line = line.strip()
         if not line:
             continue
@@ -211,7 +223,24 @@ def _parse_ndjson_actions(text: str) -> Iterator[tuple[str, dict]]:
         if not isinstance(doc, dict) or len(doc) != 1:
             raise DeltaSharingError(f"malformed NDJSON action line: {line[:200]}")
         kind, body = next(iter(doc.items()))
+        if not isinstance(body, dict):
+            # {"metaData": null} / {"protocol": "oops"} would otherwise
+            # AttributeError deep inside the action classes
+            raise DeltaSharingError(
+                f"malformed NDJSON action line: {line[:200]}")
         yield kind, body
+
+
+def _parse_version_header(raw: str) -> int:
+    """``delta-table-version`` header value -> int, with the client's error
+    type on garbage (a proxy error page's header must not surface as a
+    bare ValueError)."""
+    try:
+        return int(raw)
+    except ValueError as exc:
+        raise DeltaSharingError(
+            f"sharing server sent a non-integer {VERSION_HEADER} "
+            f"header: {raw!r}") from exc
 
 
 class DeltaSharingClient:
@@ -289,7 +318,10 @@ class DeltaSharingClient:
                 break
             if last_exc is None and retry_after:
                 try:
-                    delay = min(float(retry_after), 30.0)
+                    # clamp BOTH ends: a negative Retry-After (skewed
+                    # server clock) would make time.sleep raise ValueError
+                    # and abort a retryable request
+                    delay = min(max(float(retry_after), 0.0), 30.0)
                 except ValueError:
                     delay = self.backoff_base * (2 ** attempt)
             else:
@@ -314,18 +346,23 @@ class DeltaSharingClient:
     def CAPABILITIES_HEADER(self) -> dict:
         return {"delta-sharing-capabilities": self.capabilities}
 
+    def _headers(self) -> dict:
+        # built PER ATTEMPT (inside the retry lambda): an OAuth token can
+        # expire during backoff sleeps, and authorization_header() is
+        # where the profile refreshes it
+        return {**self.profile.authorization_header(),
+                **self.CAPABILITIES_HEADER}
+
     def _get(self, url: str, params: dict | None = None) -> requests.Response:
-        headers = {**self.profile.authorization_header(),
-                   **self.CAPABILITIES_HEADER}
         return self._with_retry(lambda: self.session.get(
-            url, headers=headers, params=params or {}, timeout=self.timeout))
+            url, headers=self._headers(), params=params or {},
+            timeout=self.timeout))
 
     def _post(self, url: str, body: dict) -> requests.Response:
-        headers = {**self.profile.authorization_header(),
-                   **self.CAPABILITIES_HEADER}
-        headers["Content-Type"] = "application/json"
         return self._with_retry(lambda: self.session.post(
-            url, headers=headers, json=body, timeout=self.timeout))
+            url, headers={**self._headers(),
+                          "Content-Type": "application/json"},
+            json=body, timeout=self.timeout))
 
     def _paginate(self, url: str) -> Iterator[dict]:
         """Follow nextPageToken until exhausted, yielding raw items."""
@@ -338,9 +375,15 @@ class DeltaSharingClient:
                 params["pageToken"] = token
             body = self._get(url, params=params).json()
             yield from body.get("items", [])
-            token = body.get("nextPageToken")
+            prev, token = token, body.get("nextPageToken")
             if not token:
                 return
+            if token == prev:
+                # a server echoing the token it was sent would loop
+                # forever, yielding unbounded duplicates
+                raise DeltaSharingError(
+                    f"sharing server repeated nextPageToken {token!r}; "
+                    "refusing to loop")
 
     # -- discovery endpoints (A22-A25) ------------------------------------
 
@@ -404,7 +447,10 @@ class DeltaSharingClient:
             if isinstance(starting_timestamp, datetime):
                 # a tz-aware non-UTC datetime must be CONVERTED before the
                 # 'Z' suffix labels it UTC — stamping local wall time as
-                # Zulu would ask the server for the wrong point in time
+                # Zulu would ask the server for the wrong point in time.
+                # A NAIVE datetime is taken to already mean UTC (protocol
+                # timestamps are UTC); callers meaning local time must
+                # attach their tzinfo
                 if starting_timestamp.tzinfo is not None:
                     starting_timestamp = starting_timestamp.astimezone(
                         timezone.utc)
@@ -418,7 +464,7 @@ class DeltaSharingClient:
             raise DeltaSharingError(
                 f"sharing server response missing {VERSION_HEADER} header"
             )
-        return int(raw)
+        return _parse_version_header(raw)
 
     def get_table_metadata(self, table: Table) -> tuple[ProtocolAction, MetadataAction]:
         """GET …/metadata — two NDJSON lines: protocol then metaData
@@ -477,6 +523,16 @@ class DeltaSharingClient:
             elif kind == "metaData":
                 metadata = MetadataAction.from_json(action)
             elif kind == "file":
+                dsa = action.get("deltaSingleAction")
+                if dsa is not None and "add" not in dsa:
+                    # a snapshot query must list LIVE data only: treating a
+                    # remove/cdc change action as a data file would read
+                    # soft-deleted rows back (the CDF endpoint is where
+                    # those belong)
+                    raise DeltaSharingError(
+                        "query response contains a non-add delta action "
+                        f"{sorted(dsa)}: snapshot listings must carry "
+                        "only add files")
                 files.append(FileAction.from_json(action))
         if protocol is None or metadata is None:
             raise DeltaSharingError("query response missing protocol or metaData line")
@@ -485,7 +541,8 @@ class DeltaSharingClient:
             protocol=protocol,
             metadata=metadata,
             files=tuple(files),
-            version=int(raw_version) if raw_version is not None else None,
+            version=(_parse_version_header(raw_version)
+                     if raw_version is not None else None),
         )
 
     def get_table_changes(self, table: Table,
@@ -549,6 +606,7 @@ class DeltaSharingClient:
             protocol=protocol,
             metadata=metadata,
             actions=tuple(actions),
-            version=int(raw_version) if raw_version is not None else None,
+            version=(_parse_version_header(raw_version)
+                     if raw_version is not None else None),
         )
 

@@ -45,6 +45,9 @@ class MockTable:
     # table properties surfaced in metaData.configuration (e.g.
     # delta.columnMapping.mode for the reader's refusal path)
     configuration: dict = field(default_factory=dict)
+    # protocol readerFeatures advertised in the protocol line (for the
+    # scan layer's unsupported-feature refusal path)
+    reader_features: list = field(default_factory=list)
 
 
 class MockSharingServer:
@@ -430,7 +433,8 @@ class MockSharingServer:
                 if f.get("deletion_vector") is not None:
                     add["deletionVector"] = f["deletion_vector"]
                 doc = {"id": f["id"],
-                       "deltaSingleAction": {"add": add}}
+                       "deltaSingleAction": {
+                           f.get("delta_kind", "add"): add}}
             else:
                 doc = {
                     "url": f["url"],
@@ -455,14 +459,17 @@ class MockSharingServer:
         }
         if table.configuration:
             meta["configuration"] = table.configuration
+        proto = {"minReaderVersion": 3 if table.reader_features else 1}
+        if table.reader_features:
+            proto["readerFeatures"] = list(table.reader_features)
         if table.response_format == "delta":
             return "\n".join([
                 json.dumps({"protocol": {"deltaProtocol": {
-                    "minReaderVersion": 1, "minWriterVersion": 2}}}),
+                    **proto, "minWriterVersion": 2}}}),
                 json.dumps({"metaData": {"deltaMetadata": meta}}),
             ])
         return "\n".join([
-            json.dumps({"protocol": {"minReaderVersion": 1}}),
+            json.dumps({"protocol": proto}),
             json.dumps({"metaData": meta}),
         ])
 

@@ -165,6 +165,7 @@ class DeltaSharingBatchReader(DataSourceReader):
         version, timestamp = _snapshot_pins(self.options)
         data = client.get_table_data(table, json_predicate_hints=hints,
                                      version=version, timestamp=timestamp)
+        _check_reader_features(data.protocol)
         files = list(data.files)
         if self.hints_op is not None:
             files = [f for f in files if may_match(self.hints_op, f.parsed_stats())]
@@ -190,6 +191,24 @@ def _partition_columns_of(options, full_schema: T.StructType,
     pcol_set = (set(json.loads(raw_pcols)) if raw_pcols
                 else set(partition.partition_values))
     return [f.name for f in full_schema.fields if f.name in pcol_set]
+
+
+def _check_reader_features(protocol) -> None:
+    """Refuse required delta reader features the scan layer cannot honor
+    (same check as DeltaSharingReader._dataframe_from_listing — silently
+    scanning e.g. a columnMapping/typeWidening table as plain parquet
+    yields wrong rows)."""
+    from datafusion_delta_sharing_spark.sources.reader import (
+        _SUPPORTED_READER_FEATURES,
+    )
+
+    unsupported = [f for f in protocol.reader_features
+                   if f.lower() not in _SUPPORTED_READER_FEATURES]
+    if unsupported:
+        raise DeltaSharingError(
+            f"table requires reader features {sorted(unsupported)} "
+            "this client does not implement; supported: "
+            f"{sorted(_SUPPORTED_READER_FEATURES)}")
 
 
 def _read_file_partition(options, full_schema: T.StructType,
@@ -440,6 +459,7 @@ class DeltaSharingStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:
         client, table = _make_client(self.options)
         data = client.get_table_data(table)
+        _check_reader_features(data.protocol)
         _check_schema_drift(self, table, data.metadata.schema_string)
         if data.version is not None:
             self._version = data.version
@@ -546,6 +566,7 @@ class DeltaSharingCDFStreamReader(DataSourceStreamReader):
         client, table = _make_client(self.options)
         changes = client.get_table_changes(
             table, starting_version=lo + 1, ending_version=hi)
+        _check_reader_features(changes.protocol)
         _check_schema_drift(self, table, changes.metadata.schema_string)
         for _, f in changes.actions:
             if f.deletion_vector:  # refuse unresolvable DVs at plan time

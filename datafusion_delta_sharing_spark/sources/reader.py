@@ -173,6 +173,17 @@ class _RangedHttpFile(io.RawIOBase):
         return self._size
 
 
+# delta reader features this scan layer actually honors: deletion vectors
+# are APPLIED (sources/dv.py), timestampNtz maps through the schema layer,
+# and v2Checkpoint/vacuumProtocolCheck do not affect a file-listing-based
+# read (the SERVER resolves the log). columnMapping and typeWidening are
+# deliberately absent: both change how the physical parquet bytes must be
+# interpreted, and scanning them as plain parquet yields wrong rows.
+_SUPPORTED_READER_FEATURES = frozenset(
+    {"deletionvectors", "timestampntz", "v2checkpoint",
+     "vacuumprotocolcheck"})
+
+
 def _local_path(url: str) -> str:
     """``file:`` URL -> decoded filesystem path; bare paths pass through.
 
@@ -606,6 +617,17 @@ class DeltaSharingReader:
                 f"unsupported file format {metadata.format_provider!r}; "
                 "the protocol serves parquet"
             )
+        unsupported = [f for f in data.protocol.reader_features
+                       if f.lower() not in _SUPPORTED_READER_FEATURES]
+        if unsupported:
+            # a required reader feature this client cannot honor means
+            # plain-parquet decoding may return wrong rows (the same
+            # failure class as unapplied deletion vectors) — refuse
+            # loudly rather than scan anyway
+            raise DeltaSharingError(
+                f"table requires reader features {sorted(unsupported)} "
+                "this client does not implement; supported: "
+                f"{sorted(_SUPPORTED_READER_FEATURES)}")
         cm_mode = metadata.configuration.get("delta.columnMapping.mode")
         if cm_mode and cm_mode != "none":
             # column mapping renames the PHYSICAL parquet columns to

@@ -330,3 +330,70 @@ def test_timestamp_partition_value_with_offset_keeps_instant():
     ntz = decode_partition_value("2021-04-29T10:00:00Z",
                                  T.TimestampNTZType())
     assert ntz.tzinfo is None and ntz.hour == 10
+
+
+def test_unsupported_reader_features_refused(spark_noop=None):
+    """A protocol line requiring reader features this client cannot honor
+    (columnMapping, typeWidening) must refuse at listing time — scanning
+    those tables as plain parquet yields wrong rows. Supported features
+    (deletionVectors, timestampNtz) pass."""
+    from datafusion_delta_sharing_spark.client import ProtocolAction
+
+    p = ProtocolAction.from_json(
+        {"minReaderVersion": 3,
+         "readerFeatures": ["deletionVectors", "columnMapping"]})
+    assert p.reader_features == ("deletionVectors", "columnMapping")
+    # delta-format wrapping preserved too
+    p2 = ProtocolAction.from_json(
+        {"deltaProtocol": {"minReaderVersion": 3,
+                           "readerFeatures": ["typeWidening"]}})
+    assert p2.reader_features == ("typeWidening",)
+
+
+def test_query_rejects_non_add_delta_actions(server):
+    """A snapshot /query response carrying a remove/cdc deltaSingleAction
+    must refuse: treating a change action as a live data file reads
+    soft-deleted rows back."""
+    from datafusion_delta_sharing_spark.errors import DeltaSharingError
+
+    client = DeltaSharingClient(Profile.from_json(server.profile_doc()))
+    table = next(t for t in server.tables
+                 if (t.share, t.schema, t.name) == ("sales", "emea", "orders"))
+    table.response_format = "delta"
+    table.files.append({
+        "id": "zombie", "url": "https://data.example/z.parquet", "size": 9,
+        "partition_values": {}, "delta_kind": "remove"})
+    try:
+        with pytest.raises(DeltaSharingError, match="non-add"):
+            client.get_table_data(Table.from_str("sales.emea.orders"))
+    finally:
+        table.files.pop()
+        table.response_format = "parquet"
+
+
+def test_malformed_ndjson_bodies_raise_client_error():
+    from datafusion_delta_sharing_spark.client import _parse_ndjson_actions
+
+    from datafusion_delta_sharing_spark.errors import DeltaSharingError
+
+    with pytest.raises(DeltaSharingError, match="malformed"):
+        list(_parse_ndjson_actions('{"metaData": null}'))
+    with pytest.raises(DeltaSharingError, match="malformed"):
+        list(_parse_ndjson_actions('{"protocol": "oops"}'))
+
+
+def test_file_action_null_size_tolerated():
+    from datafusion_delta_sharing_spark.client import FileAction
+
+    f = FileAction.from_json({"url": "u", "id": "i", "size": None})
+    assert f.size == 0
+
+
+def test_version_header_garbage_raises_client_error(server):
+    client = DeltaSharingClient(Profile.from_json(server.profile_doc()))
+    from datafusion_delta_sharing_spark.client import _parse_version_header
+    from datafusion_delta_sharing_spark.errors import DeltaSharingError
+
+    with pytest.raises(DeltaSharingError, match="non-integer"):
+        _parse_version_header("unknown")
+    assert _parse_version_header("12") == 12

@@ -759,3 +759,27 @@ def test_local_path_absolutizes_bare_paths():
     assert os.path.isabs(_local_path("rel/part-0.parquet"))
     assert _local_path("/abs/p.parquet") == "/abs/p.parquet"
     assert _local_path("file:///a%20b/x.parquet") == "/a b/x.parquet"
+
+
+def test_unsupported_reader_features_refused_at_listing(spark, tmp_path):
+    """A table whose protocol requires columnMapping/typeWidening must
+    refuse at listing time — scanning it as plain parquet yields wrong
+    rows. Supported features (deletionVectors, timestampNtz) pass."""
+    from datafusion_delta_sharing_spark.errors import DeltaSharingError
+
+    p = _write_local(tmp_path, "rf.parquet", [1], [1.0])
+    files = [{"id": "rf", "url": f"file://{p}", "size": 0,
+              "partition_values": {"day": "2021-04-28", "tag": "a"}}]
+    bad = MockTable(share="s", schema="d", name="t",
+                    schema_string=SCHEMA_STRING,
+                    partition_columns=PARTITION_COLUMNS, files=files,
+                    reader_features=["deletionVectors", "columnMapping"])
+    with MockSharingServer([bad]) as srv:
+        with pytest.raises(DeltaSharingError, match="columnMapping"):
+            _reader(spark, srv).table("s.d.t")
+    ok = MockTable(share="s", schema="d", name="t",
+                   schema_string=SCHEMA_STRING,
+                   partition_columns=PARTITION_COLUMNS, files=files,
+                   reader_features=["deletionVectors", "timestampNtz"])
+    with MockSharingServer([ok]) as srv:
+        assert _reader(spark, srv).table("s.d.t").count() == 1

@@ -164,6 +164,11 @@ class Op:
     def __eq__(self, other: object) -> bool:
         return isinstance(other, Op) and self.to_dict() == other.to_dict()
 
+    def __hash__(self) -> int:
+        # a custom __eq__ sets __hash__ to None; Op nodes must stay
+        # usable in sets/dict keys (hint dedup, verdict caches)
+        return hash(self.to_json())
+
     def __repr__(self) -> str:
         return f"Op({self.to_json()})"
 
@@ -178,7 +183,15 @@ def _render_literal(value: Any, value_type: ValueType) -> str:
             return (_dt.date(1970, 1, 1) + _dt.timedelta(days=value)).isoformat()
         return str(value)
     if value_type == ValueType.TIMESTAMP and isinstance(value, _dt.datetime):
-        return value.isoformat()
+        # normalize to UTC before rendering: pushFilters hands NAIVE
+        # session-local datetimes, and a wall-clock hint read as UTC by
+        # the server (or compared against UTC stats client-side) prunes
+        # files that contain matching rows. Naive values take the system
+        # tz (Spark's session default); aware values convert directly
+        if value.tzinfo is None:
+            value = value.astimezone()
+        value = value.astimezone(_dt.timezone.utc)
+        return value.isoformat().replace("+00:00", "Z")
     if value_type == ValueType.BOOL and isinstance(value, bool):
         return "true" if value else "false"
     return str(value)

@@ -32,7 +32,15 @@ def _coerce(raw: Any, value_type: ValueType) -> Any:
     if value_type == ValueType.BOOL:
         if isinstance(raw, bool):
             return raw
-        return str(raw).strip().lower() in ("true", "1")
+        text = str(raw).strip().lower()
+        if text in ("true", "1"):
+            return True
+        if text in ("false", "0"):
+            return False
+        # anything else (Postgres-style 't', garbage) must RAISE like the
+        # other types do — callers catch and keep the file. Silently
+        # coercing to False pruned files whose every row matched
+        raise ValueError(f"unparseable boolean stats value {raw!r}")
     if value_type == ValueType.DATE:
         if isinstance(raw, _dt.date):
             return raw
@@ -41,10 +49,9 @@ def _coerce(raw: Any, value_type: ValueType) -> Any:
         if isinstance(raw, _dt.datetime):
             dt = raw
         else:
-            text = str(raw).strip().replace(" ", "T", 1)
-            if text.endswith(("Z", "z")):
-                text = text[:-1] + "+00:00"
-            dt = _dt.datetime.fromisoformat(text)
+            from datafusion_delta_sharing_spark.rfc3339 import parse_rfc3339
+
+            dt = parse_rfc3339(raw)
         # offset-aware values normalize to UTC; naive values stay naive.
         # Comparing aware vs naive raises TypeError, which the callers
         # catch and treat as "cannot analyze -> do not prune" — mismatched

@@ -30,13 +30,10 @@ _SUPPORTED_VERSION = 1
 
 def _parse_expiration(raw: str) -> datetime:
     """Parse an RFC-3339 expiration timestamp into an aware UTC datetime."""
-    text = raw.strip()
-    # RFC 3339 permits lowercase 'z'; keep in sync with the equivalent
-    # normalizations in plans/pruning._coerce and schema.decode_partition_value
-    if text.endswith(("Z", "z")):
-        text = text[:-1] + "+00:00"
+    from datafusion_delta_sharing_spark.rfc3339 import parse_rfc3339
+
     try:
-        parsed = datetime.fromisoformat(text)
+        parsed = parse_rfc3339(raw)
     except ValueError as exc:
         raise ProfileError(f"invalid expirationTime {raw!r}: {exc}") from exc
     if parsed.tzinfo is None:
@@ -90,6 +87,14 @@ class Profile:
                 f"{doc.get('shareCredentialsVersion')!r}") from exc
         if version == 2:
             return OAuthClientCredentialsProfile.from_doc(doc)
+        if version != 1:
+            # diagnose the VERSION first: a v3 profile without bearerToken
+            # used to report 'missing required field: bearerToken', which
+            # misleads the operator about the actual problem
+            raise ProfileError(
+                f"unsupported profile version {version} "
+                "(shareCredentialsVersion; supported: 1 bearer token, "
+                "2 OAuth client credentials)")
         missing = [k for k in ("shareCredentialsVersion", "endpoint", "bearerToken")
                    if k not in doc]
         if missing:
@@ -210,11 +215,15 @@ class OAuthClientCredentialsProfile:
         try:
             doc = resp.json()
             token = doc["access_token"]
-        except (ValueError, KeyError) as exc:
+            # expires_in: null (and non-dict bodies above) must map to
+            # ProfileError too, not TypeError after the token was
+            # already assigned
+            raw_exp = doc.get("expires_in")
+            expires_in = float(raw_exp) if raw_exp is not None else 3600.0
+        except (ValueError, KeyError, TypeError) as exc:
             raise ProfileError(
                 f"malformed token response: {exc}") from exc
         self._token = str(token)
-        expires_in = float(doc.get("expires_in", 3600))
         self._token_expiry = time.time() + expires_in - self._SKEW_S
 
     def authorization_header(self, now=None) -> dict[str, str]:

@@ -110,7 +110,18 @@ def decode_partition_value(raw: str | None, dtype: T.DataType) -> Any:
                 return False
             raise ValueError(f"not a boolean: {raw!r}")
         if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
-            return int(raw)
+            # strict: int() accepts '1_0' underscore syntax (corrupt value
+            # silently reads as 10), and an out-of-width value would wrap
+            # or crash deep inside the executor attach instead of HERE
+            if "_" in raw:
+                raise ValueError(f"not an integer literal: {raw!r}")
+            value = int(raw)
+            bits = {T.ByteType: 8, T.ShortType: 16,
+                    T.IntegerType: 32, T.LongType: 64}[type(dtype)]
+            if not -(1 << (bits - 1)) <= value < (1 << (bits - 1)):
+                raise ValueError(
+                    f"{value} out of range for {dtype.simpleString()}")
+            return value
         if isinstance(dtype, (T.FloatType, T.DoubleType)):
             return float(raw)
         if isinstance(dtype, T.StringType):
@@ -120,10 +131,9 @@ def decode_partition_value(raw: str | None, dtype: T.DataType) -> Any:
         if isinstance(dtype, T.DateType):
             return _dt.date.fromisoformat(raw)
         if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
-            text = raw.strip()
-            if text.endswith(("Z", "z")):
-                text = text[:-1] + "+00:00"
-            parsed = _dt.datetime.fromisoformat(text.replace(" ", "T", 1))
+            from datafusion_delta_sharing_spark.rfc3339 import parse_rfc3339
+
+            parsed = parse_rfc3339(raw)
             if parsed.tzinfo is not None:
                 parsed = parsed.astimezone(_dt.timezone.utc)
                 if isinstance(dtype, T.TimestampNTZType):

@@ -204,3 +204,60 @@ def test_prune_conservative_on_missing_stats():
     assert may_match(pred("id = 500"), {})
     assert may_match(pred("id = 500"), {"minValues": {}})
     assert may_match(pred("price = 1.5"), stats(1, 100))  # stats for other col only
+
+
+def test_bool_stats_garbage_never_prunes():
+    """Unparseable boolean stats must keep the file (raise inside, caught
+    by may_match) — the old coercion read Postgres-style 't' as False and
+    pruned files whose every row matched (r5 review)."""
+    from datafusion_delta_sharing_spark.plans.predicates import (
+        Op,
+        ValueType,
+    )
+
+    schema = T.StructType([T.StructField("flag", T.BooleanType())])
+    p = predicate_from_sql("flag = true", schema)
+    good = {"numRecords": 3, "minValues": {"flag": "t"},
+            "maxValues": {"flag": "t"}, "nullCount": {"flag": 0}}
+    assert may_match(p, good)  # cannot analyze -> keep
+    # well-formed bools still prune
+    assert not may_match(p, {"numRecords": 3, "minValues": {"flag": "false"},
+                             "maxValues": {"flag": "false"},
+                             "nullCount": {"flag": 0}})
+    del Op, ValueType  # imported to assert availability only
+
+
+def test_partition_int_decode_is_strict():
+    """Out-of-width and underscore-syntax integers must raise the clear
+    SchemaError here, not wrap or silently mis-decode downstream."""
+    assert decode_partition_value("127", T.ByteType()) == 127
+    with pytest.raises(SchemaError, match="out of range"):
+        decode_partition_value("300", T.ByteType())
+    with pytest.raises(SchemaError, match="out of range"):
+        decode_partition_value("70000", T.ShortType())
+    with pytest.raises(SchemaError, match="integer literal"):
+        decode_partition_value("1_0", T.IntegerType())
+    assert decode_partition_value("2147483647", T.IntegerType()) == 2**31 - 1
+
+
+def test_timestamp_literal_rendered_utc():
+    """pushFilters hands naive session-local datetimes; the wire literal
+    must be the UTC instant (a wall-clock hint read as UTC prunes files
+    holding matching rows — r5 review)."""
+    from datafusion_delta_sharing_spark.plans.predicates import (
+        Op,
+        ValueType,
+        _render_literal,
+    )
+
+    aware = datetime.datetime(2021, 4, 28, 9, 0,
+                              tzinfo=datetime.timezone(
+                                  datetime.timedelta(hours=9)))
+    assert _render_literal(aware, ValueType.TIMESTAMP) == \
+        "2021-04-28T00:00:00Z"
+    # naive input takes the system tz; whatever it is, the result is an
+    # aware-UTC rendering of a real instant (ends in Z, round-trips)
+    naive = datetime.datetime(2021, 4, 28, 9, 0)
+    out = _render_literal(naive, ValueType.TIMESTAMP)
+    assert out.endswith("Z")
+    del Op

@@ -181,7 +181,8 @@ ORACLES = {
     """,
     "stateful_stream": """
         SELECT user_id, count(*) AS n_events,
-               round(sum(value), 2) AS total_value
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+                   / 100.0 AS total_value
         FROM events GROUP BY user_id
     """,
 }

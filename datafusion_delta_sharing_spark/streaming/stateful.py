@@ -15,13 +15,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from datafusion_delta_sharing_spark.streaming.windows import (
-    EVENTS_RAW_SCHEMA,  # noqa: F401 (re-export: tests build raw nano streams)
     materialize_stream,
     stream_events,
 )
 
 OUTPUT_SCHEMA = "user_id bigint, n_events bigint, total_value double"
-STATE_SCHEMA = "n bigint, total double"
+STATE_SCHEMA = "n bigint, total_cents bigint"
 
 
 def _update_user_state(
@@ -29,18 +28,24 @@ def _update_user_state(
     batches: Iterator[pd.DataFrame],
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
-    n, total = state.get if state.exists else (0, 0.0)
+    import numpy as np
+
+    n, total_cents = state.get if state.exists else (0, 0)
     for pdf in batches:
         n += len(pdf)
-        total += float(pdf["value"].sum())
-    # state carries the UNROUNDED running total; rounding is emission-only.
-    # Rounding into the state would re-round each microbatch and drift from
-    # the batch-groupBy oracle as soon as the stream spans >1 batch
-    state.update((n, total))
+        # state carries EXACT integer cents (floor(x*100+0.5), identical
+        # on every engine for the non-negative values here): a float
+        # running total re-rounded per emission drifts from the batch
+        # oracle with accumulation order (r5 review; same exactness
+        # recipe as the upsert sink)
+        total_cents += int(np.floor(
+            pdf["value"].to_numpy(dtype="float64") * 100 + 0.5)
+            .astype("int64").sum())
+    state.update((n, total_cents))
     yield pd.DataFrame({
         "user_id": [key[0]],
         "n_events": [n],
-        "total_value": [round(total, 2)],
+        "total_value": [total_cents / 100.0],
     })
 
 

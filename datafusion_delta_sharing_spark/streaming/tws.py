@@ -23,6 +23,7 @@ import tempfile
 from typing import Any, Iterator
 
 import pandas as pd
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming.stateful_processor import (
     StatefulProcessor,
@@ -48,7 +49,6 @@ class RunningTotalsProcessor(StatefulProcessor):
         prev = self._totals.get()
         n, cents = prev if prev is not None else (0, 0)
         for pdf in rows:
-            import numpy as np
 
             n += len(pdf)
             # half-away-from-zero, matching Spark/DuckDB round() — numpy's

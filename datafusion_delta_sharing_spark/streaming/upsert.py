@@ -12,13 +12,16 @@ one bucket ≈ one task's worth of state; untouched buckets are never read
 or written.
 
 foreachBatch delivers at-least-once (a batch replays after a crash
-mid-write), so the merge must be idempotent: every state row carries the
-``last_batch`` id that produced its bucket, and a replayed batch skips
-buckets already stamped with its id — the merge-then-overwrite is applied
-exactly once per (bucket, batch) even when some buckets of the batch
-committed before the crash and some did not. This is the same
-commit-version bookkeeping a table format does transactionally, done with
-plain parquet at partition granularity.
+mid-write), so the merge must be idempotent: each bucket carries one
+STAMP ROW per (run, last-applied-batch), rewritten atomically with the
+bucket's data, and a replayed batch skips buckets already stamped by its
+own run — applied exactly once per (bucket, batch) even when some buckets
+of the batch committed before the crash and some did not, and even when
+another run wrote the bucket in between (stamps of every run carry
+forward). This is the commit-version bookkeeping a table format does
+transactionally, done with plain parquet at partition (bucket-directory)
+granularity — a write torn INSIDE one bucket's commit is the residual
+window only a transactional log closes.
 
 Event values are quantized to integer cents BEFORE summation, so the
 merged totals are exact and independent of batch boundaries — the oracle
@@ -40,10 +43,41 @@ from datafusion_delta_sharing_spark.streaming.windows import (
 
 _STATE_SCHEMA = ("bucket bigint, user_id bigint, total_cents bigint, "
                  "n_events bigint, last_batch bigint, last_run string")
+_BUCKETS_MARKER = "_n_buckets.json"
 
 
 def _state_df(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Raw state rows: per-user DATA rows (user_id NOT NULL) plus per-run
+    STAMP rows (user_id NULL, one per (bucket, run) that wrote the
+    bucket). Totals consumers must filter ``user_id IS NOT NULL``."""
     return spark.read.schema(_STATE_SCHEMA).parquet(state_dir)
+
+
+def state_totals(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The merged per-user totals (stamp bookkeeping rows filtered out)."""
+    return (_state_df(spark, state_dir)
+            .filter(F.col("user_id").isNotNull())
+            .select("user_id", "total_cents", "n_events"))
+
+
+def _check_bucket_marker(state_dir: str, n_buckets: int) -> None:
+    """Pin the bucket count in the state dir: reattaching with a different
+    n_buckets would route users to different buckets, silently splitting
+    their totals across two rows (r5 review)."""
+    import json
+
+    marker = os.path.join(state_dir, _BUCKETS_MARKER)
+    if os.path.exists(marker):
+        with open(marker, encoding="utf-8") as fh:
+            stored = json.load(fh)["n_buckets"]
+        if stored != n_buckets:
+            raise ValueError(
+                f"state at {state_dir} was built with n_buckets={stored}; "
+                f"reattaching with n_buckets={n_buckets} would split "
+                "users across buckets — pass the original value")
+    else:
+        with open(marker, "w", encoding="utf-8") as fh:
+            json.dump({"n_buckets": n_buckets}, fh)
 
 
 def upsert_totals_sink(spark: SparkSession, state_dir: str,
@@ -53,12 +87,30 @@ def upsert_totals_sink(spark: SparkSession, state_dir: str,
     buckets.
 
     ``run_id`` identifies the streaming QUERY (use its checkpoint
-    location): batch ids only mean "already applied" within one
-    checkpoint lineage. Without it, a new query with a fresh checkpoint
-    pointed at existing state would see its restarted batch ids 0..N
-    already stamped and silently discard real data as phantom replays —
-    the stamp is (run, batch), not batch alone."""
+    location) and is REQUIRED: batch ids only mean "already applied"
+    within one checkpoint lineage. Without it, a new query with a fresh
+    checkpoint pointed at existing state would see its restarted batch
+    ids 0..N already stamped and silently discard real data as phantom
+    replays — the stamp is (run, batch), not batch alone.
+
+    Stamps are standalone rows (user_id NULL, one per (bucket, run)),
+    rewritten inside the same per-bucket dynamic overwrite as the data
+    and CARRIED FORWARD for every run that ever wrote the bucket: if the
+    stamp were a column on the data rows, a second run touching the
+    bucket would erase the first run's stamp, and a later replay of the
+    first run would double-merge (r5 review). Atomicity is per bucket
+    directory (the Spark committer's unit) — a torn write INSIDE one
+    bucket's commit is the residual window a real table format closes
+    transactionally; at that granularity this merge is exactly-once per
+    (bucket, batch)."""
+    if not run_id:
+        raise ValueError(
+            "upsert_totals_sink needs a non-empty run_id (use the "
+            "query's checkpoint location): without one, two independent "
+            "queries share a stamp namespace and real data is silently "
+            "discarded as phantom replays")
     os.makedirs(state_dir, exist_ok=True)
+    _check_bucket_marker(state_dir, n_buckets)
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         updates = (
@@ -79,27 +131,41 @@ def upsert_totals_sink(spark: SparkSession, state_dir: str,
             F.col("bucket").isin(touched))
         # replay guard: a bucket already stamped with (this run, >= this
         # batch_id) committed before a crash — skip it, don't double-merge.
-        # Stamps from OTHER runs never count: a new query's batch ids
-        # restart at 0 and its data is real, not a replay
-        done = {r.bucket for r in current.groupBy("bucket")
-                .agg(F.max(F.when(F.col("last_run") == run_id,
-                                  F.col("last_batch"))).alias("lb"))
-                .filter(F.col("lb") >= batch_id).collect()}
+        # Stamps from OTHER runs never count for skipping: a new query's
+        # batch ids restart at 0 and its data is real, not a replay
+        done = {r.bucket for r in current
+                .filter(F.col("user_id").isNull()
+                        & (F.col("last_run") == run_id)
+                        & (F.col("last_batch") >= batch_id))
+                .select("bucket").distinct().collect()}
         todo = [b for b in touched if b not in done]
         if not todo:
             return
-        merged = (
-            current.filter(F.col("bucket").isin(todo))
+        in_todo = F.col("bucket").isin(todo)
+        data = (
+            current.filter(in_todo & F.col("user_id").isNotNull())
             .select("bucket", "user_id", "total_cents", "n_events")
-            .unionByName(updates.filter(F.col("bucket").isin(todo))
+            .unionByName(updates.filter(in_todo)
                          .select("bucket", "user_id", "total_cents",
                                  "n_events"))
             .groupBy("bucket", "user_id")
             .agg(F.sum("total_cents").alias("total_cents"),
                  F.sum("n_events").alias("n_events"))
-            .withColumn("last_batch", F.lit(batch_id).cast("bigint"))
-            .withColumn("last_run", F.lit(run_id))
+            .withColumn("last_batch", F.lit(None).cast("bigint"))
+            .withColumn("last_run", F.lit(None).cast("string"))
         )
+        # stamp rows: every OTHER run's stamps carry forward untouched;
+        # this run's stamp for the bucket advances to batch_id
+        other_stamps = (
+            current.filter(in_todo & F.col("user_id").isNull()
+                           & (F.col("last_run") != run_id))
+            .select("bucket", "user_id", "total_cents", "n_events",
+                    "last_batch", "last_run"))
+        my_stamps = spark.createDataFrame(
+            [(b, None, None, None, batch_id, run_id) for b in todo],
+            _STATE_SCHEMA)
+        merged = data.select(*my_stamps.columns).unionByName(
+            other_stamps).unionByName(my_stamps)
         # materialize BEFORE overwriting: `merged` still reads state_dir
         # lazily through `current`, and writing over a path the same job
         # reads is committer-sensitive (other Spark write paths raise
@@ -128,10 +194,15 @@ def stage_event_slices(spark: SparkSession, sf_dir: str,
     set_stream_decode_confs(spark)
     out = tempfile.mkdtemp(prefix="upsert_src_")
     events = spark.read.option(
-        "pathGlobFilter", "events.parquet").parquet(sf_dir)
-    for i in range(n_slices):
-        (events.filter(F.pmod("event_id", F.lit(n_slices)) == i)
-         .coalesce(1).write.mode("append").parquet(out))
+        "pathGlobFilter", "events.parquet").parquet(sf_dir).cache()
+    try:
+        # cached: the per-slice filters re-read the table otherwise —
+        # n_slices full scans for a staging step (r5 review)
+        for i in range(n_slices):
+            (events.filter(F.pmod("event_id", F.lit(n_slices)) == i)
+             .coalesce(1).write.mode("append").parquet(out))
+    finally:
+        events.unpersist()
     return out
 
 
@@ -159,8 +230,7 @@ def stream_upsert_totals(spark: SparkSession, sf_dir: str,
         query.processAllAvailable()
     finally:
         query.stop()
-    return (_state_df(spark, state_dir)
-            .select("user_id", "total_cents", "n_events"))
+    return state_totals(spark, state_dir)
 
 
 def stream_upsert_totals_sql(events_sql: str = "events") -> str:

@@ -179,17 +179,25 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = stream_events(spark, sf_dir)
     dim = (spark.read.parquet(f"{sf_dir}/customer.parquet")
            .select(F.col("c_custkey").alias("user_id"), "c_mktsegment"))
+    # cent-quantize BEFORE summation (floor(x*100+0.5): identical on
+    # every engine for the non-negative values here) — round(sum(double))
+    # is accumulation-order-sensitive, so Spark's partial aggregation and
+    # the oracle's scan order could flip a half-cent boundary (r5 review;
+    # same exactness recipe as the upsert sink)
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
     agg = (events.join(F.broadcast(dim), "user_id")
            .groupBy("c_mktsegment", "event_type")
            .agg(F.count(F.lit(1)).alias("n_events"),
-                F.round(F.sum("value"), 2).alias("total_value")))
+                (F.sum(cents).cast("double") / 100.0)
+                .alias("total_value")))
     return materialize_stream(agg, "complete", "stream_enrich")
 
 
 STREAM_ENRICH_ORACLE = """
     SELECT c.c_mktsegment, e.event_type,
            count(*) AS n_events,
-           round(sum(e.value), 2) AS total_value
+           CAST(sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS total_value
     FROM events e
     JOIN customer c ON c.c_custkey = e.user_id
     GROUP BY c.c_mktsegment, e.event_type

@@ -181,23 +181,24 @@ def test_upsert_merge_is_replay_idempotent(spark, sf_dir, tmp_path):
     from datafusion_delta_sharing_spark.streaming import upsert as UP
 
     state = str(tmp_path / "state")
-    merge = UP.upsert_totals_sink(spark, state, n_buckets=4)
+    merge = UP.upsert_totals_sink(spark, state, n_buckets=4,
+                                  run_id="ckpt-solo")
     batch = (load_table(spark, sf_dir, "events")
              .select("user_id", "value").limit(500).localCheckpoint())
 
     merge(batch, 0)
     once = {(r.user_id, r.total_cents, r.n_events)
-            for r in UP._state_df(spark, state).collect()}
+            for r in UP.state_totals(spark, state).collect()}
     assert once
 
     merge(batch, 0)   # crash-replay of the same batch id: must be a no-op
     twice = {(r.user_id, r.total_cents, r.n_events)
-             for r in UP._state_df(spark, state).collect()}
+             for r in UP.state_totals(spark, state).collect()}
     assert twice == once
 
     merge(batch, 1)   # a NEW batch id genuinely accumulates
     thrice = {r.user_id: (r.total_cents, r.n_events)
-              for r in UP._state_df(spark, state).collect()}
+              for r in UP.state_totals(spark, state).collect()}
     for (uid, cents, n) in once:
         assert thrice[uid] == (2 * cents, 2 * n)
 
@@ -216,17 +217,58 @@ def test_upsert_new_run_over_existing_state_merges(spark, sf_dir, tmp_path):
     run_a = UP.upsert_totals_sink(spark, state, n_buckets=4, run_id="ckpt-a")
     run_a(batch, 0)
     first = {r.user_id: (r.total_cents, r.n_events)
-             for r in UP._state_df(spark, state).collect()}
+             for r in UP.state_totals(spark, state).collect()}
     assert first
 
     run_b = UP.upsert_totals_sink(spark, state, n_buckets=4, run_id="ckpt-b")
     run_b(batch, 0)   # same batch id, DIFFERENT run: real data
     second = {r.user_id: (r.total_cents, r.n_events)
-              for r in UP._state_df(spark, state).collect()}
+              for r in UP.state_totals(spark, state).collect()}
     for uid, (cents, n) in first.items():
         assert second[uid] == (2 * cents, 2 * n)
 
     run_b(batch, 0)   # replay within run b: no-op
     third = {r.user_id: (r.total_cents, r.n_events)
-             for r in UP._state_df(spark, state).collect()}
+             for r in UP.state_totals(spark, state).collect()}
     assert third == second
+
+
+def test_upsert_stamps_survive_another_runs_overwrite(spark, sf_dir,
+                                                      tmp_path):
+    """r5 review: the stamp must be a standalone per-(bucket, run) row,
+    not a column on data rows — run B rewriting a bucket used to erase
+    run A's stamp, so a later crash-replay of run A's batch
+    double-merged. Sequence: A applies batch 0, B applies ITS batch 0
+    (real data), then A's batch 0 REPLAYS — it must be a no-op."""
+    from datafusion_delta_sharing_spark.streaming import upsert as UP
+
+    state = str(tmp_path / "state")
+    batch = (load_table(spark, sf_dir, "events")
+             .select("user_id", "value").limit(500).localCheckpoint())
+    run_a = UP.upsert_totals_sink(spark, state, n_buckets=4, run_id="ckpt-a")
+    run_b = UP.upsert_totals_sink(spark, state, n_buckets=4, run_id="ckpt-b")
+    run_a(batch, 0)
+    run_b(batch, 0)
+    after_b = {r.user_id: (r.total_cents, r.n_events)
+               for r in UP.state_totals(spark, state).collect()}
+    run_a(batch, 0)   # late replay of A's batch: must be a no-op
+    replayed = {r.user_id: (r.total_cents, r.n_events)
+                for r in UP.state_totals(spark, state).collect()}
+    assert replayed == after_b
+
+
+def test_upsert_refuses_bucket_count_drift_and_empty_run(spark, sf_dir,
+                                                         tmp_path):
+    """Reattaching with a different n_buckets would route users to other
+    buckets and split their totals; an empty run_id merges two queries'
+    stamp namespaces — both refuse loudly (r5 review)."""
+    import pytest
+
+    from datafusion_delta_sharing_spark.streaming import upsert as UP
+
+    state = str(tmp_path / "state")
+    with pytest.raises(ValueError, match="run_id"):
+        UP.upsert_totals_sink(spark, state, n_buckets=4)
+    UP.upsert_totals_sink(spark, state, n_buckets=4, run_id="ckpt-a")
+    with pytest.raises(ValueError, match="n_buckets=4"):
+        UP.upsert_totals_sink(spark, state, n_buckets=8, run_id="ckpt-a")

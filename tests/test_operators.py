@@ -377,6 +377,7 @@ def test_stateful_stream_merges_state_across_microbatches(spark, tmp_path):
 
     from pyspark.sql import functions as F
     from datafusion_delta_sharing_spark.streaming.stateful import (
+        STATE_SCHEMA,
         _update_user_state,
     )
     from datafusion_delta_sharing_spark.streaming.windows import stream_events
@@ -391,7 +392,7 @@ def test_stateful_stream_merges_state_across_microbatches(spark, tmp_path):
                         maxFilesPerTrigger="1")
     stated = raw.groupBy("user_id").applyInPandasWithState(
         _update_user_state, "user_id bigint, n_events bigint, total_value double",
-        "n bigint, total double", "append", GroupStateTimeout.NoTimeout)
+        STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout)
     sink = f"ms_{uuid.uuid4().hex[:8]}"
     q = (stated.writeStream.outputMode("append")
          .format("memory").queryName(sink).start())

@@ -137,8 +137,9 @@ class DeltaSharingCatalog:
         """Materialize a temp view per table (eager variant). Returns view
         names. Read-only by construction — there is no write path, matching
         ``register_catalog -> unimplemented!`` (catalog/mod.rs:46-108)."""
-        return [self.tables[fqn].view_name()
-                for fqn in sorted(self.tables) if self.table(fqn) is not None]
+        for fqn in sorted(self.tables):
+            self.table(fqn)  # registers the view; raises on failure
+        return [self.tables[fqn].view_name() for fqn in sorted(self.tables)]
 
     # -- three-part-name SQL (EP2) -----------------------------------------
 
@@ -160,9 +161,44 @@ class DeltaSharingCatalog:
         r"'(?:[^'\\]|\\.|'')*'"
         r'|"(?:[^"\\]|\\.|"")*"'
         r"|`(?:[^`]|``)*`"
-        r"|--[^\n]*"
-        r"|/\*.*?\*/",
+        r"|--[^\n]*",
         re.DOTALL)
+    _OPAQUE_OPEN_RE = re.compile(r"['\"`]|--|/\*")
+
+    def _opaque_spans(self, query: str) -> list[tuple[int, int]]:
+        """(start, end) spans the rewriter must never touch. Bracketed
+        comments are depth-counted by hand: Spark nests ``/* /* */ */``,
+        and the old non-greedy ``/\\*.*?\\*/`` regex stopped at the FIRST
+        ``*/`` — the tail of a nested comment was treated as code and a
+        three-part name inside commented-out text triggered a network
+        fetch + temp-view registration as a side effect (r5 review). An
+        unterminated ``/*`` is opaque to end-of-string (fail safe)."""
+        spans: list[tuple[int, int]] = []
+        i, n = 0, len(query)
+        while i < n:
+            m = self._OPAQUE_OPEN_RE.search(query, i)
+            if m is None:
+                break
+            j = m.start()
+            if query.startswith("/*", j):
+                depth, k = 1, j + 2
+                while k < n and depth:
+                    if query.startswith("/*", k):
+                        depth, k = depth + 1, k + 2
+                    elif query.startswith("*/", k):
+                        depth, k = depth - 1, k + 2
+                    else:
+                        k += 1
+                spans.append((j, k))
+                i = k
+            else:
+                mm = self._OPAQUE_RE.match(query, j)
+                if mm is not None:
+                    spans.append((j, mm.end()))
+                    i = mm.end()
+                else:
+                    i = j + 1  # unterminated quote: leave to Spark's parser
+        return spans
 
     def _rewrite_code_regions(self, query: str, rewrite) -> str:
         """Apply ``rewrite(text) -> text`` only to the parts of ``query``
@@ -170,10 +206,10 @@ class DeltaSharingCatalog:
         string that happens to spell ``share.schema.table`` must survive
         verbatim."""
         out, pos = [], 0
-        for m in self._OPAQUE_RE.finditer(query):
-            out.append(rewrite(query[pos:m.start()]))
-            out.append(m.group(0))
-            pos = m.end()
+        for start, end in self._opaque_spans(query):
+            out.append(rewrite(query[pos:start]))
+            out.append(query[start:end])
+            pos = end
         out.append(rewrite(query[pos:]))
         return "".join(out)
 

@@ -22,27 +22,61 @@ def _hex_threshold(frac: float) -> str:
     return format(min(int(frac * _HEX_SPACE), _HEX_SPACE - 1), "08x")
 
 
+def _check_fractions(train: float, val: float) -> None:
+    """Each fraction must be individually sane: validating only the SUM
+    let train=-0.1/val=0.9 through, and a negative threshold formats as
+    '-1999...' whose '-' sorts below every hex digit — train silently
+    EMPTY, no error (r5 review)."""
+    if train <= 0 or val < 0 or train + val > 1:
+        raise ValueError(
+            f"need train > 0, val >= 0, train+val <= 1; got "
+            f"train={train}, val={val}")
+
+
 def split_assign(id_col: Column | str, salt: str = "v1",
                  train: float = 0.8, val: float = 0.1) -> Column:
     """'train' / 'val' / 'test' label for an id column (test gets the
-    remaining 1 - train - val mass)."""
-    if not 0 < train + val <= 1:
-        raise ValueError(f"train+val must be in (0, 1], got {train + val}")
+    remaining 1 - train - val mass; NULL ids stay NULL — md5(NULL) made
+    every branch NULL and the otherwise() silently dumped all NULL ids
+    into 'test', skewing held-out evaluation)."""
+    _check_fractions(train, val)
     c = F.col(id_col) if isinstance(id_col, str) else id_col
     prefix = F.substring(
         F.md5(F.concat(c.cast("string"), F.lit(":" + salt))), 1, 8)
-    return (F.when(prefix < _hex_threshold(train), F.lit("train"))
-            .when(prefix < _hex_threshold(train + val), F.lit("val"))
-            .otherwise(F.lit("test")))
+    if train + val >= 1:
+        # 'val' must be the OTHERWISE arm when it closes the space: the
+        # threshold for 1.0 clamps to 'ffffffff' and the strict '<' would
+        # leak prefix=='ffffffff' ids (2^-32 each — real at corpus scale)
+        # into a 'test' split the caller believes is empty
+        label = (F.when(prefix < _hex_threshold(train), F.lit("train"))
+                 .otherwise(F.lit("val")))
+    else:
+        label = (F.when(prefix < _hex_threshold(train), F.lit("train"))
+                 .when(prefix < _hex_threshold(train + val), F.lit("val"))
+                 .otherwise(F.lit("test")))
+    return F.when(c.isNull(), F.lit(None).cast("string")).otherwise(label)
+
+
+def _sql_salt(salt: str) -> str:
+    """Escape the salt for embedding in a single-quoted SQL literal — an
+    apostrophe in a legal salt broke the oracle query (r5 review)."""
+    return salt.replace("'", "''")
 
 
 def split_assign_sql(id_col: str, salt: str = "v1",
                      train: float = 0.8, val: float = 0.1) -> str:
     """DuckDB mirror of :func:`split_assign`."""
-    prefix = f"substr(md5(CAST({id_col} AS VARCHAR) || ':{salt}'), 1, 8)"
-    return (f"CASE WHEN {prefix} < '{_hex_threshold(train)}' THEN 'train' "
-            f"WHEN {prefix} < '{_hex_threshold(train + val)}' THEN 'val' "
-            f"ELSE 'test' END")
+    _check_fractions(train, val)
+    prefix = (f"substr(md5(CAST({id_col} AS VARCHAR) || "
+              f"':{_sql_salt(salt)}'), 1, 8)")
+    if train + val >= 1:
+        body = (f"CASE WHEN {prefix} < '{_hex_threshold(train)}' "
+                f"THEN 'train' ELSE 'val' END")
+    else:
+        body = (f"CASE WHEN {prefix} < '{_hex_threshold(train)}' THEN 'train' "
+                f"WHEN {prefix} < '{_hex_threshold(train + val)}' THEN 'val' "
+                f"ELSE 'test' END")
+    return f"CASE WHEN {id_col} IS NULL THEN NULL ELSE {body} END"
 
 
 def kfold_assign(id_col: Column | str, k: int, salt: str = "v1") -> Column:
@@ -62,16 +96,19 @@ def kfold_assign(id_col: Column | str, k: int, salt: str = "v1") -> Column:
     for i in range(k - 1, 0, -1):
         out = F.when(prefix < _hex_threshold(i / k), F.lit(i - 1)) \
             .otherwise(out)
-    return out.cast("int")
+    # NULL ids stay NULL (not silently fold k-1 via the otherwise arm)
+    return F.when(c.isNull(), F.lit(None)).otherwise(out).cast("int")
 
 
 def kfold_assign_sql(id_col: str, k: int, salt: str = "v1") -> str:
     """DuckDB mirror of :func:`kfold_assign`."""
-    prefix = f"substr(md5(CAST({id_col} AS VARCHAR) || ':{salt}'), 1, 8)"
+    prefix = (f"substr(md5(CAST({id_col} AS VARCHAR) || "
+              f"':{_sql_salt(salt)}'), 1, 8)")
     whens = " ".join(
         f"WHEN {prefix} < '{_hex_threshold(i / k)}' THEN {i - 1}"
         for i in range(1, k))
-    return f"CAST(CASE {whens} ELSE {k - 1} END AS INTEGER)"
+    return (f"CAST(CASE WHEN {id_col} IS NULL THEN NULL "
+            f"ELSE CASE {whens} ELSE {k - 1} END END AS INTEGER)")
 
 
 def group_split_assign(group_col: Column | str, salt: str = "v1",

@@ -33,25 +33,31 @@ ENGLISH_STOPWORDS = ["the", "and", "of", "to", "a", "is", "in", "that", "it",
                      "for", "on", "as", "with", "was", "at", "by"]
 
 
-def _marker_regex(words: list[str]) -> str:
-    return r"\b(" + "|".join(words) + r")\b"
+def _marker_regex(words: list[str], boundaries: bool = True) -> str:
+    body = "(" + "|".join(words) + ")"
+    # CJK text has no inter-word spaces, so \b can never fire around a
+    # marker inside a continuous han run (verified on both engines) —
+    # the zh markers match as plain substrings (r5 review)
+    return r"\b" + body + r"\b" if boundaries else body
 
 
 # -- token counting -------------------------------------------------------
 
 
 def token_count(col: Column | str) -> Column:
-    """Whitespace token count."""
+    """Whitespace token count. Empty fragments are filtered AFTER the
+    split: trim() strips only ASCII spaces, so text ending in a newline
+    or tab (most real corpus text) kept a phantom '' token — off-by-one
+    counts, corrupted shingles and fingerprints (r5 review; the empty
+    filter also makes the all-whitespace case 0 naturally)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(
-        F.size(F.split(F.trim(c), WS_TOKEN_SPLIT))
-    ).cast("bigint")
+    return F.size(F.filter(F.split(c, WS_TOKEN_SPLIT),
+                           lambda x: x != "")).cast("bigint")
 
 
 def token_count_sql(col: str) -> str:
-    return (f"CAST(CASE WHEN length(trim({col})) = 0 THEN 0 "
-            f"ELSE len(regexp_split_to_array(trim({col}), '{WS_TOKEN_SPLIT}')) "
-            f"END AS BIGINT)")
+    return (f"CAST(len(list_filter(regexp_split_to_array({col}, "
+            f"'{WS_TOKEN_SPLIT}'), x -> x != '')) AS BIGINT)")
 
 
 def bpe_ish_token_count(col: Column | str) -> Column:
@@ -119,7 +125,8 @@ def lang_id(col: Column | str) -> Column:
     """Marker-word language ID with deterministic alphabetical tie-break:
     score each language by whole-word marker hits, pick the argmax."""
     c = F.lower(F.col(col) if isinstance(col, str) else col)
-    scores = {lang: F.regexp_count(c, F.lit(_marker_regex(words)))
+    scores = {lang: F.regexp_count(
+        c, F.lit(_marker_regex(words, boundaries=(lang != "zh"))))
               for lang, words in sorted(LANG_MARKERS.items())}
     best = F.greatest(*scores.values())
     out = F.lit("unknown")
@@ -130,8 +137,10 @@ def lang_id(col: Column | str) -> Column:
 
 
 def lang_id_sql(col: str) -> str:
-    scores = {lang: f"len(regexp_extract_all(lower({col}), '{_marker_regex(w)}'))"
-              for lang, w in sorted(LANG_MARKERS.items())}
+    scores = {
+        lang: ("len(regexp_extract_all(lower(" + col + "), '"
+               + _marker_regex(w, boundaries=(lang != "zh")) + "'))")
+        for lang, w in sorted(LANG_MARKERS.items())}
     best = "greatest(" + ", ".join(scores.values()) + ")"
     expr = "'unknown'"
     for lang in sorted(scores, reverse=True):
@@ -176,11 +185,15 @@ def redact_pii_sql(col: str) -> str:
 
 
 def words_of(col: Column | str) -> Column:
-    """Whitespace word array. Materialize this as its own column before
-    shingling: embedding the split inside the shingle lambda makes Spark
-    re-split the text once per shingle (O(words²) — measured 3× slower)."""
+    """Whitespace word array, empty fragments removed (leading/trailing
+    tabs/newlines survive trim(), which strips spaces only — the '' words
+    corrupted shingles and dedup keys; the SQL mirrors always filtered,
+    see collocations/corpusstats list_filter). Materialize this as its
+    own column before shingling: embedding the split inside the shingle
+    lambda makes Spark re-split the text once per shingle (O(words²) —
+    measured 3× slower)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.split(F.trim(c), WS_TOKEN_SPLIT)
+    return F.filter(F.split(c, WS_TOKEN_SPLIT), lambda x: x != "")
 
 
 def shingles_of_words(words: Column | str, raw: Column | str, k: int = 5) -> Column:
@@ -214,14 +227,14 @@ def dup_ngram_ratio(col: Column | str, k: int = 3,
 
 def dup_ngram_ratio_sql(col: str, k: int = 3) -> str:
     """DuckDB mirror of :func:`dup_ngram_ratio`."""
-    words = f"regexp_split_to_array(trim({col}), '{WS_TOKEN_SPLIT}')"
+    words = f"list_filter(regexp_split_to_array(trim({col}), '{WS_TOKEN_SPLIT}'), x -> x != '')"
     shs = (f"CASE WHEN len({words}) < {k} THEN [trim({col})] "
            f"ELSE list_transform(range(1, len({words}) - {k} + 2), "
            f"i -> array_to_string({words}[i:i+{k - 1}], ' ')) END")
     return f"round(1 - len(list_distinct({shs})) / len({shs}), 6)"
 
 
-def doc_fingerprint(col: str, k: int = 5,
+def doc_fingerprint(col: Column | str, k: int = 5,
                     words: Column | str | None = None) -> Column:
     """Winnowing-style fingerprint: the minimum md5 over word k-shingles.
     md5-hex strings compare identically in Spark and DuckDB, so this is
@@ -233,7 +246,7 @@ def doc_fingerprint(col: str, k: int = 5,
 
 
 def doc_fingerprint_sql(col: str, k: int = 5) -> str:
-    words = f"regexp_split_to_array(trim({col}), '{WS_TOKEN_SPLIT}')"
+    words = f"list_filter(regexp_split_to_array(trim({col}), '{WS_TOKEN_SPLIT}'), x -> x != '')"
     return (
         f"CASE WHEN len({words}) < {k} THEN md5(trim({col})) "
         f"ELSE list_min(list_transform(range(1, len({words}) - {k} + 2), "

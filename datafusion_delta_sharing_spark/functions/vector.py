@@ -5,6 +5,14 @@ Everything is expressed with Spark higher-order functions
 whole-stage codegen — no Python in the hot path. Sums are sequential
 left-to-right, matching DuckDB's ``list_sum(list_transform(...))`` order, so
 rounded results are oracle-comparable.
+
+Input contract (r5 review): vectors must be NON-NULL, fixed-dimension,
+null-free arrays — the edge semantics diverge across engines otherwise
+(Spark's ``aggregate`` propagates a NULL element to a NULL sum while
+DuckDB's ``list_sum`` skips NULLs; an empty array sums to 0.0 in Spark
+and NULL in DuckDB). The harness embeddings satisfy this by
+construction; pipelines feeding ragged or nullable vectors must clean
+them first.
 """
 
 from __future__ import annotations

@@ -337,7 +337,7 @@ def _posts_cte(source_sql: str) -> str:
                              i -> array_to_string(words[i:i+4], ' '))
                    END AS shs
             FROM (SELECT doc_id, text,
-                         regexp_split_to_array(trim(text), '\\s+') AS words
+                         list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '') AS words
                   FROM {source_sql})
         ), unnest(shs) AS t(sh)
     )

@@ -30,8 +30,8 @@ def _token_stream(spark, sf_dir):
 
 _TOKEN_STREAM_SQL = f"""(
     SELECT token
-    FROM (SELECT regexp_split_to_array(trim(lower(text)),
-                 '{WS_TOKEN_SPLIT}') AS words FROM documents),
+    FROM (SELECT list_filter(regexp_split_to_array(trim(lower(text)),
+                 '{WS_TOKEN_SPLIT}'), x -> x != '') AS words FROM documents),
          unnest(words) AS t(token)
     WHERE token != ''
 )"""

@@ -53,7 +53,7 @@ _DOCS_EXCERPTS_SQL = f"""
         SELECT doc_id + {_CONT_OFFSET} AS doc_id,
                array_to_string(words[1:greatest(1, len(words) // 2)], ' ')
                    AS text
-        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+')
+        FROM (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '')
                          AS words
               FROM documents WHERE doc_id < {_CONT_DOCS})
     )

@@ -144,9 +144,9 @@ ORACLES = {
     """,
     "explode_lateral": r"""
         SELECT doc_id,
-               unnest(range(1, len(regexp_split_to_array(trim(text), '\s+')) + 1))
+               unnest(range(1, len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != '')) + 1))
                    AS pos,
-               unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+               unnest(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != '')) AS word
         FROM documents WHERE doc_id < 20
     """,
     "map_funcs": """
@@ -175,7 +175,7 @@ ORACLES = {
         SELECT l_orderkey AS k FROM lineitem WHERE l_quantity <= 5
     """,
     "python_udtf": r"""
-        SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w,
+        SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != '')) AS w,
                doc_id AS d
         FROM documents WHERE doc_id < 10
     """,

@@ -63,7 +63,7 @@ def chunk_documents_sql(source_sql: str, text_col: str, id_col: str,
                         chunk_size: int = 128, overlap: int = 32) -> str:
     """DuckDB mirror of :func:`chunk_documents` (1-based inclusive slices)."""
     stride = chunk_size - overlap
-    words = f"regexp_split_to_array(trim({text_col}), '{WS_TOKEN_SPLIT}')"
+    words = f"list_filter(regexp_split_to_array(trim({text_col}), '{WS_TOKEN_SPLIT}'), x -> x != '')"
     return f"""
         SELECT {id_col}, CAST(chunk_id AS BIGINT) AS chunk_id,
                array_to_string(

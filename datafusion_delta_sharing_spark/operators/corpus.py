@@ -132,8 +132,8 @@ def unigram_logprob(docs: DataFrame, text_col: str, id_col: str,
 def unigram_logprob_sql(source_sql: str, text_col: str, id_col: str,
                         ndigits: int = 6) -> str:
     """DuckDB mirror of :func:`unigram_logprob`."""
-    words = (f"regexp_split_to_array(trim(lower({text_col})), "
-             f"'{WS_TOKEN_SPLIT}')")
+    words = (f"list_filter(regexp_split_to_array(trim(lower({text_col})), "
+             f"'{WS_TOKEN_SPLIT}'), x -> x != '')")
     return f"""
         WITH toks AS (
             SELECT {id_col}, token
@@ -264,8 +264,8 @@ def token_entropy(docs: DataFrame, text_col: str, id_col: str,
 def token_entropy_sql(source_sql: str, text_col: str, id_col: str,
                       ndigits: int = 6) -> str:
     """DuckDB mirror of :func:`token_entropy`."""
-    words = (f"regexp_split_to_array(trim(lower({text_col})), "
-             f"'{WS_TOKEN_SPLIT}')")
+    words = (f"list_filter(regexp_split_to_array(trim(lower({text_col})), "
+             f"'{WS_TOKEN_SPLIT}'), x -> x != '')")
     return f"""
         WITH toks AS (
             SELECT {id_col}, token

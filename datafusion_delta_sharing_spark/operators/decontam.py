@@ -37,7 +37,7 @@ def _distinct_shingles(df: DataFrame, text_col: str, k: int,
 def _shingles_sql(source_sql: str, text_col: str, k: int,
                   select: str) -> str:
     """DuckDB mirror of :func:`_distinct_shingles` (same <k fallback)."""
-    words = f"regexp_split_to_array(trim({text_col}), '{WS_TOKEN_SPLIT}')"
+    words = f"list_filter(regexp_split_to_array(trim({text_col}), '{WS_TOKEN_SPLIT}'), x -> x != '')"
     return f"""
         SELECT DISTINCT {select}, sh FROM (
             SELECT {select},

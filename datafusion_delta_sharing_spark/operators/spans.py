@@ -123,8 +123,8 @@ def dup_span_metrics_sql(source_sql: str, text_col: str, id_col: str,
     return f"""
         WITH sized AS (
             SELECT {id_col} AS _id,
-                   regexp_split_to_array(trim({text_col}),
-                                         '{WS_TOKEN_SPLIT}') AS _w
+                   list_filter(regexp_split_to_array(trim({text_col}),
+                                         '{WS_TOKEN_SPLIT}'), x -> x != '') AS _w
             FROM {source_sql}
         ), sized2 AS (
             SELECT _id, len(_w) AS _nw, _w FROM sized

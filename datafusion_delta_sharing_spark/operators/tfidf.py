@@ -29,8 +29,8 @@ def _tokens(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def _tokens_sql(source_sql: str, text_col: str, id_col: str) -> str:
-    words = (f"regexp_split_to_array(trim(lower({text_col})), "
-             f"'{WS_TOKEN_SPLIT}')")
+    words = (f"list_filter(regexp_split_to_array(trim(lower({text_col})), "
+             f"'{WS_TOKEN_SPLIT}'), x -> x != '')")
     return f"""
         SELECT {id_col}, token
         FROM (SELECT {id_col}, {words} AS words FROM {source_sql}),

@@ -488,3 +488,37 @@ def test_prepare_training_corpus_int_ids_do_not_wrap(spark):
     out = PL.prepare_training_corpus(docs, "text", "doc_id").collect()
     assert out  # with train=0.8 over 13 hash-split ids, some must land
     assert {r.doc_id for r in out} <= set(ids)
+
+
+def test_split_assign_guards_and_null_ids(spark):
+    """r5 review: per-fraction sign validation (a negative train used to
+    silently empty the train split), NULL ids propagate NULL instead of
+    all landing in 'test', and train+val == 1 leaves no 'test' leak for
+    prefix 'ffffffff'."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from datafusion_delta_sharing_spark.functions.splits import (
+        kfold_assign,
+        split_assign,
+        split_assign_sql,
+    )
+
+    with pytest.raises(ValueError, match="train"):
+        split_assign("id", train=-0.1, val=0.9)
+    with pytest.raises(ValueError, match="train"):
+        split_assign("id", train=1.5, val=-0.6)
+    df = spark.createDataFrame([(1,), (None,)], "id long")
+    rows = {r.id: (r.s, r.f) for r in df.select(
+        "id", split_assign("id").alias("s"),
+        kfold_assign("id", 3).alias("f")).collect()}
+    assert rows[None] == (None, None)
+    assert rows[1][0] in ("train", "val", "test")
+    # train+val == 1: no row may ever be 'test', even prefix 'ffffffff'
+    full = spark.createDataFrame([(i,) for i in range(500)], "id long")
+    labels = {r.s for r in full.select(
+        split_assign("id", train=0.9, val=0.1).alias("s")).collect()}
+    assert labels <= {"train", "val"}
+    assert "ELSE 'val'" in split_assign_sql("id", train=0.9, val=0.1)
+    # an apostrophe in the salt must not break the SQL mirror
+    assert "it''s" in split_assign_sql("id", salt="it's")

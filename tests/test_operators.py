@@ -228,6 +228,27 @@ def test_token_counts(spark):
     assert [r.b for r in rows] == [3, 0, 5]  # a , b ! c
 
 
+def test_token_count_ignores_edge_whitespace(spark):
+    """trim() strips spaces only: text ending in a newline/tab (most real
+    corpus text) used to count a phantom '' token (r5 review, verified
+    live on both engines); words_of must produce no '' entries either."""
+    df = spark.createDataFrame(
+        [("hello\n",), ("\thello world\n",), ("  spaced  ",), ("\n\t \n",)],
+        "text string")
+    rows = df.select(TX.token_count("text").alias("n"),
+                     TX.words_of("text").alias("w")).collect()
+    assert [r.n for r in rows] == [1, 2, 1, 0]
+    assert all("" not in r.w for r in rows)
+
+
+def test_lang_id_detects_unspaced_cjk(spark):
+    """\b never fires inside a continuous han run (no inter-word spaces),
+    so the zh markers must match as plain substrings — every Chinese
+    document used to label 'unknown' (r5 review)."""
+    df = spark.createDataFrame([("我的是在了的的",)], "text string")
+    assert df.select(TX.lang_id("text").alias("p")).collect()[0].p == "zh"
+
+
 def test_lang_id_markers(spark):
     df = spark.createDataFrame(
         [("the cat and the dog is in that house",),

@@ -783,3 +783,23 @@ def test_unsupported_reader_features_refused_at_listing(spark, tmp_path):
                    reader_features=["deletionVectors", "timestampNtz"])
     with MockSharingServer([ok]) as srv:
         assert _reader(spark, srv).table("s.d.t").count() == 1
+
+
+def test_catalog_sql_nested_bracketed_comments_opaque(spark, local_server):
+    """Spark nests /* /* */ */: the rewriter must treat the WHOLE nested
+    span as a comment — the old non-greedy regex stopped at the first */
+    and resolved three-part names inside commented-out text (a network
+    fetch + temp-view registration as a side effect of a comment)."""
+    catalog = DeltaSharingCatalog(
+        spark, Profile.from_json(local_server.profile_doc()))
+    n_before = len(local_server.requests)
+    out = catalog.sql(
+        "/* note /* inner */ s.d.t stays commented */ SELECT 1 AS one")
+    assert out.collect()[0].one == 1
+    # no table resolution happened for the commented name
+    assert not any(r["path"].endswith("/query")
+                   for r in local_server.requests[n_before:])
+    # and a nested comment does not hide REAL code after it
+    assert catalog.sql(
+        "/* a /* b */ c */ SELECT count(*) AS n FROM s.d.t"
+    ).collect()[0].n == 6

@@ -4,7 +4,12 @@ north-star; SURVEY.md §2 extensions).
 Scale posture: every operator here is a composition of built-in DataFrame
 ops — shingling and hashing via higher-order functions (JVM codegen),
 candidate generation via hash-bucket shuffles (never O(n²) across the full
-corpus), verification only within candidate pairs. At 100 TB the only
+corpus), verification only within candidate pairs. Operators that reuse
+an intermediate frame across two sub-plans cache() it and leave it
+cached — the returned DataFrame is lazy, so unpersisting here would
+drop the reuse before the caller ever runs the plan; long-lived
+sessions issuing many dedup calls own cleanup (spark.catalog.clearCache
+or unpersist on the inputs). At 100 TB the only
 all-to-all operations are equi-joins on hash keys, which Spark shuffles
 by key; hot buckets (boilerplate docs) are the known skew risk — AQE
 skew-join handles moderate cases, salting the band key is the escape hatch.
@@ -16,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from datafusion_delta_sharing_spark.functions.text import (
-    WS_TOKEN_SPLIT,
+
     shingles_of_words,
     words_of,
 )
@@ -66,9 +71,9 @@ def incremental_dedup(incoming: DataFrame, index: DataFrame,
     small side, and with the index bucketed on text_md5 the anti-join is
     shuffle-free on the index side at any corpus size. Returns
     (text_md5, keep_id, n_copies): the survivors to append to the index."""
-    batch = (incoming.groupBy(F.md5(F.col(text_col)).alias("text_md5"))
-             .agg(F.min(id_col).alias("keep_id"),
-                  F.count(F.lit(1)).alias("n_copies")))
+    # the within-batch survivor rule IS exact_dedup_stats — one
+    # definition, so digest/survivor changes cannot diverge the paths
+    batch = exact_dedup_stats(incoming, text_col, id_col)
     return batch.join(index, "text_md5", "left_anti")
 
 
@@ -206,12 +211,13 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     (band index, band hash), then verify true Jaccard on the candidate pairs
     only. Candidate generation is an equi-join shuffle on the band hash —
     the classic shingle->minhash->band->bucket-join pipeline."""
-    if bands < 1 or num_hashes % bands:
+    if num_hashes < 1 or bands < 1 or num_hashes % bands:
         # a non-dividing band count would silently drop the trailing
         # num_hashes % bands signature entries (lower recall than asked),
         # and bands > num_hashes would call zero-arg xxhash64
         raise ValueError(
-            f"bands={bands} must divide num_hashes={num_hashes}")
+            f"need num_hashes >= 1 and bands >= 1 with bands dividing "
+            f"num_hashes; got num_hashes={num_hashes}, bands={bands}")
     rows = num_hashes // bands
     signed = minhash_signature(df, text_col, id_col, num_hashes, k).cache()
     band_cols = []
@@ -270,8 +276,7 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     operators (>> & = if sum shiftleft |), bit-identical fingerprints."""
     tokens = (
         df.select(F.col(id_col).alias("id"),
-                  F.explode(F.split(F.trim(F.col(text_col)),
-                                    WS_TOKEN_SPLIT)).alias("tok"))
+                  F.explode(words_of(text_col)).alias("tok"))
         .withColumn("h", F.xxhash64("tok"))
     )
     votes = [F.expr(f"sum(if(((h >> {i}) & 1) = 1, 1, -1))").alias(f"v{i}")
@@ -401,11 +406,14 @@ def connected_components(vertices: DataFrame, pairs: DataFrame,
                          F.coalesce(F.min("v_component"),
                                     F.min("component"))).alias("new_component"))
         )
-        merged = labels.join(proposals, "id")
+        # checkpoint FIRST, then derive both the changed-count and the
+        # next labels from the materialized frame: counting on the lazy
+        # plan executed the whole iteration join twice per round
+        merged = labels.join(proposals, "id").localCheckpoint(eager=True)
         changed = merged.filter(
             F.col("component") != F.col("new_component")).limit(1).count()
-        labels = (merged.select("id", F.col("new_component").alias("component"))
-                  .localCheckpoint(eager=True))  # cut the iterative lineage
+        labels = merged.select("id",
+                               F.col("new_component").alias("component"))
         if changed == 0:
             converged = True
             break
@@ -460,6 +468,15 @@ def ngram_jaccard_pairs_prefix(df: DataFrame, text_col: str, id_col: str,
 
     frac = Fraction(str(threshold))
     num, den = frac.numerator, frac.denominator
+    if den > 10**9:
+        # the ceil below is exact INTEGER arithmetic (num*sz DIV den);
+        # a full-precision float like a computed 1/3 gives den = 1e16,
+        # where num*sz overflows bigint for large shingle sets AND a
+        # double division would round across integer boundaries,
+        # silently shortening prefixes (lost pairs). Refuse loudly
+        raise ValueError(
+            f"threshold {threshold!r} needs denominator {den} > 1e9; "
+            "pass a threshold with at most 9 decimal digits")
 
     posts = shingle_sets(df, text_col, id_col, k).cache()
     sizes = posts.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
@@ -468,10 +485,12 @@ def ngram_jaccard_pairs_prefix(df: DataFrame, text_col: str, id_col: str,
     ranked = (posts.join(dfreq, "sh")
               .withColumn("_rk", F.row_number().over(w))
               .join(sizes, "id"))
-    # integer ceil(t*sz) = (num*sz + den - 1) div den — exact
+    # integer ceil(t*sz) = (num*sz + den - 1) DIV den — true integer
+    # division: the old double `/` lost exactness past 2^53 (a rounded-up
+    # quotient shortened the prefix and silently dropped pairs)
     prefix_len = (F.col("sz")
-                  - ((F.lit(num) * F.col("sz") + F.lit(den - 1))
-                     .cast("long") / F.lit(den)).cast("long") + 1)
+                  - F.expr(f"CAST(({num}L * sz + {den - 1}L) "
+                           f"DIV {den}L AS BIGINT)") + 1)
     prefix = (ranked.filter(F.col("_rk") <= prefix_len)
               .select("id", "sh", "sz"))
     pa, pb = prefix.alias("pa"), prefix.alias("pb")

@@ -31,6 +31,11 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
 
     q_rows = (queries.select(F.col(id_col).alias("qid"),
                              F.col(vec_col).alias("qvec")).collect())
+    if not q_rows:
+        # np.array([]) is 1-D: the axis=1 reductions below would raise
+        # AxisError on the driver instead of returning an empty top-k
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, cand_id long, score double, rnk bigint")
     q_ids = np.array([r.qid for r in q_rows], dtype=np.int64)
     q_mat = np.array([r.qvec for r in q_rows], dtype=np.float64)
     q_norm = np.linalg.norm(q_mat, axis=1)
@@ -163,6 +168,10 @@ def _lsh_buckets(df: DataFrame, dim: int, n_planes: int, n_tables: int,
     unchanged — same plane derivation, same fold order — so buckets are
     bit-identical to the per-table spelling."""
     _check_packable(n_planes)
+    if n_tables < 1:
+        # an empty table set would posexplode to zero bucket rows and
+        # silently report "no candidates" for a config typo
+        raise ValueError(f"n_tables={n_tables} must be >= 1")
     tables_rows = ",".join(
         f"array({_matrix_rows_sql(_hyperplanes(dim, n_planes, t))})"
         for t in range(n_tables))
@@ -351,6 +360,9 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     tagged = _assign(corpus, centroids, id_col, vec_col)
 
     q_rows = queries.select(id_col, vec_col).collect()
+    if not q_rows:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, cand_id long, score double, rnk bigint")
     q_ids = np.array([r[0] for r in q_rows])
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
     c_sq = (centroids ** 2).sum(axis=1)
@@ -421,14 +433,14 @@ def semantic_dedup(corpus: DataFrame, threshold: float = 0.95,
     with_b = corpus.select(F.col(id_col), F.col(vec_col),
                            sign_bucket(F.col(vec_col), sign_dims)
                            .alias("bucket"))
-    a = with_b.select("bucket", F.col(id_col).alias("id_a"),
-                      F.col(vec_col).alias("va"))
-    b = with_b.select("bucket", F.col(id_col).alias("id_b"),
-                      F.col(vec_col).alias("vb"))
-    dominated = (a.join(b, "bucket")
-                 .filter(F.col("id_a") < F.col("id_b"))
-                 .filter(F.round(cosine("va", "vb"), 6) >= threshold)
-                 .select(F.col("id_b").alias("dom_id")).distinct())
+    # candidate generation IS embedding_neardup_pairs_bucketed — one
+    # definition of the bucket join + cosine threshold, so the dedup
+    # path and the pairs path cannot drift (r5 review). dominated =
+    # every id that has a lower-id near-dup (greedy-by-id survivor)
+    dominated = (embedding_neardup_pairs_bucketed(
+        corpus, threshold=threshold, sign_dims=sign_dims,
+        id_col=id_col, vec_col=vec_col)
+        .select(F.col("id_b").alias("dom_id")).distinct())
     return (with_b.join(dominated,
                         with_b[id_col] == dominated["dom_id"], "left")
             .select(F.col(id_col), "bucket",

@@ -566,12 +566,10 @@ def test_minhash_lsh_rejects_non_dividing_bands(spark):
     """bands that do not divide num_hashes would silently drop the
     trailing signature entries (quietly lower recall) — refuse instead."""
     docs = make_docs(spark, [(1, "some text here")])
-    with pytest.raises(ValueError, match="must divide"):
-        DD.minhash_lsh_pairs(docs, "text", "doc_id",
-                             num_hashes=16, bands=5)
-    with pytest.raises(ValueError, match="must divide"):
-        DD.minhash_lsh_pairs(docs, "text", "doc_id",
-                             num_hashes=16, bands=0)
+    for num_hashes, bands in ((16, 5), (16, 0), (0, 1), (-4, 2)):
+        with pytest.raises(ValueError, match="dividing"):
+            DD.minhash_lsh_pairs(docs, "text", "doc_id",
+                                 num_hashes=num_hashes, bands=bands)
 
 
 def test_dedup_survivors_keeps_canonical(spark):

@@ -151,7 +151,15 @@ def decode_audio(payload: bytes) -> tuple[int, np.ndarray]:
         cid, size = struct.unpack_from("<4sI", payload, pos)
         body = payload[pos + 8:pos + 8 + size]
         if cid == b"fmt ":
-            fmt = struct.unpack_from("<HHIIHH", body, 0)
+            try:
+                fmt = struct.unpack_from("<HHIIHH", body, 0)
+            except struct.error as exc:
+                # struct.error is NOT a ValueError subclass — it escaped
+                # the per-row containment in the feature extractors and
+                # one truncated file killed the whole batch (r5 review)
+                raise ValueError(
+                    f"truncated WAV fmt chunk ({len(body)} bytes)"
+                ) from exc
         elif cid == b"data":
             data = body
         pos += 8 + size + (size % 2)
@@ -161,6 +169,11 @@ def decode_audio(payload: bytes) -> tuple[int, np.ndarray]:
     if audio_format != 1 or bits != 16:
         raise NotImplementedError(
             f"only PCM16 WAV supported (format={audio_format}, bits={bits})")
+    if sample_rate < 1 or ch < 1:
+        # a corrupt header with rate=0 decoded fine and then div-by-zeroed
+        # OUTSIDE the containment in audio_features' duration math
+        raise ValueError(
+            f"corrupt WAV header: sample_rate={sample_rate}, channels={ch}")
     samples = np.frombuffer(data, np.int16)
     return sample_rate, samples.reshape(-1, ch)
 
@@ -168,6 +181,11 @@ def decode_audio(payload: bytes) -> tuple[int, np.ndarray]:
 def fake_features(payload: bytes, dim: int = 8) -> list[float]:
     """Deterministic stand-in for a feature extractor: md5-seeded bytes
     scaled to [0, 1). Stable across processes — safe for oracle-less checks."""
+    if not 1 <= dim <= 16:
+        raise ValueError(
+            f"dim={dim} out of range [1, 16]: features are drawn from the "
+            "16-byte md5 digest (past 16 the old code IndexErrored inside "
+            "the executor; 0 div-by-zeroed the mean)")
     if payload is None:
         return [0.0] * dim
     digest = hashlib.md5(payload).digest()

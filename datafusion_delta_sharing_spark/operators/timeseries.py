@@ -22,26 +22,45 @@ from pyspark.sql import DataFrame, functions as F
 _SIGN_OFFSET = 1 << 62  # added before %020d rendering; see module docstring
 
 
+def _bucket(ts_col: str, secs: int):
+    """Sign-safe bucket floor shared by every rollup here. floor(a/b),
+    not `a div b`: Spark's div truncates toward zero while DuckDB's //
+    floors — they disagree for pre-1970 (negative-epoch) timestamps. The
+    double division is exact for |epoch_us| < 2^53 (~±285 years), and
+    float seconds would round vs truncate differently at bucket edges,
+    hence the integer-µs base. ONE definition (+ _bucket_sql) so the
+    four hand-copies cannot drift (r5 review)."""
+    return F.timestamp_seconds(
+        F.floor(F.expr(f"unix_micros(cast({ts_col} as timestamp))")
+                / F.lit(secs * 1_000_000)).cast("long") * secs)
+
+
+def _bucket_sql(ts_col: str, secs: int) -> str:
+    """DuckDB mirror of :func:`_bucket` (NTZ epoch arithmetic, NOT
+    to_timestamp(...)::TIMESTAMP — that cast goes through TIMESTAMPTZ and
+    shifts by DuckDB's session TimeZone; Spark is pinned UTC)."""
+    return (f"(TIMESTAMP '1970-01-01 00:00:00'"
+            f" + ((epoch_us({ts_col}) // {secs * 1_000_000})"
+            f" * {secs}) * INTERVAL 1 SECOND)")
+
+
 def ohlc_rollup(df: DataFrame, ts_col: str, key_col: str, val_col: str,
                 id_col: str, bucket_minutes: int = 60) -> DataFrame:
     """(key, bucket_start, n, open, high, low, close, total) per entity and
     time bucket. One hash aggregate; open/close deterministic via the
     unique (ts, id) ordering."""
     secs = bucket_minutes * 60
-    # floor(a/b) not `a div b`: Spark's div truncates toward zero while
-    # DuckDB's // floors — they disagree for pre-1970 (negative-epoch)
-    # timestamps. The double division is exact for |epoch_us| < 2^53
-    # (~±285 years), and float seconds would round vs truncate
-    # differently at bucket edges, hence the integer-µs base.
-    bucket = F.timestamp_seconds(
-        F.floor(F.expr(f"unix_micros(cast({ts_col} as timestamp))")
-                / F.lit(secs * 1_000_000)).cast("long") * secs)
+    bucket = _bucket(ts_col, secs)
     # sign-safe ordering key: + 2^62 keeps the rendered number positive
     # for any representable epoch (|epoch_us| < 2^55), so lexicographic
-    # order == numeric order even for pre-1970 timestamps (ADVICE r3);
-    # ids are non-negative by contract
+    # order == numeric order even for pre-1970 timestamps (ADVICE r3).
+    # ids are non-negative by contract and rendered at the FULL int64
+    # width (19 digits): the old %012d ceiling silently broke
+    # lexicographic==numeric above 1e12 — snowflake-style ids hit that
+    # routinely, picking the wrong open/close on timestamp ties (r5
+    # review; both engines broke identically, invisible to the oracle)
     order = F.format_string(
-        "%020d-%012d",
+        "%020d-%019d",
         F.unix_micros(F.col(ts_col).cast("timestamp"))
         + F.lit(_SIGN_OFFSET),
         F.col(id_col))
@@ -60,13 +79,8 @@ def ohlc_rollup_sql(source_sql: str, ts_col: str, key_col: str,
                     bucket_minutes: int = 60) -> str:
     """DuckDB mirror of ohlc_rollup."""
     secs = bucket_minutes * 60
-    # NTZ epoch arithmetic, NOT to_timestamp(...)::TIMESTAMP — that cast
-    # goes through TIMESTAMPTZ and shifts by DuckDB's session TimeZone
-    # (the comparator never pins it; Spark is pinned UTC)
-    bucket = (f"(TIMESTAMP '1970-01-01 00:00:00'"
-              f" + ((epoch_us({ts_col}) // {secs * 1_000_000})"
-              f" * {secs}) * INTERVAL 1 SECOND)")
-    order = (f"printf('%020d-%012d', epoch_us({ts_col})"
+    bucket = _bucket_sql(ts_col, secs)
+    order = (f"printf('%020d-%019d', epoch_us({ts_col})"
              f" + {_SIGN_OFFSET}, {id_col})")
     return f"""
     SELECT {key_col} AS key,
@@ -198,10 +212,7 @@ def gap_fill_interpolate(df: DataFrame, ts_col: str, key_col: str,
     from pyspark.sql import Window
 
     secs = bucket_minutes * 60
-    bucket = F.timestamp_seconds(
-        F.floor(F.expr(f"unix_micros(cast({ts_col} as timestamp))")
-                / F.lit(secs * 1_000_000)).cast("long")
-        * secs).cast("timestamp_ntz")
+    bucket = _bucket(ts_col, secs).cast("timestamp_ntz")
     agg_fn = {"avg": F.avg, "min": F.min, "max": F.max}[agg]
     obs = (df.groupBy(F.col(key_col).alias("key"), bucket.alias("h"))
            .agg(F.round(agg_fn(val_col) * 100).cast("bigint").alias("vc")))
@@ -238,9 +249,7 @@ def gap_fill_interpolate_sql(source_sql: str, ts_col: str, key_col: str,
     """DuckDB mirror of gap_fill_interpolate (IGNORE NULLS windows +
     unnest(generate_series) per-key spine)."""
     secs = bucket_minutes * 60
-    bucket = (f"(TIMESTAMP '1970-01-01 00:00:00'"
-              f" + ((epoch_us({ts_col}) // {secs * 1_000_000})"
-              f" * {secs}) * INTERVAL 1 SECOND)")
+    bucket = _bucket_sql(ts_col, secs)
     pt = ("CASE WHEN vc IS NOT NULL THEN struct_pack("
           "t := CAST(epoch(h) AS BIGINT), vc := vc) END")
     return f"""

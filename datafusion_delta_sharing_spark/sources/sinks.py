@@ -35,6 +35,16 @@ def compact_files(spark, src_path: str, dst_path: str,
     rewrite is a round-robin repartition — a full shuffle, but the only
     scalable way to balance arbitrary skew in the input files; run it as
     the off-line maintenance job it is. Returns the output file count."""
+    import os
+
+    if os.path.abspath(src_path) == os.path.abspath(dst_path):
+        # in-place overwrite DESTROYS the dataset: the overwrite clears
+        # the directory before the lazy repartition re-scan reads it —
+        # the write fails AND the source is already gone (r5 review)
+        raise ValueError(
+            f"compact_files cannot rewrite in place ({src_path!r}): "
+            "the overwrite deletes the source before the shuffled "
+            "re-scan reads it; write to a new directory and swap")
     df = spark.read.parquet(src_path)
     n_rows = df.count()
     n_files = max(1, -(-n_rows // target_rows_per_file))

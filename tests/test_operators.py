@@ -1138,6 +1138,35 @@ def test_wav_roundtrip_and_audio_features(spark):
     assert s2.shape == (rate, 2)
 
 
+def test_corrupt_wav_headers_are_contained(spark):
+    """r5 review: a truncated fmt chunk raised struct.error (NOT a
+    ValueError subclass) and a rate=0 header div-by-zeroed in the
+    duration math — both escaped the per-row containment and killed the
+    whole batch. They must land in the error column instead."""
+    import struct as st
+
+    from datafusion_delta_sharing_spark.operators import multimodal as MM
+
+    truncated_fmt = (b"RIFF" + st.pack("<I", 20) + b"WAVE"
+                     + b"fmt " + st.pack("<I", 16) + b"\x01\x00\x01\x00")
+    rate0 = (b"RIFF" + st.pack("<I", 40) + b"WAVE"
+             + b"fmt " + st.pack("<I", 16)
+             + st.pack("<HHIIHH", 1, 1, 0, 0, 2, 16)
+             + b"data" + st.pack("<I", 4) + b"\x01\x00\x02\x00")
+    df = spark.createDataFrame(
+        [(1, bytearray(truncated_fmt)), (2, bytearray(rate0))],
+        "media_id long, payload binary")
+    got = {r.media_id: r for r in MM.audio_features(df).collect()}
+    assert "truncated" in got[1].error
+    assert "corrupt" in got[2].error
+    import pytest
+
+    with pytest.raises(ValueError, match="range"):
+        MM.fake_features(b"x", dim=32)
+    with pytest.raises(ValueError, match="range"):
+        MM.fake_features(b"x", dim=0)
+
+
 def test_kfold_and_group_split_properties(spark, sf_dir):
     from pyspark.sql import functions as F
 

@@ -61,3 +61,16 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS li_bucketed")
         spark.sql("DROP TABLE IF EXISTS orders_bucketed")
+
+
+def test_compact_files_refuses_in_place(spark, tmp_path):
+    """In-place compaction destroys the dataset: overwrite clears the
+    directory before the lazy repartition re-scan reads it (r5 review)."""
+    import pytest
+
+    src = str(tmp_path / "data")
+    spark.range(100).write.parquet(src)
+    with pytest.raises(ValueError, match="in place"):
+        compact_files(spark, src, src, target_rows_per_file=10)
+    # and the data is still there
+    assert spark.read.parquet(src).count() == 100

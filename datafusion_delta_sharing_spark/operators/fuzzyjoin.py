@@ -69,20 +69,22 @@ def fuzzy_join_sql(left_sql: str, right_sql: str,
                    left_id: str, left_col: str,
                    right_id: str, right_col: str,
                    max_dist: int = 2, gram: int = 3,
-                   max_gram_freq: int | None = None,
-                   max_len: int = 256) -> str:
+                   max_gram_freq: int | None = None) -> str:
     """DuckDB mirror: same blocking, length band, df-cut, and levenshtein
-    verify. DuckDB's generate_series can't be laterally correlated, so the
-    gram positions come from a constant 1..max_len series filtered to the
-    string's own length (strings longer than max_len would lose tail
-    grams — raise it for long keys)."""
+    verify. Gram positions come from a correlated
+    ``unnest(generate_series(...))`` bounded by each string's own length —
+    no constant position cap, so arbitrarily long keys keep their tail
+    grams exactly like the Spark side's ``sequence``/``transform``."""
     def posting(src, idc, c, side):
         return f"""(
-        SELECT DISTINCT t.{idc} AS {side}_id, length(t.{c}) AS {side}_len,
-               substr(lower(t.{c}), gs.i, {gram}) AS gram
-        FROM {src} t
-        CROSS JOIN generate_series(1, {max_len}) gs(i)
-        WHERE gs.i <= greatest(length(t.{c}) - {gram - 1}, 1)
+        SELECT DISTINCT {side}_id, {side}_len,
+               substr(txt, i, {gram}) AS gram
+        FROM (
+            SELECT t.{idc} AS {side}_id, length(t.{c}) AS {side}_len,
+                   lower(t.{c}) AS txt,
+                   unnest(generate_series(
+                       1, greatest(length(t.{c}) - {gram - 1}, 1))) AS i
+            FROM {src} t)
         )"""
     lg, rg = posting(left_sql, left_id, left_col, "l"), posting(
         right_sql, right_id, right_col, "r")

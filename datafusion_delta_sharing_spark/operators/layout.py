@@ -26,9 +26,20 @@ def morton_code(x: Column | str, y: Column | str, bits: int = 12) -> Column:
     """Interleave the low ``bits`` bits of two non-negative ints: x takes
     the even bit positions, y the odd. Disjoint bit positions mean the OR
     is a plain sum — kept as `+` so the SQL mirror is byte-identical in
-    semantics on engines without bitwise OR precedence quirks."""
+    semantics on engines without bitwise OR precedence quirks.
+
+    Inputs are cast to bigint before shifting: on a 32-bit int column,
+    ``shiftleft`` at position 31 (bits >= 16) wraps to negative int32 in
+    Spark while DuckDB promotes — the cast keeps the shift 64-bit on both
+    engines. ``bits`` is capped at 31 so the top interleaved position
+    (2*bits - 1 = 61) stays inside a signed 64-bit code."""
+    if not (1 <= bits <= 31):
+        raise ValueError(
+            f"morton_code: bits must be in [1, 31], got {bits} — position "
+            "2*bits-1 must fit a signed 64-bit Morton code")
     x, y = F.col(x) if isinstance(x, str) else x, (
         F.col(y) if isinstance(y, str) else y)
+    x, y = x.cast("bigint"), y.cast("bigint")
     terms = []
     for i in range(bits):
         terms.append(F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)),
@@ -39,11 +50,16 @@ def morton_code(x: Column | str, y: Column | str, bits: int = 12) -> Column:
 
 
 def morton_code_sql(x: str, y: str, bits: int = 12) -> str:
-    """DuckDB/ANSI mirror of morton_code (same explicit bit interleave)."""
+    """DuckDB/ANSI mirror of morton_code (same explicit bit interleave,
+    same bigint promotion so shift positions >= 31 agree)."""
+    if not (1 <= bits <= 31):
+        raise ValueError(
+            f"morton_code_sql: bits must be in [1, 31], got {bits}")
+    xb, yb = f"CAST({x} AS BIGINT)", f"CAST({y} AS BIGINT)"
     terms = []
     for i in range(bits):
-        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
-        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"((({xb} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({yb} >> {i}) & 1) << {2 * i + 1})")
     return "(" + " + ".join(terms) + ")"
 
 

@@ -117,6 +117,12 @@ def gram_matrix_pandas(emb: DataFrame, vec_col: str,
         for pdf in batches:
             if pdf.empty:
                 continue
+            # drop NULL/empty vectors — embedding_covariance's posexplode
+            # drops them implicitly; np.stack would raise on None/ragged
+            keep = pdf[vec_col].map(lambda v: v is not None and len(v) > 0)
+            pdf = pdf[keep]
+            if pdf.empty:
+                continue
             x = np.stack(pdf[vec_col].to_numpy()).astype("float64") * scale
             # half-AWAY-from-zero to match F.round / DuckDB round —
             # np.rint is half-to-EVEN and diverges on dyadic components
@@ -171,8 +177,16 @@ def random_projection(emb: DataFrame, vec_col: str, id_col: str,
     the formula-generated sign matrix per batch); this form is the
     declarative, oracle-mirrorable one.
     """
+    # The sign formula needs key >= 0 (negative values hit Spark's
+    # trunc-toward-zero vs DuckDB's floor division, and sign-carrying %)
+    # and _LCG_A * key must fit in bigint — bound seed accordingly.
+    if not (0 <= seed <= 8000):
+        raise ValueError(
+            f"random_projection: seed must be in [0, 8000], got {seed} — "
+            "negative keys break trunc-vs-floor division parity across "
+            "engines and large seeds overflow the bigint LCG step")
     comps = quantized_components(emb, vec_col, id_col, scale)
-    key = (F.lit(seed) * F.lit(1_000_003)
+    key = (F.lit(seed).cast("bigint") * F.lit(1_000_003)
            + F.col("dim") * F.lit(out_dims) + F.col("out_dim"))
     return (
         comps.select(

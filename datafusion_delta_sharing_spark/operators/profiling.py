@@ -111,15 +111,22 @@ def quality_checks(df: DataFrame, *,
 
 def table_profile_approx(df: DataFrame, cols: list[str],
                          rsd: float = 0.01, tol: float = 0.05) -> DataFrame:
-    """The 100 TB form of :func:`table_profile`: distinct counts come from
-    approx_count_distinct (HLL++, no Expand of the input — the exact form's
-    3 countDistinct columns force one, the dominant cost of the profile at
-    scale). The sketch estimate is engine-specific, so the checkable output
-    follows the approx_percentile pattern: every exact column is returned
-    as-is and the estimate collapses to ``nd_within_tol`` — |approx−exact|
-    ≤ tol·exact, computed against the SAME scan's exact count. The oracle
-    recomputes the exact columns and expects the verdict TRUE; a mis-wired
-    sketch (wrong column, wrong merge) lands orders of magnitude off."""
+    """Sketch-profile demonstrator for :func:`table_profile`: distinct
+    counts come from approx_count_distinct (HLL++). The sketch estimate is
+    engine-specific, so the checkable output follows the approx_percentile
+    pattern: every exact column is returned as-is and the estimate
+    collapses to ``nd_within_tol`` — |approx−exact| ≤ tol·exact, computed
+    against the SAME scan's exact count. The oracle recomputes the exact
+    columns and expects the verdict TRUE; a mis-wired sketch (wrong
+    column, wrong merge) lands orders of magnitude off.
+
+    Cost honesty: because the verdict needs the exact count in-plan, this
+    checkable form still pays the exact form's countDistinct Expand PLUS
+    the k HLL sketches — it is strictly MORE expensive than
+    :func:`table_profile` and exists to prove the sketch wiring. The
+    actual 100 TB profile drops the ``_nd_`` exact aggregates and emits
+    the raw HLL estimate, which removes the Expand entirely; that form is
+    a two-line edit of this one but has no engine-independent oracle."""
     aggs = [F.count(F.lit(1)).alias("_n")]
     for c in cols:
         aggs += [
@@ -164,7 +171,12 @@ def quality_checks_sql(source_sql: str, *,
                        accepted_values: dict[str, list[str]] | None = None,
                        ranges: dict[str, tuple[float, float]] | None = None,
                        ) -> str:
-    """DuckDB mirror of quality_checks."""
+    """DuckDB mirror of quality_checks.
+
+    Every branch aliases both output columns explicitly: DuckDB's UNION
+    binds the outer SELECT to the FIRST branch's column names, so relying
+    on branch order (only the first branch aliased) breaks as soon as a
+    config omits not_null checks."""
     parts = []
     for c in not_null:
         parts.append(
@@ -174,17 +186,26 @@ def quality_checks_sql(source_sql: str, *,
     for c, vals in (accepted_values or {}).items():
         lit = ", ".join(f"'{v}'" for v in vals)
         parts.append(
-            f"SELECT 'accepted_values:{c}', CAST(sum(CASE WHEN {c} NOT IN "
-            f"({lit}) THEN 1 ELSE 0 END) AS BIGINT) FROM {source_sql}")
+            f"SELECT 'accepted_values:{c}' AS check_name, "
+            f"CAST(sum(CASE WHEN {c} NOT IN "
+            f"({lit}) THEN 1 ELSE 0 END) AS BIGINT) AS n_violations "
+            f"FROM {source_sql}")
     for c, (lo, hi) in (ranges or {}).items():
         parts.append(
-            f"SELECT 'range:{c}', CAST(sum(CASE WHEN {c} < {lo} OR {c} > {hi}"
-            f" THEN 1 ELSE 0 END) AS BIGINT) FROM {source_sql}")
+            f"SELECT 'range:{c}' AS check_name, "
+            f"CAST(sum(CASE WHEN {c} < {lo} OR {c} > {hi}"
+            f" THEN 1 ELSE 0 END) AS BIGINT) AS n_violations "
+            f"FROM {source_sql}")
     for c in unique:
         parts.append(
-            f"SELECT 'unique:{c}', CAST(coalesce(sum(_n), 0) AS BIGINT) FROM "
+            f"SELECT 'unique:{c}' AS check_name, "
+            f"CAST(coalesce(sum(_n), 0) AS BIGINT) AS n_violations FROM "
             f"(SELECT count(*) AS _n FROM {source_sql} GROUP BY {c} "
             f"HAVING count(*) > 1)")
+    if not parts:
+        raise ValueError(
+            "quality_checks_sql: no checks declared — pass at least one of "
+            "not_null, unique, accepted_values, or ranges")
     union = " UNION ALL ".join(parts)
     return (f"SELECT check_name, n_violations, n_violations = 0 AS passed "
             f"FROM ({union})")
@@ -262,13 +283,18 @@ def contingency_table_sql(source_sql: str, row_col: str,
 def equi_width_histogram(df: DataFrame, col: str, lo: float, hi: float,
                          n_buckets: int) -> DataFrame:
     """(bucket, n) equi-width counts over [lo, hi); values outside clamp to
-    the edge buckets (so the histogram is total). One groupBy on a
-    computed bucket — a single shuffle of n_buckets partial counts."""
+    the edge buckets (so the histogram is total over NON-NULL values).
+    NULLs are excluded explicitly — without the filter, Spark's
+    null-skipping ``greatest(NULL, 0) = 0`` would silently count every
+    NULL row into bucket 0 (and DuckDB's null-propagating greatest would
+    instead emit a NULL bucket, diverging). One groupBy on a computed
+    bucket — a single shuffle of n_buckets partial counts."""
     w = (hi - lo) / n_buckets
     bucket = F.least(
         F.greatest(F.floor((F.col(col) - F.lit(lo)) / F.lit(w)), F.lit(0)),
         F.lit(n_buckets - 1)).cast("bigint")
-    return (df.groupBy(bucket.alias("bucket"))
+    return (df.filter(F.col(col).isNotNull())
+            .groupBy(bucket.alias("bucket"))
             .agg(F.count(F.lit(1)).alias("n")))
 
 
@@ -279,4 +305,4 @@ def equi_width_histogram_sql(source_sql: str, col: str, lo: float, hi: float,
     b = (f"CAST(least(greatest(floor(({col} - {lo}) / {w}), 0), "
          f"{n_buckets - 1}) AS BIGINT)")
     return (f"SELECT {b} AS bucket, CAST(count(*) AS BIGINT) AS n "
-            f"FROM {source_sql} GROUP BY 1")
+            f"FROM {source_sql} WHERE {col} IS NOT NULL GROUP BY 1")

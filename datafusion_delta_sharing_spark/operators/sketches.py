@@ -51,7 +51,9 @@ def _misra_gries_partition(value_col: str, capacity: int):
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict = {}
+        n_part = 0
         for batch in batches:
+            n_part += len(batch)
             for value, cnt in batch[value_col].value_counts().items():
                 counters[value] = counters.get(value, 0) + int(cnt)
             if len(counters) > capacity:
@@ -62,7 +64,14 @@ def _misra_gries_partition(value_col: str, capacity: int):
                 cut = sorted(counters.values(), reverse=True)[capacity]
                 counters = {v: c - cut for v, c in counters.items()
                             if c - cut > 0}
-        yield pd.DataFrame({value_col: list(counters.keys())})
+        # candidates carry a NULL count; one extra row per partition
+        # carries the partition's row count (value NULL — real NULLs were
+        # filtered upstream), so the caller derives n without its own
+        # count() scan of the column.
+        yield pd.DataFrame({
+            value_col: list(counters.keys()) + [None],
+            "_n_part": [None] * len(counters) + [n_part],
+        })
 
     return run
 
@@ -79,10 +88,13 @@ def heavy_hitters(df: DataFrame, value_col: str, min_frac: float,
     every true heavy hitter, and the broadcast-semi-join recount makes the
     final output exactly ``GROUP BY value HAVING count >= ceil(min_frac*n)``.
 
-    Scale shape: the full column is scanned twice but SHUFFLED never —
-    stage 1 moves only <= partitions x capacity candidate values to the
-    driver-side broadcast, stage 2's groupBy is map-side-combined down to
-    <= partitions x |candidates| rows before its exchange.
+    Scale shape: the full column is scanned exactly TWICE and SHUFFLED
+    never — the candidate pass also emits per-partition row counts, so n
+    (and the threshold) come from the same tiny materialized output
+    instead of a third count() scan; stage 2's recount groupBy is
+    map-side-combined down to <= partitions x |candidates| rows before
+    its exchange. The threshold enters the plan as a one-row broadcast
+    scalar (a pinned scalar crossJoin, not a driver constant).
     """
     if not 0 < min_frac <= 1:
         raise ValueError(f"min_frac must be in (0, 1], got {min_frac}")
@@ -95,15 +107,24 @@ def heavy_hitters(df: DataFrame, value_col: str, min_frac: float,
     # nulls are excluded on both sides (pandas value_counts drops NaN, so
     # a frequent-null column would silently miss the candidate pass)
     src = df.select(value_col).filter(F.col(value_col).isNotNull())
-    n = src.count()
-    threshold = math.ceil(min_frac * n)
-    candidates = (src.mapInPandas(
-        _misra_gries_partition(value_col, capacity), schema=src.schema)
-        .distinct())
+    vtype = src.schema[value_col].dataType.simpleString()
+    # localCheckpoint materializes the MG pass ONCE (its output is tiny by
+    # construction: <= partitions x (capacity + 1) rows), so deriving both
+    # the candidate set and n from it does not re-scan the column
+    cand_counts = src.mapInPandas(
+        _misra_gries_partition(value_col, capacity),
+        schema=f"`{value_col}` {vtype}, _n_part bigint").localCheckpoint()
+    candidates = (cand_counts.filter(F.col("_n_part").isNull())
+                  .select(value_col).distinct())
+    total = cand_counts.agg(
+        F.coalesce(F.sum("_n_part"), F.lit(0)).alias("_total"))
     return (src.join(F.broadcast(candidates), value_col, "left_semi")
             .groupBy(value_col)
             .agg(F.count(F.lit(1)).alias("cnt"))
-            .filter(F.col("cnt") >= threshold))
+            .crossJoin(F.broadcast(total))
+            .filter(F.col("cnt")
+                    >= F.ceil(F.lit(float(min_frac)) * F.col("_total")))
+            .select(value_col, "cnt"))
 
 
 def heavy_hitters_sql(source_sql: str, value_col: str,
@@ -161,13 +182,15 @@ def bloom_prefilter_join_stats(fact: DataFrame, dim: DataFrame,
     hits) IS the prefilter applied before the expensive join; this stats
     form exists so the reduction ratio is an oracle-checkable output.
     """
-    occupied = dim.select(
-        *[_bloom_bucket(F.col(dim_key), i).alias(f"b{i}")
-          for i in range(n_hashes)]).distinct()
+    # each hash's occupied-bucket set is distinct'ed directly from dim:
+    # map-side combine caps every exchange at 4096 bucket strings. (A
+    # joint (b0..bn-1) tuple distinct first would shuffle up to
+    # min(|dim|, 4096^n) rows — unbounded in dim — for no benefit.)
     marked = fact.select(F.col(fact_key))
     for i in range(n_hashes):
         cell_i = F.broadcast(
-            occupied.select(F.col(f"b{i}").alias(f"__c{i}")).distinct()
+            dim.select(_bloom_bucket(F.col(dim_key), i).alias(f"__c{i}"))
+            .distinct()
             .withColumn(f"__hit{i}", F.lit(True)))
         marked = marked.join(
             cell_i,

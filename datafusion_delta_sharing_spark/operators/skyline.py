@@ -32,6 +32,10 @@ def pareto_frontier(df: DataFrame, id_col: str, cost_col: str,
     """(id, cost, gain) rows on the frontier: minimal cost, maximal gain.
     ``cost_col``/``gain_col`` must be integer-valued (exact window RANGE
     frames and exact cross-engine comparison; quantize floats first).
+    Rows with NULL cost or gain are excluded up front — domination is
+    undefined on unknowns, and leaving them in diverges between the two
+    formulations (SQL's NULL comparisons make NOT EXISTS keep such rows,
+    while the bucket join / window filter here would drop them).
     ``bucket_width`` trades bucket count against per-bucket skew — aim for
     ~10³–10⁴ buckets at scale so the bucket summary stays broadcastable.
     """
@@ -39,7 +43,8 @@ def pareto_frontier(df: DataFrame, id_col: str, cost_col: str,
         F.col(id_col).alias("id"),
         F.col(cost_col).cast("bigint").alias("cost"),
         F.col(gain_col).cast("bigint").alias("gain"),
-    ).withColumn("bucket", F.floor(F.col("cost") / F.lit(bucket_width)))
+    ).filter(F.col("cost").isNotNull() & F.col("gain").isNotNull()
+             ).withColumn("bucket", F.floor(F.col("cost") / F.lit(bucket_width)))
 
     in_bucket = Window.partitionBy("bucket").orderBy("cost")
     # all strictly-cheaper rows of the same bucket
@@ -84,6 +89,7 @@ def pareto_frontier_sql(source_sql: str, id_col: str, cost_col: str,
         SELECT {id_col} AS id, CAST({cost_col} AS BIGINT) AS cost,
                CAST({gain_col} AS BIGINT) AS gain
         FROM {source_sql}
+        WHERE {cost_col} IS NOT NULL AND {gain_col} IS NOT NULL
     )
     SELECT id, cost, gain FROM pts a
     WHERE NOT EXISTS (

@@ -26,7 +26,10 @@ def _survivors(values, capacity, batch_size):
                for i in range(0, len(values), batch_size)] or \
         [pd.DataFrame({"v": []})]
     (out,) = list(run(iter(batches)))
-    return set(out["v"])
+    # the pass emits one count row per partition (v NULL, _n_part set);
+    # survivors are the candidate rows only — and the count must be right
+    assert out["_n_part"].dropna().sum() == len(values)
+    return set(out[out["_n_part"].isna()]["v"])
 
 
 @settings(max_examples=200, deadline=None)

@@ -57,8 +57,10 @@ def test_misra_gries_partition_state_bounded():
     batches = [pd.DataFrame({"v": ["a"] * 50 + [f"x{i}" for i in range(30)]}),
                pd.DataFrame({"v": ["a"] * 50 + [f"y{i}" for i in range(30)]})]
     (out,) = list(run(iter(batches)))
-    assert len(out) <= 4          # state never exceeds capacity
-    assert "a" in set(out["v"])   # the true majority item survives
+    cand = out[out["_n_part"].isna()]
+    assert len(cand) <= 4          # state never exceeds capacity
+    assert "a" in set(cand["v"])   # the true majority item survives
+    assert out["_n_part"].dropna().sum() == 160  # count row carries n
 
 
 def test_bloom_join_stats(spark, sf_dir):

@@ -39,21 +39,30 @@ _STAGE_ROOT = os.path.join(os.path.dirname(os.path.dirname(
 _SERVED: dict[str, dict] = {}  # sf_dir -> {"server", "profile_json"}
 
 
+def _stage_key(src: str, salt: str = "") -> str:
+    """Cache key for a staged copy of source file ``src``: absolute path
+    + mtime/size (+ salt). One definition shared by every staging site
+    (ADVICE r2: a basename-only key silently reused stale staged data
+    when two sf dirs shared a label or the source changed in place)."""
+    import hashlib
+
+    src = os.path.abspath(src)
+    st = os.stat(src)
+    suffix = f":{salt}" if salt else ""
+    return hashlib.md5(
+        f"{src}:{st.st_mtime_ns}:{st.st_size}{suffix}".encode()
+    ).hexdigest()[:16]
+
+
 def _stage_partitioned_orders(spark: SparkSession, sf_dir: str) -> str:
     """Write sf orders partitioned by o_orderstatus (one file per status,
     data files WITHOUT the partition column — Delta Sharing semantics where
     partition values travel in file metadata, not parquet data).
 
-    The staging dir is keyed by a hash of the absolute source path + its
-    mtime/size (ADVICE r2: a basename-only key silently reused stale staged
-    data when two different sf dirs shared a label, or when the source
-    changed in place)."""
-    import hashlib
-
+    The staging dir is keyed by :func:`_stage_key` (source path +
+    mtime/size)."""
     src = os.path.abspath(os.path.join(sf_dir, "orders.parquet"))
-    st = os.stat(src)
-    key = hashlib.md5(
-        f"{src}:{st.st_mtime_ns}:{st.st_size}".encode()).hexdigest()[:16]
+    key = _stage_key(src)
     out = os.path.join(_STAGE_ROOT, key, "orders_by_status")
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         (spark.read.parquet(src)
@@ -69,12 +78,8 @@ def _stage_cdf_customer(spark: SparkSession, sf_dir: str) -> dict:
     leaves as a ``remove`` commit (v3). Reconstructing the table from
     base + feed must therefore yield exactly ``c_custkey % 3 != 2`` — a
     result that requires BOTH change kinds to be applied."""
-    import hashlib
-
     src = os.path.abspath(os.path.join(sf_dir, "customer.parquet"))
-    st = os.stat(src)
-    key = hashlib.md5(
-        f"{src}:{st.st_mtime_ns}:{st.st_size}:cdf".encode()).hexdigest()[:16]
+    key = _stage_key(src, salt="cdf")
     out = os.path.join(_STAGE_ROOT, key, "customer_cdf")
     cust = spark.read.parquet(src).select(
         "c_custkey", "c_name", "c_acctbal", "c_mktsegment")
@@ -225,7 +230,12 @@ def q_connector_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # the driver builds its own session without this conf; Spark 4 refuses to
     # plan a Python data source that implements pushFilters() while it is
-    # false ([DATA_SOURCE_PUSHDOWN_DISABLED]) — it is runtime-settable
+    # false ([DATA_SOURCE_PUSHDOWN_DISABLED]) — it is runtime-settable.
+    # get_spark() sessions (bench/tests) already set it at build time, so
+    # this is a no-op there; in the driver's session it stays enabled for
+    # the rest of the run — restoring it here would be unsafe (the returned
+    # DataFrame plans/executes lazily, after this function returns), and no
+    # registry query depends on the default-false path.
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     state = _ensure_served(spark, sf_dir)
     spark.dataSource.register(DeltaSharingDataSource)

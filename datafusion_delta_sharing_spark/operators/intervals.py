@@ -23,16 +23,31 @@ def interval_overlap_join(left: DataFrame, right: DataFrame,
                           grain_us: int) -> DataFrame:
     """(l_id, r_id, overlap_us) for half-open [start, end) interval pairs
     (left id < right id to emit each unordered pair once). start/end are
-    BIGINT microseconds."""
+    BIGINT microseconds.
+
+    Contract: ``id_col`` uniquely identifies rows. Duplicate (id, s, e)
+    rows would be collapsed by the candidate ``distinct()`` here while the
+    naive quadratic oracle multiplies them — the same reason any keyed
+    join needs a key.
+
+    The grain sequence's upper end is clamped to its start: for a
+    degenerate ([t, t)) or malformed (end < start) interval, an unclamped
+    ``sequence(hi, lo)`` silently DESCENDS, exploding one bad row over the
+    whole grain range. Clamping emits exactly one grain for such rows and
+    stays a candidate superset: any partner that overlaps one (per the
+    exact predicate, b.s < a.e <= a.s < b.e) must straddle a.s, hence
+    covers floor(a.s/grain); two degenerate intervals can never satisfy
+    the predicate with each other."""
     def coded(df, side):
+        start_g = (F.floor(F.col(f"{side}_s") / F.lit(grain_us))
+                   .cast("long"))
+        end_g = (F.floor((F.col(f"{side}_e") - 1) / F.lit(grain_us))
+                 .cast("long"))
         return (df.select(F.col(id_col).alias(f"{side}_id"),
                           F.col(start_col).alias(f"{side}_s"),
                           F.col(end_col).alias(f"{side}_e"))
                 .withColumn("g", F.explode(F.sequence(
-                    F.floor(F.col(f"{side}_s") / F.lit(grain_us))
-                    .cast("long"),
-                    F.floor((F.col(f"{side}_e") - 1) / F.lit(grain_us))
-                    .cast("long")))))
+                    start_g, F.greatest(end_g, start_g)))))
 
     cand = (coded(left, "l").join(coded(right, "r"), "g")
             .filter(F.col("l_id") < F.col("r_id"))

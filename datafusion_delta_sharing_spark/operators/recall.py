@@ -45,11 +45,18 @@ def recall_summary(exact: DataFrame, found: DataFrame, keys: list[str],
     any key multiplicity (hit = every exact row whose key appears in
     found; false = every found row whose key has no exact match).
     """
+    from functools import reduce
+
     exk = (exact.select(*keys).groupBy(*keys)
            .agg(F.count(F.lit(1)).alias("_ex_n")))
     fdk = (found.select(*keys).groupBy(*keys)
            .agg(F.count(F.lit(1)).alias("_fd_n")))
-    joined = exk.join(fdk, keys, "full_outer")
+    # null-SAFE key equality: a plain equi-join never matches NULL keys,
+    # so an exact row and a found row sharing a NULL key component would
+    # count as both a miss and a false positive
+    cond = reduce(lambda a, b: a & b,
+                  [exk[k].eqNullSafe(fdk[k]) for k in keys])
+    joined = exk.join(fdk, cond, "full_outer")
     aggs = [
         F.coalesce(F.sum("_ex_n"), F.lit(0)).cast("bigint").alias("n_exact"),
         F.sum(F.when(F.col("_fd_n").isNotNull(),

@@ -92,6 +92,12 @@ class Table:
 
         Pure PySpark cannot install a JVM ``CatalogPlugin``, so three-part
         names surface as ``share__schema__table`` temp views (SURVEY.md §7).
+
+        The flattening is NOT injective (``a__b.c.t`` and ``a.b__c.t``
+        both yield ``a__b__c__t``); DeltaSharingCatalog refuses to
+        register a second FQN whose view name collides (case-insensitively)
+        with an already-owned one (catalog.py ``_view_owner``) rather than
+        silently clobbering the first view.
         """
         return f"{self.share}__{self.schema}__{self.name}"
 

@@ -834,6 +834,45 @@ def test_interval_overlap_join_semantics(spark):
     assert out == {(1, 2): 5 * us, (2, 3): 5 * us}
 
 
+def test_interval_overlap_join_degenerate_rows_clamp_not_explode(spark):
+    """Degenerate ([t,t)) and reversed (e < s) intervals generate ONE
+    grain each (clamped sequence) yet still match the naive oracle
+    predicate: a partner straddling their start is found, and the
+    candidate fan-out stays bounded instead of sequencing DOWN across
+    the whole grain range."""
+    from datafusion_delta_sharing_spark.operators.intervals import (
+        interval_overlap_join,
+    )
+
+    us = 1_000_000
+    rows = [(1, 0, 10 * us),               # wide well-formed interval
+            (2, 5 * us, 5 * us),           # degenerate: starts inside 1
+            (3, 9 * us, 2 * us),           # reversed/malformed: s inside 1
+            (4, 50 * us, 50 * us)]         # degenerate, disjoint
+    df = spark.createDataFrame(rows, "id long, s long, e long")
+    out = {(r.l_id, r.r_id): r.overlap_us for r in
+           interval_overlap_join(df, df, "id", "s", "e",
+                                 grain_us=us).collect()}
+    # the naive predicate (l.s < r.e AND r.s < l.e) admits (1,2): 5<10 and
+    # 0<5; and (1,3): 0<2? no — 1.s=0 < 3.e=2us and 3.s=9us < 1.e=10us ✓
+    assert out == {(1, 2): 0, (1, 3): 2 * us - 9 * us}
+
+
+def test_recall_summary_null_safe_keys(spark):
+    """A NULL key component must match itself across the exact/found join
+    (eqNullSafe) — a plain equi-join would count the same pair as both a
+    miss and a false positive."""
+    from datafusion_delta_sharing_spark.operators.recall import recall_summary
+
+    exact = spark.createDataFrame(
+        [(1, None), (2, 3)], "id_a long, id_b long")
+    found = spark.createDataFrame(
+        [(1, None), (2, 3)], "id_a long, id_b long")
+    row = recall_summary(exact, found, ["id_a", "id_b"], 0.5,
+                         check_precision=True).collect()[0]
+    assert (row.n_exact, row.n_false, row.recall_ok) == (2, 0, True)
+
+
 def test_operator_edge_cases(spark):
     """Empty inputs and invalid parameters fail safe, not silently."""
     from datafusion_delta_sharing_spark.operators.intervals import (

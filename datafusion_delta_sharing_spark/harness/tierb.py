@@ -418,10 +418,15 @@ def q_intersect(spark, sf_dir):
 
 
 def q_except(spark, sf_dir):
+    # the subtracted side is restricted to low supplier keys: full-table
+    # suppliers cover all 25 nation keys at sf0.01+, which made the
+    # difference structurally empty — an EXCEPT bug returning nothing
+    # would have hashed PASS (empty == empty)
     nation = _t(spark, sf_dir, "nation").select(
         F.col("n_nationkey").cast("int").alias("nk"))
-    supp = _t(spark, sf_dir, "supplier").select(
-        F.col("s_nationkey").cast("int").alias("nk"))
+    supp = (_t(spark, sf_dir, "supplier")
+            .filter(F.col("s_suppkey") <= 10)
+            .select(F.col("s_nationkey").cast("int").alias("nk")))
     return nation.subtract(supp)  # EXCEPT (distinct)
 
 
@@ -535,8 +540,7 @@ def q_cte(spark, sf_dir):
     register_views(spark, sf_dir, ["orders", "customer"])
     return spark.sql("""
         WITH cust_totals AS (
-            SELECT o_custkey, round(sum(o_totalprice), 2) AS total,
-                   count(*) AS n
+            SELECT o_custkey, round(sum(o_totalprice), 2) AS total
             FROM orders GROUP BY o_custkey
         )
         SELECT c.c_mktsegment,
@@ -553,7 +557,7 @@ def q_scalar_subquery(spark, sf_dir):
     return spark.sql("""
         SELECT o_orderkey, o_totalprice
         FROM orders
-        WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders)
+        WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)
     """)
 
 
@@ -618,10 +622,15 @@ def q_sessionization(spark, sf_dir):
     """Gap-based sessionization (30-min inactivity) via lag + running sum."""
     ev = _t(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    epoch_s = F.col("ts").cast("timestamp").cast("long")  # NTZ -> epoch secs (UTC session)
+    # INTEGER microseconds on both engines: a whole-second cast here vs
+    # DuckDB's fractional epoch() made the >30min test diverge for any
+    # gap inside (1800, 1801)s depending on the endpoints' sub-second
+    # parts — exact integer comparison closes that window
+    epoch_us = F.unix_micros(F.col("ts").cast("timestamp"))
     with_gap = ev.withColumn(
         "new_session",
-        F.when(epoch_s - F.lag(epoch_s).over(w) > 1800, 1).otherwise(0),
+        F.when(epoch_us - F.lag(epoch_us).over(w) > 1_800_000_000, 1)
+        .otherwise(0),
     )
     with_session = with_gap.withColumn(
         "session_id",
@@ -905,6 +914,7 @@ ORACLES = {
         SELECT CAST(n_nationkey AS INT) AS nk FROM nation
         EXCEPT
         SELECT CAST(s_nationkey AS INT) AS nk FROM supplier
+        WHERE s_suppkey <= 10
     """,
     "string_funcs": """
         SELECT p_partkey,
@@ -966,7 +976,7 @@ ORACLES = {
     """,
     "cte": """
         WITH cust_totals AS (
-            SELECT o_custkey, round(sum(o_totalprice), 2) AS total, count(*) AS n
+            SELECT o_custkey, round(sum(o_totalprice), 2) AS total
             FROM orders GROUP BY o_custkey
         )
         SELECT c.c_mktsegment,
@@ -978,7 +988,7 @@ ORACLES = {
     """,
     "scalar_subquery": """
         SELECT o_orderkey, o_totalprice FROM orders
-        WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders)
+        WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)
     """,
     "in_subquery": """
         SELECT o_orderkey, o_custkey FROM orders
@@ -1015,9 +1025,9 @@ ORACLES = {
                                           AND CURRENT ROW) AS session_id
             FROM (
                 SELECT user_id, ts, event_id,
-                       CASE WHEN epoch(ts) - epoch(lag(ts) OVER (
+                       CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (
                                 PARTITION BY user_id ORDER BY ts, event_id))
-                            > 1800
+                            > 1800000000
                             THEN 1 ELSE 0 END AS new_session
                 FROM events
             )

@@ -37,11 +37,14 @@ def _docs_with_excerpts(spark, sf_dir):
     Jaccard misses (the union is dominated by the long doc)."""
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") < _CONT_DOCS).select("doc_id", "text")
+    # filter '' fragments like the oracle's list_filter — a raw split of
+    # edge-whitespace text would put phantom tokens into the excerpt
     halves = docs.select(
         (F.col("doc_id") + F.lit(_CONT_OFFSET)).alias("doc_id"),
         F.array_join(
-            F.expr("slice(split(trim(text), '\\\\s+'), 1, "
-                   "greatest(1, size(split(trim(text), '\\\\s+')) div 2))"),
+            F.expr("slice(filter(split(trim(text), '\\\\s+'), x -> x != ''), 1, "
+                   "greatest(1, size(filter(split(trim(text), '\\\\s+'), "
+                   "x -> x != '')) div 2))"),
             " ").alias("text"))
     return docs.unionByName(halves)
 

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F, Window as W
 
+from datafusion_delta_sharing_spark.functions.text import words_of
 from datafusion_delta_sharing_spark.harness import load_table
 from datafusion_delta_sharing_spark.streaming.stateful import stateful_user_totals
 
@@ -40,7 +41,10 @@ def q_agg_corr(spark, sf_dir):
 
 def q_explode_lateral(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
-    words = F.split(F.trim("text"), r"\s+")
+    # words_of filters '' fragments exactly like the oracle's list_filter —
+    # a raw split keeps phantom tokens for edge tabs/newlines that trim()
+    # (space-only) does not strip
+    words = words_of("text")
     return (
         docs.select("doc_id", F.posexplode(words).alias("pos", "word"))
         .withColumn("pos", (F.col("pos") + 1).cast("bigint"))  # 1-based like unnest
@@ -92,8 +96,18 @@ def q_python_udtf(spark, sf_dir):
     @udtf(returnType="word: string")
     class SplitWords:
         def eval(self, text: str):
-            for w in text.strip().split():
-                yield (w,)
+            # NULL-safe (the oracle's unnest silently skips NULL rows) and
+            # ASCII \s+ like the oracle's RE2 regexp — Python str.split()
+            # also splits on Unicode whitespace (U+3000, NBSP), which the
+            # oracle keeps inside tokens; '' fragments are filtered instead
+            # of stripped so edge whitespace matches too
+            if text is None:
+                return
+            import re
+
+            for w in re.split(r"\s+", text, flags=re.ASCII):
+                if w:
+                    yield (w,)
 
     spark.udtf.register("split_words", SplitWords)
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
@@ -151,7 +165,11 @@ ORACLES = {
     """,
     "map_funcs": """
         SELECT doc_id,
-               map(['chars','id'], [n_chars, doc_id])['chars'][1] AS chars_val,
+               -- chars_val == n_chars by construction; spelled directly
+               -- because map-extraction syntax is the one DuckDB idiom
+               -- whose return shape changed across versions (LIST in 1.0,
+               -- scalar later) — the Spark side still exercises element_at
+               CAST(n_chars AS BIGINT) AS chars_val,
                CAST(cardinality(map(['chars','id'], [n_chars, doc_id]))
                     AS BIGINT) AS n_keys,
                array_to_string(list_sort(map_keys(

@@ -9,7 +9,7 @@ from datafusion_delta_sharing_spark.harness import load_table
 
 
 def q_cross_join(spark, sf_dir):
-    region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    region = load_table(spark, sf_dir, "region").select("r_name")
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey")
     return (
         region.crossJoin(nation)

@@ -74,10 +74,17 @@ def q_session_window_batch(spark, sf_dir):
 
 def q_stream_sliding(spark, sf_dir):
     """Streaming sliding windows (2h window, 1h slide): each event lands in
-    two windows; run to completion on the bounded source."""
+    two windows; run to completion on the bounded source.
+
+    No watermark on purpose: complete mode ignores watermarks (Spark keeps
+    all state and logs a warning), so a withWatermark here would be a dead
+    clause implying late-data coverage this query doesn't have. The LIVE
+    watermark exercises are the append-mode dropDuplicatesWithinWatermark
+    (streaming/windows.py stream_dedup) and the watermarked stream-stream
+    join (streaming/windows.py:137-142)."""
     events = stream_events(spark, sf_dir)
     agg = (
-        events.withWatermark("ts", "2 hours")
+        events
         .groupBy(F.window("ts", "2 hours", "1 hour"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("window.start").cast("timestamp_ntz").alias("window_start"),

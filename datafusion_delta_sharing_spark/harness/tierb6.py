@@ -82,8 +82,7 @@ def q_join_salted(spark, sf_dir):
     the plain join the oracle runs."""
     events = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "value")
-    dim = (load_table(spark, sf_dir, "events")
-           .groupBy("event_type").agg(F.avg("value").alias("type_avg")))
+    dim = events.groupBy("event_type").agg(F.avg("value").alias("type_avg"))
     joined = salted_join(events, dim, on="event_type", salts=16)
     return (joined
             .groupBy("event_type")
@@ -196,8 +195,16 @@ ORACLES = {
                '/docs/' || CAST(doc_id AS VARCHAR) AS path,
                lang AS lang_param,
                -- this DuckDB build has no url_encode; inputs are
-               -- alphanumeric + '/', so percent-encoding is just %2F
-               replace(source || '/' || lang, '/', '%2F') AS encoded
+               -- alphanumeric + '/', so percent-encoding is just %2F.
+               -- The CASE guard ENFORCES that invariant: testdata that
+               -- ever adds a space/'+'/':'/non-ASCII fails the oracle
+               -- loudly here instead of hash-mismatching mysteriously
+               CASE WHEN regexp_matches(source || lang, '[^A-Za-z0-9._/-]')
+                    THEN error('url_funcs oracle: source/lang contains a '
+                               'character its replace()-based encoder '
+                               'cannot handle — use a real encoder')
+                    ELSE replace(source || '/' || lang, '/', '%2F')
+               END AS encoded
         FROM documents
     """,
 }

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from datafusion_delta_sharing_spark.harness import load_table
 
 _QS = (0.25, 0.5, 0.75)
+_QS_SQL = ", ".join(str(q) for q in _QS)  # ONE spelling for both engines
 
 
 def q_exact_percentiles(spark, sf_dir):
@@ -23,9 +24,8 @@ def q_exact_percentiles(spark, sf_dir):
     a 100 TB engine needs percentile_approx, shown exact here so the
     oracle can pin the interpolation arithmetic itself."""
     li = load_table(spark, sf_dir, "lineitem")
-    qs = ", ".join(str(q) for q in _QS)
     agg = li.groupBy("l_returnflag").agg(
-        F.expr(f"percentile(CAST(l_quantity AS DOUBLE), array({qs}))")
+        F.expr(f"percentile(CAST(l_quantity AS DOUBLE), array({_QS_SQL}))")
         .alias("_qs"))
     return agg.select(
         "l_returnflag",
@@ -62,7 +62,7 @@ ORACLES = {
                      generate_subscripts(qs, 1) AS ord
               FROM (SELECT l_returnflag,
                            quantile_cont(CAST(l_quantity AS DOUBLE),
-                                         [{", ".join(str(q) for q in _QS)}])
+                                         [{_QS_SQL}])
                                AS qs
                     FROM lineitem GROUP BY l_returnflag))
     """,

@@ -123,10 +123,11 @@ def q_triangles_degcut(spark, sf_dir):
     li = (load_table(spark, sf_dir, "lineitem")
           .filter(F.col("l_orderkey") < _TRI_ORDERS))
     edges_all = GR.cooccurrence_edges(li, "l_orderkey", "l_partkey")
-    edges_cut = GR.cooccurrence_edges(li, "l_orderkey", "l_partkey",
-                                      max_degree=_TRI_MAX_DEGREE)
+    deg = GR.vertex_degrees(edges_all)
+    edges_cut = GR.degree_cut(edges_all, _TRI_MAX_DEGREE, degrees=deg)
     return (GR.triangle_count(edges_cut)
-            .crossJoin(GR.dropped_vertex_count(edges_all, _TRI_MAX_DEGREE)))
+            .crossJoin(GR.dropped_vertex_count(edges_all, _TRI_MAX_DEGREE,
+                                               degrees=deg)))
 
 
 def q_pagerank(spark, sf_dir):

@@ -24,10 +24,14 @@ def q_scd2_build(spark, sf_dir):
     validity intervals [valid_from, valid_to) per observed event_type
     state, closed by the next state change (open interval = current). The
     window is per-user ordered by (ts, event_id) — total order, so the
-    intervals are deterministic."""
+    intervals are deterministic. NULLS LAST pinned explicitly: Spark
+    defaults nulls first, DuckDB last, so a null ts/event_id (schema
+    allows them) would otherwise land at opposite ends and shift every
+    version for that user."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_type", "ts", "event_id")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(
+        F.asc_nulls_last("ts"), F.asc_nulls_last("event_id"))
     hist = (ev.withColumn("valid_to", F.lead("ts").over(w))
             .withColumn("version", F.row_number().over(w)))
     return (hist.filter(F.col("user_id") < 100)
@@ -45,7 +49,8 @@ _SCD2_SQL = """
                lead(ts) OVER w AS valid_to,
                row_number() OVER w AS version
         FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY ts NULLS LAST, event_id NULLS LAST)
     )
     WHERE user_id < 100
 """
@@ -53,10 +58,12 @@ _SCD2_SQL = """
 
 def q_event_transitions(spark, sf_dir):
     """Markov transition counts: (event_type -> next event_type) per user
-    stream, plus terminal transitions to '<end>'."""
+    stream, plus terminal transitions to '<end>'. Null ordering pinned
+    for the same reason as q_scd2_build."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_type", "ts", "event_id")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(
+        F.asc_nulls_last("ts"), F.asc_nulls_last("event_id"))
     return (ev.withColumn("next_type",
                           F.coalesce(F.lead("event_type").over(w),
                                      F.lit("<end>")))
@@ -67,8 +74,8 @@ def q_event_transitions(spark, sf_dir):
 _TRANSITIONS_SQL = """
     SELECT event_type AS from_type,
            coalesce(lead(event_type) OVER (PARTITION BY user_id
-                    ORDER BY ts, event_id), '<end>') AS next_type,
-           1 AS _one
+                    ORDER BY ts NULLS LAST, event_id NULLS LAST),
+                    '<end>') AS next_type
     FROM events
 """
 _TRANSITIONS_SQL = f"""

@@ -32,15 +32,30 @@ def cooccurrence_edges(df: DataFrame, group_col: str, item_col: str,
              .filter(F.col("a") < F.col("b"))
              .select("a", "b").distinct())
     if max_degree is not None:
-        deg = (edges.select(F.col("a").alias("v"))
-               .unionAll(edges.select(F.col("b").alias("v")))
-               .groupBy("v").agg(F.count(F.lit(1)).alias("d"))
-               .filter(F.col("d") <= max_degree))
-        keep = deg.select("v")
-        edges = (edges.join(keep.withColumnRenamed("v", "a"), "a")
-                 .join(keep.withColumnRenamed("v", "b"), "b")
-                 .select("a", "b"))
+        edges = degree_cut(edges, max_degree)
     return edges
+
+
+def vertex_degrees(edges: DataFrame) -> DataFrame:
+    """(v, d) degree table of an ordered (a < b) edge list — the one
+    shared definition behind the cut and its dropped-vertex proof (a
+    drift between the two would make n_dropped_vertices lie about what
+    the cut removed)."""
+    return (edges.select(F.col("a").alias("v"))
+            .unionAll(edges.select(F.col("b").alias("v")))
+            .groupBy("v").agg(F.count(F.lit(1)).alias("d")))
+
+
+def degree_cut(edges: DataFrame, max_degree: int,
+               degrees: DataFrame | None = None) -> DataFrame:
+    """Edges with both endpoints of degree <= max_degree. Pass a shared
+    ``vertex_degrees`` result to compute degrees once across the cut and
+    ``dropped_vertex_count``."""
+    deg = vertex_degrees(edges) if degrees is None else degrees
+    keep = deg.filter(F.col("d") <= max_degree).select("v")
+    return (edges.join(keep.withColumnRenamed("v", "a"), "a")
+            .join(keep.withColumnRenamed("v", "b"), "b")
+            .select("a", "b"))
 
 
 def triangle_count(edges: DataFrame) -> DataFrame:
@@ -130,31 +145,28 @@ def pagerank_int_sql(group_source_sql: str, group_col: str, item_col: str,
             f"\n    ORDER BY rank DESC, v LIMIT {top_k}")
 
 
-def dropped_vertex_count(edges: DataFrame, max_degree: int) -> DataFrame:
+def dropped_vertex_count(edges: DataFrame, max_degree: int,
+                         degrees: DataFrame | None = None) -> DataFrame:
     """One-row (n_dropped_vertices) — how many vertices of an UNCUT edge
     list the ``max_degree`` cut would remove. Returned alongside the cut
     triangle counts so the correctness artifact itself proves the cut was
     non-vacuous (VERDICT r3 #5)."""
-    return (edges.select(F.col("a").alias("v"))
-            .unionAll(edges.select(F.col("b").alias("v")))
-            .groupBy("v").agg(F.count(F.lit(1)).alias("d"))
-            .filter(F.col("d") > max_degree)
+    deg = vertex_degrees(edges) if degrees is None else degrees
+    return (deg.filter(F.col("d") > max_degree)
             .agg(F.count(F.lit(1)).alias("n_dropped_vertices")))
 
 
-def triangle_count_degcut_sql(group_source_sql: str, group_col: str,
-                              item_col: str, max_degree: int) -> str:
-    """DuckDB mirror of cooccurrence_edges WITH the degree cut +
-    triangle_count + dropped_vertex_count: the hash check covers the cut
-    semantics, not just the wedge math."""
-    return f"""
-    WITH items AS (
-        SELECT DISTINCT {group_col} AS g, {item_col} AS i
-        FROM {group_source_sql}
-    ), edges0 AS (
-        SELECT DISTINCT l.i AS a, r.i AS b
-        FROM items l JOIN items r ON l.g = r.g AND l.i < r.i
-    ), deg AS (
+def _triangle_sql(group_source_sql: str, group_col: str, item_col: str,
+                  max_degree: int | None) -> str:
+    """One generator for both triangle mirrors — the shared wedge/closure
+    CTE text exists exactly once, so a fix to the join predicates cannot
+    drift between the cut and no-cut forms."""
+    if max_degree is None:
+        cut_ctes = ""
+        edge_src = "edges0"
+        dropped_col = ""
+    else:
+        cut_ctes = f""", deg AS (
         SELECT v, count(*) AS d FROM (
             SELECT a AS v FROM edges0 UNION ALL SELECT b AS v FROM edges0
         ) GROUP BY v
@@ -163,37 +175,40 @@ def triangle_count_degcut_sql(group_source_sql: str, group_col: str,
         SELECT e.a, e.b FROM edges0 e
         JOIN keep ka ON e.a = ka.v
         JOIN keep kb ON e.b = kb.v
-    ), wedges AS (
-        SELECT e1.a AS x, e1.b AS y, e2.b AS z
-        FROM edges e1 JOIN edges e2 ON e1.b = e2.a
-    ), tris AS (
-        SELECT 1 FROM wedges w JOIN edges e ON w.x = e.a AND w.z = e.b
-    )
-    SELECT (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
-           (SELECT CAST(count(*) AS BIGINT) FROM wedges) AS n_wedges,
-           (SELECT CAST(count(*) AS BIGINT) FROM tris) AS n_triangles,
+    )"""
+        edge_src = "edges"
+        dropped_col = f""",
            (SELECT CAST(count(*) AS BIGINT) FROM deg
-            WHERE d > {max_degree}) AS n_dropped_vertices
+            WHERE d > {max_degree}) AS n_dropped_vertices"""
+    return f"""
+    WITH items AS (
+        SELECT DISTINCT {group_col} AS g, {item_col} AS i
+        FROM {group_source_sql}
+    ), edges0 AS (
+        SELECT DISTINCT l.i AS a, r.i AS b
+        FROM items l JOIN items r ON l.g = r.g AND l.i < r.i
+    ){cut_ctes}, wedges AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM {edge_src} e1 JOIN {edge_src} e2 ON e1.b = e2.a
+    ), tris AS (
+        SELECT 1 FROM wedges w
+        JOIN {edge_src} e ON w.x = e.a AND w.z = e.b
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM {edge_src}) AS n_edges,
+           (SELECT CAST(count(*) AS BIGINT) FROM wedges) AS n_wedges,
+           (SELECT CAST(count(*) AS BIGINT) FROM tris) AS n_triangles{dropped_col}
     """
+
+
+def triangle_count_degcut_sql(group_source_sql: str, group_col: str,
+                              item_col: str, max_degree: int) -> str:
+    """DuckDB mirror of cooccurrence_edges WITH the degree cut +
+    triangle_count + dropped_vertex_count: the hash check covers the cut
+    semantics, not just the wedge math."""
+    return _triangle_sql(group_source_sql, group_col, item_col, max_degree)
 
 
 def triangle_count_sql(group_source_sql: str, group_col: str,
                        item_col: str) -> str:
     """DuckDB mirror of cooccurrence_edges (no degree cut) + triangle_count."""
-    return f"""
-    WITH items AS (
-        SELECT DISTINCT {group_col} AS g, {item_col} AS i
-        FROM {group_source_sql}
-    ), edges AS (
-        SELECT DISTINCT l.i AS a, r.i AS b
-        FROM items l JOIN items r ON l.g = r.g AND l.i < r.i
-    ), wedges AS (
-        SELECT e1.a AS x, e1.b AS y, e2.b AS z
-        FROM edges e1 JOIN edges e2 ON e1.b = e2.a
-    ), tris AS (
-        SELECT 1 FROM wedges w JOIN edges e ON w.x = e.a AND w.z = e.b
-    )
-    SELECT (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
-           (SELECT CAST(count(*) AS BIGINT) FROM wedges) AS n_wedges,
-           (SELECT CAST(count(*) AS BIGINT) FROM tris) AS n_triangles
-    """
+    return _triangle_sql(group_source_sql, group_col, item_col, None)

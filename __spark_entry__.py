@@ -68,10 +68,16 @@ _WINDOW = (
     "exact_percentiles", "listagg_ordered", "connector_cdf_apply",
     # --- 5 chosen re-attestations ------------------------------------------
     # connector path: re-attest after this round's deletion-vector changes
+    # (connector_catalog_sql's slot went to pipeline_e2e — it has r2-r4
+    # pass rows, the judge re-verified it r4, and the catalog rewriter is
+    # pytest-covered; the three below cover the DV-touched reader path)
     "connector_flagship", "connector_partitioned", "connector_datasource",
-    "connector_catalog_sql",
-    # only driver rows predate the bounded-error oracle (r1/r2 no_oracle)
+    # only driver rows are rows-only (r1/r2 no_oracle, predating the
+    # bounded-error oracle) — a fresh row upgrades it to pass
     "approx_count_distinct",
+    # packing buckets now derived from doc_id (r5 review: uid % n_buckets
+    # degenerated to chunk_id % n_buckets) — its r4 pass row is stale
+    "pipeline_e2e",
 )
 
 

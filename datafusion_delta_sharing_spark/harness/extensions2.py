@@ -170,7 +170,10 @@ def q_repetition_metrics(spark, sf_dir):
     staged = staged.withColumn("_w2", F.concat("_w", "_w"))
     shingled = staged.select(
         "doc_id",
-        F.col("_w").alias("_s1"),  # k=1 shingles are the words themselves
+        # k=1 via shingles_of_words, not the raw _w: the size<k fallback
+        # ([trim(text)]) is what the oracle's dup_ngram_ratio_sql(k=1)
+        # applies on a zero-word doc — raw _w would divide 0/0 there
+        TX.shingles_of_words("_w", "text", 1).alias("_s1"),
         TX.shingles_of_words("_w", "text", 3).alias("_s3"),
         TX.shingles_of_words("_w2", "_t2", 3).alias("_s3d"))
 
@@ -247,9 +250,9 @@ ORACLES = {
         columns="doc_id, lang"),
     "weighted_mixture": SA.weighted_mixture_sql(
         {"head": ("(SELECT * FROM documents WHERE source IN "
-                  "('src0','src1','src2','src3','src4'))", 0.7),
+                  f"({', '.join(repr(s) for s in _HEAD_SOURCES)}))", 0.7),
          "tail": ("(SELECT * FROM documents WHERE source NOT IN "
-                  "('src0','src1','src2','src3','src4'))", 0.3)},
+                  f"({', '.join(repr(s) for s in _HEAD_SOURCES)}))", 0.3)},
         "doc_id", columns="doc_id, source"),
     "pipeline_e2e": PL.prepare_training_corpus_sql(
         """(SELECT doc_id, text FROM documents

@@ -37,19 +37,24 @@ def q_zorder_stats(spark, sf_dir):
 
 _FJ_CUSTS = 200   # customer subset for the fuzzy join
 _FJ_DIST = 1      # planted typos are single substitutions
+_FJ_TYPO_POS = 10  # character position substituted in the planted typo
+_FJ_TYPO_CH = "X"
+# ONE expression string for the planted typo, valid in both Spark SQL and
+# DuckDB (concat/substr agree) — position/replacement live only here
+_FJ_TYPO_EXPR = (f"concat(substr(c_name, 1, {_FJ_TYPO_POS - 1}), "
+                 f"'{_FJ_TYPO_CH}', substr(c_name, {_FJ_TYPO_POS + 1}))")
 
 
 def q_fuzzy_join(spark, sf_dir):
     """Entity matching with planted typos: every customer name reappears
-    with one character substituted (position 10 -> 'X'); the gram-blocked
-    join must recover each (original, typo) pair at distance 1, plus any
-    true near-collisions among the names themselves."""
+    with one character substituted (_FJ_TYPO_POS -> _FJ_TYPO_CH); the
+    gram-blocked join must recover each (original, typo) pair at distance
+    1, plus any true near-collisions among the names themselves."""
     cust = load_table(spark, sf_dir, "customer").filter(
         F.col("c_custkey") < _FJ_CUSTS).select("c_custkey", "c_name")
     typod = cust.select(
         F.col("c_custkey").alias("t_custkey"),
-        F.concat(F.substring("c_name", 1, 9), F.lit("X"),
-                 F.expr("substr(c_name, 11)")).alias("t_name"))
+        F.expr(_FJ_TYPO_EXPR).alias("t_name"))
     return FJ.fuzzy_join(cust, typod, "c_custkey", "c_name",
                          "t_custkey", "t_name", max_dist=_FJ_DIST)
 
@@ -57,8 +62,7 @@ def q_fuzzy_join(spark, sf_dir):
 _FJ_LEFT_SQL = (f"(SELECT c_custkey, c_name FROM customer"
                 f" WHERE c_custkey < {_FJ_CUSTS})")
 _FJ_RIGHT_SQL = f"""(
-    SELECT c_custkey AS t_custkey,
-           concat(substr(c_name, 1, 9), 'X', substr(c_name, 11)) AS t_name
+    SELECT c_custkey AS t_custkey, {_FJ_TYPO_EXPR} AS t_name
     FROM customer WHERE c_custkey < {_FJ_CUSTS}
 )"""
 

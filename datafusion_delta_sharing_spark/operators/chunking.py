@@ -14,11 +14,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from datafusion_delta_sharing_spark.functions.text import WS_TOKEN_SPLIT
-
-
-def _words(col: Column) -> Column:
-    return F.split(F.trim(col), WS_TOKEN_SPLIT)
+from datafusion_delta_sharing_spark.functions.text import (
+    WS_TOKEN_SPLIT, words_of)
 
 
 def chunk_documents(docs: DataFrame, text_col: str, id_col: str,
@@ -34,7 +31,11 @@ def chunk_documents(docs: DataFrame, text_col: str, id_col: str,
     if overlap >= chunk_size:
         raise ValueError(f"overlap {overlap} must be < chunk_size {chunk_size}")
     stride = chunk_size - overlap
-    words = _words(F.col(text_col))
+    # words_of, not a bare split: split emits phantom '' fragments at
+    # tab/newline edges (trim strips spaces only), which the SQL mirror's
+    # list_filter never sees — n_tokens would inflate and chunk bounds
+    # shift on such text
+    words = words_of(F.col(text_col))
     n = F.size(words)
     # number of stride steps whose window start lies within the document
     n_chunks = F.when(n <= chunk_size, F.lit(1)).otherwise(
@@ -84,7 +85,8 @@ def chunk_documents_sql(source_sql: str, text_col: str, id_col: str,
 
 
 def pack_sequences(docs: DataFrame, id_col: str, token_count_col: str,
-                   budget: int = 2048, n_buckets: int = 32) -> DataFrame:
+                   budget: int = 2048, n_buckets: int = 32,
+                   bucket_expr: Column | None = None) -> DataFrame:
     """Concat-and-chunk sequence packing: documents are routed to
     ``n_buckets`` independent streams (deterministically by id here; a
     production run would use a hash), ordered by id within the stream, and
@@ -94,8 +96,13 @@ def pack_sequences(docs: DataFrame, id_col: str, token_count_col: str,
     One shuffle (the bucket window) regardless of scale; each bucket's
     window is processed by a single task, so ``n_buckets`` should be sized
     to the cluster's parallelism — the packing itself is O(docs) total.
+    ``bucket_expr`` overrides the default ``id % n_buckets`` routing —
+    callers whose ids share a factor with ``n_buckets`` (e.g. composite
+    uids) MUST pass one, or the streams collapse onto a few buckets and
+    the window degenerates toward a single reducer.
     """
-    bucket = (F.col(id_col) % n_buckets).cast("int")
+    bucket = (bucket_expr.cast("int") if bucket_expr is not None
+              else (F.col(id_col) % n_buckets).cast("int"))
     w = (Window.partitionBy("bucket").orderBy(id_col)
          .rowsBetween(Window.unboundedPreceding, -1))
     prior = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
@@ -109,8 +116,11 @@ def pack_sequences(docs: DataFrame, id_col: str, token_count_col: str,
 
 
 def pack_sequences_sql(source_sql: str, id_col: str, token_count_expr: str,
-                       budget: int = 2048, n_buckets: int = 32) -> str:
+                       budget: int = 2048, n_buckets: int = 32,
+                       bucket_expr: str | None = None) -> str:
     """DuckDB mirror of :func:`pack_sequences`."""
+    if bucket_expr is None:
+        bucket_expr = f"{id_col} % {n_buckets}"
     return f"""
         SELECT {id_col}, bucket, n_tokens,
                CAST(floor(prior / {budget}) AS BIGINT) AS pack_id,
@@ -123,7 +133,7 @@ def pack_sequences_sql(source_sql: str, id_col: str, token_count_expr: str,
                        0) AS prior
             FROM (
                 SELECT {id_col},
-                       CAST({id_col} % {n_buckets} AS INTEGER) AS bucket,
+                       CAST({bucket_expr} AS INTEGER) AS bucket,
                        {token_count_expr} AS n_tokens
                 FROM {source_sql}
             )

@@ -49,8 +49,13 @@ def prepare_training_corpus(docs: DataFrame, text_col: str, id_col: str,
         (F.col(id_col).cast("long") * _UID_BASE
          + F.col("chunk_id")).alias("chunk_uid"),
         F.col("n_tokens").alias("n_tok"))
-    packed = pack_sequences(with_uid, "chunk_uid", "n_tok",
-                            budget=budget, n_buckets=n_buckets)
+    # bucket by DOCUMENT, not chunk_uid % n_buckets: n_buckets divides
+    # _UID_BASE, so uid % n_buckets == chunk_id % n_buckets and every
+    # doc's chunk 0 would collapse into bucket 0 — one unbounded window
+    # partition instead of n_buckets streams
+    packed = pack_sequences(
+        with_uid, "chunk_uid", "n_tok", budget=budget, n_buckets=n_buckets,
+        bucket_expr=F.expr(f"(chunk_uid div {_UID_BASE}) % {n_buckets}"))
     # integral div, not float /: double rounding could flip the boundary
     return packed.select(
         F.expr(f"chunk_uid div {_UID_BASE}").alias(id_col),
@@ -80,8 +85,10 @@ def prepare_training_corpus_sql(source_sql: str, text_col: str, id_col: str,
         SELECT CAST({id_col} AS BIGINT) * {_UID_BASE} + chunk_id AS chunk_uid, n_tokens
         FROM ({chunks})
     )"""
-    packed = pack_sequences_sql(pack_src, "chunk_uid", "n_tokens",
-                                budget=budget, n_buckets=n_buckets)
+    packed = pack_sequences_sql(
+        pack_src, "chunk_uid", "n_tokens", budget=budget,
+        n_buckets=n_buckets,
+        bucket_expr=f"(chunk_uid // {_UID_BASE}) % {n_buckets}")
     return f"""
         SELECT CAST(chunk_uid // {_UID_BASE} AS BIGINT) AS {id_col},
                CAST(chunk_uid % {_UID_BASE} AS BIGINT) AS chunk_id,

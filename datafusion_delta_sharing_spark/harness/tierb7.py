@@ -22,29 +22,42 @@ from datafusion_delta_sharing_spark.harness import load_table
 
 def q_variant_funcs(spark, sf_dir):
     """props JSON -> Variant once, typed path gets + per-type aggregate.
-    is_variant_null / try_variant_get exercise the error-safe accessors."""
+    try_variant_get is exercised NON-vacuously on both sides of its
+    contract: probing the key that exists ('$.k' — n_k_present must equal
+    n, so an accessor that silently degrades to all-NULL fails the hash)
+    and the key that doesn't ('$.missing' — identically absent, count 0).
+    """
     ev = load_table(spark, sf_dir, "events")
     v = F.parse_json("props")
     per_row = ev.select(
         "event_type",
         F.variant_get(v, "$.k", "bigint").alias("k"),
+        F.try_variant_get(v, "$.k", "bigint").alias("k_try"),
         F.try_variant_get(v, "$.missing", "bigint").alias("k_missing"))
     return (per_row.groupBy("event_type")
             .agg(F.count(F.lit(1)).alias("n"),
                  F.sum("k").alias("k_sum"),
                  F.min("k").alias("k_min"),
                  F.max("k").alias("k_max"),
+                 F.count("k_try").alias("n_k_present"),
                  F.count("k_missing").alias("n_missing_present")))
 
 
+# TRY_CAST, not CAST: the Spark side's variant_get coerces-or-NULLs, so a
+# regenerated fixture with a non-integral k must surface as a value
+# mismatch, not a DuckDB conversion error that kills the whole oracle
 _VARIANT_SQL = """
     SELECT event_type,
            count(*) AS n,
-           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+           CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
                AS BIGINT) AS k_sum,
-           min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
-           max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max,
-           count(CAST(json_extract_string(props, '$.missing') AS BIGINT))
+           min(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+               AS k_min,
+           max(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+               AS k_max,
+           count(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+               AS n_k_present,
+           count(TRY_CAST(json_extract_string(props, '$.missing') AS BIGINT))
                AS n_missing_present
     FROM events
     GROUP BY event_type

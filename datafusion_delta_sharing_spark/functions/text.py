@@ -14,9 +14,19 @@ from pyspark.sql import Column, functions as F
 # Word-boundary regexes below use \\b — supported by both Java regex (Spark)
 # and RE2 (DuckDB).
 
-WS_TOKEN_SPLIT = r"\s+"
+# Whitespace spelled out as a class, NOT \s: Java's \s is [ \t\n\x0b\f\r]
+# while RE2's (DuckDB) lacks \x0b, so a vertical tab — present in real
+# web-scraped text — would split a token in Spark but not in the oracle
+# (r5 review, demonstrated live). The explicit class is Java's exact set,
+# so Spark behavior is unchanged and the mirrors now agree.
+_WS_CHARS = r" \t\n\x0b\f\r"
+WS_TOKEN_SPLIT = rf"[{_WS_CHARS}]+"
+# the same pattern spelled for a Spark SQL string literal (F.expr /
+# spark.sql), where backslash escapes are interpreted once by the SQL
+# parser before reaching the Java regex engine
+WS_TOKEN_SPLIT_SPARKSQL = WS_TOKEN_SPLIT.replace("\\", "\\\\")
 # BPE-ish pre-tokenizer: letter runs, digit runs, or single non-space symbols
-BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+BPE_ISH_PATTERN = rf"[A-Za-z]+|[0-9]+|[^A-Za-z0-9{_WS_CHARS}]"
 PUNCT_PATTERN = r"[.,;:!?]"
 
 # language-ID marker words (tiny n-gram/stopword heuristic); deterministic
@@ -58,6 +68,41 @@ def token_count(col: Column | str) -> Column:
 def token_count_sql(col: str) -> str:
     return (f"CAST(len(list_filter(regexp_split_to_array({col}, "
             f"'{WS_TOKEN_SPLIT}'), x -> x != '')) AS BIGINT)")
+
+
+# -- corpus tokenization (lowercased) -------------------------------------
+
+# Characters whose lower() DIVERGES between Spark (Java full case mapping)
+# and DuckDB (simple fold): U+0130 'İ' -> 'i'+U+0307 vs 'i', and final
+# sigma — Java lowers a word-final 'Σ' to 'ς', DuckDB always to 'σ'
+# (r5 review, demonstrated live). The oracle guards on these instead of
+# hash-mismatching mysteriously; Spark keeps real Unicode folding.
+_CASEFOLD_DIVERGENT = "İΣ"
+
+
+def tokens_lower(col: Column | str) -> Column:
+    """THE corpus tokenizer: lowercased whitespace token array, empties
+    dropped. Every corpus-statistics operator (tf-idf, vocabulary, LM
+    log-probs, entropy, collocations) MUST tokenize through here or
+    :func:`token_rows` so the spelling can't drift from the oracle's."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.trim(F.lower(c)), WS_TOKEN_SPLIT),
+                    lambda x: x != "")
+
+
+def tokens_lower_sql(col: str) -> str:
+    """DuckDB words-array mirror of :func:`tokens_lower`. The inner CASE
+    errors loudly on characters where the engines' lower() disagree
+    (same pattern as the url_funcs oracle guard) — testdata that ever
+    grows Turkish dotted-I or Greek sigma fails the oracle with a clear
+    message instead of a silent value drift."""
+    guarded = (f"CASE WHEN regexp_matches({col}, '[{_CASEFOLD_DIVERGENT}]') "
+               f"THEN error('tokens_lower oracle: text contains a character "
+               f"whose lower() diverges between Java full case mapping and "
+               f"DuckDB simple folding ({_CASEFOLD_DIVERGENT})') "
+               f"ELSE {col} END")
+    return (f"list_filter(regexp_split_to_array(trim(lower({guarded})), "
+            f"'{WS_TOKEN_SPLIT}'), x -> x != '')")
 
 
 def bpe_ish_token_count(col: Column | str) -> Column:

@@ -325,21 +325,32 @@ QUERIES = {
     "stream_enrich": q_stream_enrich,
 }
 
-def _posts_cte(source_sql: str) -> str:
-    """DuckDB posting-list CTE (id, shingle) over an arbitrary doc source —
-    the SQL mirror of operators/dedup.shingle_sets."""
+def _shingle_rows_sql(source_sql: str) -> str:
+    """(doc_id, sh) rows, multiplicity kept — the one DuckDB spelling of
+    operators/dedup.shingle_sets' k=5 derivation, shared by _posts_cte
+    and extensions3._shingles_sql so the k arithmetic and tokenizer
+    cannot drift between mirrors."""
     return f"""
-    posts AS (
-        SELECT DISTINCT doc_id AS id, sh FROM (
+        SELECT doc_id, sh FROM (
             SELECT doc_id,
                    CASE WHEN len(words) < 5 THEN [trim(text)]
                         ELSE list_transform(range(1, len(words) - 3),
                              i -> array_to_string(words[i:i+4], ' '))
                    END AS shs
             FROM (SELECT doc_id, text,
-                         list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '') AS words
+                         list_filter(regexp_split_to_array(trim(text), '{TX.WS_TOKEN_SPLIT}'), x -> x != '') AS words
                   FROM {source_sql})
         ), unnest(shs) AS t(sh)
+    """
+
+
+def _posts_cte(source_sql: str) -> str:
+    """DuckDB posting-list CTE (id, shingle) over an arbitrary doc source —
+    the SQL mirror of operators/dedup.shingle_sets."""
+    return f"""
+    posts AS (
+        SELECT DISTINCT doc_id AS id, sh
+        FROM ({_shingle_rows_sql(source_sql)})
     )
 """
 

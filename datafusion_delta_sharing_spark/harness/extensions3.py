@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from datafusion_delta_sharing_spark.functions import text as TX
 from datafusion_delta_sharing_spark.functions.text import token_count, token_count_sql
 from datafusion_delta_sharing_spark.harness import load_table
 from datafusion_delta_sharing_spark.operators import collocations as CL
@@ -138,19 +139,12 @@ def q_token_budget(spark, sf_dir):
 
 
 def _shingles_sql(source_sql: str) -> str:
-    """(sh) rows — the DuckDB mirror of operators/dedup.shingle_sets k=5
-    without the id column (same spelling as extensions._posts_cte)."""
-    return f"""
-        SELECT sh FROM (
-            SELECT CASE WHEN len(words) < 5 THEN [trim(text)]
-                        ELSE list_transform(range(1, len(words) - 3),
-                             i -> array_to_string(words[i:i+4], ' '))
-                   END AS shs
-            FROM (SELECT text,
-                         list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '') AS words
-                  FROM {source_sql})
-        ), unnest(shs) AS t(sh)
-    """
+    """(sh) rows, multiplicity kept — the DuckDB mirror of
+    operators/dedup.shingle_sets k=5 without the id column, derived from
+    the same shared spelling as extensions._posts_cte."""
+    from datafusion_delta_sharing_spark.harness.extensions import (
+        _shingle_rows_sql)
+    return f"SELECT sh FROM ({_shingle_rows_sql(source_sql)})"
 
 
 QUERIES = {

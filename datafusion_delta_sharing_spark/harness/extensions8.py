@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from datafusion_delta_sharing_spark.functions.text import WS_TOKEN_SPLIT
+from datafusion_delta_sharing_spark.operators import tfidf as TF
 from datafusion_delta_sharing_spark.harness import load_table
 from datafusion_delta_sharing_spark.operators import corpus as CO
 from datafusion_delta_sharing_spark.operators import sketches as SK
@@ -22,19 +22,13 @@ _BLOOM_BRAND = "Brand#1"  # dim slice: part rows of one brand prefix
 
 def _token_stream(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
-    return (docs.select(
-        F.explode(F.split(F.trim(F.lower(F.col("text"))),
-                          WS_TOKEN_SPLIT)).alias("token"))
-        .filter(F.col("token") != ""))
+    return (TF.token_rows(docs, "text", "doc_id").select("token"))
 
 
-_TOKEN_STREAM_SQL = f"""(
-    SELECT token
-    FROM (SELECT list_filter(regexp_split_to_array(trim(lower(text)),
-                 '{WS_TOKEN_SPLIT}'), x -> x != '') AS words FROM documents),
-         unnest(words) AS t(token)
-    WHERE token != ''
-)"""
+_TOKEN_STREAM_SQL = (
+    "(SELECT token FROM ("
+    + TF.token_rows_sql("documents", "text", "doc_id")
+    + "))")
 
 
 def q_heavy_hitters(spark, sf_dir):

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from datafusion_delta_sharing_spark.functions import text as TX
 from datafusion_delta_sharing_spark.harness import load_table
 from datafusion_delta_sharing_spark.harness.extensions import _posts_cte
 from datafusion_delta_sharing_spark.operators import dedup as DD
@@ -42,8 +43,8 @@ def _docs_with_excerpts(spark, sf_dir):
     halves = docs.select(
         (F.col("doc_id") + F.lit(_CONT_OFFSET)).alias("doc_id"),
         F.array_join(
-            F.expr("slice(filter(split(trim(text), '\\\\s+'), x -> x != ''), 1, "
-                   "greatest(1, size(filter(split(trim(text), '\\\\s+'), "
+            F.expr(f"slice(filter(split(trim(text), '{TX.WS_TOKEN_SPLIT_SPARKSQL}'), x -> x != ''), 1, "
+                   f"greatest(1, size(filter(split(trim(text), '{TX.WS_TOKEN_SPLIT_SPARKSQL}'), "
                    "x -> x != '')) div 2))"),
             " ").alias("text"))
     return docs.unionByName(halves)
@@ -56,7 +57,7 @@ _DOCS_EXCERPTS_SQL = f"""
         SELECT doc_id + {_CONT_OFFSET} AS doc_id,
                array_to_string(words[1:greatest(1, len(words) // 2)], ' ')
                    AS text
-        FROM (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '')
+        FROM (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '{TX.WS_TOKEN_SPLIT}'), x -> x != '')
                          AS words
               FROM documents WHERE doc_id < {_CONT_DOCS})
     )

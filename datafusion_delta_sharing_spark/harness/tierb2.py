@@ -6,7 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F, Window as W
 
-from datafusion_delta_sharing_spark.functions.text import words_of
+from datafusion_delta_sharing_spark.functions.text import WS_TOKEN_SPLIT, words_of
 from datafusion_delta_sharing_spark.harness import load_table
 from datafusion_delta_sharing_spark.streaming.stateful import stateful_user_totals
 
@@ -96,16 +96,17 @@ def q_python_udtf(spark, sf_dir):
     @udtf(returnType="word: string")
     class SplitWords:
         def eval(self, text: str):
-            # NULL-safe (the oracle's unnest silently skips NULL rows) and
-            # ASCII \s+ like the oracle's RE2 regexp — Python str.split()
-            # also splits on Unicode whitespace (U+3000, NBSP), which the
-            # oracle keeps inside tokens; '' fragments are filtered instead
-            # of stripped so edge whitespace matches too
+            # NULL-safe (the oracle's unnest silently skips NULL rows);
+            # WS_TOKEN_SPLIT is an explicit class, so no re.ASCII needed —
+            # Python str.split()/Unicode \s would split on U+3000/NBSP,
+            # which the oracle keeps inside tokens (and ASCII \s includes
+            # \x0b, which RE2's does not); '' fragments are filtered
+            # instead of stripped so edge whitespace matches too
             if text is None:
                 return
             import re
 
-            for w in re.split(r"\s+", text, flags=re.ASCII):
+            for w in re.split(WS_TOKEN_SPLIT, text):
                 if w:
                     yield (w,)
 
@@ -156,11 +157,11 @@ ORACLES = {
                round(covar_pop(l_quantity, l_extendedprice), 4) AS cov_p
         FROM lineitem GROUP BY l_returnflag
     """,
-    "explode_lateral": r"""
+    "explode_lateral": f"""
         SELECT doc_id,
-               unnest(range(1, len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != '')) + 1))
+               unnest(range(1, len(list_filter(regexp_split_to_array(trim(text), '{WS_TOKEN_SPLIT}'), x -> x != '')) + 1))
                    AS pos,
-               unnest(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != '')) AS word
+               unnest(list_filter(regexp_split_to_array(trim(text), '{WS_TOKEN_SPLIT}'), x -> x != '')) AS word
         FROM documents WHERE doc_id < 20
     """,
     "map_funcs": """
@@ -192,8 +193,8 @@ ORACLES = {
         EXCEPT ALL
         SELECT l_orderkey AS k FROM lineitem WHERE l_quantity <= 5
     """,
-    "python_udtf": r"""
-        SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != '')) AS w,
+    "python_udtf": f"""
+        SELECT unnest(list_filter(regexp_split_to_array(trim(text), '{WS_TOKEN_SPLIT}'), x -> x != '')) AS w,
                doc_id AS d
         FROM documents WHERE doc_id < 10
     """,

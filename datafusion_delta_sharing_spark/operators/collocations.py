@@ -18,8 +18,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from datafusion_delta_sharing_spark.functions.text import WS_TOKEN_SPLIT
-from datafusion_delta_sharing_spark.operators.tfidf import _tokens, _tokens_sql
+from datafusion_delta_sharing_spark.functions.text import (
+    tokens_lower, tokens_lower_sql)
+from datafusion_delta_sharing_spark.operators.tfidf import (
+    token_rows, token_rows_sql)
 
 
 def _bigrams(docs: DataFrame, text_col: str) -> DataFrame:
@@ -27,10 +29,7 @@ def _bigrams(docs: DataFrame, text_col: str) -> DataFrame:
     array is materialized once per row; sequence(1, size-1) is guarded
     because Spark's sequence DESCENDS when start > stop (a one-word doc
     would yield [1, 0], not an empty list)."""
-    words = F.filter(
-        F.split(F.trim(F.lower(F.col(text_col))), WS_TOKEN_SPLIT),
-        lambda x: x != "")
-    staged = docs.select(words.alias("_w"))
+    staged = docs.select(tokens_lower(F.col(text_col)).alias("_w"))
     pairs = F.when(
         F.size("_w") >= 2,
         F.transform(
@@ -45,7 +44,7 @@ def pmi_collocations(docs: DataFrame, text_col: str, id_col: str,
                      min_count: int = 5, top_k: int = 100) -> DataFrame:
     """(bigram, c_ab, c_a, c_b, ratio_num, ratio_den) for the top_k
     bigrams by PMI ratio with c_ab >= min_count."""
-    toks = _tokens(docs, text_col, id_col)
+    toks = token_rows(docs, text_col, id_col)
     uni = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
     n_tok = toks.agg(F.count(F.lit(1)).alias("n"))  # 1-row, broadcast below
     bc = (_bigrams(docs, text_col)
@@ -89,10 +88,9 @@ def pmi_collocations(docs: DataFrame, text_col: str, id_col: str,
 def pmi_collocations_sql(source_sql: str, text_col: str, id_col: str,
                          min_count: int = 5, top_k: int = 100) -> str:
     """DuckDB mirror of pmi_collocations."""
-    words = (f"list_filter(regexp_split_to_array(trim(lower({text_col})),"
-             f" '{WS_TOKEN_SPLIT}'), x -> x != '')")
+    words = tokens_lower_sql(text_col)
     return f"""
-    WITH toks AS ({_tokens_sql(source_sql, text_col, id_col)}),
+    WITH toks AS ({token_rows_sql(source_sql, text_col, id_col)}),
     uni AS (SELECT token, count(*) AS c FROM toks GROUP BY token),
     n_tok AS (SELECT count(*) AS n FROM toks),
     wordrows AS (SELECT {words} AS words FROM {source_sql}),

@@ -29,11 +29,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from datafusion_delta_sharing_spark.functions.text import WS_TOKEN_SPLIT
+from datafusion_delta_sharing_spark.functions.text import (
+    tokens_lower, tokens_lower_sql)
 from datafusion_delta_sharing_spark.operators.chunking import (
     chunk_documents,
     chunk_documents_sql,
 )
+from datafusion_delta_sharing_spark.operators.tfidf import (
+    token_rows, token_rows_sql)
 
 
 def line_dedup(docs: DataFrame, text_col: str, id_col: str,
@@ -114,11 +117,7 @@ def unigram_logprob(docs: DataFrame, text_col: str, id_col: str,
     Returns ``(id, n_tokens, logprob)`` with ``logprob`` rounded so float
     summation order cannot break oracle comparison.
     """
-    toks = (docs.select(
-        F.col(id_col),
-        F.explode(F.split(F.trim(F.lower(F.col(text_col))),
-                          WS_TOKEN_SPLIT)).alias("token"))
-        .filter(F.col("token") != ""))
+    toks = token_rows(docs, text_col, id_col)
     freqs = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n_tok"))
     total = toks.agg(F.count(F.lit(1)).alias("n_total"))
     return (toks.join(freqs, "token")
@@ -132,15 +131,8 @@ def unigram_logprob(docs: DataFrame, text_col: str, id_col: str,
 def unigram_logprob_sql(source_sql: str, text_col: str, id_col: str,
                         ndigits: int = 6) -> str:
     """DuckDB mirror of :func:`unigram_logprob`."""
-    words = (f"list_filter(regexp_split_to_array(trim(lower({text_col})), "
-             f"'{WS_TOKEN_SPLIT}'), x -> x != '')")
     return f"""
-        WITH toks AS (
-            SELECT {id_col}, token
-            FROM (SELECT {id_col}, {words} AS words FROM {source_sql}),
-                 unnest(words) AS t(token)
-            WHERE token != ''
-        ),
+        WITH toks AS ({token_rows_sql(source_sql, text_col, id_col)}),
         freqs AS (SELECT token, count(*) AS n_tok FROM toks GROUP BY token),
         total AS (SELECT count(*) AS n_total FROM toks)
         SELECT {id_col}, CAST(count(*) AS BIGINT) AS n_tokens,
@@ -169,10 +161,8 @@ def bigram_logprob(docs: DataFrame, text_col: str, id_col: str,
     their keys with map-side partial aggregation; join strategy for the
     lookups is left to AQE (broadcast at sane vocabularies).
     """
-    words = F.filter(
-        F.split(F.trim(F.lower(F.col(text_col))), WS_TOKEN_SPLIT),
-        lambda x: x != "")
-    staged = docs.select(F.col(id_col), words.alias("_w"))
+    staged = docs.select(F.col(id_col),
+                         tokens_lower(F.col(text_col)).alias("_w"))
     pairs = F.when(
         F.size("_w") >= 2,
         F.transform(
@@ -204,11 +194,10 @@ def bigram_logprob(docs: DataFrame, text_col: str, id_col: str,
 def bigram_logprob_sql(source_sql: str, text_col: str, id_col: str,
                        ndigits: int = 6) -> str:
     """DuckDB mirror of :func:`bigram_logprob`."""
-    words = (f"list_filter(regexp_split_to_array(trim(lower({text_col})),"
-             f" '{WS_TOKEN_SPLIT}'), x -> x != '')")
     return f"""
         WITH wordrows AS (
-            SELECT {id_col}, {words} AS words FROM {source_sql}
+            SELECT {id_col}, {tokens_lower_sql(text_col)} AS words
+            FROM {source_sql}
         ),
         doc_bigrams AS (
             SELECT {id_col}, words[i] || ' ' || words[i + 1] AS bigram
@@ -246,11 +235,7 @@ def token_entropy(docs: DataFrame, text_col: str, id_col: str,
     Scale shape: one shuffle on (doc, token) with map-side combine, one
     on doc — both keyed by the document, so no corpus-wide hot keys.
     """
-    toks = (docs.select(
-        F.col(id_col),
-        F.explode(F.split(F.trim(F.lower(F.col(text_col))),
-                          WS_TOKEN_SPLIT)).alias("token"))
-        .filter(F.col("token") != ""))
+    toks = token_rows(docs, text_col, id_col)
     per_tok = (toks.groupBy(id_col, "token")
                .agg(F.count(F.lit(1)).alias("c")))
     return (per_tok.groupBy(id_col)
@@ -264,15 +249,8 @@ def token_entropy(docs: DataFrame, text_col: str, id_col: str,
 def token_entropy_sql(source_sql: str, text_col: str, id_col: str,
                       ndigits: int = 6) -> str:
     """DuckDB mirror of :func:`token_entropy`."""
-    words = (f"list_filter(regexp_split_to_array(trim(lower({text_col})), "
-             f"'{WS_TOKEN_SPLIT}'), x -> x != '')")
     return f"""
-        WITH toks AS (
-            SELECT {id_col}, token
-            FROM (SELECT {id_col}, {words} AS words FROM {source_sql}),
-                 unnest(words) AS t(token)
-            WHERE token != ''
-        ),
+        WITH toks AS ({token_rows_sql(source_sql, text_col, id_col)}),
         per_tok AS (
             SELECT {id_col}, token, count(*) AS c
             FROM toks GROUP BY {id_col}, token

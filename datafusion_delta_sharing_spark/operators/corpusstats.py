@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from datafusion_delta_sharing_spark.functions.text import WS_TOKEN_SPLIT
 from datafusion_delta_sharing_spark.operators.dedup import shingle_sets
-from datafusion_delta_sharing_spark.operators.tfidf import _tokens, _tokens_sql
+from datafusion_delta_sharing_spark.operators.tfidf import token_rows, token_rows_sql
 
 
 # -- grouped discrete quantiles -------------------------------------------
@@ -85,9 +85,9 @@ def distinctive_terms(a: DataFrame, b: DataFrame, text_col: str,
     odds ratio (c_a/(n_a-c_a)) / (c_b/(n_b-c_b)) — monotone with log-odds,
     computed as an exact integer cross-product, add-one smoothed so terms
     absent from B stay finite. Output carries the exact integers."""
-    ta = (_tokens(a, text_col, id_col).groupBy("token")
+    ta = (token_rows(a, text_col, id_col).groupBy("token")
           .agg(F.count(F.lit(1)).alias("c_a")))
-    tb = (_tokens(b, text_col, id_col).groupBy("token")
+    tb = (token_rows(b, text_col, id_col).groupBy("token")
           .agg(F.count(F.lit(1)).alias("c_b")))
     na = ta.agg(F.sum("c_a").cast("long").alias("_na"))
     nb = tb.agg(F.coalesce(F.sum("c_b"), F.lit(0)).cast("long").alias("_nb"))
@@ -128,10 +128,10 @@ def distinctive_terms_sql(a_sql: str, b_sql: str, text_col: str,
     return f"""
     WITH ta AS (
         SELECT token, count(*) AS c_a
-        FROM ({_tokens_sql(a_sql, text_col, id_col)}) GROUP BY token
+        FROM ({token_rows_sql(a_sql, text_col, id_col)}) GROUP BY token
     ), tb AS (
         SELECT token, count(*) AS c_b
-        FROM ({_tokens_sql(b_sql, text_col, id_col)}) GROUP BY token
+        FROM ({token_rows_sql(b_sql, text_col, id_col)}) GROUP BY token
     ), na AS (SELECT CAST(sum(c_a) AS BIGINT) AS n FROM ta),
        nb AS (SELECT CAST(coalesce(sum(c_b), 0) AS BIGINT) AS n FROM tb)
     SELECT ta.token,

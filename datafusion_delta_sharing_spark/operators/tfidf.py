@@ -15,27 +15,29 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from datafusion_delta_sharing_spark.functions.text import WS_TOKEN_SPLIT
+from datafusion_delta_sharing_spark.functions.text import (
+    tokens_lower, tokens_lower_sql)
 
 
-def _tokens(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(id, token) rows: lowercased whitespace tokens, empties dropped."""
-    return (
-        docs.select(F.col(id_col),
-                    F.explode(F.split(F.trim(F.lower(F.col(text_col))),
-                                      WS_TOKEN_SPLIT)).alias("token"))
-        .filter(F.col("token") != "")
-    )
+def token_rows(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, token) rows: lowercased whitespace tokens, empties dropped.
+    The exploded-row form of :func:`~...functions.text.tokens_lower` —
+    shared by every corpus-statistics operator (corpus.py LM scores
+    import it) so the tokenizer has exactly one Spark spelling."""
+    return docs.select(
+        F.col(id_col),
+        F.explode(tokens_lower(F.col(text_col))).alias("token"))
 
 
-def _tokens_sql(source_sql: str, text_col: str, id_col: str) -> str:
-    words = (f"list_filter(regexp_split_to_array(trim(lower({text_col})), "
-             f"'{WS_TOKEN_SPLIT}'), x -> x != '')")
+def token_rows_sql(source_sql: str, text_col: str, id_col: str) -> str:
+    """DuckDB mirror of :func:`token_rows` (empties already dropped by
+    the shared words expression — no WHERE backstop to mask a missing
+    list_filter)."""
     return f"""
         SELECT {id_col}, token
-        FROM (SELECT {id_col}, {words} AS words FROM {source_sql}),
+        FROM (SELECT {id_col}, {tokens_lower_sql(text_col)} AS words
+              FROM {source_sql}),
              unnest(words) AS t(token)
-        WHERE token != ''
     """
 
 
@@ -48,7 +50,7 @@ def tfidf_top_terms(docs: DataFrame, text_col: str, id_col: str,
     and Spark plans it as WindowGroupLimit when followed by the filter, so
     no full sort of the token table happens.
     """
-    toks = _tokens(docs, text_col, id_col)
+    toks = token_rows(docs, text_col, id_col)
     tf = toks.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
     df = tf.groupBy("token").agg(F.count("*").alias("df"))
     n_docs = docs.agg(F.countDistinct(id_col).alias("n_docs"))
@@ -72,8 +74,15 @@ def tfidf_top_terms(docs: DataFrame, text_col: str, id_col: str,
 
 def tfidf_top_terms_sql(source_sql: str, text_col: str, id_col: str,
                         top_k: int = 3) -> str:
-    """DuckDB mirror of :func:`tfidf_top_terms`."""
+    """DuckDB mirror of :func:`tfidf_top_terms` (toks CTE: one tokenize
+    pass feeds both the tf and df aggregates instead of two full
+    corpus scans)."""
     return f"""
+        WITH toks AS ({token_rows_sql(source_sql, text_col, id_col)}),
+        tf AS (
+            SELECT {id_col}, token, count(*) AS tf
+            FROM toks GROUP BY {id_col}, token
+        )
         SELECT {id_col}, token, CAST(tf AS BIGINT) AS tf, tfidf,
                CAST(rnk AS BIGINT) AS rnk
         FROM (
@@ -84,18 +93,9 @@ def tfidf_top_terms_sql(source_sql: str, text_col: str, id_col: str,
                        PARTITION BY {id_col}
                        ORDER BY round(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1),
                                       6) DESC, token ASC) AS rnk
-            FROM (
-                SELECT {id_col}, token, count(*) AS tf
-                FROM ({_tokens_sql(source_sql, text_col, id_col)})
-                GROUP BY {id_col}, token
-            )
+            FROM tf
             JOIN (
-                SELECT token, count(*) AS df
-                FROM (
-                    SELECT DISTINCT {id_col}, token
-                    FROM ({_tokens_sql(source_sql, text_col, id_col)})
-                )
-                GROUP BY token
+                SELECT token, count(*) AS df FROM tf GROUP BY token
             ) USING (token)
             CROSS JOIN (
                 SELECT count(DISTINCT {id_col}) AS n_docs FROM {source_sql}
@@ -115,7 +115,7 @@ def build_vocab(docs: DataFrame, text_col: str, id_col: str,
     would be the bottleneck at web scale. Ranks are assigned afterwards on
     the ``size``-row result.
     """
-    toks = _tokens(docs, text_col, id_col)
+    toks = token_rows(docs, text_col, id_col)
     stats = (toks.groupBy("token")
              .agg(F.count("*").alias("n_total"),
                   F.countDistinct(id_col).alias("df")))
@@ -143,7 +143,7 @@ def build_vocab_sql(source_sql: str, text_col: str, id_col: str,
             FROM (
                 SELECT token, count(*) AS n_total,
                        count(DISTINCT {id_col}) AS df
-                FROM ({_tokens_sql(source_sql, text_col, id_col)})
+                FROM ({token_rows_sql(source_sql, text_col, id_col)})
                 GROUP BY token
             ) WHERE df >= {min_df}
         ) WHERE rank <= {size}

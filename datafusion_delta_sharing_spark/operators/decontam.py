@@ -51,23 +51,30 @@ def _shingles_sql(source_sql: str, text_col: str, k: int,
     """
 
 
+def _hit_ids(corpus: DataFrame, benchmark: DataFrame,
+             text_col: str, id_col: str, k: int) -> DataFrame:
+    """Distinct corpus ids sharing any word k-gram with the benchmark —
+    the ONE probe pipeline behind both the flag and drop forms (two
+    hand-synced copies would let 'flag' and 'drop' disagree on which
+    documents are contaminated). The benchmark shingle set is broadcast;
+    the corpus-side probe is a broadcast left-semi join (no corpus
+    shuffle), and only the matched ids go through a distinct shuffle."""
+    corpus_sh = _distinct_shingles(corpus, text_col, k, id_col)
+    bench_sh = (_distinct_shingles(benchmark, text_col, k)
+                .select("sh").distinct())
+    return (corpus_sh.join(F.broadcast(bench_sh), "sh", "left_semi")
+            .select(id_col).distinct())
+
+
 def contamination_flags(corpus: DataFrame, benchmark: DataFrame,
                         text_col: str, id_col: str, k: int = 8) -> DataFrame:
     """(id, contaminated) for every corpus document: contaminated iff the
-    document shares at least one word ``k``-gram with any benchmark text.
-
-    The benchmark shingle set is broadcast; the corpus-side probe is a
-    broadcast left-semi join (no corpus shuffle), and only the matched ids
-    are aggregated before the flag join back onto the corpus."""
-    corpus_sh = _distinct_shingles(corpus, text_col, k, id_col)
-    bench_sh = _distinct_shingles(benchmark, text_col, k).select("sh").distinct()
-    hit_ids = (
-        corpus_sh.join(F.broadcast(bench_sh), "sh", "left_semi")
-        .select(id_col).distinct()
-        .withColumn("_hit", F.lit(True))
-    )
+    document shares at least one word ``k``-gram with any benchmark text
+    (scale shape: see :func:`_hit_ids`)."""
+    hits = _hit_ids(corpus, benchmark, text_col, id_col, k).withColumn(
+        "_hit", F.lit(True))
     return (
-        corpus.join(hit_ids, id_col, "left")
+        corpus.join(hits, id_col, "left")
         .select(F.col(id_col),
                 F.coalesce(F.col("_hit"), F.lit(False)).alias("contaminated"))
     )
@@ -78,12 +85,14 @@ def contamination_flags_sql(corpus_sql: str, bench_sql: str,
     """DuckDB mirror of :func:`contamination_flags`."""
     corpus_sh = _shingles_sql(corpus_sql, text_col, k, id_col)
     bench_sh = _shingles_sql(bench_sql, text_col, k, "1 AS one")
+    # coalesce(IN, FALSE): a NULL corpus id makes `NULL IN (non-empty)`
+    # NULL, where the Spark side's left join + coalesce yields false
     return f"""
         SELECT {id_col},
-               {id_col} IN (
+               coalesce({id_col} IN (
                    SELECT DISTINCT {id_col} FROM ({corpus_sh})
                    WHERE sh IN (SELECT sh FROM ({bench_sh}))
-               ) AS contaminated
+               ), FALSE) AS contaminated
         FROM {corpus_sql}
     """
 
@@ -91,11 +100,7 @@ def contamination_flags_sql(corpus_sql: str, bench_sql: str,
 def decontaminate(corpus: DataFrame, benchmark: DataFrame,
                   text_col: str, id_col: str, k: int = 8) -> DataFrame:
     """Corpus rows that share no word ``k``-gram with the benchmark set —
-    the drop-contaminated composition of :func:`contamination_flags`."""
-    corpus_sh = _distinct_shingles(corpus, text_col, k, id_col)
-    bench_sh = _distinct_shingles(benchmark, text_col, k).select("sh").distinct()
-    hit_ids = (
-        corpus_sh.join(F.broadcast(bench_sh), "sh", "left_semi")
-        .select(id_col).distinct()
-    )
-    return corpus.join(hit_ids, id_col, "left_anti")
+    the drop-contaminated composition of :func:`contamination_flags`
+    (same :func:`_hit_ids` probe, anti-joined instead of flagged)."""
+    return corpus.join(_hit_ids(corpus, benchmark, text_col, id_col, k),
+                       id_col, "left_anti")

@@ -14,20 +14,27 @@ from functools import reduce
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from datafusion_delta_sharing_spark.functions.splits import (
+    _hex_threshold, _sql_salt)
+
 
 def _hash_key(id_col: str, salt: str) -> F.Column:
     return F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
 
 
 def _hash_key_sql(id_col: str, salt: str) -> str:
-    return f"md5(CAST({id_col} AS VARCHAR) || ':{salt}')"
+    return f"md5(CAST({id_col} AS VARCHAR) || ':{_sql_salt(salt)}')"
 
 
 def stratified_sample(df: DataFrame, stratum_col: str, id_col: str,
                       n_per_stratum: int, salt: str = "v1") -> DataFrame:
     """Exactly ``n_per_stratum`` rows per stratum (fewer if the stratum is
     smaller), chosen by hash order — a deterministic stand-in for uniform
-    sampling without replacement.
+    sampling without replacement. Rows with a NULL id are EXCLUDED: a
+    NULL id has no hash, the engines order NULLs at opposite ends by
+    default, and several NULL-id rows would tie on both sort keys, so
+    their membership could differ per engine and per run (same NULL-id
+    policy as functions/splits).
 
     One shuffle on the stratum; the per-stratum rank is a WindowGroupLimit
     (top-n pushed below the sort), so no stratum is fully sorted when
@@ -35,7 +42,8 @@ def stratified_sample(df: DataFrame, stratum_col: str, id_col: str,
     """
     w = (Window.partitionBy(stratum_col)
          .orderBy(_hash_key(id_col, salt), F.col(id_col)))
-    return (df.withColumn("__rn", F.row_number().over(w))
+    return (df.filter(F.col(id_col).isNotNull())
+            .withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= n_per_stratum)
             .drop("__rn"))
 
@@ -43,15 +51,58 @@ def stratified_sample(df: DataFrame, stratum_col: str, id_col: str,
 def stratified_sample_sql(source_sql: str, stratum_col: str, id_col: str,
                           n_per_stratum: int, salt: str = "v1",
                           columns: str = "*") -> str:
-    """DuckDB mirror of :func:`stratified_sample`."""
+    """DuckDB mirror of :func:`stratified_sample` (the default ``columns``
+    excludes the internal rn, matching the Spark side's dropped __rn)."""
+    if columns == "*":
+        columns = "* EXCLUDE (rn)"
     return f"""
         SELECT {columns} FROM (
             SELECT *, row_number() OVER (
                 PARTITION BY {stratum_col}
                 ORDER BY {_hash_key_sql(id_col, salt)}, {id_col}) AS rn
-            FROM {source_sql}
+            FROM {source_sql} WHERE {id_col} IS NOT NULL
         ) WHERE rn <= {n_per_stratum}
     """
+
+
+def _cum_counts(scored: DataFrame) -> DataFrame:
+    """Distinct-score cumulative counts with the corpus total attached —
+    the ONE spelling of the integer-exact quantile machinery behind
+    quantile_threshold_flags / winsorize / quantile_bin (r5 review: three
+    hand-synced copies invited drift). NULLS LAST is pinned on the
+    cumulative ordering: Spark defaults nulls first, DuckDB last, so a
+    single NULL score would shift every cumulative count — and therefore
+    the thresholds — between engines."""
+    counts = scored.groupBy("_score").agg(F.count(F.lit(1)).alias("_c"))
+    cum_w = (Window.orderBy(F.asc_nulls_last("_score"))
+             .rowsBetween(Window.unboundedPreceding, 0))
+    return (counts.withColumn("_cum", F.sum("_c").over(cum_w))
+            .crossJoin(F.broadcast(
+                scored.agg(F.count(F.lit(1)).alias("_n")))))
+
+
+def _thr_at(q: float) -> F.Column:
+    """Smallest score whose cumulative count reaches ceil(q * n)."""
+    return F.min(F.when(F.col("_cum") >= F.ceil(F.lit(q) * F.col("_n")),
+                        F.col("_score")))
+
+
+def _cum_cte_sql(source_sql: str, score_sql: str, id_col: str) -> str:
+    """scored/cum CTE text shared by the three quantile mirrors (NULLS
+    LAST matches _cum_counts' pinned ordering)."""
+    return f"""scored AS (
+            SELECT {id_col}, {score_sql} AS _score FROM {source_sql}
+        ), cum AS (
+            SELECT _score, sum(_c) OVER (
+                ORDER BY _score NULLS LAST
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _cum
+            FROM (SELECT _score, count(*) AS _c FROM scored GROUP BY _score)
+        )"""
+
+
+def _thr_at_sql(q: float) -> str:
+    return (f"min(CASE WHEN _cum >= ceil(CAST({q} AS DOUBLE) * "
+            f"(SELECT count(*) FROM scored)) THEN _score END)")
 
 
 def quantile_threshold_flags(df: DataFrame, score: F.Column, id_col: str,
@@ -78,13 +129,7 @@ def quantile_threshold_flags(df: DataFrame, score: F.Column, id_col: str,
     if not 0 <= q <= 1:
         raise ValueError(f"q must be in [0,1], got {q}")
     scored = df.select(F.col(id_col), score.alias("_score"))
-    counts = scored.groupBy("_score").agg(F.count(F.lit(1)).alias("_c"))
-    cum_w = Window.orderBy("_score").rowsBetween(Window.unboundedPreceding, 0)
-    cum = counts.withColumn("_cum", F.sum("_c").over(cum_w))
-    total = scored.agg(F.count(F.lit(1)).alias("_n"))
-    thr = (cum.crossJoin(F.broadcast(total))
-           .filter(F.col("_cum") >= F.ceil(F.lit(q) * F.col("_n")))
-           .agg(F.min("_score").alias("_thr")))
+    thr = _cum_counts(scored).agg(_thr_at(q).alias("_thr"))
     return (scored.crossJoin(F.broadcast(thr))
             .select(F.col(id_col),
                     F.col("_score").alias(score_name),
@@ -96,19 +141,8 @@ def quantile_threshold_flags_sql(source_sql: str, score_sql: str,
                                  score_name: str = "score") -> str:
     """DuckDB mirror of :func:`quantile_threshold_flags`."""
     return f"""
-        WITH scored AS (
-            SELECT {id_col}, {score_sql} AS _score FROM {source_sql}
-        ), counts AS (
-            SELECT _score, count(*) AS _c FROM scored GROUP BY _score
-        ), cum AS (
-            SELECT _score, sum(_c) OVER (
-                ORDER BY _score
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _cum
-            FROM counts
-        ), thr AS (
-            SELECT min(_score) AS _thr FROM cum
-            WHERE _cum >= ceil(CAST({q} AS DOUBLE) * (SELECT count(*) FROM scored))
-        )
+        WITH {_cum_cte_sql(source_sql, score_sql, id_col)},
+        thr AS (SELECT {_thr_at_sql(q)} AS _thr FROM cum)
         SELECT s.{id_col}, s._score AS {score_name},
                s._score >= t._thr AS kept
         FROM scored s CROSS JOIN thr t
@@ -127,16 +161,8 @@ def winsorize(df: DataFrame, score: F.Column, id_col: str,
     if not 0 <= q_lo <= q_hi <= 1:
         raise ValueError(f"need 0 <= q_lo <= q_hi <= 1, got {q_lo}, {q_hi}")
     scored = df.select(F.col(id_col), score.alias("_score"))
-    counts = scored.groupBy("_score").agg(F.count(F.lit(1)).alias("_c"))
-    cum_w = Window.orderBy("_score").rowsBetween(Window.unboundedPreceding, 0)
-    cum = (counts.withColumn("_cum", F.sum("_c").over(cum_w))
-           .crossJoin(F.broadcast(
-               scored.agg(F.count(F.lit(1)).alias("_n")))))
-    thr = (cum.agg(
-        F.min(F.when(F.col("_cum") >= F.ceil(F.lit(q_lo) * F.col("_n")),
-                     F.col("_score"))).alias("_lo"),
-        F.min(F.when(F.col("_cum") >= F.ceil(F.lit(q_hi) * F.col("_n")),
-                     F.col("_score"))).alias("_hi")))
+    thr = _cum_counts(scored).agg(_thr_at(q_lo).alias("_lo"),
+                                  _thr_at(q_hi).alias("_hi"))
     return (scored.crossJoin(F.broadcast(thr))
             .select(F.col(id_col),
                     F.col("_score").alias(score_name),
@@ -149,20 +175,10 @@ def winsorize_sql(source_sql: str, score_sql: str, id_col: str,
                   score_name: str = "score") -> str:
     """DuckDB mirror of :func:`winsorize`."""
     return f"""
-        WITH scored AS (
-            SELECT {id_col}, {score_sql} AS _score FROM {source_sql}
-        ), cum AS (
-            SELECT _score, sum(_c) OVER (
-                ORDER BY _score
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _cum
-            FROM (SELECT _score, count(*) AS _c FROM scored GROUP BY _score)
-        ), thr AS (
-            SELECT min(CASE WHEN _cum >= ceil(CAST({q_lo} AS DOUBLE) *
-                       (SELECT count(*) FROM scored)) THEN _score END) AS _lo,
-                   min(CASE WHEN _cum >= ceil(CAST({q_hi} AS DOUBLE) *
-                       (SELECT count(*) FROM scored)) THEN _score END) AS _hi
-            FROM cum
-        )
+        WITH {_cum_cte_sql(source_sql, score_sql, id_col)},
+        thr AS (SELECT {_thr_at_sql(q_lo)} AS _lo,
+                       {_thr_at_sql(q_hi)} AS _hi
+                FROM cum)
         SELECT s.{id_col}, s._score AS {score_name},
                least(greatest(s._score, t._lo), t._hi) AS clipped
         FROM scored s CROSS JOIN thr t
@@ -173,21 +189,15 @@ def quantile_bin(df: DataFrame, score: F.Column, id_col: str,
                  qs: tuple[float, ...] = (0.25, 0.5, 0.75),
                  score_name: str = "score") -> DataFrame:
     """(id, score, bin): QuantileDiscretizer analogue — each row's bin is
-    the number of discrete quantile thresholds at or below its score
-    (len(qs)+1 buckets). Thresholds come from the same integer-exact
+    the number of discrete quantile thresholds strictly below its score
+    (len(qs)+1 buckets; a row sitting exactly ON a threshold belongs to
+    the LOWER bucket). Thresholds come from the same integer-exact
     cumulative-count quantile as winsorize/quantile_threshold_flags, so
     bucket edges cannot disagree between engines; the per-row assignment
     is a broadcast of len(qs) scalars."""
     scored = df.select(F.col(id_col), score.alias("_score"))
-    counts = scored.groupBy("_score").agg(F.count(F.lit(1)).alias("_c"))
-    cum_w = Window.orderBy("_score").rowsBetween(Window.unboundedPreceding, 0)
-    cum = (counts.withColumn("_cum", F.sum("_c").over(cum_w))
-           .crossJoin(F.broadcast(
-               scored.agg(F.count(F.lit(1)).alias("_n")))))
-    thr = cum.agg(*[
-        F.min(F.when(F.col("_cum") >= F.ceil(F.lit(q) * F.col("_n")),
-                     F.col("_score"))).alias(f"_t{i}")
-        for i, q in enumerate(qs)])
+    thr = _cum_counts(scored).agg(*[
+        _thr_at(q).alias(f"_t{i}") for i, q in enumerate(qs)])
     out = scored.crossJoin(F.broadcast(thr))
     bin_col = reduce(
         lambda acc, i: acc + F.when(F.col("_score") > F.col(f"_t{i}"), 1)
@@ -202,20 +212,13 @@ def quantile_bin_sql(source_sql: str, score_sql: str, id_col: str,
                      score_name: str = "score") -> str:
     """DuckDB mirror of :func:`quantile_bin`."""
     thr_cols = ", ".join(
-        f"min(CASE WHEN _cum >= ceil(CAST({q} AS DOUBLE) * (SELECT count(*) FROM scored))"
-        f" THEN _score END) AS _t{i}" for i, q in enumerate(qs))
+        f"{_thr_at_sql(q)} AS _t{i}" for i, q in enumerate(qs))
     bin_expr = " + ".join(
         f"(CASE WHEN s._score > t._t{i} THEN 1 ELSE 0 END)"
         for i in range(len(qs)))
     return f"""
-        WITH scored AS (
-            SELECT {id_col}, {score_sql} AS _score FROM {source_sql}
-        ), cum AS (
-            SELECT _score, sum(_c) OVER (
-                ORDER BY _score
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _cum
-            FROM (SELECT _score, count(*) AS _c FROM scored GROUP BY _score)
-        ), thr AS (SELECT {thr_cols} FROM cum)
+        WITH {_cum_cte_sql(source_sql, score_sql, id_col)},
+        thr AS (SELECT {thr_cols} FROM cum)
         SELECT s.{id_col}, s._score AS {score_name},
                CAST({bin_expr} AS BIGINT) AS bin
         FROM scored s CROSS JOIN thr t
@@ -231,16 +234,23 @@ def weighted_mixture(sources: dict[str, tuple[DataFrame, float]],
     The fraction filter is a narrow map over each input (no shuffle, no
     sort); the union is plan-level only. At 100 TB this is the right shape:
     down-sampling happens before anything wide.
+
+    ``keep_fraction == 1.0`` keeps EVERY row (no filter): the hex
+    threshold clamps to 'ffffffff', and a strict '<' against it would
+    silently drop the ~2^-32 of rows whose hash prefix is exactly that —
+    the leak functions/splits.py documents as real at corpus scale.
     """
+    if not sources:
+        raise ValueError("weighted_mixture needs at least one source")
     parts = []
     for name, (df, frac) in sorted(sources.items()):
         if not 0 <= frac <= 1:
             raise ValueError(f"fraction for {name!r} must be in [0,1], got {frac}")
-        threshold = format(min(int(frac * 16 ** 8), 16 ** 8 - 1), "08x")
-        parts.append(
-            df.filter(F.substring(_hash_key(id_col, salt + ":" + name), 1, 8)
-                      < threshold)
-            .withColumn("mix_source", F.lit(name)))
+        if frac < 1.0:
+            df = df.filter(
+                F.substring(_hash_key(id_col, salt + ":" + name), 1, 8)
+                < _hex_threshold(frac))
+        parts.append(df.withColumn("mix_source", F.lit(name)))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -252,13 +262,18 @@ def weighted_mixture_sql(sources: dict[str, tuple[str, float]],
                          columns: str = "*") -> str:
     """DuckDB mirror of :func:`weighted_mixture`; ``sources`` maps name ->
     (source SQL, keep_fraction)."""
+    if not sources:
+        raise ValueError("weighted_mixture_sql needs at least one source")
     parts = []
     for name, (src, frac) in sorted(sources.items()):
-        threshold = format(min(int(frac * 16 ** 8), 16 ** 8 - 1), "08x")
+        if not 0 <= frac <= 1:
+            raise ValueError(f"fraction for {name!r} must be in [0,1], got {frac}")
         key = _hash_key_sql(id_col, salt + ":" + name)
+        where = ("" if frac >= 1.0
+                 else f" WHERE substr({key}, 1, 8) < '{_hex_threshold(frac)}'")
         parts.append(
-            f"SELECT {columns}, '{name}' AS mix_source FROM {src} "
-            f"WHERE substr({key}, 1, 8) < '{threshold}'")
+            f"SELECT {columns}, '{_sql_salt(name)}' AS mix_source "
+            f"FROM {src}{where}")
     return " UNION ALL ".join(parts)
 
 

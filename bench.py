@@ -146,7 +146,13 @@ def main() -> None:
     load_after = os.getloadavg()
 
     prev = _previous_bench()
-    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    try:
+        # try/except, not an isdigit guard: 'sf0.0.1' passed the old
+        # replace('.','').isdigit() check and float() then crashed AFTER
+        # the whole timing loop, losing every sample
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
     same_sf = prev["sf"] == sf_val  # ratios across SFs are meaningless
     deltas = {name: round(timings[name] / prev["queries"][name], 3)
               for name in timings

@@ -42,6 +42,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def register_views(spark: SparkSession, sf_dir: str,
                    names: list[str] | None = None) -> None:
-    """Register temp views for SQL-expressed queries."""
-    for name in names or TABLE_NAMES:
+    """Register temp views for SQL-expressed queries. ``names=None``
+    means all tables; an explicit empty list registers nothing (the
+    falsy-`or` spelling silently registered all 10)."""
+    for name in (TABLE_NAMES if names is None else names):
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)

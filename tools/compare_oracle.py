@@ -17,8 +17,7 @@ import pandas as pd
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents", "embeddings"]
+from datafusion_delta_sharing_spark.harness import TABLE_NAMES  # noqa: E402
 
 
 def canonical(df: pd.DataFrame) -> pd.DataFrame:
@@ -28,11 +27,14 @@ def canonical(df: pd.DataFrame) -> pd.DataFrame:
         if pd.api.types.is_float_dtype(s):
             df[col] = s.astype("float64")
         elif pd.api.types.is_integer_dtype(s):
-            df[col] = s.astype("int64")
+            # nullable Int64, not int64: a NULL in an integer column must
+            # survive canonicalization (astype('int64') raises on NA and
+            # killed the whole run instead of failing one query)
+            df[col] = s.astype("Int64")
         elif pd.api.types.is_datetime64_any_dtype(s):
             df[col] = pd.to_datetime(s).astype("datetime64[us]")
         elif pd.api.types.is_bool_dtype(s):
-            df[col] = s.astype("bool")
+            df[col] = s.astype("boolean")
         else:
             df[col] = s.astype("string")
     return df.sort_values(list(df.columns), na_position="last").reset_index(drop=True)
@@ -54,7 +56,7 @@ def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> lis
     for col in a.columns:
         av, bv = a[col], b[col]
         if pd.api.types.is_float_dtype(av):
-            eq = (av.isna() & bv.isna()) | (av == bv)
+            eq = ((av.isna() & bv.isna()) | (av == bv)).fillna(False)
             if not eq.all():
                 close = np.isclose(av.fillna(np.nan), bv.fillna(np.nan),
                                    rtol=1e-9, atol=1e-9, equal_nan=True)
@@ -66,7 +68,11 @@ def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> lis
                     f"({n_far} beyond 1e-9), e.g. row {idx}: "
                     f"spark={av[idx]!r} oracle={bv[idx]!r}")
         else:
-            eq = (av.isna() & bv.isna()) | (av == bv)
+            # fillna(False): on nullable dtypes `av == bv` yields pd.NA
+            # for NULL-vs-value rows, and BooleanDtype .all() SKIPS NA —
+            # a NULL on one side matched any value on the other (r5
+            # review, demonstrated live)
+            eq = ((av.isna() & bv.isna()) | (av == bv)).fillna(False)
             if not eq.all():
                 idx = (~eq).idxmax()
                 problems.append(
@@ -85,10 +91,15 @@ def main() -> None:
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
 
+    unknown = only - set(queries)
+    if unknown:
+        # a typo'd name must not read as '0 failed' success
+        sys.exit(f"unknown query name(s): {sorted(unknown)}")
+
     spark = get_spark("compare", cpus=16)
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
-    for t in TABLES:
+    for t in TABLE_NAMES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"read_parquet('{sf_dir}/{t}.parquet')")
 
@@ -112,7 +123,13 @@ def main() -> None:
             failed.append(name)
             print(f"FAIL {name}: duckdb raised {type(exc).__name__}: {exc}")
             continue
-        problems = compare(name, spark_pdf, oracle_pdf)
+        try:
+            problems = compare(name, spark_pdf, oracle_pdf)
+        except Exception as exc:
+            # an exotic dtype must fail THIS query, not abort the run
+            failed.append(name)
+            print(f"FAIL {name}: compare raised {type(exc).__name__}: {exc}")
+            continue
         if problems:
             failed.append(name)
             print(f"FAIL {name} ({len(spark_pdf)} rows):")

@@ -17,8 +17,8 @@ from functools import reduce
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from datafusion_delta_sharing_spark.functions.text import WS_TOKEN_SPLIT
-from datafusion_delta_sharing_spark.operators.dedup import shingle_sets
+from datafusion_delta_sharing_spark.operators.dedup import (
+    _with_shingles, shingle_sets)
 from datafusion_delta_sharing_spark.operators.tfidf import token_rows, token_rows_sql
 
 
@@ -36,7 +36,10 @@ def grouped_quantiles(df: DataFrame, group_col: str, score: F.Column,
     per-group sort of row-level data."""
     scored = df.select(F.col(group_col).alias("grp"), score.alias("_s"))
     counts = scored.groupBy("grp", "_s").agg(F.count(F.lit(1)).alias("_c"))
-    w = (Window.partitionBy("grp").orderBy("_s")
+    # NULLS LAST pinned: Spark windows default nulls first, DuckDB last —
+    # a NULL score would shift every within-group cumulative count (same
+    # pinning as operators/sampling._cum_counts)
+    w = (Window.partitionBy("grp").orderBy(F.asc_nulls_last("_s"))
          .rowsBetween(Window.unboundedPreceding, 0))
     cum = counts.withColumn("_cum", F.sum("_c").over(w))
     tot = scored.groupBy("grp").agg(F.count(F.lit(1)).alias("_n"))
@@ -60,7 +63,7 @@ def grouped_quantiles_sql(source_sql: str, group_col: str, score_sql: str,
             SELECT {group_col} AS grp, {score_sql} AS _s FROM {source_sql}
         ), cum AS (
             SELECT grp, _s, sum(_c) OVER (
-                PARTITION BY grp ORDER BY _s
+                PARTITION BY grp ORDER BY _s NULLS LAST
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _cum
             FROM (SELECT grp, _s, count(*) AS _c FROM scored
                   GROUP BY grp, _s)
@@ -161,8 +164,14 @@ def corpus_overlap(a: DataFrame, b: DataFrame, text_col: str, id_col: str,
     already in corpus A". Distinct-shingle sets reduce each corpus to its
     vocabulary of shingles (one shuffle each); the intersection is an
     equi-join on the shingle."""
-    sa = shingle_sets(a, text_col, id_col, k).select("sh").distinct()
-    sb = shingle_sets(b, text_col, id_col, k).select("sh").distinct()
+    # explode WITHOUT the per-doc (id, sh) distinct: corpus-level overlap
+    # only needs distinct sh, and shingle_sets' posting-list distinct
+    # would shuffle the full (id, sh) list once more for nothing — at
+    # 100 TB that doubles the shuffle volume of the dominant stage
+    sa = (_with_shingles(a, text_col, id_col, k)
+          .select(F.explode("shingles").alias("sh")).distinct())
+    sb = (_with_shingles(b, text_col, id_col, k)
+          .select(F.explode("shingles").alias("sh")).distinct())
     inter = sa.join(sb, "sh")
     return (sa.agg(F.count(F.lit(1)).alias("n_a"))
             .crossJoin(sb.agg(F.count(F.lit(1)).alias("n_b")))

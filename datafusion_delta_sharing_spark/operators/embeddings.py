@@ -29,29 +29,38 @@ def l2_normalize_digest(emb: DataFrame, vec_col: str, id_col: str) -> DataFrame:
     v = F.col(vec_col)
     norm = l2_norm(v)
     unit = F.transform(v, lambda x: _as_double(x) / F.col("__norm"))
+    # explicit zero-norm branch: an all-zero vector has no direction —
+    # digest NULL on BOTH engines (without it, ANSI Spark raises
+    # DIVIDE_BY_ZERO mid-job while DuckDB silently yields md5(''))
+    digest = F.when(F.col("__norm") == 0, F.lit(None).cast("string")) \
+        .otherwise(
+            F.md5(F.array_join(
+                F.transform(unit, lambda x: F.round(x * _FIXED_POINT)
+                            .cast("bigint").cast("string")), ",")))
     return (
         emb.select(F.col(id_col), v.alias(vec_col), norm.alias("__norm"))
         .select(
             F.col(id_col),
             F.size(vec_col).cast("bigint").alias("dim"),
             F.round("__norm", 6).alias("norm"),
-            F.md5(F.array_join(
-                F.transform(unit, lambda x: F.round(x * _FIXED_POINT)
-                            .cast("bigint").cast("string")), ","))
-            .alias("digest"))
+            digest.alias("digest"))
     )
 
 
 def l2_normalize_digest_sql(source_sql: str, vec_col: str, id_col: str) -> str:
-    """DuckDB mirror of :func:`l2_normalize_digest`."""
-    sq = f"list_sum(list_transform({vec_col}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    """DuckDB mirror of :func:`l2_normalize_digest` (norm spelling shared
+    with cosine via functions/vector.l2_norm_sql)."""
+    from datafusion_delta_sharing_spark.functions.vector import l2_norm_sql
     return f"""
         SELECT {id_col}, CAST(len({vec_col}) AS BIGINT) AS dim,
                round(nrm, 6) AS norm,
-               md5(array_to_string(list_transform({vec_col},
+               CASE WHEN nrm = 0 THEN NULL
+                    ELSE md5(array_to_string(list_transform({vec_col},
                    x -> CAST(CAST(round(CAST(x AS DOUBLE) / nrm * {_FIXED_POINT})
-                                  AS BIGINT) AS VARCHAR)), ',')) AS digest
-        FROM (SELECT {id_col}, {vec_col}, sqrt({sq}) AS nrm FROM {source_sql})
+                                  AS BIGINT) AS VARCHAR)), ','))
+               END AS digest
+        FROM (SELECT {id_col}, {vec_col}, {l2_norm_sql(vec_col)} AS nrm
+              FROM {source_sql})
     """
 
 
@@ -61,8 +70,14 @@ def quantize_int8(emb: DataFrame, vec_col: str, id_col: str) -> DataFrame:
     quantized elements, so any mis-wired element fails the oracle check."""
     v = F.col(vec_col)
     maxabs = F.array_max(F.transform(v, lambda x: F.abs(_as_double(x))))
-    q = F.transform(v, lambda x: F.round(_as_double(x) / F.col("__scale"))
-                    .cast("bigint"))
+    # zero-scale branch (all-zero vector): q is NULL, so every derived
+    # aggregate is NULL on both engines instead of an ANSI
+    # DIVIDE_BY_ZERO abort on Spark only
+    q = F.when(F.col("__scale") == 0,
+               F.lit(None).cast("array<bigint>")) \
+        .otherwise(F.transform(
+            v, lambda x: F.round(_as_double(x) / F.col("__scale"))
+            .cast("bigint")))
     return (
         emb.select(F.col(id_col), v.alias(vec_col),
                    (maxabs / 127.0).alias("__scale"))
@@ -90,8 +105,10 @@ def quantize_int8_sql(source_sql: str, vec_col: str, id_col: str) -> str:
                    x -> CAST(x AS VARCHAR)), ',')) AS qdigest
         FROM (
             SELECT {id_col},
-                   list_transform({vec_col},
-                       x -> CAST(round(CAST(x AS DOUBLE) / scl) AS BIGINT)) AS q,
+                   CASE WHEN scl = 0 THEN NULL
+                        ELSE list_transform({vec_col},
+                       x -> CAST(round(CAST(x AS DOUBLE) / scl) AS BIGINT))
+                   END AS q,
                    scl
             FROM (SELECT {id_col}, {vec_col}, {maxabs} / 127.0 AS scl
                   FROM {source_sql})

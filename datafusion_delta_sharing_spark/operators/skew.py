@@ -23,7 +23,19 @@ def salted_join(skewed: DataFrame, replicated: DataFrame, on: str | list[str],
     equi-key(s) with `salts`-way salting. The salt on the skewed side is
     derived from its own key columns' hash mixed with a per-row component,
     so one hot key fans out across reducers."""
+    if salts < 1:
+        # salts=0 would pmod-by-zero (ANSI error; NULL and an empty join
+        # under non-ANSI) and sequence(0,-1) DESCENDS to [0,-1]
+        raise ValueError(f"salts must be >= 1, got {salts}")
     keys = [on] if isinstance(on, str) else list(on)
+    for side, cols in (("skewed", skewed.columns),
+                       ("replicated", replicated.columns)):
+        if SALT_COL in cols:
+            # withColumn would silently overwrite it and the final drop
+            # would delete the caller's column from the output
+            raise ValueError(
+                f"{side} side already has a {SALT_COL!r} column; rename it "
+                "before salting")
     overlap = set(skewed.columns) & set(replicated.columns) - set(keys)
     if overlap:
         raise ValueError(

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F, Window as W
 
+from datafusion_delta_sharing_spark.functions import money as MONEY
 from datafusion_delta_sharing_spark.functions.text import WS_TOKEN_SPLIT, words_of
 from datafusion_delta_sharing_spark.harness import load_table
 from datafusion_delta_sharing_spark.streaming.stateful import stateful_user_totals
@@ -198,9 +199,9 @@ ORACLES = {
                doc_id AS d
         FROM documents WHERE doc_id < 10
     """,
-    "stateful_stream": """
+    "stateful_stream": f"""
         SELECT user_id, count(*) AS n_events,
-               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+               CAST(sum({MONEY.cents_sql('value')}) AS DOUBLE)
                    / 100.0 AS total_value
         FROM events GROUP BY user_id
     """,

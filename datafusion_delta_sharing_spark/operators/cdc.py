@@ -23,6 +23,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F, types as T
 
 _INSERT_LIKE = ("insert", "update_postimage")
+# the full Delta CDF label set; anything else (NULL, Debezium-style
+# 'update', a typo) must fail LOUDLY — an unrecognized label would land
+# its key in the touched set without ever re-materializing a row,
+# silently deleting it from the snapshot
+_KNOWN_TYPES = ("insert", "update_preimage", "update_postimage", "delete")
 
 
 def _hashable(dtype: T.DataType) -> bool:
@@ -59,6 +64,17 @@ def apply_changes(base: DataFrame, changes: DataFrame,
     (xxhash64 cannot canonicalize an unordered map); duplicates differing
     ONLY in map columns therefore still tie arbitrarily.
     """
+    # execution-time guard: an unknown/NULL _change_type raises instead
+    # of silently deleting its key (its row would be anti-joined away but
+    # never re-inserted)
+    changes = changes.withColumn(
+        "_change_type",
+        F.when(F.col("_change_type").isin(*_KNOWN_TYPES),
+               F.col("_change_type"))
+        .otherwise(F.raise_error(F.concat(
+            F.lit("apply_changes: unrecognized _change_type "),
+            F.coalesce(F.col("_change_type"), F.lit("NULL")),
+            F.lit(f"; expected one of {_KNOWN_TYPES}")))))
     insert_like = F.col("_change_type").isin(*_INSERT_LIKE)
     hash_cols = [f.name for f in changes.schema.fields
                  if _hashable(f.dataType)]
@@ -74,5 +90,13 @@ def apply_changes(base: DataFrame, changes: DataFrame,
     survivors = (last.filter(F.col("_change_type").isin(*_INSERT_LIKE))
                  .select(*base.columns))
     touched = changes.select(*key_cols).distinct()
-    return (base.join(touched, key_cols, "left_anti")
+    # eqNullSafe, not bare equality: partitionBy groups NULL keys as one
+    # group and emits their survivor, but a plain anti-join would never
+    # match the base's NULL-key row, leaving BOTH the stale and the new
+    # row in the output (same fix as recall.py's shared-lineage join)
+    cond = None
+    for k in key_cols:
+        c = base[k].eqNullSafe(touched[k])
+        cond = c if cond is None else cond & c
+    return (base.join(touched, cond, "left_anti")
             .unionByName(survivors))

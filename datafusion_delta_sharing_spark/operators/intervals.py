@@ -38,6 +38,12 @@ def interval_overlap_join(left: DataFrame, right: DataFrame,
     exact predicate, b.s < a.e <= a.s < b.e) must straddle a.s, hence
     covers floor(a.s/grain); two degenerate intervals can never satisfy
     the predicate with each other."""
+    if grain_us <= 0:
+        # grain 0 makes the floor-division NULL (sequence -> explode
+        # drops every row: silently EMPTY), negative grains collapse
+        # buckets and silently lose pairs
+        raise ValueError(f"grain_us must be positive, got {grain_us}")
+
     def coded(df, side):
         start_g = (F.floor(F.col(f"{side}_s") / F.lit(grain_us))
                    .cast("long"))

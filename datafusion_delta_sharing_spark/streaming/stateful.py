@@ -28,19 +28,17 @@ def _update_user_state(
     batches: Iterator[pd.DataFrame],
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
-    import numpy as np
+    from datafusion_delta_sharing_spark.functions.money import cents_sum_np
 
     n, total_cents = state.get if state.exists else (0, 0)
     for pdf in batches:
         n += len(pdf)
-        # state carries EXACT integer cents (floor(x*100+0.5), identical
-        # on every engine for the non-negative values here): a float
+        # state carries EXACT integer cents (functions/money — the one
+        # half-away-from-zero recipe shared with the upsert sink and the
+        # oracles; NaN/NULL values are skipped like SQL sum()): a float
         # running total re-rounded per emission drifts from the batch
-        # oracle with accumulation order (r5 review; same exactness
-        # recipe as the upsert sink)
-        total_cents += int(np.floor(
-            pdf["value"].to_numpy(dtype="float64") * 100 + 0.5)
-            .astype("int64").sum())
+        # oracle with accumulation order (r5 review)
+        total_cents += cents_sum_np(pdf["value"].to_numpy(dtype="float64"))
     state.update((n, total_cents))
     yield pd.DataFrame({
         "user_id": [key[0]],

@@ -23,7 +23,8 @@ import tempfile
 from typing import Any, Iterator
 
 import pandas as pd
-import numpy as np
+
+from datafusion_delta_sharing_spark.functions.money import cents_sum_np
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming.stateful_processor import (
     StatefulProcessor,
@@ -51,11 +52,9 @@ class RunningTotalsProcessor(StatefulProcessor):
         for pdf in rows:
 
             n += len(pdf)
-            # half-away-from-zero, matching Spark/DuckDB round() — numpy's
-            # .round() is half-EVEN and would diverge on exact .5 cents
-            x = pdf["value"].to_numpy(dtype="float64") * 100.0
-            cents += int((np.sign(x) * np.floor(np.abs(x) + 0.5))
-                         .astype("int64").sum())
+            # functions/money: the one half-away-from-zero recipe (numpy
+            # .round() is half-EVEN and would diverge on exact .5 cents)
+            cents += cents_sum_np(pdf["value"].to_numpy(dtype="float64"))
         self._totals.update((n, cents))
         yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
                             "total_cents": [cents]})

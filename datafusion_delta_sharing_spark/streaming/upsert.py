@@ -36,6 +36,8 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from datafusion_delta_sharing_spark.functions import money as MONEY
+
 from datafusion_delta_sharing_spark.streaming.windows import (
     set_stream_decode_confs,
     stream_events,
@@ -116,7 +118,7 @@ def upsert_totals_sink(spark: SparkSession, state_dir: str,
         updates = (
             batch_df.select(
                 "user_id",
-                F.round(F.col("value") * 100).cast("bigint").alias("cents"))
+                MONEY.cents(F.col("value")).alias("cents"))
             .groupBy("user_id")
             .agg(F.sum("cents").alias("total_cents"),
                  F.count(F.lit(1)).alias("n_events"))

@@ -13,6 +13,8 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
+from datafusion_delta_sharing_spark.functions import money as MONEY
+
 
 def materialize_stream(stream_df: DataFrame, mode: str,
                        name: str) -> DataFrame:
@@ -179,24 +181,22 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = stream_events(spark, sf_dir)
     dim = (spark.read.parquet(f"{sf_dir}/customer.parquet")
            .select(F.col("c_custkey").alias("user_id"), "c_mktsegment"))
-    # cent-quantize BEFORE summation (floor(x*100+0.5): identical on
-    # every engine for the non-negative values here) — round(sum(double))
-    # is accumulation-order-sensitive, so Spark's partial aggregation and
-    # the oracle's scan order could flip a half-cent boundary (r5 review;
-    # same exactness recipe as the upsert sink)
-    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    # cent-quantize BEFORE summation (functions/money, the one shared
+    # recipe) — round(sum(double)) is accumulation-order-sensitive, so
+    # Spark's partial aggregation and the oracle's scan order could flip
+    # a half-cent boundary (r5 review)
     agg = (events.join(F.broadcast(dim), "user_id")
            .groupBy("c_mktsegment", "event_type")
            .agg(F.count(F.lit(1)).alias("n_events"),
-                (F.sum(cents).cast("double") / 100.0)
+                (F.sum(MONEY.cents(F.col("value"))).cast("double") / 100.0)
                 .alias("total_value")))
     return materialize_stream(agg, "complete", "stream_enrich")
 
 
-STREAM_ENRICH_ORACLE = """
+STREAM_ENRICH_ORACLE = f"""
     SELECT c.c_mktsegment, e.event_type,
            count(*) AS n_events,
-           CAST(sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+           CAST(sum({MONEY.cents_sql('e.value')}) AS DOUBLE)
                / 100.0 AS total_value
     FROM events e
     JOIN customer c ON c.c_custkey = e.user_id

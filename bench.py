@@ -111,6 +111,40 @@ def _previous_bench() -> dict:
     return {"round": -1, "sf": None, "queries": {}, "basis": "best"}
 
 
+def _calibrate(spark) -> dict:
+    """Fixed-size CPU probes, timed — the machine-speed yardstick.
+
+    Loadavg only sees THIS box's runnable tasks; hypervisor steal and
+    frequency/thermal drift are invisible to it, and they are real: the
+    r5 preview measured byte-identical tpch_q2/q21 code 2.2x slower than
+    the r4 artifact on a loadavg-quiet machine. Dividing a cross-round
+    per-query delta by the calibration ratio separates "the plan
+    changed" from "the box changed". Three axes: JVM all-core (Spark's
+    hot path), BLAS matmul (the pandas-UDF/numpy path), single-thread
+    pure Python (per-core speed irrespective of parallelism)."""
+    import numpy as np
+
+    t0 = time.perf_counter()
+    spark.range(200_000_000).selectExpr("sum(id * 3 % 7)").collect()
+    jvm_s = round(time.perf_counter() - t0, 3)
+
+    rng = np.random.default_rng(7)
+    a = rng.random((1500, 1500))
+    b = rng.random((1500, 1500))
+    t0 = time.perf_counter()
+    for _ in range(3):
+        a @ b
+    numpy_s = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(3_000_000):
+        acc += i % 7
+    py_s = round(time.perf_counter() - t0, 3)
+    return {"jvm_allcore_s": jvm_s, "numpy_blas_s": numpy_s,
+            "python_1core_s": py_s}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -130,6 +164,7 @@ def main() -> None:
     import statistics
 
     load_before = os.getloadavg()
+    calib_before = _calibrate(spark)
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     runs: dict[str, list[float]] = {}
     timings: dict[str, float] = {}  # medians — the headline numbers
@@ -144,6 +179,7 @@ def main() -> None:
         runs[name] = samples
         timings[name] = round(statistics.median(samples), 3)
     load_after = os.getloadavg()
+    calib_after = _calibrate(spark)
 
     prev = _previous_bench()
     try:
@@ -175,6 +211,7 @@ def main() -> None:
         "n_runs": n_runs,
         "loadavg": {"before": list(load_before),
                     "after": list(load_after)},
+        "calibration": {"before": calib_before, "after": calib_after},
         "delta_vs_prev": deltas,       # this run / latest BENCH_r{N}.json
         "prev_round": prev["round"],
         "prev_basis": prev["basis"],   # "best" for r<=4 artifacts
@@ -199,7 +236,14 @@ def main() -> None:
                 "after the suite. delta_vs_prev against r<=4 artifacts "
                 "divides a median by a best-of-3 (prev_basis='best') - "
                 "those ratios read pessimistic, never flattering. Wide "
-                "spread within one query's runs = machine load, not plan.",
+                "spread within one query's runs = machine load, not plan. "
+                "'calibration' times fixed-size CPU probes (JVM all-core, "
+                "BLAS matmul, 1-core Python) before/after the suite: "
+                "divide a cross-round per-query delta by the matching "
+                "calibration ratio before reading it as a plan change — "
+                "loadavg cannot see hypervisor steal or frequency drift "
+                "(r5 preview: byte-identical tpch_q2/q21 ran 2.2x slower "
+                "than the r4 artifact on a loadavg-quiet box).",
             "ngram_jaccard_prefix":
                 "slower than plain ngram_jaccard AT THIS SF by design; "
                 "the crossover is now MEASURED (SCALING.md r5 probe): "

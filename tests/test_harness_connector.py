@@ -94,3 +94,26 @@ def test_window_plan_covers_registry():
     assert not unplanned, (
         f"registry queries with no driver provenance and no window slot: "
         f"{sorted(unplanned)}")
+
+
+def test_bench_headline_resolves_in_registry():
+    """bench.py runs at round time with no human watching: a HEADLINE
+    name that a registry refactor renamed would crash the whole bench
+    (rc!=0, no artifact). Keep the list registry-valid and duplicate-free
+    at test time instead."""
+    import pathlib
+    import sys
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    sys.path.insert(0, str(repo))
+    try:
+        import __spark_entry__ as entry
+        import bench
+    finally:
+        sys.path.pop(0)
+
+    registry = set(entry.queries().keys())
+    headline = list(bench.HEADLINE)
+    assert len(set(headline)) == len(headline), "duplicate HEADLINE entries"
+    missing = [q for q in headline if q not in registry]
+    assert not missing, f"HEADLINE names not in registry: {missing}"

@@ -412,8 +412,14 @@ def q_tpch_q2(spark, sf_dir):
                     li.l_partkey == F.col("p_partkey"), "left_semi")
             .join(F.broadcast(eu.select("s_suppkey")),
                   li.l_suppkey == F.col("s_suppkey"), "left_semi"))
+    # no round(): per-row IEEE division and min() are bit-identical across
+    # engines, while round(x, 4) DISAGREES between them at representation
+    # boundaries (Spark rounds the shortest decimal repr, DuckDB the true
+    # binary value — an sf0.001 probe caught 26.2412 vs 26.2413). Rounding
+    # is only kept where it absorbs float-sum reordering noise; a min of a
+    # division has none to absorb.
     costs = (li_f.groupBy("l_partkey", "l_suppkey")
-             .agg(F.round(F.min(F.col("l_extendedprice") / F.col("l_quantity")), 4)
+             .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity"))
                   .alias("supply_cost")))
     ec = costs.join(F.broadcast(eu), costs.l_suppkey == eu.s_suppkey)
     min_cost = ec.groupBy("l_partkey").agg(F.min("supply_cost").alias("min_cost"))
@@ -539,7 +545,7 @@ ORACLES = {
     "tpch_q2": """
         WITH costs AS (
             SELECT l_partkey, l_suppkey,
-                   round(min(l_extendedprice / l_quantity), 4) AS supply_cost
+                   min(l_extendedprice / l_quantity) AS supply_cost
             FROM lineitem GROUP BY l_partkey, l_suppkey),
         eu AS (
             SELECT s_suppkey, s_name, s_acctbal, n_name

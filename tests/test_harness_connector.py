@@ -95,6 +95,13 @@ def test_window_plan_covers_registry():
         f"registry queries with no driver provenance and no window slot: "
         f"{sorted(unplanned)}")
 
+    # forward plan hygiene: r6 re-attestation entries must resolve too —
+    # a typo'd name would silently drop a semantics-changed query from
+    # its re-check
+    r6 = plan.get("r6_planned", {})
+    bad_r6 = [q for q in r6.get("queries", []) if q not in registry]
+    assert not bad_r6, f"r6_planned names not in registry: {bad_r6}"
+
 
 def test_bench_headline_resolves_in_registry():
     """bench.py runs at round time with no human watching: a HEADLINE

@@ -79,16 +79,25 @@ def q_join_salted(spark, sf_dir):
     """Salted join on a pathologically skewed key (5 event types over 60k
     rows): the skewed side fans each hot key over 16 reducers, the tiny
     side replicates 16x. Aggregated output proves result-equivalence with
-    the plain join the oracle runs."""
+    the plain join the oracle runs.
+
+    Determinism (VERDICT r5 #1): the salt is a pure function of event_id
+    (not monotonically_increasing_id), and the output columns avoid the
+    residual-of-zero trap — `sum(value - type_avg)` is mathematically 0 so
+    its rounded value is an accumulation-order-dependent +/-0.0; we emit
+    `sum_value` (a well-conditioned positive sum) plus the boolean
+    `dev_near_zero` instead."""
     events = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "value")
     dim = events.groupBy("event_type").agg(F.avg("value").alias("type_avg"))
-    joined = salted_join(events, dim, on="event_type", salts=16)
+    joined = salted_join(events, dim, on="event_type", salts=16,
+                         salt_on=["event_id"])
     return (joined
             .groupBy("event_type")
             .agg(F.count("*").alias("n"),
-                 F.round(F.sum(F.col("value") - F.col("type_avg")), 4)
-                 .alias("sum_dev")))
+                 F.round(F.sum("value"), 4).alias("sum_value"),
+                 (F.abs(F.sum(F.col("value") - F.col("type_avg")))
+                  < F.lit(1e-6)).alias("dev_near_zero")))
 
 
 def q_time_spine(spark, sf_dir):
@@ -125,7 +134,8 @@ QUERIES = {
 ORACLES = {
     "join_salted": """
         SELECT e.event_type, count(*) AS n,
-               round(sum(e.value - d.type_avg), 4) AS sum_dev
+               round(sum(e.value), 4) AS sum_value,
+               abs(sum(e.value - d.type_avg)) < 1e-6 AS dev_near_zero
         FROM events e
         JOIN (SELECT event_type, avg(value) AS type_avg
               FROM events GROUP BY event_type) d

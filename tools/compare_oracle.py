@@ -56,7 +56,20 @@ def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> lis
     for col in a.columns:
         av, bv = a[col], b[col]
         if pd.api.types.is_float_dtype(av):
-            eq = ((av.isna() & bv.isna()) | (av == bv)).fillna(False)
+            # Bit-exact compare (signed-zero-strict): the driver's
+            # value-hash distinguishes -0.0 from 0.0, but pandas/numpy
+            # `==` does not — which is exactly how join_salted's
+            # round(sum-of-zero) passed 193/193 locally yet flaked in the
+            # r5 driver window (VERDICT r5 #1). NaN bit patterns may
+            # legitimately differ across engines, so NaN==NaN stays True.
+            an = av.astype("float64").fillna(np.nan).to_numpy(
+                dtype="float64", copy=True)
+            bn = bv.astype("float64").fillna(np.nan).to_numpy(
+                dtype="float64", copy=True)
+            eq = pd.Series(
+                (np.isnan(an) & np.isnan(bn))
+                | (an.view(np.int64) == bn.view(np.int64)),
+                index=av.index)
             if not eq.all():
                 close = np.isclose(av.fillna(np.nan), bv.fillna(np.nan),
                                    rtol=1e-9, atol=1e-9, equal_nan=True)

@@ -11,7 +11,11 @@ boundary) can pass every local validation and still flake in the
 driver's window. This probe runs the registry at cpus=5/shuffle=5 and
 cpus=32/shuffle=32 — different partition counts, different merge orders,
 different task scheduling — and compares with the same canonicalization
-+ exactness rules as tools/compare_oracle.py.
++ exactness rules as tools/compare_oracle.py (signed-zero-strict,
+bit-exact floats: VERDICT r5 #1 showed the old float `==` let a -0.0 vs
+0.0 flake through). AQE partition coalescing is disabled in both probe
+sessions so the two shuffle topologies stay genuinely different at small
+SFs instead of coalescing toward similar effective partition counts.
 
 Usage: python tools/determinism_probe.py [sf_dir] [query ...]
 """
@@ -37,7 +41,8 @@ def _run_pass(cpus: int, sf_dir: str, names: list[str]) -> dict:
     from datafusion_delta_sharing_spark.session import get_spark
 
     queries = entrymod.queries()
-    spark = get_spark(f"determinism-{cpus}", cpus=cpus)
+    spark = get_spark(f"determinism-{cpus}", cpus=cpus, extra_conf={
+        "spark.sql.adaptive.coalescePartitions.enabled": "false"})
     spark.sparkContext.setLogLevel("ERROR")
     out: dict = {}
     try:

@@ -25,16 +25,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # Window management (VERDICT r2 structural note): entries named in _WINDOW
 # are pulled to the front, in order; everything else follows in module
 # order. Rotation state lives in WINDOW_PLAN.json (per-query driver-row
-# provenance r1-r5). r5 window (VERDICT r4 #1) = the 45 "r5_planned"
-# entries — the 40 r4-added queries that have never had a driver row plus
-# the 5 recall-summary/bucketed queries whose semantics changed in r4 —
-# plus 5 chosen re-attestations: the 4 connector queries (this round's
-# deletion-vector work touches sources/reader.py, so the connector path
-# gets fresh rows) and approx_count_distinct (its only driver rows predate
-# the bounded-error oracle; a fresh row upgrades no_oracle -> pass). After
-# this rotation the driver-row union covers all 193 registry queries.
-# Registry growth is FROZEN this round (VERDICT r4 #1): new work lands as
-# tests, not registry entries — enforced by
+# provenance r1-r5; after r5 every registry query has at least one driver
+# row). r6 window (VERDICT r5 #1): join_salted (its r5 row was the round's
+# only red - hash-flake from a scheduling-dependent salt + a rounded
+# residual-of-zero output, both fixed this round) + the 11 r6_planned
+# semantics-changed queries + connector_dv_apply (the one sanctioned
+# registry addition: deletion-vector apply end-to-end, previously
+# pytest-only) + 37 oldest-provenance refreshes (every r1-latest row and
+# 33 of the 48 r2-latest rows, alphabetical; the rest rotate in r7).
+# Registry growth stays FROZEN otherwise - enforced by
 # tests/test_harness_connector.py::test_window_plan_covers_registry.
 _MODULE_ORDER = ("connector", "extensions", "extensions2", "extensions3",
                  "extensions4", "extensions5", "extensions6", "extensions7",
@@ -43,41 +42,20 @@ _MODULE_ORDER = ("connector", "extensions", "extensions2", "extensions3",
                  "tierb")
 
 _WINDOW = (
-    # --- WINDOW_PLAN.json r5_planned (45), in plan order -------------------
-    # r3 stragglers never driver-checked
-    "line_dedup", "unigram_logprob", "token_budget", "dedup_incremental",
-    "zorder_stats", "fuzzy_join",
-    # tierb3/6/7 scalar-function breadth (r4 additions)
-    "pad_case_funcs", "trig_funcs", "bitwise_funcs", "array_hof",
-    "join_salted", "time_spine", "try_arith", "mask_funcs", "url_funcs",
-    "variant_funcs", "udaf_grouped_agg",
-    # r4 semantics changes: recall-bound summary rows + bucketed plans
-    "dedup_minhash", "dedup_simhash", "ann_lsh_topk", "ann_ivf_topk",
-    "embedding_neardup",
-    # extensions6/5 r4 additions
-    "triangles_degcut", "table_profile_approx",
-    # extensions8 sketches + LM metrics
-    "heavy_hitters", "bloom_join", "freq_moments", "bigram_logprob",
-    "token_entropy", "rolling_median",
-    # multimodal + splits
-    "image_pipeline", "audio_pipeline", "kfold_split",
-    # extensions9 + tierb8
-    "ngram_jaccard_prefix", "window_distribution", "mad_outliers",
-    "incremental_agg", "containment_pairs", "embedding_covariance",
-    "random_projection", "pareto_frontier", "stream_upsert",
-    "exact_percentiles", "listagg_ordered", "connector_cdf_apply",
-    # --- 5 chosen re-attestations ------------------------------------------
-    # connector path: re-attest after this round's deletion-vector changes
-    # (connector_catalog_sql's slot went to pipeline_e2e — it has r2-r4
-    # pass rows, the judge re-verified it r4, and the catalog rewriter is
-    # pytest-covered; the three below cover the DV-touched reader path)
-    "connector_flagship", "connector_partitioned", "connector_datasource",
-    # only driver rows are rows-only (r1/r2 no_oracle, predating the
-    # bounded-error oracle) — a fresh row upgrades it to pass
-    "approx_count_distinct",
-    # packing buckets now derived from doc_id (r5 review: uid % n_buckets
-    # degenerated to chunk_id % n_buckets) — its r4 pass row is stale
-    "pipeline_e2e",
+    # --- the fixed red row + WINDOW_PLAN.json r6_planned (11) + the new DV query
+    "join_salted", "sessionization", "scalar_subquery", "except",
+    "histogram", "pareto_frontier", "heavy_hitters", "tpch_q11", "tpch_q22",
+    "interval_join", "fuzzy_join", "tpch_q2", "connector_dv_apply",
+    # --- 37 oldest-provenance refreshes (r1/r2-latest rows, alphabetical)
+    "agg_corr", "explode_lateral", "map_funcs", "window_analytics",
+    "agg_having", "agg_stats", "array_funcs", "conditional",
+    "connector_catalog_sql", "count_distinct", "cte", "cube", "date_funcs",
+    "distinct", "exists_correlated", "filter_compound", "flagship",
+    "grouped_map_zscore", "grouping_sets", "in_subquery", "intersect",
+    "join_anti", "join_asof", "join_broadcast", "join_full", "join_inner",
+    "join_left", "join_range", "join_right", "join_semi", "join_theta",
+    "json_funcs", "math_funcs", "pandas_udf_scalar", "pivot", "rollup",
+    "scan_filter_project",
 )
 
 

@@ -94,6 +94,67 @@ def _stage_cdf_customer(spark: SparkSession, sf_dir: str) -> dict:
     return paths
 
 
+def _stage_dv_customer(sf_dir: str) -> tuple[dict, list]:
+    """Split customer (projected to 3 columns) into two parquet blobs and
+    build deletion vectors marking the positions of rows with
+    c_custkey % 7 == 0 — file 0 with an inline ('i') Z85-roaring
+    descriptor, file 1 with an on-file ('p') framed DV served behind its
+    own URL. Row order inside each blob is the source parquet's, so the
+    deleted POSITIONS correspond exactly to the keys the oracle
+    anti-filters (the reference drops the deletionVector field entirely,
+    ``src/client/action.rs:136-149``; this is the beyond-parity path).
+
+    Pure pyarrow (no Spark write) so the blob row order is deterministic;
+    returns ({served_path: bytes}, [file dicts with None urls])."""
+    import io
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datafusion_delta_sharing_spark.sources import dv as DV
+
+    cols = ["c_custkey", "c_name", "c_acctbal"]
+    src = os.path.join(sf_dir, "customer.parquet")
+    if os.path.isdir(src):
+        parts = sorted(glob.glob(os.path.join(src, "*.parquet")))
+        tbl = pa.concat_tables(pq.read_table(p, columns=cols) for p in parts)
+    else:
+        tbl = pq.read_table(src, columns=cols)
+    half = tbl.num_rows // 2
+    halves = [tbl.slice(0, half), tbl.slice(half)]
+
+    blobs: dict[str, bytes] = {}
+    positions = []
+    for i, t in enumerate(halves):
+        sink = io.BytesIO()
+        # small row groups force multiple Arrow batches per file, so the
+        # executor-side per-file position counter crosses batch boundaries
+        pq.write_table(t, sink, row_group_size=max(1, t.num_rows // 4 or 1))
+        blobs[f"/customer-dv-{i}.parquet"] = sink.getvalue()
+        keys = t.column("c_custkey").to_numpy()
+        positions.append(np.nonzero(keys % 7 == 0)[0])
+
+    dv_data = DV.encode_dv_data(positions[1], use_runs=True)
+    dv_file, offsets = DV.encode_dv_file([dv_data])
+    blobs["/customer-dv.bin"] = dv_file
+    files = [
+        {"id": "customer-dv-0", "url": None,
+         "size": len(blobs["/customer-dv-0.parquet"]),
+         "partition_values": {},
+         "deletion_vector": DV.inline_descriptor(positions[0])},
+        {"id": "customer-dv-1", "url": None,
+         "size": len(blobs["/customer-dv-1.parquet"]),
+         "partition_values": {},
+         "deletion_vector": {"storageType": "p",
+                             "pathOrInlineDv": None,  # needs base_url
+                             "offset": offsets[0],
+                             "sizeInBytes": len(dv_data),
+                             "cardinality": int(len(positions[1]))}},
+    ]
+    return blobs, files
+
+
 def _ensure_served(spark: SparkSession, sf_dir: str) -> dict:
     if sf_dir in _SERVED:
         return _SERVED[sf_dir]
@@ -158,6 +219,10 @@ def _ensure_served(spark: SparkSession, sf_dir: str) -> dict:
          **_cdf_file(2)},
     ])
 
+    dv_blobs, dv_files = _stage_dv_customer(sf_dir)
+    dv_schema = spark.read.parquet(customer_path).select(
+        "c_custkey", "c_name", "c_acctbal").schema.json()
+
     server = MockSharingServer(
         [
             MockTable(share=_SHARE, schema=_SCHEMA, name="customer",
@@ -168,12 +233,18 @@ def _ensure_served(spark: SparkSession, sf_dir: str) -> dict:
                       partition_columns=["o_orderstatus"],
                       files=order_files),
             cdf_table,
+            MockTable(share=_SHARE, schema=_SCHEMA, name="customer_dv",
+                      schema_string=dv_schema, files=dv_files),
         ],
-        parquet_bytes=customer_blobs,
+        parquet_bytes={**customer_blobs, **dv_blobs},
     )
     server.__enter__()  # stays up for the process lifetime (daemon thread)
     for i, f in enumerate(server.tables[0].files):
         f["url"] = f"{server.base_url}/customer-{i}.parquet"
+    for i, f in enumerate(server.tables[3].files):
+        f["url"] = f"{server.base_url}/customer-dv-{i}.parquet"
+    server.tables[3].files[1]["deletion_vector"]["pathOrInlineDv"] = (
+        f"{server.base_url}/customer-dv.bin")
     state = {"server": server,
              "profile_json": json.dumps(server.profile_doc())}
     _SERVED[sf_dir] = state
@@ -286,8 +357,24 @@ def q_connector_cdf_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CDC.apply_changes(base, changes, ["c_custkey"])
 
 
+def q_connector_dv_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion vectors applied end-to-end — the repo's flagship
+    beyond-reference capability (the ref's ``action.rs:136-149`` silently
+    drops the deletionVector field and would resurrect deleted rows):
+    customer served as two HTTP parquet blobs, file 0 carrying an inline
+    ('i') Z85-roaring descriptor and file 1 an on-file ('p') framed DV
+    behind its own presigned URL, both deleting the positions of rows
+    with c_custkey % 7 == 0. The result is right only if BOTH DV codecs
+    decode executor-side and the position mask composes with the
+    downstream filter."""
+    df = _reader(spark, sf_dir).table(f"{_SHARE}.{_SCHEMA}.customer_dv")
+    return (df.filter(F.col("c_acctbal") > 0)
+            .select("c_custkey", "c_name", "c_acctbal"))
+
+
 QUERIES = {
     "connector_flagship": q_connector_flagship,
+    "connector_dv_apply": q_connector_dv_apply,
     "connector_partitioned": q_connector_partitioned,
     "connector_datasource": q_connector_datasource,
     "connector_catalog_sql": q_connector_catalog_sql,
@@ -298,6 +385,11 @@ ORACLES = {
     "connector_flagship": """
         SELECT c_custkey, c_name, c_acctbal, c_mktsegment
         FROM customer WHERE c_acctbal >= 1000.0
+    """,
+    "connector_dv_apply": """
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer
+        WHERE c_custkey % 7 <> 0 AND c_acctbal > 0
     """,
     "connector_partitioned": """
         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,

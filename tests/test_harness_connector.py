@@ -28,6 +28,24 @@ def test_connector_flagship_http_path(spark):
     assert any(r["path"] == "/customer-0.parquet" for r in server.requests)
 
 
+def test_connector_dv_apply_drops_deleted_positions(spark):
+    """Both DV codecs exercised through the registry query: inline ('i')
+    on file 0, on-file ('p') on file 1; every c_custkey % 7 == 0 row must
+    be gone and the framed DV must have been fetched over HTTP."""
+    df = C.q_connector_dv_apply(spark, SF_DIR)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert all(r.c_custkey % 7 != 0 for r in rows)
+    # survivors from BOTH halves (both files' DVs decoded, neither file
+    # dropped wholesale)
+    keys = sorted(r.c_custkey for r in rows)
+    import pyarrow.parquet as pq
+    n_total = pq.read_metadata(f"{SF_DIR}/customer.parquet").num_rows
+    assert keys[0] <= n_total // 4 and keys[-1] > n_total // 2
+    server = C._SERVED[SF_DIR]["server"]
+    assert any(r["path"] == "/customer-dv.bin" for r in server.requests)
+
+
 def test_connector_partitioned_reattaches_status(spark):
     df = C.q_connector_partitioned(spark, SF_DIR)
     rows = df.collect()
@@ -54,12 +72,14 @@ def test_window_plan_covers_registry():
     """VERDICT r4 #6: the driver-window rotation must be self-checking.
 
     Invariants: (a) every _WINDOW name resolves in the registry, (b) the
-    window has exactly the driver's 50 slots with no duplicates, (c) every
-    r5_planned entry made it into the r5 window, and (d) every registry
-    query either already has a driver provenance row in WINDOW_PLAN.json
-    or sits in the r5 window — so adding a registry query without a
-    rotation plan fails the build instead of silently re-opening the
-    attestation gap (registry growth is frozen until the union is 193/193).
+    window has exactly the driver's 50 slots with no duplicates, (c) the
+    r6 window contains every mandatory slot — the fixed r5 red row
+    (join_salted), all 11 r6_planned semantics-changed queries, and the
+    sanctioned new connector_dv_apply entry — and (d) every registry
+    query either already has a driver provenance pass row in
+    WINDOW_PLAN.json or sits in the r6 window, so adding a registry query
+    without a rotation plan fails the build instead of silently
+    re-opening the attestation gap.
     """
     import json
     import pathlib
@@ -70,7 +90,8 @@ def test_window_plan_covers_registry():
     try:
         import __spark_entry__ as entry
     finally:
-        sys.path.pop(0)
+        while str(repo) in sys.path:
+            sys.path.remove(str(repo))
 
     plan = json.loads((repo / "WINDOW_PLAN.json").read_text())
     registry = set(entry.queries().keys())
@@ -80,10 +101,12 @@ def test_window_plan_covers_registry():
     assert len(set(window)) == len(window), "duplicate window entries"
     missing = [q for q in window if q not in registry]
     assert not missing, f"window names not in registry: {missing}"
-    assert set(plan["r5_planned"]) <= set(window), (
-        "r5_planned entries dropped from the window")
-    assert window == plan["r5_window"], (
-        "_WINDOW and WINDOW_PLAN.json r5_window diverged")
+    mandatory = ({"join_salted", "connector_dv_apply"}
+                 | set(plan["r6_planned"]["queries"]))
+    dropped = mandatory - set(window)
+    assert not dropped, f"mandatory r6 slots missing from window: {dropped}"
+    assert window == plan["r6_window"], (
+        "_WINDOW and WINDOW_PLAN.json r6_window diverged")
 
     assert len(registry) == plan["registry_size"], (
         f"registry grew to {len(registry)} without a WINDOW_PLAN update "
@@ -95,12 +118,10 @@ def test_window_plan_covers_registry():
         f"registry queries with no driver provenance and no window slot: "
         f"{sorted(unplanned)}")
 
-    # forward plan hygiene: r6 re-attestation entries must resolve too —
-    # a typo'd name would silently drop a semantics-changed query from
-    # its re-check
-    r6 = plan.get("r6_planned", {})
-    bad_r6 = [q for q in r6.get("queries", []) if q not in registry]
-    assert not bad_r6, f"r6_planned names not in registry: {bad_r6}"
+    # provenance hygiene: the folded r5 rows must cover the whole r5
+    # window (49 pass + the join_salted fail the r6 window re-attests)
+    r5_rows = {q for q, rounds in plan["provenance"].items() if "r5" in rounds}
+    assert set(plan["r5_window"]) <= r5_rows, "r5 driver rows not folded"
 
 
 def test_bench_headline_resolves_in_registry():
@@ -117,7 +138,11 @@ def test_bench_headline_resolves_in_registry():
         import __spark_entry__ as entry
         import bench
     finally:
-        sys.path.pop(0)
+        # targeted removal (ADVICE r5): `import bench` executes bench.py's
+        # own sys.path.insert(0, repo), so a bare pop(0) removed bench's
+        # copy and leaked the test's entry for the rest of the run
+        while str(repo) in sys.path:
+            sys.path.remove(str(repo))
 
     registry = set(entry.queries().keys())
     headline = list(bench.HEADLINE)

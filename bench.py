@@ -68,6 +68,9 @@ HEADLINE = [
     "semantic_dedup", "dedup_simhash", "ann_lsh_topk", "ann_ivf_topk",
     "exact_percentiles", "listagg_ordered", "interval_join", "scd2_build",
     "stream_upsert", "connector_cdf_apply",
+    # r6 addition: deletion-vector apply through the connector (inline +
+    # on-file DV decode executor-side, anti-join of deleted positions)
+    "connector_dv_apply",
 ]
 
 
@@ -141,8 +144,29 @@ def _calibrate(spark) -> dict:
     for i in range(3_000_000):
         acc += i % 7
     py_s = round(time.perf_counter() - t0, 3)
+
+    # The probes' absolute times depend on runtime knobs (ADVICE r5):
+    # the JVM probe scales with local[N]/shuffle partitions, the BLAS
+    # probe with the BLAS thread count. Record them so cross-round
+    # calibration-ratio division is validatable, not assumed.
+    try:
+        from threadpoolctl import threadpool_info
+        blas_threads = max((i.get("num_threads", 0)
+                            for i in threadpool_info()
+                            if i.get("user_api") == "blas"), default=None)
+    except ImportError:  # threadpoolctl not baked in — record the env hint
+        blas_threads = None
     return {"jvm_allcore_s": jvm_s, "numpy_blas_s": numpy_s,
-            "python_1core_s": py_s}
+            "python_1core_s": py_s,
+            "env": {
+                "spark_master": spark.sparkContext.master,
+                "shuffle_partitions":
+                    spark.conf.get("spark.sql.shuffle.partitions"),
+                "spark_graft_cpus": os.environ.get("SPARK_GRAFT_CPUS"),
+                "os_cpu_count": os.cpu_count(),
+                "blas_threads": blas_threads,
+                "omp_num_threads": os.environ.get("OMP_NUM_THREADS"),
+            }}
 
 
 def main() -> None:
@@ -197,12 +221,7 @@ def main() -> None:
     from datafusion_delta_sharing_spark.harness import extensions as EXT
 
     total = round(sum(timings.values()), 3)
-    # leading newline: if anything (JVM banner, a stray progress bar) left
-    # an unterminated stdout line, the JSON must still start at column 0 —
-    # r4's artifact was lost to exactly this gluing
-    sys.stdout.write("\n")
-    sys.stdout.flush()
-    print(json.dumps({
+    doc = {
         "metric": "headline_suite_seconds",
         "value": total,                # sum of per-query MEDIANS
         "unit": "sec",
@@ -258,7 +277,21 @@ def main() -> None:
                 "baseline AND the LSH pairs in one job (single-pass "
                 "full-outer summary; matrix-literal signatures)",
         },
-    }))
+    }
+    # VERDICT r5 #5: two consecutive rounds lost the official artifact to
+    # stdout-tail truncation (parsed: null). Persist the full document to
+    # a file FIRST — the repo then carries the numbers regardless of what
+    # happens to stdout downstream.
+    with open(Path(__file__).resolve().parent / "BENCH_LATEST.json",
+              "w") as fh:
+        json.dump(doc, fh, indent=1)
+        fh.write("\n")
+    # leading newline: if anything (JVM banner, a stray progress bar) left
+    # an unterminated stdout line, the JSON must still start at column 0 —
+    # r4's artifact was lost to exactly this gluing
+    sys.stdout.write("\n")
+    sys.stdout.flush()
+    print(json.dumps(doc))
     spark.stop()
 
 

@@ -195,8 +195,13 @@ def stage_event_slices(spark: SparkSession, sf_dir: str,
     # TIMESTAMP(NANOS), batch-readable only under nanosAsLong
     set_stream_decode_confs(spark)
     out = tempfile.mkdtemp(prefix="upsert_src_")
+    from datafusion_delta_sharing_spark.streaming.windows import (
+        resolve_table_glob,
+    )
+
+    src_path, src_glob = resolve_table_glob(sf_dir, "events.parquet")
     events = spark.read.option(
-        "pathGlobFilter", "events.parquet").parquet(sf_dir).cache()
+        "pathGlobFilter", src_glob).parquet(src_path).cache()
     try:
         # cached: the per-slice filters re-read the table otherwise —
         # n_slices full scans for a staging step (r5 review)

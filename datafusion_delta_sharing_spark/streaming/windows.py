@@ -73,6 +73,22 @@ def set_stream_decode_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
 
+def resolve_table_glob(path: str, glob: str) -> tuple[str, str]:
+    """Driver testdata ships each table as a single FILE
+    (``sf_dir/events.parquet``); Spark-written scale replicas
+    (tools/make_scale_data.py) ship a DIRECTORY of part files under the
+    same name. A pathGlobFilter naming the file matches nothing in the
+    directory shape (no leaf file is called events.parquet), which made
+    every streaming query fail schema inference at /tmp/sfbig. Descend
+    into the directory and match its part files instead."""
+    import os
+
+    target = os.path.join(path, glob)
+    if os.path.isdir(target):
+        return target, "*.parquet"
+    return path, glob
+
+
 def stream_events(spark: SparkSession, path: str,
                   glob: str = "events.parquet", **options: str) -> DataFrame:
     """Streaming read of the events table, ts normalized to TIMESTAMP (ltz).
@@ -95,6 +111,7 @@ def stream_events(spark: SparkSession, path: str,
     settings must use a separate SparkSession.
     """
     set_stream_decode_confs(spark)
+    path, glob = resolve_table_glob(path, glob)
     probe = spark.read.option("pathGlobFilter", glob).parquet(path)
     ts_dtype = dict(probe.dtypes).get("ts")
     # explicit branch per probed encoding (ADVICE r3: assuming "anything

@@ -54,6 +54,24 @@ def test_compare_flags_float_null_vs_value():
     assert compare("null_vs_value", a, b)
 
 
+def test_compare_aligns_multiset_equal_mixed_zeros():
+    """Bit-exact comparison must not FALSE-POSITIVE on frames that are
+    multiset-equal but carry both zeros in different input order — the
+    canonical sort orders floats by IEEE-754 total order (-0.0 < 0.0),
+    so genuinely equal frames align and genuinely different ones don't."""
+    a = pd.DataFrame({"k": [1, 1], "v": [0.0, -0.0]})
+    b = pd.DataFrame({"k": [1, 1], "v": [-0.0, 0.0]})
+    assert compare("multiset_equal", a, b) == []
+    c = pd.DataFrame({"k": [1, 1], "v": [0.0, 0.0]})
+    assert compare("multiset_diff", a, c)
+
+
+def test_compare_nan_null_order_stable():
+    a = pd.DataFrame({"v": [np.nan, 1.0, -0.0]})
+    b = pd.DataFrame({"v": [-0.0, np.nan, 1.0]})
+    assert compare("nan_order", a, b) == []
+
+
 def test_compare_flags_last_bit_difference():
     x = 0.1 + 0.2          # 0.30000000000000004
     a = pd.DataFrame({"v": [x]})

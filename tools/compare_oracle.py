@@ -20,6 +20,20 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from datafusion_delta_sharing_spark.harness import TABLE_NAMES  # noqa: E402
 
 
+def _sort_key(s: pd.Series) -> pd.Series:
+    """Per-column sort key: floats order by their IEEE-754 total order
+    (sign-flipped bit pattern) so -0.0 sorts strictly before 0.0.
+    Without this, `sort_values` treats the two zeros as equal and the
+    canonical row order of a frame containing both becomes
+    input-order-dependent — which would misalign the bit-exact value
+    compare on frames that are genuinely multiset-equal."""
+    if pd.api.types.is_float_dtype(s):
+        bits = (s.astype("float64").fillna(np.nan)
+                .to_numpy(dtype="float64", copy=True).view(np.int64))
+        return pd.Series(np.where(bits < 0, ~bits, bits), index=s.index)
+    return s
+
+
 def canonical(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for col in df.columns:
@@ -37,7 +51,8 @@ def canonical(df: pd.DataFrame) -> pd.DataFrame:
             df[col] = s.astype("boolean")
         else:
             df[col] = s.astype("string")
-    return df.sort_values(list(df.columns), na_position="last").reset_index(drop=True)
+    return df.sort_values(list(df.columns), na_position="last",
+                          key=_sort_key).reset_index(drop=True)
 
 
 def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:

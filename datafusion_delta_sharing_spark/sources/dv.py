@@ -326,6 +326,44 @@ def inline_descriptor(positions: Sequence[int],
 _RESOLVABLE_DV_SCHEMES = ("", "file", "http", "https")
 
 
+_RETRIES = 3
+_BACKOFF_S = 0.5
+
+
+def _get_with_retry(http, url: str, headers: dict | None = None):
+    """Bounded-retry GET matching the parquet ranged reader's posture
+    (reader._RangedHttpFile.read): transient faults — 5xx and transport
+    errors (resets surface as ChunkedEncodingError etc., so the base
+    RequestException is caught) — retry with exponential backoff; 4xx
+    propagates to the caller (an expired presigned DV URL must surface,
+    not spin). Without this, a single flaky 503 on a shared DV file
+    failed the whole fetch task while the parquet bytes beside it
+    retried."""
+    import time
+
+    import requests
+
+    last_exc: Exception | None = None
+    for attempt in range(_RETRIES + 1):
+        try:
+            resp = http.get(url, timeout=120, headers=headers or {})
+            if resp.status_code >= 500:
+                raise requests.HTTPError(
+                    f"server error {resp.status_code}", response=resp)
+            return resp
+        except requests.HTTPError as exc:
+            status = (exc.response.status_code
+                      if exc.response is not None else None)
+            if status is None or status < 500:
+                raise
+            last_exc = exc
+        except requests.RequestException as exc:
+            last_exc = exc
+        if attempt < _RETRIES:
+            time.sleep(_BACKOFF_S * (2 ** attempt))
+    raise last_exc  # type: ignore[misc]
+
+
 def _fetch_dv_file(path: str, session=None,
                    offset: int | None = None,
                    length: int | None = None) -> bytes:
@@ -358,11 +396,11 @@ def _fetch_dv_file(path: str, session=None,
 
         http = session or requests
         if offset is not None and length is not None and offset > 0:
-            head = http.get(path, timeout=120,
-                            headers={"Range": "bytes=0-0"})
+            head = _get_with_retry(http, path,
+                                   headers={"Range": "bytes=0-0"})
             head.raise_for_status()
-            slice_resp = http.get(
-                path, timeout=120,
+            slice_resp = _get_with_retry(
+                http, path,
                 headers={"Range": f"bytes={offset}-{offset + length - 1}"})
             if slice_resp.status_code == 416:
                 raise DeltaSharingError(
@@ -377,7 +415,7 @@ def _fetch_dv_file(path: str, session=None,
             # full file
             return (slice_resp.content
                     if slice_resp.status_code == 200 else head.content)
-        resp = http.get(path, timeout=120)
+        resp = _get_with_retry(http, path)
         resp.raise_for_status()
         return resp.content
     raise DeltaSharingError(

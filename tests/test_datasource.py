@@ -584,6 +584,58 @@ def test_dv_file_storage_served_over_http(registered):
         assert got == sorted(set(ids) - {2, 7, 19})
 
 
+def test_dv_file_fetch_retries_transient_failures(registered):
+    """Two synthetic transport faults on the DV-file path must be
+    retried (same bounded-retry posture as the parquet ranged reader) —
+    a flaky 5xx/reset on a shared DV file must not fail the fetch task,
+    and the deleted positions must still be applied afterwards."""
+    import threading
+
+    from datafusion_delta_sharing_spark.sources import dv
+
+    spark = registered
+    ids = list(range(12))
+    data = dv.encode_dv_data([1, 4])
+    dv_file, offsets = dv.encode_dv_file([data])
+    blobs = {"/rt.parquet": _blob_grouped(ids, [float(i) for i in ids], 5),
+             "/rt.dv": dv_file}
+    srv, table = _server(blobs)
+    failures = {"remaining": 2}
+    lock = threading.Lock()
+    with srv:
+        orig = srv.parquet_bytes
+
+        class FlakyDv(dict):
+            def __contains__(self, key):
+                return key in orig
+
+            def __getitem__(self, key):
+                if key == "/rt.dv":
+                    with lock:
+                        if failures["remaining"] > 0:
+                            failures["remaining"] -= 1
+                            raise BrokenPipeError("synthetic DV fault")
+                return orig[key]
+
+        srv.parquet_bytes = FlakyDv()
+        table.files.append({
+            "id": "rt", "url": f"{srv.base_url}/rt.parquet",
+            "size": len(blobs["/rt.parquet"]),
+            "partition_values": {"day": "2021-04-28"},
+            "deletion_vector": {
+                "storageType": "p",
+                "pathOrInlineDv": f"{srv.base_url}/rt.dv",
+                "offset": offsets[0], "sizeInBytes": len(data),
+                "cardinality": 2},
+        })
+        df = (spark.read.format("deltasharing")
+              .option("profile_json", json.dumps(srv.profile_doc()))
+              .option("table", "s.d.t").load())
+        got = sorted(r.id for r in df.collect())
+        assert got == sorted(set(ids) - {1, 4})
+        assert failures["remaining"] == 0
+
+
 def test_dv_unsupported_storage_fails_at_plan_time(registered):
     """storageType='u' (relative to a table root the sharing client never
     sees) must refuse during partition planning, not as a task error."""

@@ -123,6 +123,13 @@ def test_window_plan_covers_registry():
     r5_rows = {q for q, rounds in plan["provenance"].items() if "r5" in rounds}
     assert set(plan["r5_window"]) <= r5_rows, "r5 driver rows not folded"
 
+    # forward plan hygiene: every r*_planned entry must resolve — a
+    # typo'd name would silently drop a query from its future re-check
+    for key, val in plan.items():
+        if key.endswith("_planned") and isinstance(val, dict):
+            bad = [q for q in val.get("queries", []) if q not in registry]
+            assert not bad, f"{key} names not in registry: {bad}"
+
 
 def test_bench_headline_resolves_in_registry():
     """bench.py runs at round time with no human watching: a HEADLINE

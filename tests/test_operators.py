@@ -293,6 +293,28 @@ def test_multimodal_features_deterministic(spark):
 # -- streaming ------------------------------------------------------------
 
 
+def test_resolve_table_glob_handles_both_table_shapes(tmp_path):
+    """Single-file tables (driver testdata) keep the name glob;
+    directory-parquet tables (scale replicas) descend into the dir and
+    match its part files — the shape that made every streaming query
+    fail schema inference on replica dirs before r6."""
+    from datafusion_delta_sharing_spark.streaming.windows import (
+        resolve_table_glob,
+    )
+
+    (tmp_path / "events.parquet").write_bytes(b"PAR1")
+    assert resolve_table_glob(str(tmp_path), "events.parquet") == (
+        str(tmp_path), "events.parquet")
+
+    ddir = tmp_path / "big"
+    (ddir / "events.parquet").mkdir(parents=True)
+    assert resolve_table_glob(str(ddir), "events.parquet") == (
+        str(ddir / "events.parquet"), "*.parquet")
+    # a literal glob never names a real path — left untouched
+    assert resolve_table_glob("/tmp/nope_src", "*.parquet") == (
+        "/tmp/nope_src", "*.parquet")
+
+
 def test_stream_hourly_matches_batch(spark, sf_dir):
     from datafusion_delta_sharing_spark.harness import load_table
 

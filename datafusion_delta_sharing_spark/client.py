@@ -335,12 +335,12 @@ class DeltaSharingClient:
 
     # advertised on every request (PROTOCOL.md capabilities header): both
     # response formats parse — delta-format actions are unwrapped by the
-    # action classes, and deletion vectors are applied at scan time, so
-    # readerfeatures declares them (a compliant provider withholds
-    # DV-bearing delta responses from clients that do not). columnmapping
-    # is deliberately NOT declared: this reader refuses it
+    # action classes, deletion vectors are applied at scan time, and
+    # column mapping is translated (physicalName space, flat schemas), so
+    # readerfeatures declares both (a compliant provider withholds
+    # DV/column-mapped delta responses from clients that do not)
     DEFAULT_CAPABILITIES = ("responseformat=parquet,delta;"
-                            "readerfeatures=deletionvectors")
+                            "readerfeatures=deletionvectors,columnmapping")
 
     @property
     def CAPABILITIES_HEADER(self) -> dict:

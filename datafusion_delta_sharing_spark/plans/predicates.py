@@ -87,6 +87,20 @@ class Op:
         self.value_type = value_type
         self.children = list(children or [])
 
+    def rename_columns(self, mapping: dict[str, str]) -> "Op":
+        """A copy of the tree with column names mapped (names absent from
+        ``mapping`` pass through) — used to re-express a logical-name
+        predicate in physical names for stats pruning on column-mapped
+        tables. The wire-format predicate sent to the SERVER stays
+        logical per the sharing protocol; only local stats matching needs
+        the physical spelling."""
+        name = self.name
+        if self.op == "column" and name is not None:
+            name = mapping.get(name, name)
+        return Op(self.op, name=name, value=self.value,
+                  value_type=self.value_type,
+                  children=[c.rename_columns(mapping) for c in self.children])
+
     # -- leaves -----------------------------------------------------------
 
     @classmethod

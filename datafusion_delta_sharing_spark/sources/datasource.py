@@ -85,12 +85,19 @@ def _make_client(options) -> tuple:
 class _FilePartition(InputPartition):
     def __init__(self, url: str, size: int, file_id: str,
                  partition_values: dict[str, str],
-                 deletion_vector: dict | None = None):
+                 deletion_vector: dict | None = None,
+                 column_mapped: bool = False):
         self.url = url
         self.size = size
         self.file_id = file_id
+        # keys are LOGICAL names (partitions() normalizes column-mapped
+        # tables' physical keys before planning)
         self.partition_values = partition_values
         self.deletion_vector = deletion_vector
+        # True when delta.columnMapping.mode is name/id: the executor
+        # read resolves parquet columns via the schema's physicalName
+        # metadata instead of the logical field names
+        self.column_mapped = column_mapped
 
 
 class _CDFFilePartition(_FilePartition):
@@ -166,17 +173,31 @@ class DeltaSharingBatchReader(DataSourceReader):
         data = client.get_table_data(table, json_predicate_hints=hints,
                                      version=version, timestamp=timestamp)
         _check_reader_features(data.protocol)
+        mapping = _column_mapping_of(data.metadata, self.full_schema)
         files = list(data.files)
         if self.hints_op is not None:
-            files = [f for f in files if may_match(self.hints_op, f.parsed_stats())]
+            # under column mapping, stats keys may be physical (raw
+            # delta-format actions) or logical (parquet-format,
+            # server-translated): prune under both spellings — the wrong
+            # one finds no stats and cannot exclude, so the conjunction
+            # stays sound
+            ops = [self.hints_op]
+            if mapping:
+                ops.append(self.hints_op.rename_columns(mapping))
+            files = [f for f in files
+                     if all(may_match(op, f.parsed_stats()) for op in ops)]
         if not files:
             # Spark requires >= 1 partition; empty sentinel yields no batches
             return [_FilePartition("", 0, "", {})]
         for f in files:
             if f.deletion_vector:  # refuse unresolvable DVs at plan time
                 validate_dv_descriptor(f.deletion_vector, data_url=f.url)
-        return [_FilePartition(f.url, f.size, f.id, dict(f.partition_values),
-                               deletion_vector=f.deletion_vector)
+        inverse = {v: k for k, v in (mapping or {}).items()}
+        return [_FilePartition(f.url, f.size, f.id,
+                               {inverse.get(k, k): v
+                                for k, v in f.partition_values.items()},
+                               deletion_vector=f.deletion_vector,
+                               column_mapped=bool(mapping))
                 for f in files]
 
     def read(self, partition: _FilePartition):
@@ -196,8 +217,8 @@ def _partition_columns_of(options, full_schema: T.StructType,
 def _check_reader_features(protocol) -> None:
     """Refuse required delta reader features the scan layer cannot honor
     (same check as DeltaSharingReader._dataframe_from_listing — silently
-    scanning e.g. a columnMapping/typeWidening table as plain parquet
-    yields wrong rows)."""
+    scanning e.g. a typeWidening table as plain parquet yields wrong
+    rows)."""
     from datafusion_delta_sharing_spark.sources.reader import (
         _SUPPORTED_READER_FEATURES,
     )
@@ -209,6 +230,33 @@ def _check_reader_features(protocol) -> None:
             f"table requires reader features {sorted(unsupported)} "
             "this client does not implement; supported: "
             f"{sorted(_SUPPORTED_READER_FEATURES)}")
+
+
+def _column_mapping_of(metadata, full_schema: T.StructType) -> dict | None:
+    """Logical->physical map when delta.columnMapping.mode is active
+    (name/id), else None. Validates the same invariants as the
+    DeltaSharingReader path: supported mode, physicalName metadata
+    present, no nested renames."""
+    from datafusion_delta_sharing_spark.errors import SchemaError
+    from datafusion_delta_sharing_spark.sources.schema import column_mapping
+
+    cm_mode = metadata.configuration.get("delta.columnMapping.mode")
+    if not cm_mode or cm_mode == "none":
+        return None
+    if cm_mode not in ("name", "id"):
+        raise DeltaSharingError(
+            f"unsupported delta.columnMapping.mode={cm_mode!r}; "
+            "supported: 'name', 'id'")
+    try:
+        mapping = column_mapping(full_schema)
+    except SchemaError as exc:
+        raise DeltaSharingError(str(exc)) from exc
+    if not mapping:
+        raise DeltaSharingError(
+            f"delta.columnMapping.mode={cm_mode!r} but the schema carries "
+            "no delta.columnMapping.physicalName metadata; the physical "
+            "parquet columns cannot be resolved")
+    return mapping
 
 
 def _read_file_partition(options, full_schema: T.StructType,
@@ -235,7 +283,19 @@ def _read_file_partition(options, full_schema: T.StructType,
     )
 
     partition_columns = _partition_columns_of(options, full_schema, partition)
-    data_cols = [f.name for f in full_schema.fields
+    # column-mapped tables: the parquet columns are named by the schema's
+    # physicalName metadata (available executor-side ON the schema, no
+    # extra driver state); partition_values keys were normalized to
+    # logical at planning time, so only the parquet read needs physical
+    # spellings — output batches are logical either way
+    phys: dict[str, str] = {}
+    if getattr(partition, "column_mapped", False):
+        from datafusion_delta_sharing_spark.sources.schema import (
+            column_mapping,
+        )
+
+        phys = column_mapping(full_schema) or {}
+    data_cols = [phys.get(f.name, f.name) for f in full_schema.fields
                  if f.name not in partition_columns]
     arrow_schema = _spark_struct_to_arrow_schema(full_schema)
     decoded = decode_partition_values(
@@ -309,7 +369,8 @@ def _read_file_partition(options, full_schema: T.StructType,
                 arrays.append(pa.nulls(n, atype) if decoded[field.name] is None
                               else pa.array([decoded[field.name]] * n, type=atype))
             else:
-                idx = batch.schema.get_field_index(field.name)
+                idx = batch.schema.get_field_index(
+                    phys.get(field.name, field.name))
                 if idx < 0:
                     # schema evolution: files written before a column was
                     # added lack it — Delta semantics is NULL. Indexing
@@ -460,6 +521,13 @@ class DeltaSharingStreamReader(DataSourceStreamReader):
         client, table = _make_client(self.options)
         data = client.get_table_data(table)
         _check_reader_features(data.protocol)
+        if _column_mapping_of(data.metadata, self.full_schema):
+            # batch reads translate column mapping; the streaming
+            # manifest does not persist the per-file translation state
+            # yet — refuse loudly rather than mis-read physical columns
+            raise DeltaSharingError(
+                "column-mapped tables are not supported by the streaming "
+                "source; read them with the batch reader")
         _check_schema_drift(self, table, data.metadata.schema_string)
         if data.version is not None:
             self._version = data.version
@@ -567,6 +635,10 @@ class DeltaSharingCDFStreamReader(DataSourceStreamReader):
         changes = client.get_table_changes(
             table, starting_version=lo + 1, ending_version=hi)
         _check_reader_features(changes.protocol)
+        if _column_mapping_of(changes.metadata, self.base_schema):
+            raise DeltaSharingError(
+                "column-mapped tables are not supported by the CDF "
+                "streaming source; read them with the batch reader")
         _check_schema_drift(self, table, changes.metadata.schema_string)
         for _, f in changes.actions:
             if f.deletion_vector:  # refuse unresolvable DVs at plan time

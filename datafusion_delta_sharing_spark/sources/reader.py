@@ -44,7 +44,11 @@ from datafusion_delta_sharing_spark.client import (
     MetadataAction,
     TableData,
 )
-from datafusion_delta_sharing_spark.errors import DeltaSharingError, PredicateError
+from datafusion_delta_sharing_spark.errors import (
+    DeltaSharingError,
+    PredicateError,
+    SchemaError,
+)
 from datafusion_delta_sharing_spark.plans.predicates import (
     Op,
     predicate_from_sql,
@@ -58,8 +62,10 @@ from datafusion_delta_sharing_spark.sources.dv import (
     validate_descriptor as validate_dv_descriptor,
 )
 from datafusion_delta_sharing_spark.sources.schema import (
+    column_mapping,
     decode_partition_values,
     schema_from_string,
+    to_physical_schema,
 )
 
 _DEFAULT_BYTES_PER_TASK = 128 * 1024 * 1024  # one Spark task per ~128 MiB of parquet
@@ -174,13 +180,15 @@ class _RangedHttpFile(io.RawIOBase):
 
 
 # delta reader features this scan layer actually honors: deletion vectors
-# are APPLIED (sources/dv.py), timestampNtz maps through the schema layer,
-# and v2Checkpoint/vacuumProtocolCheck do not affect a file-listing-based
-# read (the SERVER resolves the log). columnMapping and typeWidening are
-# deliberately absent: both change how the physical parquet bytes must be
-# interpreted, and scanning them as plain parquet yields wrong rows.
+# are APPLIED (sources/dv.py), column mapping is TRANSLATED (the scan
+# runs in physicalName space and renames back to logical — flat schemas;
+# nested renames refuse loudly), timestampNtz maps through the schema
+# layer, and v2Checkpoint/vacuumProtocolCheck do not affect a
+# file-listing-based read (the SERVER resolves the log). typeWidening is
+# deliberately absent: it changes how the physical parquet bytes must be
+# interpreted, and scanning as plain parquet yields wrong rows.
 _SUPPORTED_READER_FEATURES = frozenset(
-    {"deletionvectors", "timestampntz", "v2checkpoint",
+    {"deletionvectors", "columnmapping", "timestampntz", "v2checkpoint",
      "vacuumprotocolcheck"})
 
 
@@ -628,22 +636,68 @@ class DeltaSharingReader:
                 f"table requires reader features {sorted(unsupported)} "
                 "this client does not implement; supported: "
                 f"{sorted(_SUPPORTED_READER_FEATURES)}")
-        cm_mode = metadata.configuration.get("delta.columnMapping.mode")
-        if cm_mode and cm_mode != "none":
-            # column mapping renames the PHYSICAL parquet columns to
-            # col-<guid>; reading them under the logical schema silently
-            # yields all-NULL columns. Refuse loudly, like deletion
-            # vectors — common on delta-format responses
-            raise DeltaSharingError(
-                f"table uses column mapping (delta.columnMapping.mode="
-                f"{cm_mode!r}), which this reader does not translate; "
-                "retry with DeltaSharingClient(capabilities="
-                "'responseformat=parquet') — providers translate columns "
-                "in parquet-format responses — or ask the provider for a "
-                "share without column mapping")
         full_schema = schema_from_string(metadata.schema_string)
         partition_columns = list(metadata.partition_columns)
         files = list(data.files)
+
+        # Column mapping ('name'/'id' modes) TRANSLATED, beyond the
+        # reference class (which ignores the metadata and reads all-NULL
+        # columns): the physical parquet columns are named by each
+        # field's delta.columnMapping.physicalName — Delta writes
+        # physicalName for both modes and the parquet column names equal
+        # it, so one rename rule serves both. The scan below runs
+        # entirely in PHYSICAL names (schema, partition columns,
+        # partition-value keys, projection, stats matching); the result
+        # renames back to logical in one final projection. Nested-field
+        # renames are refused by column_mapping() — a flat select-alias
+        # cannot rename inside a struct.
+        cm_mode = metadata.configuration.get("delta.columnMapping.mode")
+        pruning_op = predicate_op
+        rename_back: list[tuple[str, str]] | None = None
+        if cm_mode and cm_mode != "none":
+            if cm_mode not in ("name", "id"):
+                raise DeltaSharingError(
+                    f"unsupported delta.columnMapping.mode={cm_mode!r}; "
+                    "supported: 'name', 'id'")
+            try:
+                mapping = column_mapping(full_schema)
+            except SchemaError as exc:
+                raise DeltaSharingError(str(exc)) from exc
+            if not mapping:
+                raise DeltaSharingError(
+                    f"delta.columnMapping.mode={cm_mode!r} but the schema "
+                    "carries no delta.columnMapping.physicalName metadata; "
+                    "the physical parquet columns cannot be resolved")
+            logical_fields = [f.name for f in full_schema.fields]
+            if columns:
+                unknown = [c for c in columns if c not in logical_fields]
+                if unknown:
+                    raise DeltaSharingError(
+                        f"unknown column(s) in projection: {unknown}")
+            full_schema = to_physical_schema(full_schema, mapping)
+            partition_columns = [mapping.get(c, c)
+                                 for c in partition_columns]
+            # partition-value keys arrive LOGICAL from parquet-format
+            # responses (the server translates) and PHYSICAL from raw
+            # delta-format add actions — normalize both spellings to
+            # physical so the decode below needs one key space
+            import dataclasses as _dc
+            files = [
+                _dc.replace(f, partition_values={
+                    mapping.get(k, k): v
+                    for k, v in f.partition_values.items()})
+                if f.partition_values else f
+                for f in files]
+            out_logical = list(columns) if columns else logical_fields
+            columns = ([mapping.get(c, c) for c in columns]
+                       if columns else None)
+            rename_back = [(mapping.get(c, c), c) for c in out_logical]
+            # stats keys are physical in delta-format responses and
+            # logical in parquet-format ones; matching under BOTH
+            # spellings is sound because the wrong spelling finds no
+            # stats and may_match degrades to "cannot exclude"
+            if predicate_op is not None:
+                pruning_op = predicate_op.rename_columns(mapping)
 
         # deletion vectors are APPLIED (soft-deleted rows anti-filtered by
         # position, sources/dv.py — beyond the reference, which drops the
@@ -655,8 +709,14 @@ class DeltaSharingReader:
                 validate_dv_descriptor(f.deletion_vector, data_url=f.url)
 
         if self.use_stats_pruning and predicate_op is not None:
+            # under column mapping, match stats under BOTH the logical
+            # and the physical spelling (pruning_op): the wrong spelling
+            # finds no stats and cannot exclude, so the conjunction is
+            # sound in either stats key space
             files = [f for f in files
-                     if may_match(predicate_op, f.parsed_stats())]
+                     if may_match(predicate_op, f.parsed_stats())
+                     and (pruning_op is predicate_op
+                          or may_match(pruning_op, f.parsed_stats()))]
 
         if limit is not None and predicate_op is None and self.use_stats_pruning:
             # beyond the reference's limitHint: stop listing files once
@@ -676,19 +736,28 @@ class DeltaSharingReader:
             # whether or not pruning emptied the listing
             out_schema = (T.StructType([full_schema[c] for c in columns])
                           if columns else full_schema)
-            return self.spark.createDataFrame([], out_schema)
-
-        local = all(urlparse(f.url).scheme in ("", "file") for f in files)
-        if local:
-            return self._read_local(files, full_schema, partition_columns, columns)
-        if refresh_spec is None:
-            # pin executor-side URL refreshes to the snapshot THIS listing
-            # came from (Delta-Table-Version header): an unpinned re-list
-            # would splice a newer snapshot into a running scan
-            refresh_spec = {"version": data.version}
-        return self._read_distributed(table, files, full_schema,
-                                      partition_columns, columns,
-                                      refresh_spec)
+            df = self.spark.createDataFrame([], out_schema)
+        else:
+            local = all(urlparse(f.url).scheme in ("", "file")
+                        for f in files)
+            if local:
+                df = self._read_local(files, full_schema,
+                                      partition_columns, columns)
+            else:
+                if refresh_spec is None:
+                    # pin executor-side URL refreshes to the snapshot THIS
+                    # listing came from (Delta-Table-Version header): an
+                    # unpinned re-list would splice a newer snapshot into
+                    # a running scan
+                    refresh_spec = {"version": data.version}
+                df = self._read_distributed(table, files, full_schema,
+                                            partition_columns, columns,
+                                            refresh_spec)
+        if rename_back:
+            # leave column-mapped physical space: one final projection
+            df = df.select([F.col(f"`{phys}`").alias(logical)
+                            for phys, logical in rename_back])
+        return df
 
     # above this many distinct partition tuples, per-group scans would blow
     # up the plan: switch to one scan + input_file_name partition join

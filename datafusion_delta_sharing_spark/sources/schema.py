@@ -167,3 +167,70 @@ def decode_partition_values(partition_values: dict[str, str],
             raise SchemaError(f"partition column {col!r} not present in table schema")
         out[col] = decode_partition_value(partition_values.get(col, ""), by_name[col])
     return out
+
+
+# -- column mapping (Delta PROTOCOL.md §Column Mapping) --------------------
+#
+# With delta.columnMapping.mode = 'name' or 'id', the PHYSICAL parquet
+# columns are named by each field's delta.columnMapping.physicalName
+# metadata (col-<uuid> for post-mapping columns; the original name for
+# columns that predate the upgrade — Delta sets physicalName on every
+# field either way). Reading such files under the logical schema yields
+# all-NULL columns, which is why the reference-class behavior (ignore the
+# metadata) is a correctness bug, not a limitation. This reader TRANSLATES:
+# the scan runs entirely in physical names and the result is renamed back
+# to logical at the end (sources/reader.py). 'id' mode also matches by
+# parquet field id, but Delta writes physicalName alongside, and parquet
+# column names equal physicalName for both modes, so one rename rule
+# serves both.
+
+_PHYSICAL_NAME_KEY = "delta.columnMapping.physicalName"
+
+
+def _nested_physical_names(dtype: T.DataType) -> list[str]:
+    """Names of NESTED fields carrying a physicalName different from
+    their own name — renames this reader does not translate (a top-level
+    select-alias cannot rename inside a struct/array/map)."""
+    bad: list[str] = []
+    if isinstance(dtype, T.StructType):
+        for f in dtype.fields:
+            phys = (f.metadata or {}).get(_PHYSICAL_NAME_KEY)
+            if phys and phys != f.name:
+                bad.append(f"{f.name} -> {phys}")
+            bad.extend(_nested_physical_names(f.dataType))
+    elif isinstance(dtype, T.ArrayType):
+        bad.extend(_nested_physical_names(dtype.elementType))
+    elif isinstance(dtype, T.MapType):
+        bad.extend(_nested_physical_names(dtype.keyType))
+        bad.extend(_nested_physical_names(dtype.valueType))
+    return bad
+
+
+def column_mapping(schema: T.StructType) -> dict[str, str] | None:
+    """Top-level logical -> physical name map from the schema's
+    column-mapping metadata, or None when no field carries one. Raises
+    ``SchemaError`` when a nested field is renamed (unsupported: the
+    physical layout cannot be expressed as a flat select-alias)."""
+    mapping: dict[str, str] = {}
+    for f in schema.fields:
+        phys = (f.metadata or {}).get(_PHYSICAL_NAME_KEY)
+        if phys:
+            mapping[f.name] = phys
+        nested = _nested_physical_names(f.dataType)
+        if nested:
+            raise SchemaError(
+                "column mapping renames NESTED fields "
+                f"({', '.join(nested)}), which this reader does not "
+                "translate; ask the provider for a parquet-format share "
+                "(columns pre-translated server-side)")
+    return mapping or None
+
+
+def to_physical_schema(schema: T.StructType,
+                       mapping: dict[str, str]) -> T.StructType:
+    """The schema as the parquet files spell it: top-level fields renamed
+    to their physical names (types/nullability/metadata preserved)."""
+    return T.StructType([
+        T.StructField(mapping.get(f.name, f.name), f.dataType, f.nullable,
+                      f.metadata)
+        for f in schema.fields])

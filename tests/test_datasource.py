@@ -584,6 +584,97 @@ def test_dv_file_storage_served_over_http(registered):
         assert got == sorted(set(ids) - {2, 7, 19})
 
 
+def test_datasource_column_mapping_translated(registered):
+    """format('deltasharing') over a column-mapped table: physical
+    parquet columns (col-<id>) come back under their logical names with
+    real data, physical partition-value keys decode, and a DV on a
+    column-mapped file still drops the right positions (the position
+    mask is name-independent)."""
+    from datafusion_delta_sharing_spark.sources import dv
+
+    spark = registered
+    cm_schema = json.dumps({"type": "struct", "fields": [
+        {"name": "id", "type": "long", "nullable": False,
+         "metadata": {"delta.columnMapping.physicalName": "col-a"}},
+        {"name": "amount", "type": "double", "nullable": True,
+         "metadata": {"delta.columnMapping.physicalName": "col-b"}},
+        {"name": "day", "type": "date", "nullable": True,
+         "metadata": {"delta.columnMapping.physicalName": "col-c"}},
+    ]})
+
+    def cm_blob(ids, amounts):
+        sink = io.BytesIO()
+        pq.write_table(pa.table({
+            "col-a": pa.array(ids, pa.int64()),
+            "col-b": pa.array(amounts, pa.float64())}), sink)
+        return sink.getvalue()
+
+    blobs = {"/cma.parquet": cm_blob([1, 2, 3], [1.0, 2.0, 3.0]),
+             "/cmb.parquet": cm_blob([4, 5], [4.0, 5.0])}
+    table = MockTable(share="s", schema="d", name="cmt",
+                      schema_string=cm_schema,
+                      partition_columns=["day"], files=[],
+                      configuration={"delta.columnMapping.mode": "name"},
+                      reader_features=["columnMapping"])
+    srv = MockSharingServer([table], parquet_bytes=blobs)
+    with srv:
+        table.files.extend([
+            {"id": "a", "url": f"{srv.base_url}/cma.parquet",
+             "size": len(blobs["/cma.parquet"]),
+             # physical pv key + inline DV deleting position 1 (id=2)
+             "partition_values": {"col-c": "2021-04-28"},
+             "deletion_vector": dv.inline_descriptor([1])},
+            {"id": "b", "url": f"{srv.base_url}/cmb.parquet",
+             "size": len(blobs["/cmb.parquet"]),
+             "partition_values": {"col-c": "2021-04-29"}},
+        ])
+        df = (spark.read.format("deltasharing")
+              .option("profile_json", json.dumps(srv.profile_doc()))
+              .option("table", "s.d.cmt").load())
+        assert df.columns == ["id", "amount", "day"]
+        rows = {r.id: r for r in df.collect()}
+        assert set(rows) == {1, 3, 4, 5}  # id=2 soft-deleted by the DV
+        assert rows[3].amount == 3.0
+        assert str(rows[1].day) == "2021-04-28"
+        assert str(rows[4].day) == "2021-04-29"
+
+
+def test_stream_refuses_column_mapped_table(registered, tmp_path):
+    """The streaming source does not translate column mapping (the
+    manifest carries no per-file translation state) — it must refuse
+    loudly instead of mis-reading physical columns."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    spark = registered
+    cm_schema = json.dumps({"type": "struct", "fields": [
+        {"name": "id", "type": "long", "nullable": False,
+         "metadata": {"delta.columnMapping.physicalName": "col-a"}},
+    ]})
+    blob = io.BytesIO()
+    pq.write_table(pa.table({"col-a": pa.array([1], pa.int64())}), blob)
+    blobs = {"/s.parquet": blob.getvalue()}
+    table = MockTable(share="s", schema="d", name="st",
+                      schema_string=cm_schema, partition_columns=[],
+                      files=[],
+                      configuration={"delta.columnMapping.mode": "name"})
+    srv = MockSharingServer([table], parquet_bytes=blobs)
+    with srv:
+        table.files.append({"id": "s", "url": f"{srv.base_url}/s.parquet",
+                            "size": len(blobs["/s.parquet"]),
+                            "partition_values": {}})
+        stream = (spark.readStream.format("deltasharing")
+                  .option("profile_json", json.dumps(srv.profile_doc()))
+                  .option("table", "s.d.st")
+                  .option("stream_log_dir", str(tmp_path / "log"))
+                  .load())
+        q = (stream.writeStream.format("memory")
+             .queryName(f"cmref_{uuid.uuid4().hex[:8]}")
+             .trigger(availableNow=True).start())
+        with pytest.raises(StreamingQueryException,
+                           match="column-mapped"):
+            q.awaitTermination()
+
+
 def test_dv_file_fetch_retries_transient_failures(registered):
     """Two synthetic transport faults on the DV-file path must be
     retried (same bounded-retry posture as the parquet ranged reader) —

@@ -422,7 +422,7 @@ def test_delta_response_format_round_trips(spark, tmp_path):
                 for req in srv.requests if "/query" in req["path"]]
         assert caps and all(
             c == "responseformat=parquet,delta;"
-                 "readerfeatures=deletionvectors"
+                 "readerfeatures=deletionvectors,columnmapping"
             for c in caps)
 
 
@@ -444,10 +444,12 @@ def test_delta_format_deletion_vector_refused(spark, tmp_path):
             _reader(spark, srv).table("s.d.t").collect()
 
 
-def test_column_mapped_tables_are_refused(spark, tmp_path):
-    """delta.columnMapping.mode renames the physical parquet columns to
-    col-<guid>; reading under the logical schema would return all-NULL
-    columns. The scan must refuse loudly, like deletion vectors."""
+def test_column_mapping_without_physical_names_refused(spark, tmp_path):
+    """delta.columnMapping.mode set but the schema carries no
+    physicalName metadata: the physical parquet columns cannot be
+    resolved — refuse loudly at plan time rather than read all-NULL
+    columns (r6: well-formed column-mapped tables are now TRANSLATED,
+    see test_column_mapped_table_is_translated)."""
     from datafusion_delta_sharing_spark.errors import DeltaSharingError
 
     table = MockTable(share="s", schema="d", name="t",
@@ -457,8 +459,129 @@ def test_column_mapped_tables_are_refused(spark, tmp_path):
                       response_format="delta",
                       configuration={"delta.columnMapping.mode": "name"})
     with MockSharingServer([table]) as srv:
-        with pytest.raises(DeltaSharingError, match="column mapping"):
+        with pytest.raises(DeltaSharingError, match="physicalName"):
             _reader(spark, srv).table("s.d.t").collect()
+
+
+CM_SCHEMA_STRING = json.dumps({"type": "struct", "fields": [
+    {"name": "id", "type": "long", "nullable": False,
+     "metadata": {"delta.columnMapping.id": 1,
+                  "delta.columnMapping.physicalName": "col-1111"}},
+    {"name": "amount", "type": "double", "nullable": True,
+     "metadata": {"delta.columnMapping.id": 2,
+                  "delta.columnMapping.physicalName": "col-2222"}},
+    {"name": "day", "type": "date", "nullable": True,
+     "metadata": {"delta.columnMapping.id": 3,
+                  "delta.columnMapping.physicalName": "col-3333"}},
+]})
+
+
+def _cm_blob(ids, amounts) -> bytes:
+    """Parquet bytes as a column-mapped writer produces them: PHYSICAL
+    column names (col-<id>) on disk."""
+    sink = io.BytesIO()
+    pq.write_table(pa.table({"col-1111": pa.array(ids, pa.int64()),
+                             "col-2222": pa.array(amounts, pa.float64())}),
+                   sink)
+    return sink.getvalue()
+
+
+def test_column_mapped_table_is_translated(spark, tmp_path):
+    """delta.columnMapping.mode='name' tables are TRANSLATED (r6): the
+    scan runs in physicalName space and renames back, so logical columns
+    come back with real data — the reference-class behavior (ignore the
+    metadata) reads all-NULL columns. One file carries LOGICAL
+    partition-value keys (parquet-format responses, server-translated),
+    the other PHYSICAL keys (raw delta-format add actions): both decode."""
+    p1 = tmp_path / "cm1.parquet"
+    p1.write_bytes(_cm_blob([1, 2], [1.0, 2.0]))
+    p2 = tmp_path / "cm2.parquet"
+    p2.write_bytes(_cm_blob([3, 4], [3.0, 4.0]))
+    files = [
+        {"id": "c1", "url": f"file://{p1}", "size": 0,
+         "partition_values": {"day": "2021-04-28"}},       # logical key
+        {"id": "c2", "url": f"file://{p2}", "size": 0,
+         "partition_values": {"col-3333": "2021-04-29"}},  # physical key
+    ]
+    table = MockTable(share="s", schema="d", name="cm",
+                      schema_string=CM_SCHEMA_STRING,
+                      partition_columns=["day"], files=files,
+                      configuration={"delta.columnMapping.mode": "name"},
+                      reader_features=["columnMapping"])
+    with MockSharingServer([table]) as srv:
+        df = _reader(spark, srv).table("s.d.cm")
+        assert df.columns == ["id", "amount", "day"]
+        rows = {r.id: r for r in df.collect()}
+        assert set(rows) == {1, 2, 3, 4}
+        assert rows[2].amount == 2.0  # real data, not the all-NULL bug
+        assert str(rows[1].day) == "2021-04-28"
+        assert str(rows[3].day) == "2021-04-29"
+        # projection + predicate spelled in LOGICAL names
+        df2 = _reader(spark, srv).table(
+            "s.d.cm", predicate="id >= 3", columns=["id", "amount"])
+        assert df2.columns == ["id", "amount"]
+        assert sorted((r.id, r.amount) for r in df2.collect()) == [
+            (3, 3.0), (4, 4.0)]
+
+
+def test_column_mapped_http_strategy_prunes_physical_stats(spark):
+    """Distributed (HTTP/mapInArrow) strategy over a column-mapped table:
+    raw delta-format stats are keyed by PHYSICAL names — the logical
+    predicate must still prune the non-matching file (op re-expressed in
+    physical names), and the pruned file must never be fetched."""
+    blobs = {"/cmh1.parquet": _cm_blob([1, 2], [1.0, 2.0]),
+             "/cmh2.parquet": _cm_blob([30, 40], [3.0, 4.0])}
+    table = MockTable(share="s", schema="d", name="cmh",
+                      schema_string=CM_SCHEMA_STRING,
+                      partition_columns=["day"], files=[],
+                      configuration={"delta.columnMapping.mode": "name"})
+    with MockSharingServer([table], parquet_bytes=blobs) as srv:
+        table.files.extend([
+            {"id": "h1", "url": f"{srv.base_url}/cmh1.parquet",
+             "size": len(blobs["/cmh1.parquet"]),
+             "partition_values": {"col-3333": "2021-04-28"},
+             "stats": json.dumps({"numRecords": 2,
+                                  "minValues": {"col-1111": 1},
+                                  "maxValues": {"col-1111": 2}})},
+            {"id": "h2", "url": f"{srv.base_url}/cmh2.parquet",
+             "size": len(blobs["/cmh2.parquet"]),
+             "partition_values": {"col-3333": "2021-04-29"},
+             "stats": json.dumps({"numRecords": 2,
+                                  "minValues": {"col-1111": 30},
+                                  "maxValues": {"col-1111": 40}})},
+        ])
+        df = _reader(spark, srv).table("s.d.cmh", predicate="id < 10")
+        rows = {r.id: r for r in df.collect()}
+        assert set(rows) == {1, 2}
+        assert str(rows[1].day) == "2021-04-28"
+        fetched = {r["path"] for r in srv.requests
+                   if r["path"].endswith(".parquet")}
+        assert "/cmh2.parquet" not in fetched, "physical stats not pruned"
+
+
+def test_column_mapping_nested_rename_refused(spark, tmp_path):
+    """A nested field with its own physicalName cannot be translated by
+    a flat select-alias — must refuse at plan time, not mis-read."""
+    from datafusion_delta_sharing_spark.errors import DeltaSharingError
+
+    nested_schema = json.dumps({"type": "struct", "fields": [
+        {"name": "s", "nullable": True, "metadata":
+            {"delta.columnMapping.physicalName": "col-s"},
+         "type": {"type": "struct", "fields": [
+             {"name": "x", "type": "long", "nullable": True,
+              "metadata": {"delta.columnMapping.physicalName": "col-x"}}]}},
+    ]})
+    p = tmp_path / "n.parquet"
+    p.write_bytes(_cm_blob([1], [1.0]))
+    table = MockTable(share="s", schema="d", name="n",
+                      schema_string=nested_schema,
+                      partition_columns=[], files=[
+                          {"id": "n", "url": f"file://{p}", "size": 0,
+                           "partition_values": {}}],
+                      configuration={"delta.columnMapping.mode": "name"})
+    with MockSharingServer([table]) as srv:
+        with pytest.raises(DeltaSharingError, match="NESTED"):
+            _reader(spark, srv).table("s.d.n")
 
 
 def test_capabilities_header_is_configurable(spark, tmp_path):
@@ -762,9 +885,10 @@ def test_local_path_absolutizes_bare_paths():
 
 
 def test_unsupported_reader_features_refused_at_listing(spark, tmp_path):
-    """A table whose protocol requires columnMapping/typeWidening must
-    refuse at listing time — scanning it as plain parquet yields wrong
-    rows. Supported features (deletionVectors, timestampNtz) pass."""
+    """A table whose protocol requires typeWidening must refuse at
+    listing time — scanning it as plain parquet yields wrong rows.
+    Supported features (deletionVectors, columnMapping [translated since
+    r6], timestampNtz) pass."""
     from datafusion_delta_sharing_spark.errors import DeltaSharingError
 
     p = _write_local(tmp_path, "rf.parquet", [1], [1.0])
@@ -773,14 +897,15 @@ def test_unsupported_reader_features_refused_at_listing(spark, tmp_path):
     bad = MockTable(share="s", schema="d", name="t",
                     schema_string=SCHEMA_STRING,
                     partition_columns=PARTITION_COLUMNS, files=files,
-                    reader_features=["deletionVectors", "columnMapping"])
+                    reader_features=["deletionVectors", "typeWidening"])
     with MockSharingServer([bad]) as srv:
-        with pytest.raises(DeltaSharingError, match="columnMapping"):
+        with pytest.raises(DeltaSharingError, match="typeWidening"):
             _reader(spark, srv).table("s.d.t")
     ok = MockTable(share="s", schema="d", name="t",
                    schema_string=SCHEMA_STRING,
                    partition_columns=PARTITION_COLUMNS, files=files,
-                   reader_features=["deletionVectors", "timestampNtz"])
+                   reader_features=["deletionVectors", "columnMapping",
+                                    "timestampNtz"])
     with MockSharingServer([ok]) as srv:
         assert _reader(spark, srv).table("s.d.t").count() == 1
 

@@ -335,12 +335,14 @@ class DeltaSharingClient:
 
     # advertised on every request (PROTOCOL.md capabilities header): both
     # response formats parse — delta-format actions are unwrapped by the
-    # action classes, deletion vectors are applied at scan time, and
-    # column mapping is translated (physicalName space, flat schemas), so
-    # readerfeatures declares both (a compliant provider withholds
-    # DV/column-mapped delta responses from clients that do not)
-    DEFAULT_CAPABILITIES = ("responseformat=parquet,delta;"
-                            "readerfeatures=deletionvectors,columnmapping")
+    # action classes, deletion vectors are applied at scan time, column
+    # mapping is translated (physicalName space, flat schemas), and type
+    # widening reads pre-widening files under the current wider types, so
+    # readerfeatures declares all three (a compliant provider withholds
+    # delta responses needing features a client does not declare)
+    DEFAULT_CAPABILITIES = (
+        "responseformat=parquet,delta;"
+        "readerfeatures=deletionvectors,columnmapping,typewidening")
 
     @property
     def CAPABILITIES_HEADER(self) -> dict:

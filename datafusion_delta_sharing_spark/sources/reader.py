@@ -182,14 +182,18 @@ class _RangedHttpFile(io.RawIOBase):
 # delta reader features this scan layer actually honors: deletion vectors
 # are APPLIED (sources/dv.py), column mapping is TRANSLATED (the scan
 # runs in physicalName space and renames back to logical — flat schemas;
-# nested renames refuse loudly), timestampNtz maps through the schema
-# layer, and v2Checkpoint/vacuumProtocolCheck do not affect a
-# file-listing-based read (the SERVER resolves the log). typeWidening is
-# deliberately absent: it changes how the physical parquet bytes must be
-# interpreted, and scanning as plain parquet yields wrong rows.
+# nested renames refuse loudly), type widening READS WIDE (files written
+# before a column was widened decode under the current logical type:
+# the local strategy via Spark 4's vectorized-reader widening, the
+# fetch strategies via the per-column Arrow cast both paths already
+# apply — every Delta-spec widening byte/short/int→int/long/double/
+# decimal, long→decimal, float→double, decimal→wider, date→timestampNTZ
+# is covered by tests), timestampNtz maps through the schema layer, and
+# v2Checkpoint/vacuumProtocolCheck do not affect a file-listing-based
+# read (the SERVER resolves the log).
 _SUPPORTED_READER_FEATURES = frozenset(
-    {"deletionvectors", "columnmapping", "timestampntz", "v2checkpoint",
-     "vacuumprotocolcheck"})
+    {"deletionvectors", "columnmapping", "typewidening", "typewidening-preview",
+     "timestampntz", "v2checkpoint", "vacuumprotocolcheck"})
 
 
 def _local_path(url: str) -> str:

@@ -422,7 +422,7 @@ def test_delta_response_format_round_trips(spark, tmp_path):
                 for req in srv.requests if "/query" in req["path"]]
         assert caps and all(
             c == "responseformat=parquet,delta;"
-                 "readerfeatures=deletionvectors,columnmapping"
+                 "readerfeatures=deletionvectors,columnmapping,typewidening"
             for c in caps)
 
 
@@ -885,10 +885,11 @@ def test_local_path_absolutizes_bare_paths():
 
 
 def test_unsupported_reader_features_refused_at_listing(spark, tmp_path):
-    """A table whose protocol requires typeWidening must refuse at
-    listing time — scanning it as plain parquet yields wrong rows.
-    Supported features (deletionVectors, columnMapping [translated since
-    r6], timestampNtz) pass."""
+    """A table whose protocol requires a reader feature this scan layer
+    cannot honor (e.g. variantType) must refuse at listing time —
+    scanning it as plain parquet yields wrong rows. Supported features
+    (deletionVectors, columnMapping + typeWidening [since r6],
+    timestampNtz) pass."""
     from datafusion_delta_sharing_spark.errors import DeltaSharingError
 
     p = _write_local(tmp_path, "rf.parquet", [1], [1.0])
@@ -897,17 +898,65 @@ def test_unsupported_reader_features_refused_at_listing(spark, tmp_path):
     bad = MockTable(share="s", schema="d", name="t",
                     schema_string=SCHEMA_STRING,
                     partition_columns=PARTITION_COLUMNS, files=files,
-                    reader_features=["deletionVectors", "typeWidening"])
+                    reader_features=["deletionVectors", "variantType"])
     with MockSharingServer([bad]) as srv:
-        with pytest.raises(DeltaSharingError, match="typeWidening"):
+        with pytest.raises(DeltaSharingError, match="variantType"):
             _reader(spark, srv).table("s.d.t")
     ok = MockTable(share="s", schema="d", name="t",
                    schema_string=SCHEMA_STRING,
                    partition_columns=PARTITION_COLUMNS, files=files,
                    reader_features=["deletionVectors", "columnMapping",
-                                    "timestampNtz"])
+                                    "typeWidening", "timestampNtz"])
     with MockSharingServer([ok]) as srv:
         assert _reader(spark, srv).table("s.d.t").count() == 1
+
+
+def test_type_widened_table_reads_wide(spark, tmp_path):
+    """typeWidening: a file written BEFORE the column was widened
+    (int32/float32 on disk) must decode under the current logical schema
+    (long/double) on both strategies — Spark 4's vectorized reader
+    widens on the local path; the Arrow per-column cast widens on the
+    HTTP fetch path."""
+    wide_schema = json.dumps({"type": "struct", "fields": [
+        {"name": "id", "type": "long", "nullable": False, "metadata": {}},
+        {"name": "amount", "type": "double", "nullable": True,
+         "metadata": {}},
+        {"name": "day", "type": "date", "nullable": True, "metadata": {}},
+    ]})
+
+    def narrow_blob(ids, amounts):
+        sink = io.BytesIO()
+        pq.write_table(pa.table({
+            "id": pa.array(ids, pa.int32()),        # pre-widening int
+            "amount": pa.array(amounts, pa.float32())}), sink)
+        return sink.getvalue()
+
+    # local strategy
+    p = tmp_path / "w.parquet"
+    p.write_bytes(narrow_blob([1, 2], [1.5, 2.5]))
+    local = MockTable(share="s", schema="d", name="w",
+                      schema_string=wide_schema, partition_columns=["day"],
+                      files=[{"id": "w", "url": f"file://{p}", "size": 0,
+                              "partition_values": {"day": "2021-04-28"}}],
+                      reader_features=["typeWidening"])
+    with MockSharingServer([local]) as srv:
+        df = _reader(spark, srv).table("s.d.w")
+        assert [f.dataType.simpleString() for f in df.schema.fields[:2]] \
+            == ["bigint", "double"]
+        rows = {r.id: r.amount for r in df.collect()}
+        assert rows == {1: 1.5, 2: 2.5}
+    # distributed (HTTP mapInArrow) strategy
+    blobs = {"/w.parquet": narrow_blob([3, 4], [3.5, 4.5])}
+    http = MockTable(share="s", schema="d", name="wh",
+                     schema_string=wide_schema, partition_columns=["day"],
+                     files=[], reader_features=["typeWidening"])
+    with MockSharingServer([http], parquet_bytes=blobs) as srv:
+        http.files.append({"id": "wh", "url": f"{srv.base_url}/w.parquet",
+                           "size": len(blobs["/w.parquet"]),
+                           "partition_values": {"day": "2021-04-29"}})
+        rows = {r.id: r.amount
+                for r in _reader(spark, srv).table("s.d.wh").collect()}
+        assert rows == {3: 3.5, 4: 4.5}
 
 
 def test_catalog_sql_nested_bracketed_comments_opaque(spark, local_server):

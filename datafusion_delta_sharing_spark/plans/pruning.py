@@ -153,6 +153,35 @@ def _may_match(node: Op, stats: dict) -> bool:
     return True  # unknown op: keep the file
 
 
+def partition_value_stats(partition_values: dict | None) -> dict | None:
+    """Exact synthetic stats from a file's partition values, for reuse of
+    :func:`may_match` as a partition pruner: every row of the file shares
+    each partition value, so min = max = value, and an empty string means
+    the column is NULL on EVERY row (the protocol's empty→NULL rule) —
+    expressed as nullCount == numRecords so the not(isNull) analysis can
+    exclude the file. The synthetic numRecords is a marker for that
+    ratio only; this dict must never feed :func:`prune_for_limit`.
+
+    A compliant server already prunes on jsonPredicateHints, but the
+    hints are advisory — a server that ignores them returns every file
+    and, without this, the client fetches partitions the predicate can
+    never match."""
+    if not partition_values:
+        return None
+    mins: dict = {}
+    maxs: dict = {}
+    nulls: dict = {}
+    for col, raw in partition_values.items():
+        if raw is None or raw == "":
+            nulls[col] = 1
+        else:
+            mins[col] = raw
+            maxs[col] = raw
+            nulls[col] = 0
+    return {"numRecords": 1, "minValues": mins, "maxValues": maxs,
+            "nullCount": nulls}
+
+
 def prune_for_limit(files: list, limit: int) -> list:
     """Keep a prefix of files whose stats-known record counts cover
     ``limit``. ONLY sound when no predicate of any kind applies (rows

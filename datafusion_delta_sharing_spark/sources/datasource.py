@@ -176,16 +176,26 @@ class DeltaSharingBatchReader(DataSourceReader):
         mapping = _column_mapping_of(data.metadata, self.full_schema)
         files = list(data.files)
         if self.hints_op is not None:
-            # under column mapping, stats keys may be physical (raw
-            # delta-format actions) or logical (parquet-format,
-            # server-translated): prune under both spellings — the wrong
-            # one finds no stats and cannot exclude, so the conjunction
+            # two exact stat sources per file — the server's stats JSON
+            # and synthetic stats from the partition values (a server
+            # that ignores jsonPredicateHints returns every partition).
+            # Under column mapping, keys may be physical (raw delta-
+            # format actions) or logical (parquet-format, server-
+            # translated): prune under both spellings — the wrong one
+            # finds no stats and cannot exclude, so the conjunction
             # stays sound
+            from datafusion_delta_sharing_spark.plans.pruning import (
+                partition_value_stats,
+            )
+
             ops = [self.hints_op]
             if mapping:
                 ops.append(self.hints_op.rename_columns(mapping))
             files = [f for f in files
-                     if all(may_match(op, f.parsed_stats()) for op in ops)]
+                     if all(may_match(op, st) for op in ops
+                            for st in (f.parsed_stats(),
+                                       partition_value_stats(
+                                           f.partition_values)))]
         if not files:
             # Spark requires >= 1 partition; empty sentinel yields no batches
             return [_FilePartition("", 0, "", {})]

@@ -53,7 +53,11 @@ from datafusion_delta_sharing_spark.plans.predicates import (
     Op,
     predicate_from_sql,
 )
-from datafusion_delta_sharing_spark.plans.pruning import may_match, prune_for_limit
+from datafusion_delta_sharing_spark.plans.pruning import (
+    may_match,
+    partition_value_stats,
+    prune_for_limit,
+)
 from datafusion_delta_sharing_spark.profile import Profile
 from datafusion_delta_sharing_spark.securable import Table
 from datafusion_delta_sharing_spark.sources.dv import (
@@ -713,14 +717,22 @@ class DeltaSharingReader:
                 validate_dv_descriptor(f.deletion_vector, data_url=f.url)
 
         if self.use_stats_pruning and predicate_op is not None:
-            # under column mapping, match stats under BOTH the logical
-            # and the physical spelling (pruning_op): the wrong spelling
-            # finds no stats and cannot exclude, so the conjunction is
-            # sound in either stats key space
+            # two exact per-file stat sources: the server's stats JSON and
+            # synthetic stats from the partition values (min = max =
+            # value; a server that ignores jsonPredicateHints returns
+            # every partition, and without this the client fetches files
+            # the predicate can never match). Under column mapping, match
+            # under BOTH the logical and the physical spelling
+            # (pruning_op): the wrong spelling finds no stats and cannot
+            # exclude, so the conjunction is sound in either key space.
+            ops = [predicate_op]
+            if pruning_op is not predicate_op:
+                ops.append(pruning_op)
             files = [f for f in files
-                     if may_match(predicate_op, f.parsed_stats())
-                     and (pruning_op is predicate_op
-                          or may_match(pruning_op, f.parsed_stats()))]
+                     if all(may_match(op, st) for op in ops
+                            for st in (f.parsed_stats(),
+                                       partition_value_stats(
+                                           f.partition_values)))]
 
         if limit is not None and predicate_op is None and self.use_stats_pruning:
             # beyond the reference's limitHint: stop listing files once

@@ -584,6 +584,34 @@ def test_dv_file_storage_served_over_http(registered):
         assert got == sorted(set(ids) - {2, 7, 19})
 
 
+def test_datasource_partition_value_pruning(registered):
+    """pushFilters on a partition column must prune non-matching files at
+    planning time (synthetic min = max = partition-value stats), so the
+    pruned file is never fetched even though the mock server ignores
+    hints."""
+    spark = registered
+    blobs = {"/pva.parquet": _blob([1, 2], [1.0, 2.0]),
+             "/pvb.parquet": _blob([3, 4], [3.0, 4.0])}
+    srv, table = _server(blobs)
+    with srv:
+        table.files.extend([
+            {"id": "a", "url": f"{srv.base_url}/pva.parquet",
+             "size": len(blobs["/pva.parquet"]),
+             "partition_values": {"day": "2021-04-28"}},
+            {"id": "b", "url": f"{srv.base_url}/pvb.parquet",
+             "size": len(blobs["/pvb.parquet"]),
+             "partition_values": {"day": "2021-04-29"}},
+        ])
+        df = (spark.read.format("deltasharing")
+              .option("profile_json", json.dumps(srv.profile_doc()))
+              .option("table", "s.d.t").load()
+              .filter("day = DATE'2021-04-29'"))
+        assert sorted(r.id for r in df.collect()) == [3, 4]
+        fetched = {r["path"] for r in srv.requests
+                   if r["path"].endswith(".parquet")}
+        assert fetched == {"/pvb.parquet"}
+
+
 def test_datasource_column_mapping_translated(registered):
     """format('deltasharing') over a column-mapped table: physical
     parquet columns (col-<id>) come back under their logical names with

@@ -155,6 +155,39 @@ def test_stats_pruning_skips_fetch(spark):
         assert fetched == {"/b.parquet"}
 
 
+def test_partition_value_pruning_skips_fetch(spark):
+    """A predicate on a partition column must prune non-matching files
+    CLIENT-side (min = max = partition value), even when the server
+    ignores jsonPredicateHints and returns every file — without this the
+    scan fetches partitions that can never match. Empty partition value
+    (typed NULL) prunes under IS NOT NULL via the all-null rule."""
+    blobs = {"/pa.parquet": _blob([1, 2], [1.0, 2.0]),
+             "/pb.parquet": _blob([3, 4], [3.0, 4.0]),
+             "/pc.parquet": _blob([5, 6], [5.0, 6.0])}
+    table = MockTable(share="s", schema="d", name="t",
+                      schema_string=SCHEMA_STRING,
+                      partition_columns=PARTITION_COLUMNS, files=[])
+    with MockSharingServer([table], parquet_bytes=blobs) as srv:
+        table.files.extend([
+            {"id": "pa", "url": f"{srv.base_url}/pa.parquet",
+             "size": len(blobs["/pa.parquet"]),
+             "partition_values": {"day": "2021-04-28", "tag": "x"}},
+            {"id": "pb", "url": f"{srv.base_url}/pb.parquet",
+             "size": len(blobs["/pb.parquet"]),
+             "partition_values": {"day": "2021-04-29", "tag": "x"}},
+            {"id": "pc", "url": f"{srv.base_url}/pc.parquet",
+             "size": len(blobs["/pc.parquet"]),
+             "partition_values": {"day": "2021-04-29", "tag": ""}},
+        ])
+        df = _reader(spark, srv).table(
+            "s.d.t", predicate="day = '2021-04-29' AND tag IS NOT NULL")
+        assert sorted(r.id for r in df.collect()) == [3, 4]
+        fetched = {r["path"] for r in srv.requests
+                   if r["path"].endswith(".parquet")}
+        # pa pruned by day mismatch; pc pruned by all-NULL tag
+        assert fetched == {"/pb.parquet"}
+
+
 def test_empty_file_list_gives_empty_typed_df(spark):
     table = MockTable(share="s", schema="d", name="t",
                       schema_string=SCHEMA_STRING,

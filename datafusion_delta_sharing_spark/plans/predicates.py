@@ -231,12 +231,17 @@ def conjunction(ops: Sequence[Op]) -> Op | None:
 #   pred   := term (AND|OR term)*          -- left-assoc, AND binds tighter
 #   term   := NOT term | '(' pred ')' | cmp
 #   cmp    := col (=|==|<|<=|>|>=) lit | col IS [NOT] NULL
+#          |  col [NOT] IN '(' lit (',' lit)* ')'
 #   lit    := 'string' | number | true | false
-# Anything unparseable raises PredicateError -> caller falls back to
-# no-hint (Unsupported), matching supports_filters_pushdown semantics.
+# IN expands to or(equal, ...) — the wire format has no IN op
+# (expr.rs's Op set); NOT IN to not(or(...)), which is hint-sound (the
+# server prunes to a superset; the exact three-valued semantics are
+# re-applied by the residual filter). Anything unparseable raises
+# PredicateError -> caller falls back to no-hint (Unsupported), matching
+# supports_filters_pushdown semantics.
 
 _TOKEN = re.compile(
-    r"\s*(?:(?P<lpar>\()|(?P<rpar>\))|(?P<op><=|>=|==|=|<|>)"
+    r"\s*(?:(?P<lpar>\()|(?P<rpar>\))|(?P<comma>,)|(?P<op><=|>=|==|=|<|>)"
     r"|(?P<str>'(?:[^']|'')*')|(?P<num>-?\d+(?:\.\d+)?)"
     r"|(?P<word>[A-Za-z_][A-Za-z0-9_.]*))"
 )
@@ -252,7 +257,7 @@ def _tokenize(text: str) -> list[tuple[str, str]]:
                 raise PredicateError(f"cannot tokenize predicate at: {text[pos:pos+30]!r}")
             break
         pos = match.end()
-        for kind in ("lpar", "rpar", "op", "str", "num", "word"):
+        for kind in ("lpar", "rpar", "comma", "op", "str", "num", "word"):
             val = match.group(kind)
             if val is not None:
                 tokens.append((kind, val))
@@ -332,9 +337,42 @@ class _Parser:
             node = Op.is_null(col)
             return Op.not_(node) if negated else node
 
+        negated_in = False
+        if self.peek_word() == "NOT":
+            self.take()
+            negated_in = True
+            if self.peek_word() != "IN":
+                raise PredicateError("expected IN after NOT in comparison")
+        if self.peek_word() == "IN":
+            self.take()
+            kind, tok = self.take()
+            if kind != "lpar":
+                raise PredicateError("expected '(' after IN")
+            eqs = []
+            while True:
+                eqs.append(Op.equal(col, self._literal(vt)))
+                kind, tok = self.take()
+                if kind == "rpar":
+                    break
+                if kind != "comma":
+                    raise PredicateError(
+                        f"expected ',' or ')' in IN list, got {tok!r}")
+            node = eqs[0] if len(eqs) == 1 else Op.or_(eqs)
+            return Op.not_(node) if negated_in else node
+
         kind, sym = self.take()
         if kind != "op":
             raise PredicateError(f"expected comparison operator, got {sym!r}")
+        lit = self._literal(vt)
+
+        builders = {
+            "=": Op.equal, "==": Op.equal,
+            "<": Op.less_than, "<=": Op.less_than_or_equal,
+            ">": Op.greater_than, ">=": Op.greater_than_or_equal,
+        }
+        return builders[sym](col, lit)
+
+    def _literal(self, vt: ValueType) -> Op:
         lit_kind, lit_raw = self.take()
         if lit_kind == "str":
             lit_value: Any = lit_raw[1:-1].replace("''", "'")
@@ -344,14 +382,7 @@ class _Parser:
             lit_value = lit_raw.lower()
         else:
             raise PredicateError(f"expected literal, got {lit_raw!r}")
-        lit = Op.literal(lit_value, vt)
-
-        builders = {
-            "=": Op.equal, "==": Op.equal,
-            "<": Op.less_than, "<=": Op.less_than_or_equal,
-            ">": Op.greater_than, ">=": Op.greater_than_or_equal,
-        }
-        return builders[sym](col, lit)
+        return Op.literal(lit_value, vt)
 
 
 def predicate_from_sql(text: str, schema) -> Op:

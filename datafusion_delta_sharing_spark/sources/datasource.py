@@ -47,11 +47,13 @@ from pyspark.sql.datasource import (
     Filter,
     GreaterThan,
     GreaterThanOrEqual,
+    In,
     InputPartition,
     IsNotNull,
     IsNull,
     LessThan,
     LessThanOrEqual,
+    Not,
 )
 
 from datafusion_delta_sharing_spark.errors import DeltaSharingError, PredicateError
@@ -139,6 +141,12 @@ def _one_filter(f: Filter, types: dict[str, ValueType]) -> Op | None:
         GreaterThan: Op.greater_than,
         GreaterThanOrEqual: Op.greater_than_or_equal,
     }
+    if isinstance(f, Not):
+        # the wire format has a first-class "not"; sound for hints (the
+        # server prunes to a superset) and for local pruning (may_match
+        # only analyzes not(isNull), everything else keeps the file)
+        inner = _one_filter(f.child, types)
+        return Op.not_(inner) if inner is not None else None
     attr = getattr(f, "attribute", None)
     if attr is None or len(attr) != 1 or attr[0] not in types:
         return None
@@ -147,6 +155,16 @@ def _one_filter(f: Filter, types: dict[str, ValueType]) -> Op | None:
     for cls, builder in binary.items():
         if isinstance(f, cls):
             return builder(Op.column(name, vt), Op.literal(f.value, vt))
+    if isinstance(f, In):
+        # IN -> or(equal, ...): the wire format has no IN op. A NULL in
+        # the list renders nothing useful — skip the whole filter (it is
+        # re-applied exactly by Spark anyway; hints are best-effort)
+        values = [v for v in f.value if v is not None]
+        if not values or len(values) != len(f.value):
+            return None
+        col = Op.column(name, vt)
+        eqs = [Op.equal(col, Op.literal(v, vt)) for v in values]
+        return eqs[0] if len(eqs) == 1 else Op.or_(eqs)
     if isinstance(f, IsNull):
         return Op.is_null(Op.column(name, vt))
     if isinstance(f, IsNotNull):

@@ -612,6 +612,36 @@ def test_datasource_partition_value_pruning(registered):
         assert fetched == {"/pvb.parquet"}
 
 
+def test_datasource_in_filter_prunes_partitions(registered):
+    """Spark pushes an `In` filter for day IN (...); it must become an
+    or(equal, ...) hint AND prune non-matching partitions client-side."""
+    spark = registered
+    blobs = {"/ina.parquet": _blob([1, 2], [1.0, 2.0]),
+             "/inb.parquet": _blob([3, 4], [3.0, 4.0]),
+             "/inc.parquet": _blob([5, 6], [5.0, 6.0])}
+    srv, table = _server(blobs)
+    with srv:
+        for fid, day in (("a", "2021-04-27"), ("b", "2021-04-28"),
+                         ("c", "2021-04-29")):
+            table.files.append({
+                "id": fid, "url": f"{srv.base_url}/in{fid}.parquet",
+                "size": len(blobs[f"/in{fid}.parquet"]),
+                "partition_values": {"day": day}})
+        df = (spark.read.format("deltasharing")
+              .option("profile_json", json.dumps(srv.profile_doc()))
+              .option("table", "s.d.t").load()
+              .filter("day IN (DATE'2021-04-28', DATE'2021-04-29')"))
+        assert sorted(r.id for r in df.collect()) == [3, 4, 5, 6]
+        fetched = {r["path"] for r in srv.requests
+                   if r["path"].endswith(".parquet")}
+        assert fetched == {"/inb.parquet", "/inc.parquet"}
+        bodies = [json.loads(r["body"]) for r in srv.requests
+                  if r["path"].endswith("/query") and r["body"]]
+        hints = [b["jsonPredicateHints"] for b in bodies
+                 if "jsonPredicateHints" in b]
+        assert hints and '"op":"or"' in hints[-1]
+
+
 def test_datasource_column_mapping_translated(registered):
     """format('deltasharing') over a column-mapped table: physical
     parquet columns (col-<id>) come back under their logical names with

@@ -132,3 +132,48 @@ def test_conjunction_folding():
 def test_string_literal_escaping():
     op = predicate_from_sql("name = 'it''s'", SCHEMA)
     assert op.children[1].value == "it's"
+
+
+def test_in_expands_to_or_of_equals():
+    op = predicate_from_sql("id IN (1, 2, 3)", SCHEMA)
+    assert op.op == "or" and len(op.children) == 3
+    assert all(c.op == "equal" for c in op.children)
+    assert [c.children[1].value for c in op.children] == ["1", "2", "3"]
+    # single-element IN folds to a bare equal
+    assert predicate_from_sql("id IN (7)", SCHEMA).op == "equal"
+
+
+def test_not_in_wraps_not():
+    op = predicate_from_sql("name NOT IN ('a', 'b')", SCHEMA)
+    assert op.op == "not" and op.children[0].op == "or"
+
+
+def test_in_malformed_raises():
+    for bad in ("id IN ()", "id IN (1,)", "id IN (1 2)", "id NOT 5",
+                "id IN (1", "id IN 1"):
+        with pytest.raises(PredicateError):
+            predicate_from_sql(bad, SCHEMA)
+
+
+def test_column_rename_for_physical_stats():
+    op = predicate_from_sql("id IN (1, 2) AND name = 'x'", SCHEMA)
+    renamed = op.rename_columns({"id": "col-1"})
+    names = set()
+
+    def walk(n):
+        if n.op == "column":
+            names.add(n.name)
+        for c in n.children:
+            walk(c)
+    walk(renamed)
+    assert names == {"col-1", "name"}
+    # original tree untouched
+    walk_orig = set()
+
+    def walk2(n):
+        if n.op == "column":
+            walk_orig.add(n.name)
+        for c in n.children:
+            walk2(c)
+    walk2(op)
+    assert walk_orig == {"id", "name"}

@@ -43,6 +43,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    EqualNullSafe,
     EqualTo,
     Filter,
     GreaterThan,
@@ -54,6 +55,7 @@ from pyspark.sql.datasource import (
     LessThan,
     LessThanOrEqual,
     Not,
+    StringStartsWith,
 )
 
 from datafusion_delta_sharing_spark.errors import DeltaSharingError, PredicateError
@@ -165,6 +167,28 @@ def _one_filter(f: Filter, types: dict[str, ValueType]) -> Op | None:
         col = Op.column(name, vt)
         eqs = [Op.equal(col, Op.literal(v, vt)) for v in values]
         return eqs[0] if len(eqs) == 1 else Op.or_(eqs)
+    if isinstance(f, EqualNullSafe):
+        # col <=> NULL is exactly isNull; with a non-null literal the
+        # matching rows are a subset of equal's (equal never matches
+        # NULL either), so equal is the precise hint
+        col = Op.column(name, vt)
+        if f.value is None:
+            return Op.is_null(col)
+        return Op.equal(col, Op.literal(f.value, vt))
+    if isinstance(f, StringStartsWith) and vt == ValueType.STRING:
+        # startswith(prefix) -> prefix <= col < bumped-prefix: every
+        # matching string falls in the range, so the hint is a sound
+        # superset. Only for printable-ASCII prefixes, where Python's
+        # codepoint order, UTF-8 byte order, and any reasonable server
+        # collation agree; anything else stays residual-only.
+        prefix = f.value
+        if prefix and all(" " <= ch < "\x7f" for ch in prefix):
+            col = Op.column(name, vt)
+            upper = prefix[:-1] + chr(ord(prefix[-1]) + 1)
+            return Op.and_([
+                Op.greater_than_or_equal(col, Op.literal(prefix, vt)),
+                Op.less_than(col, Op.literal(upper, vt))])
+        return None
     if isinstance(f, IsNull):
         return Op.is_null(Op.column(name, vt))
     if isinstance(f, IsNotNull):

@@ -642,6 +642,42 @@ def test_datasource_in_filter_prunes_partitions(registered):
         assert hints and '"op":"or"' in hints[-1]
 
 
+def test_datasource_startswith_prunes_by_range(registered):
+    """StringStartsWith converts to a prefix range (prefix <= col <
+    bumped-prefix): with string partition values, the non-matching
+    partition is pruned client-side and never fetched."""
+    spark = registered
+    schema_with_tag = json.dumps({"type": "struct", "fields": [
+        {"name": "id", "type": "long", "nullable": False, "metadata": {}},
+        {"name": "amount", "type": "double", "nullable": True,
+         "metadata": {}},
+        {"name": "tag", "type": "string", "nullable": True, "metadata": {}},
+    ]})
+    blobs = {"/swa.parquet": _blob([1, 2], [1.0, 2.0]),
+             "/swb.parquet": _blob([3, 4], [3.0, 4.0])}
+    table = MockTable(share="s", schema="d", name="sw",
+                      schema_string=schema_with_tag,
+                      partition_columns=["tag"], files=[])
+    srv = MockSharingServer([table], parquet_bytes=blobs)
+    with srv:
+        table.files.extend([
+            {"id": "a", "url": f"{srv.base_url}/swa.parquet",
+             "size": len(blobs["/swa.parquet"]),
+             "partition_values": {"tag": "train_books"}},
+            {"id": "b", "url": f"{srv.base_url}/swb.parquet",
+             "size": len(blobs["/swb.parquet"]),
+             "partition_values": {"tag": "eval_books"}},
+        ])
+        df = (spark.read.format("deltasharing")
+              .option("profile_json", json.dumps(srv.profile_doc()))
+              .option("table", "s.d.sw").load()
+              .filter("tag LIKE 'train%'"))
+        assert sorted(r.id for r in df.collect()) == [1, 2]
+        fetched = {r["path"] for r in srv.requests
+                   if r["path"].endswith(".parquet")}
+        assert fetched == {"/swa.parquet"}
+
+
 def test_datasource_column_mapping_translated(registered):
     """format('deltasharing') over a column-mapped table: physical
     parquet columns (col-<id>) come back under their logical names with

@@ -592,6 +592,38 @@ def test_column_mapped_http_strategy_prunes_physical_stats(spark):
         assert "/cmh2.parquet" not in fetched, "physical stats not pruned"
 
 
+def test_column_mapping_composes_with_type_widening(spark, tmp_path):
+    """One file exercising BOTH translations: physical column names
+    (columnMapping) holding pre-widening narrow types (typeWidening) —
+    the physical-space scan must widen, then the final projection
+    renames to logical."""
+    cm_wide_schema = json.dumps({"type": "struct", "fields": [
+        {"name": "id", "type": "long", "nullable": False,
+         "metadata": {"delta.columnMapping.physicalName": "col-1111"}},
+        {"name": "amount", "type": "double", "nullable": True,
+         "metadata": {"delta.columnMapping.physicalName": "col-2222"}},
+    ]})
+    sink = io.BytesIO()
+    pq.write_table(pa.table({
+        "col-1111": pa.array([1, 2], pa.int32()),       # narrow + physical
+        "col-2222": pa.array([1.5, 2.5], pa.float32())}), sink)
+    p = tmp_path / "cmw.parquet"
+    p.write_bytes(sink.getvalue())
+    table = MockTable(share="s", schema="d", name="cmw",
+                      schema_string=cm_wide_schema, partition_columns=[],
+                      files=[{"id": "cmw", "url": f"file://{p}", "size": 0,
+                              "partition_values": {}}],
+                      configuration={"delta.columnMapping.mode": "name"},
+                      reader_features=["columnMapping", "typeWidening"])
+    with MockSharingServer([table]) as srv:
+        df = _reader(spark, srv).table("s.d.cmw")
+        assert df.columns == ["id", "amount"]
+        assert [f.dataType.simpleString() for f in df.schema.fields] == [
+            "bigint", "double"]
+        assert sorted((r.id, r.amount) for r in df.collect()) == [
+            (1, 1.5), (2, 2.5)]
+
+
 def test_column_mapping_nested_rename_refused(spark, tmp_path):
     """A nested field with its own physicalName cannot be translated by
     a flat select-alias — must refuse at plan time, not mis-read."""

@@ -215,6 +215,17 @@ class DeltaSharingBatchReader(DataSourceReader):
         data = client.get_table_data(table, json_predicate_hints=hints,
                                      version=version, timestamp=timestamp)
         _check_reader_features(data.protocol)
+        from datafusion_delta_sharing_spark.sources.reader import (
+            _has_variant,
+        )
+
+        if _has_variant(self.full_schema):
+            # this source always decodes through pyarrow, which cannot
+            # parse a parquet footer containing the VARIANT logical type
+            raise DeltaSharingError(
+                "table has VARIANT columns, which format('deltasharing') "
+                "cannot decode (pyarrow footer parse); use "
+                "DeltaSharingReader over a local (file://) share")
         mapping = _column_mapping_of(data.metadata, self.full_schema)
         files = list(data.files)
         if self.hints_op is not None:

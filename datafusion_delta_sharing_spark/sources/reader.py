@@ -195,9 +195,28 @@ class _RangedHttpFile(io.RawIOBase):
 # is covered by tests), timestampNtz maps through the schema layer, and
 # v2Checkpoint/vacuumProtocolCheck do not affect a file-listing-based
 # read (the SERVER resolves the log).
+# variantType is honored on the LOCAL strategy only (Spark 4 reads the
+# parquet VARIANT logical type natively); the ranged-HTTP/mapInArrow
+# strategies decode through pyarrow, which does not yet recognize that
+# logical type — those scans refuse at plan time with a clear error
+# instead of an obscure task-side Thrift failure. variantShredding is
+# NOT accepted: shredded files change the physical layout.
 _SUPPORTED_READER_FEATURES = frozenset(
     {"deletionvectors", "columnmapping", "typewidening", "typewidening-preview",
-     "timestampntz", "v2checkpoint", "vacuumprotocolcheck"})
+     "timestampntz", "v2checkpoint", "vacuumprotocolcheck",
+     "varianttype", "varianttype-preview"})
+
+
+def _has_variant(dtype: T.DataType) -> bool:
+    if isinstance(dtype, T.VariantType):
+        return True
+    if isinstance(dtype, T.StructType):
+        return any(_has_variant(f.dataType) for f in dtype.fields)
+    if isinstance(dtype, T.ArrayType):
+        return _has_variant(dtype.elementType)
+    if isinstance(dtype, T.MapType):
+        return _has_variant(dtype.keyType) or _has_variant(dtype.valueType)
+    return False
 
 
 def _local_path(url: str) -> str:
@@ -756,6 +775,15 @@ class DeltaSharingReader:
         else:
             local = all(urlparse(f.url).scheme in ("", "file")
                         for f in files)
+            if not local and _has_variant(full_schema):
+                # pyarrow (the fetch strategies' decoder) does not
+                # recognize the parquet VARIANT logical type — a clear
+                # plan-time error beats the task-side Thrift failure
+                raise DeltaSharingError(
+                    "table has VARIANT columns, which this client reads "
+                    "only from local (file://) shares — the ranged-HTTP "
+                    "fetch decodes via pyarrow, which cannot parse a "
+                    "parquet footer containing the VARIANT logical type")
             if local:
                 df = self._read_local(files, full_schema,
                                       partition_columns, columns)

@@ -649,6 +649,60 @@ def test_column_mapping_nested_rename_refused(spark, tmp_path):
             _reader(spark, srv).table("s.d.n")
 
 
+VARIANT_SCHEMA_STRING = json.dumps({"type": "struct", "fields": [
+    {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+    {"name": "v", "type": "variant", "nullable": True, "metadata": {}},
+]})
+
+
+def _variant_parquet(spark, tmp_path) -> str:
+    """A real variant parquet file written by Spark (parse_json)."""
+    out = tmp_path / "variant_tbl"
+    (spark.sql("SELECT id, parse_json(concat('{\"a\":', id, '}')) AS v "
+               "FROM range(3)")
+     .coalesce(1).write.mode("overwrite").parquet(str(out)))
+    import glob as _glob
+
+    return _glob.glob(str(out / "*.parquet"))[0]
+
+
+def test_variant_table_reads_on_local_strategy(spark, tmp_path):
+    """variantType: Spark 4 reads the parquet VARIANT logical type
+    natively on the local strategy; variant_get works on the result."""
+    p = _variant_parquet(spark, tmp_path)
+    table = MockTable(share="s", schema="d", name="vt",
+                      schema_string=VARIANT_SCHEMA_STRING,
+                      partition_columns=[], files=[
+                          {"id": "v", "url": f"file://{p}", "size": 0,
+                           "partition_values": {}}],
+                      reader_features=["variantType"])
+    with MockSharingServer([table]) as srv:
+        df = _reader(spark, srv).table("s.d.vt")
+        got = sorted((r.id, r.a) for r in df.selectExpr(
+            "id", "variant_get(v, '$.a', 'int') AS a").collect())
+        assert got == [(0, 0), (1, 1), (2, 2)]
+
+
+def test_variant_over_http_refuses_at_plan_time(spark, tmp_path):
+    """pyarrow cannot parse a footer with the VARIANT logical type: the
+    HTTP strategy must refuse with a clear plan-time error instead of an
+    obscure task-side Thrift failure."""
+    from datafusion_delta_sharing_spark.errors import DeltaSharingError
+
+    p = _variant_parquet(spark, tmp_path)
+    with open(p, "rb") as fh:
+        blob = fh.read()
+    table = MockTable(share="s", schema="d", name="vh",
+                      schema_string=VARIANT_SCHEMA_STRING,
+                      partition_columns=[], files=[],
+                      reader_features=["variantType"])
+    with MockSharingServer([table], parquet_bytes={"/v.parquet": blob}) as srv:
+        table.files.append({"id": "v", "url": f"{srv.base_url}/v.parquet",
+                            "size": len(blob), "partition_values": {}})
+        with pytest.raises(DeltaSharingError, match="VARIANT"):
+            _reader(spark, srv).table("s.d.vh")
+
+
 def test_capabilities_header_is_configurable(spark, tmp_path):
     """ADVICE r4: a provider that answers the delta capability with
     features this reader refuses (column mapping, exotic DVs) can be
@@ -951,10 +1005,10 @@ def test_local_path_absolutizes_bare_paths():
 
 def test_unsupported_reader_features_refused_at_listing(spark, tmp_path):
     """A table whose protocol requires a reader feature this scan layer
-    cannot honor (e.g. variantType) must refuse at listing time —
-    scanning it as plain parquet yields wrong rows. Supported features
-    (deletionVectors, columnMapping + typeWidening [since r6],
-    timestampNtz) pass."""
+    cannot honor (e.g. variantShredding, whose shredded files change the
+    physical layout) must refuse at listing time — scanning it as plain
+    parquet yields wrong rows. Supported features (deletionVectors,
+    columnMapping + typeWidening [since r6], timestampNtz) pass."""
     from datafusion_delta_sharing_spark.errors import DeltaSharingError
 
     p = _write_local(tmp_path, "rf.parquet", [1], [1.0])
@@ -963,9 +1017,10 @@ def test_unsupported_reader_features_refused_at_listing(spark, tmp_path):
     bad = MockTable(share="s", schema="d", name="t",
                     schema_string=SCHEMA_STRING,
                     partition_columns=PARTITION_COLUMNS, files=files,
-                    reader_features=["deletionVectors", "variantType"])
+                    reader_features=["deletionVectors",
+                                     "variantShredding-preview"])
     with MockSharingServer([bad]) as srv:
-        with pytest.raises(DeltaSharingError, match="variantType"):
+        with pytest.raises(DeltaSharingError, match="variantShredding"):
             _reader(spark, srv).table("s.d.t")
     ok = MockTable(share="s", schema="d", name="t",
                    schema_string=SCHEMA_STRING,

@@ -71,6 +71,11 @@ HEADLINE = [
     # r6 addition: deletion-vector apply through the connector (inline +
     # on-file DV decode executor-side, anti-join of deleted positions)
     "connector_dv_apply",
+    # r6 additions: Spark-4 relational surface (recursive CTE spine,
+    # correlated LATERAL top-N, regr_* aggregates) + retrieval/selection
+    # (BM25, DSIR) + streaming session windows
+    "recursive_cte", "lateral_topn", "regr_funcs",
+    "bm25_topk", "dsir_select", "stream_session",
 ]
 
 

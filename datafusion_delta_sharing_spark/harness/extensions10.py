@@ -1,0 +1,73 @@
+"""Extensions batch 10: retrieval scoring, importance-based data
+selection, and streaming session windows.
+
+* ``bm25_topk`` — Okapi BM25 over the documents table for a fixed query
+  mixing one rare term ('dup' — the planted-duplicate marker, df≈5%)
+  with common ones, top-50 by (score, doc_id). One corpus shuffle
+  (:mod:`..operators.retrieval`).
+* ``dsir_select`` — DSIR importance selection: hashed-bigram LM of the
+  target slice (source = 'src18') vs the raw pool, top-100 pool docs by
+  mean log-likelihood ratio. Bucket table bounded by the hash space, so
+  the scoring join broadcasts at any corpus size.
+* ``stream_session`` — session_window aggregation under Structured
+  Streaming (incremental session-merge state), same oracle as the batch
+  ``session_window_batch`` query — the two MUST agree with each other
+  and with the islands SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datafusion_delta_sharing_spark.harness import load_table
+from datafusion_delta_sharing_spark.harness.tierb5 import (
+    ORACLES as _T5_ORACLES)
+from datafusion_delta_sharing_spark.operators.retrieval import (
+    bm25_scores, bm25_scores_sql, dsir_logratio, dsir_logratio_sql)
+from datafusion_delta_sharing_spark.streaming.windows import (
+    stream_session_counts)
+
+_BM25_TERMS = ("dup", "merge", "window", "hash")
+_BM25_K = 50
+_DSIR_TARGET_SQL = "source = 'src18'"
+_DSIR_N = 100
+
+
+def q_bm25_topk(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    scored = bm25_scores(docs, "text", "doc_id", _BM25_TERMS)
+    return scored.orderBy(F.desc("score"), "doc_id").limit(_BM25_K)
+
+
+def q_dsir_select(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    scored = dsir_logratio(docs, "text", "doc_id",
+                           F.col("source") == "src18")
+    return scored.orderBy(F.desc("logratio"), "doc_id").limit(_DSIR_N)
+
+
+def q_stream_session(spark, sf_dir):
+    return stream_session_counts(spark, sf_dir)
+
+
+QUERIES = {
+    "bm25_topk": q_bm25_topk,
+    "dsir_select": q_dsir_select,
+    "stream_session": q_stream_session,
+}
+
+ORACLES = {
+    "bm25_topk": f"""
+        SELECT * FROM ({bm25_scores_sql('documents', 'text', 'doc_id',
+                                        _BM25_TERMS)})
+        ORDER BY score DESC, doc_id LIMIT {_BM25_K}
+    """,
+    "dsir_select": f"""
+        SELECT * FROM ({dsir_logratio_sql('documents', 'text', 'doc_id',
+                                          _DSIR_TARGET_SQL)})
+        ORDER BY logratio DESC, doc_id LIMIT {_DSIR_N}
+    """,
+    # the streaming session aggregation must equal the batch operator's
+    # islands oracle exactly — reuse that SQL so the two cannot drift
+    "stream_session": _T5_ORACLES["session_window_batch"],
+}

@@ -1,0 +1,276 @@
+"""Corpus retrieval / data-selection operators: BM25 scoring and
+DSIR-style importance weighting.
+
+Two staples of LLM training-data pipelines that sit on top of the shared
+corpus tokenizer (:mod:`..functions.text`):
+
+* **BM25** (Robertson/Spärck Jones Okapi form) — keyword relevance
+  scoring of every document against a fixed query-term set. Used for
+  retrieval-based decontamination probes, topical subset extraction, and
+  search-quality heuristics over web corpora.
+* **DSIR** (Data Selection via Importance Resampling, Xie et al. 2023,
+  public preprint) — per-document importance weights from hashed-bigram
+  language models of a *target* corpus vs the *raw* pool, followed by a
+  deterministic top-N selection. The publicly documented recipe hashes
+  n-grams into a bounded bucket space so the two "LMs" are just two count
+  vectors; the weight is the average log-likelihood ratio of a document's
+  grams under the two models.
+
+Scale shape (100 TB posture):
+
+* BM25 tokenizes the corpus once, aggregates per document in ONE shuffle
+  (conditional counts per query term — no posting-list join needed for a
+  bounded query set), and broadcasts the one-row corpus stats. Per-term
+  contributions are summed in a *fixed literal order*, so the score is
+  bit-deterministic regardless of partitioning.
+* DSIR's bucket count table is bounded by the hash space (16^bucket_hex
+  rows), so the gram->ratio lookup is a broadcast join; the corpus is
+  shuffled only by (doc) for the final average. Selection is a global
+  top-N via TakeOrderedAndProject (no single-partition window).
+
+Both emit rounded doubles (unigram_logprob precedent) so accumulation
+order cannot flip the oracle hash, and both have DuckDB SQL mirrors built
+from the same constants.
+
+The reference engine has no retrieval surface at all — this module is
+part of the beyond-reference LLM-pipeline tier (SURVEY.md §2 extensions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from datafusion_delta_sharing_spark.functions.text import (
+    tokens_lower, tokens_lower_sql)
+from datafusion_delta_sharing_spark.operators.tfidf import (
+    token_rows, token_rows_sql)
+
+__all__ = [
+    "bm25_scores", "bm25_scores_sql",
+    "dsir_logratio", "dsir_logratio_sql",
+]
+
+
+def _check_terms(query_terms) -> list[str]:
+    """Lowercased, order-preserving dedup; loud on unusable terms. A term
+    containing whitespace can never equal a whitespace-split token, so it
+    would silently contribute 0 to every score — error instead."""
+    seen: dict[str, None] = {}
+    for t in query_terms:
+        low = str(t).strip().lower()
+        if not low or any(ch.isspace() for ch in low):
+            raise ValueError(f"unusable BM25 query term: {t!r} "
+                             "(empty or contains whitespace)")
+        seen.setdefault(low, None)
+    if not seen:
+        raise ValueError("BM25 needs at least one query term")
+    if "'" in "".join(seen):
+        # terms are inlined into the SQL mirror as literals
+        raise ValueError("BM25 query terms must not contain quotes")
+    return list(seen)
+
+
+def bm25_scores(docs: DataFrame, text_col: str, id_col: str,
+                query_terms, k1: float = 1.2, b: float = 0.75,
+                ndigits: int = 6) -> DataFrame:
+    """Okapi BM25 score of every matching document against a fixed query.
+
+    ``score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))``
+    with ``idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))`` — the standard
+    positive-idf Okapi form.
+
+    Returns ``(id, n_tokens, n_terms_hit, score)`` for documents matching
+    at least one query term; ``score`` rounded to ``ndigits``. Documents
+    with no tokens (or no hits) are absent.
+
+    One corpus shuffle: per-document conditional tf counts ride the same
+    groupBy as the document length, and the corpus stats row (N, avgdl,
+    per-term df) is broadcast back. The per-term sum is a fixed-order
+    literal expression — no accumulation-order nondeterminism.
+    """
+    terms = _check_terms(query_terms)
+    toks = token_rows(docs, text_col, id_col)
+    per_doc = toks.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[F.count(F.when(F.col("token") == t, 1)).alias(f"tf_{i}")
+          for i, t in enumerate(terms)])
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[F.sum((F.col(f"tf_{i}") > 0).cast("bigint")).alias(f"df_{i}")
+          for i in range(len(terms))])
+
+    def _contrib(i: int) -> Column:
+        tf = F.col(f"tf_{i}")
+        idf = F.log(1 + (F.col("n_docs") - F.col(f"df_{i}") + 0.5)
+                    / (F.col(f"df_{i}") + 0.5))
+        norm = tf + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+        return idf * (tf * (k1 + 1)) / norm
+
+    score = _contrib(0)
+    for i in range(1, len(terms)):
+        score = score + _contrib(i)
+    hits = (F.col("tf_0") > 0).cast("bigint")
+    for i in range(1, len(terms)):
+        hits = hits + (F.col(f"tf_{i}") > 0).cast("bigint")
+    return (per_doc.join(F.broadcast(stats))
+            .withColumn("n_terms_hit", hits)
+            .filter(F.col("n_terms_hit") > 0)
+            .select(F.col(id_col),
+                    F.col("dl").cast("bigint").alias("n_tokens"),
+                    F.col("n_terms_hit"),
+                    F.round(score, ndigits).alias("score")))
+
+
+def bm25_scores_sql(source_sql: str, text_col: str, id_col: str,
+                    query_terms, k1: float = 1.2, b: float = 0.75,
+                    ndigits: int = 6) -> str:
+    """DuckDB mirror of :func:`bm25_scores`, same constants and the same
+    fixed-order contribution sum."""
+    terms = _check_terms(query_terms)
+    tf_cols = ",\n               ".join(
+        f"count(CASE WHEN token = '{t}' THEN 1 END) AS tf_{i}"
+        for i, t in enumerate(terms))
+    df_cols = ",\n               ".join(
+        f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(terms)))
+    contribs = " + ".join(
+        f"(ln(1 + (n_docs - df_{i} + 0.5) / (df_{i} + 0.5))"
+        f" * (tf_{i} * ({k1!r} + 1))"
+        f" / (tf_{i} + {k1!r} * (1 - {b!r} + {b!r} * dl / avgdl)))"
+        for i in range(len(terms)))
+    hits = " + ".join(
+        f"(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END)"
+        for i in range(len(terms)))
+    return f"""
+        WITH per_doc AS (
+            SELECT {id_col}, count(*) AS dl,
+               {tf_cols}
+            FROM ({token_rows_sql(source_sql, text_col, id_col)})
+            GROUP BY {id_col}
+        ),
+        stats AS (
+            SELECT count(*) AS n_docs, avg(dl) AS avgdl,
+               {df_cols}
+            FROM per_doc
+        )
+        SELECT {id_col}, CAST(dl AS BIGINT) AS n_tokens,
+               CAST({hits} AS BIGINT) AS n_terms_hit,
+               round({contribs}, {ndigits}) AS score
+        FROM per_doc CROSS JOIN stats
+        WHERE {hits} > 0
+    """
+
+
+def _bigrams_expr(words: Column) -> Column:
+    """Adjacent-pair bigram array from a token array (corpus.py spelling:
+    empty array below two tokens)."""
+    pairs = F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(words, i),
+                                  F.element_at(words, i + 1))),
+    ).otherwise(F.expr("array()").cast("array<string>"))
+    return pairs
+
+
+def dsir_logratio(docs: DataFrame, text_col: str, id_col: str,
+                  target: Column, bucket_hex: int = 3, alpha: float = 1.0,
+                  salt: str = "dsir-v1", ndigits: int = 6) -> DataFrame:
+    """DSIR importance weight for every document in the raw pool.
+
+    ``target`` is a boolean column splitting the corpus into the target
+    distribution (what we want more of) and the raw pool (what we select
+    from). Each document's adjacent-bigram grams hash into a bounded
+    bucket space (``substr(md5(gram||salt), 1, bucket_hex)`` — 16^hex
+    buckets, engine-portable); bucket counts under the two subsets give
+    Laplace-smoothed gram probabilities, and the weight is the mean
+    log-likelihood ratio
+
+    ``w(d) = avg_g ln((c_tgt[g]+α)/(T_tgt+α·B)) − ln((c_raw[g]+α)/(T_raw+α·B))``
+
+    Returns ``(id, n_bigrams, logratio)`` for POOL documents with at
+    least one bigram, ``logratio`` rounded to ``ndigits``. Selection is
+    the caller's cut (top-N by (logratio, id) — see the harness query).
+
+    Scale: the bucket table is ≤16^bucket_hex rows regardless of corpus
+    size, so the ratio lookup broadcasts; the only corpus-sized shuffles
+    are the bucket counts (map-side combined) and the per-doc average.
+    """
+    if not 1 <= bucket_hex <= 8:
+        raise ValueError(f"bucket_hex must be in [1, 8], got {bucket_hex}")
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    n_buckets = 16 ** bucket_hex
+    staged = docs.select(F.col(id_col), target.alias("_is_tgt"),
+                         tokens_lower(F.col(text_col)).alias("_w"))
+    grams = staged.select(
+        F.col(id_col), F.col("_is_tgt"),
+        F.explode(_bigrams_expr(F.col("_w"))).alias("gram"))
+    grams = grams.withColumn(
+        "bucket",
+        F.substring(F.md5(F.concat(F.col("gram"), F.lit(":" + salt))),
+                    1, bucket_hex))
+    counts = grams.groupBy("bucket").agg(
+        F.sum(F.when(F.col("_is_tgt"), 1).otherwise(0)).alias("c_tgt"),
+        F.sum(F.when(F.col("_is_tgt"), 0).otherwise(1)).alias("c_raw"))
+    totals = counts.agg(F.sum("c_tgt").alias("t_tgt"),
+                        F.sum("c_raw").alias("t_raw"))
+    ratio = (F.log((F.col("c_tgt") + alpha)
+                   / (F.col("t_tgt") + alpha * n_buckets))
+             - F.log((F.col("c_raw") + alpha)
+                     / (F.col("t_raw") + alpha * n_buckets)))
+    bucket_ratio = (counts.join(F.broadcast(totals))
+                    .select("bucket", ratio.alias("_ratio")))
+    return (grams.filter(~F.col("_is_tgt"))
+            .join(F.broadcast(bucket_ratio), "bucket")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+                 F.round(F.avg("_ratio"), ndigits).alias("logratio")))
+
+
+def dsir_logratio_sql(source_sql: str, text_col: str, id_col: str,
+                      target_sql: str, bucket_hex: int = 3,
+                      alpha: float = 1.0, salt: str = "dsir-v1",
+                      ndigits: int = 6) -> str:
+    """DuckDB mirror of :func:`dsir_logratio` (``target_sql`` is the
+    boolean predicate over the source row, e.g. ``source = 'src18'``)."""
+    n_buckets = 16 ** bucket_hex
+    return f"""
+        WITH wordrows AS (
+            SELECT {id_col}, ({target_sql}) AS is_tgt,
+                   {tokens_lower_sql(text_col)} AS words
+            FROM {source_sql}
+        ),
+        grams AS (
+            SELECT {id_col}, is_tgt,
+                   substr(md5((words[i] || ' ' || words[i + 1]) ||
+                              ':{salt}'), 1, {bucket_hex}) AS bucket
+            FROM (SELECT {id_col}, is_tgt, words,
+                         unnest(generate_series(1, len(words) - 1)) AS i
+                  FROM wordrows)
+        ),
+        counts AS (
+            SELECT bucket,
+                   sum(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS c_tgt,
+                   sum(CASE WHEN is_tgt THEN 0 ELSE 1 END) AS c_raw
+            FROM grams GROUP BY bucket
+        ),
+        totals AS (
+            SELECT sum(c_tgt) AS t_tgt, sum(c_raw) AS t_raw FROM counts
+        ),
+        ratios AS (
+            SELECT bucket,
+                   ln((c_tgt + {alpha!r}) / (t_tgt + {alpha!r} * {n_buckets}))
+                   - ln((c_raw + {alpha!r}) / (t_raw + {alpha!r} * {n_buckets}))
+                       AS _ratio
+            FROM counts CROSS JOIN totals
+        )
+        SELECT {id_col}, CAST(count(*) AS BIGINT) AS n_bigrams,
+               round(avg(_ratio), {ndigits}) AS logratio
+        FROM grams JOIN ratios USING (bucket)
+        WHERE NOT is_tgt
+        GROUP BY {id_col}
+    """
+

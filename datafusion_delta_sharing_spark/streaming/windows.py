@@ -262,3 +262,31 @@ def stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "event_type", "n")
     )
     return materialize_stream(agg, "complete", "stream_hourly")
+
+
+def stream_session_counts(spark: SparkSession, sf_dir: str,
+                          gap: str = "30 minutes") -> DataFrame:
+    """Streaming session windows: gap-merged per-user sessions computed by
+    an actual streaming query (``session_window`` under incremental state
+    merge — sessions that straddle micro-batch boundaries must merge in
+    the state store, which a batch session_window never exercises).
+
+    Complete mode on the bounded file source (the stream_sliding
+    precedent): session aggregation in append mode only emits sessions
+    the watermark has closed, and a bounded source's watermark never
+    passes the tail events — complete mode emits every session.
+
+    The output mirrors ``session_window_batch`` exactly (same oracle):
+    (user_id, session_start NTZ, n_events, session_value rounded-cents).
+    """
+    events = stream_events(spark, sf_dir)
+    agg = (
+        events.groupBy("user_id", F.session_window("ts", gap))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 2).alias("session_value"))
+        .select("user_id",
+                F.col("session_window.start").cast("timestamp_ntz")
+                .alias("session_start"),
+                "n_events", "session_value")
+    )
+    return materialize_stream(agg, "complete", "stream_session")

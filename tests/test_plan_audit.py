@@ -24,7 +24,8 @@ _ALLOWS: dict[str, frozenset] = {
         "triangles_degcut", "basket_rules", "rolling_wau",
         "quality_filter", "tfidf_top", "pmi_collocations",
         "distinctive_terms", "corpus_overlap",
-        "unigram_logprob", "bigram_logprob", "heavy_hitters")},
+        "unigram_logprob", "bigram_logprob", "heavy_hitters",
+        "bm25_topk", "dsir_select")},
     # intentional non-equi-join demonstrations (the operator IS the BNLJ)
     "cross_join": frozenset({"bnl_join"}),
     "join_theta": frozenset({"bnl_join"}),

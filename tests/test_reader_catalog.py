@@ -1097,3 +1097,144 @@ def test_catalog_sql_nested_bracketed_comments_opaque(spark, local_server):
     assert catalog.sql(
         "/* a /* b */ c */ SELECT count(*) AS n FROM s.d.t"
     ).collect()[0].n == 6
+
+
+# -- metadata-only aggregates (count_rows / partition_row_counts) -----------
+
+def _stats(n, **extra):
+    return json.dumps({"numRecords": n, **extra})
+
+
+def _count_table(srv_files):
+    return MockTable(share="s", schema="d", name="t",
+                     schema_string=SCHEMA_STRING,
+                     partition_columns=PARTITION_COLUMNS, files=srv_files)
+
+
+def test_count_rows_metadata_only(spark):
+    """COUNT(*) answered from numRecords stats: exact, and NO parquet
+    byte is ever requested."""
+    blobs = {"/a.parquet": _blob([1, 2], [1.0, 2.0]),
+             "/b.parquet": _blob([3, 4, 5], [1.0, 2.0, 3.0])}
+    table = _count_table([])
+    with MockSharingServer([table], parquet_bytes=blobs) as srv:
+        table.files.extend([
+            {"id": "a", "url": f"{srv.base_url}/a.parquet", "size": 1,
+             "partition_values": {"day": "2021-04-28", "tag": "x"},
+             "stats": _stats(2)},
+            {"id": "b", "url": f"{srv.base_url}/b.parquet", "size": 1,
+             "partition_values": {"day": "2021-04-29", "tag": "y"},
+             "stats": _stats(3)},
+        ])
+        assert _reader(spark, srv).count_rows("s.d.t") == 5
+        assert not any(r["path"].endswith(".parquet")
+                       for r in srv.requests), "count fetched data"
+
+
+def test_count_rows_subtracts_dv_cardinality(spark, tmp_path):
+    from datafusion_delta_sharing_spark.sources import dv
+
+    p = _write_local(tmp_path, "c1.parquet", [1, 2, 3, 4], [0.0] * 4)
+    files = [{"id": "c1", "url": f"file://{p}", "size": 0,
+              "partition_values": {"day": "2021-04-28", "tag": "a"},
+              "stats": _stats(4),
+              "deletion_vector": dv.inline_descriptor([0, 3])}]
+    table = _count_table(files)
+    with MockSharingServer([table]) as srv:
+        reader = _reader(spark, srv)
+        assert reader.count_rows("s.d.t") == 2
+        # the metadata count must agree with the actual DV-applied scan
+        assert reader.table("s.d.t").count() == 2
+
+
+def test_count_rows_refuses_unusable_metadata(spark, tmp_path):
+    from datafusion_delta_sharing_spark.errors import DeltaSharingError
+    from datafusion_delta_sharing_spark.sources import dv
+
+    p = _write_local(tmp_path, "n1.parquet", [1], [0.0])
+    base = {"id": "n1", "url": f"file://{p}", "size": 0,
+            "partition_values": {"day": "2021-04-28", "tag": "a"}}
+    # no stats at all
+    with MockSharingServer([_count_table([dict(base)])]) as srv:
+        with pytest.raises(DeltaSharingError, match="numRecords"):
+            _reader(spark, srv).count_rows("s.d.t")
+    # DV whose claimed cardinality exceeds the file's rows
+    bad_dv = dv.inline_descriptor([0])
+    bad_dv["cardinality"] = 9
+    f = dict(base, stats=_stats(1), deletion_vector=bad_dv)
+    with MockSharingServer([_count_table([f])]) as srv:
+        with pytest.raises(DeltaSharingError, match="cardinality"):
+            _reader(spark, srv).count_rows("s.d.t")
+
+
+def test_partition_row_counts_typed_and_fetch_free(spark):
+    import datetime
+
+    blobs = {"/a.parquet": _blob([1, 2], [1.0, 2.0]),
+             "/b.parquet": _blob([3], [3.0]),
+             "/c.parquet": _blob([4, 5, 6], [1.0, 2.0, 3.0])}
+    table = _count_table([])
+    with MockSharingServer([table], parquet_bytes=blobs) as srv:
+        table.files.extend([
+            {"id": "a", "url": f"{srv.base_url}/a.parquet", "size": 1,
+             "partition_values": {"day": "2021-04-28", "tag": "x"},
+             "stats": _stats(2)},
+            {"id": "b", "url": f"{srv.base_url}/b.parquet", "size": 1,
+             "partition_values": {"day": "2021-04-28", "tag": "x"},
+             "stats": _stats(1)},
+            {"id": "c", "url": f"{srv.base_url}/c.parquet", "size": 1,
+             "partition_values": {"day": "2021-04-29", "tag": ""},
+             "stats": _stats(3)},
+        ])
+        out = _reader(spark, srv).partition_row_counts("s.d.t")
+        assert dict(out.dtypes) == {"day": "date", "tag": "string",
+                                    "row_count": "bigint"}
+        rows = {(r.day, r.tag): r.row_count for r in out.collect()}
+        # files of the same partition merge; empty string decodes to NULL
+        assert rows == {(datetime.date(2021, 4, 28), "x"): 3,
+                        (datetime.date(2021, 4, 29), None): 3}
+        assert not any(r["path"].endswith(".parquet")
+                       for r in srv.requests), "partition counts fetched data"
+
+
+def test_partition_row_counts_refuses_unpartitioned(spark, tmp_path):
+    from datafusion_delta_sharing_spark.errors import DeltaSharingError
+
+    p = _write_local(tmp_path, "u1.parquet", [1], [0.0])
+    table = MockTable(share="s", schema="d", name="u",
+                      schema_string=SCHEMA_STRING, partition_columns=[],
+                      files=[{"id": "u1", "url": f"file://{p}", "size": 0,
+                              "partition_values": {}, "stats": _stats(1)}])
+    with MockSharingServer([table]) as srv:
+        with pytest.raises(DeltaSharingError, match="unpartitioned"):
+            _reader(spark, srv).partition_row_counts("s.d.u")
+
+
+def test_partition_row_counts_column_mapped(spark, tmp_path):
+    """Column-mapped tables: partition keys arrive LOGICAL from
+    parquet-format servers and PHYSICAL from raw delta-format adds —
+    partition_row_counts normalizes both to the LOGICAL column."""
+    import datetime
+
+    p1 = tmp_path / "pc1.parquet"
+    p1.write_bytes(_cm_blob([1, 2], [1.0, 2.0]))
+    p2 = tmp_path / "pc2.parquet"
+    p2.write_bytes(_cm_blob([3, 4], [3.0, 4.0]))
+    files = [
+        {"id": "c1", "url": f"file://{p1}", "size": 0,
+         "partition_values": {"day": "2021-04-28"},        # logical key
+         "stats": _stats(2)},
+        {"id": "c2", "url": f"file://{p2}", "size": 0,
+         "partition_values": {"col-3333": "2021-04-28"},   # physical key
+         "stats": _stats(2)},
+    ]
+    table = MockTable(share="s", schema="d", name="cm",
+                      schema_string=CM_SCHEMA_STRING,
+                      partition_columns=["day"], files=files,
+                      configuration={"delta.columnMapping.mode": "name"},
+                      reader_features=["columnMapping"])
+    with MockSharingServer([table]) as srv:
+        out = _reader(spark, srv).partition_row_counts("s.d.cm")
+        assert out.columns == ["day", "row_count"]
+        assert {(r.day, r.row_count) for r in out.collect()} == {
+            (datetime.date(2021, 4, 28), 4)}

@@ -76,6 +76,9 @@ HEADLINE = [
     # (BM25, DSIR) + streaming session windows
     "recursive_cte", "lateral_topn", "regr_funcs",
     "bm25_topk", "dsir_select", "stream_session",
+    # r6 late batch 2: BPE merge statistics, sparse TF-IDF cosine join,
+    # version-pinned snapshot diff through the connector
+    "bpe_pair_counts", "sparse_cosine_topk", "connector_time_travel_diff",
 ]
 
 

@@ -223,6 +223,14 @@ def _ensure_served(spark: SparkSession, sf_dir: str) -> dict:
     dv_schema = spark.read.parquet(customer_path).select(
         "c_custkey", "c_name", "c_acctbal").schema.json()
 
+    # time-travel share over the SAME staged slices: snapshot v5 held
+    # slices 1+2, the latest (v7) holds 0+1 — so v5 -> latest adds
+    # slice 0 and drops slice 2
+    tt_table = MockTable(share=_SHARE, schema=_SCHEMA, name="customer_tt",
+                         schema_string=cdf_schema,
+                         files=[_cdf_file(0), _cdf_file(1)],
+                         history={5: [_cdf_file(1), _cdf_file(2)]})
+
     server = MockSharingServer(
         [
             MockTable(share=_SHARE, schema=_SCHEMA, name="customer",
@@ -235,6 +243,7 @@ def _ensure_served(spark: SparkSession, sf_dir: str) -> dict:
             cdf_table,
             MockTable(share=_SHARE, schema=_SCHEMA, name="customer_dv",
                       schema_string=dv_schema, files=dv_files),
+            tt_table,
         ],
         parquet_bytes={**customer_blobs, **dv_blobs},
     )
@@ -372,8 +381,31 @@ def q_connector_dv_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("c_custkey", "c_name", "c_acctbal"))
 
 
+def q_connector_time_travel_diff(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Snapshot time travel end-to-end (beyond reference: the protocol's
+    ``version`` query-body pin, never sent by the ref): read the SAME
+    share at version 5 (slices 1+2 of customer) and at the latest
+    version (slices 0+1), and diff — the added/removed row sets are
+    right only if the version pin actually reaches the server and both
+    listings resolve to their own snapshot's files. This is the
+    training-data lineage workflow: 'what changed between the snapshot
+    my last run read and today?'."""
+    reader = _reader(spark, sf_dir)
+    name = f"{_SHARE}.{_SCHEMA}.customer_tt"
+    old = reader.table(name, version=5).select("c_custkey", "c_name")
+    new = reader.table(name).select("c_custkey", "c_name")
+    added = (new.join(old.select("c_custkey"), "c_custkey", "left_anti")
+             .withColumn("change", F.lit("added")))
+    removed = (old.join(new.select("c_custkey"), "c_custkey", "left_anti")
+               .withColumn("change", F.lit("removed")))
+    return added.unionByName(removed).select("change", "c_custkey",
+                                             "c_name")
+
+
 QUERIES = {
     "connector_flagship": q_connector_flagship,
+    "connector_time_travel_diff": q_connector_time_travel_diff,
     "connector_dv_apply": q_connector_dv_apply,
     "connector_partitioned": q_connector_partitioned,
     "connector_datasource": q_connector_datasource,
@@ -385,6 +417,13 @@ ORACLES = {
     "connector_flagship": """
         SELECT c_custkey, c_name, c_acctbal, c_mktsegment
         FROM customer WHERE c_acctbal >= 1000.0
+    """,
+    "connector_time_travel_diff": """
+        SELECT 'added' AS change, c_custkey, c_name
+        FROM customer WHERE c_custkey % 3 = 0
+        UNION ALL
+        SELECT 'removed' AS change, c_custkey, c_name
+        FROM customer WHERE c_custkey % 3 = 2
     """,
     "connector_dv_apply": """
         SELECT c_custkey, c_name, c_acctbal

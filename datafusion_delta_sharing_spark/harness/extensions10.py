@@ -23,7 +23,10 @@ from datafusion_delta_sharing_spark.harness import load_table
 from datafusion_delta_sharing_spark.harness.tierb5 import (
     ORACLES as _T5_ORACLES)
 from datafusion_delta_sharing_spark.operators.retrieval import (
-    bm25_scores, bm25_scores_sql, dsir_logratio, dsir_logratio_sql)
+    bm25_scores, bm25_scores_sql, dsir_logratio, dsir_logratio_sql,
+    sparse_cosine_pairs, sparse_cosine_pairs_sql)
+from datafusion_delta_sharing_spark.operators.tfidf import (
+    bpe_pair_counts, bpe_pair_counts_sql)
 from datafusion_delta_sharing_spark.streaming.windows import (
     stream_session_counts)
 
@@ -50,10 +53,42 @@ def q_stream_session(spark, sf_dir):
     return stream_session_counts(spark, sf_dir)
 
 
+# relative df-cut: terms in >78% of documents are cut from the posting
+# lists (keeps ~18 of the corpus' 31 tokens at any SF — non-vacuous cut,
+# non-degenerate pairs; a FRACTION so the knob keeps meaning as the
+# corpus grows)
+_SPARSE_DF_FRAC = 0.78
+# pinned workload (the ngram_jaccard pattern): the synthetic corpus has a
+# 31-token vocabulary, so EVERY kept token is near-universal and the
+# posting self-join fan-out Σ df² is quadratic in corpus size — a df-cut
+# only bounds fan-out under Zipfian vocabularies (real corpora), where
+# kept terms have small df. The registry query therefore pins the doc
+# subset for oracle checkability; the true scale path for all-pairs
+# similarity on degenerate vocabularies is minhash-LSH (dedup_minhash).
+_SPARSE_DOCS = 300
+_SPARSE_K = 100
+_BPE_K = 50
+
+
+def q_bpe_pair_counts(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_pair_counts(docs, "text", top_k=_BPE_K)
+
+
+def q_sparse_cosine_topk(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _SPARSE_DOCS)
+    return sparse_cosine_pairs(docs, "text", "doc_id",
+                               max_doc_frac=_SPARSE_DF_FRAC,
+                               top_k=_SPARSE_K)
+
+
 QUERIES = {
     "bm25_topk": q_bm25_topk,
     "dsir_select": q_dsir_select,
     "stream_session": q_stream_session,
+    "bpe_pair_counts": q_bpe_pair_counts,
+    "sparse_cosine_topk": q_sparse_cosine_topk,
 }
 
 ORACLES = {
@@ -70,4 +105,9 @@ ORACLES = {
     # the streaming session aggregation must equal the batch operator's
     # islands oracle exactly — reuse that SQL so the two cannot drift
     "stream_session": _T5_ORACLES["session_window_batch"],
+    "bpe_pair_counts": bpe_pair_counts_sql("documents", "text",
+                                           top_k=_BPE_K),
+    "sparse_cosine_topk": sparse_cosine_pairs_sql(
+        f"(SELECT * FROM documents WHERE doc_id < {_SPARSE_DOCS})",
+        "text", "doc_id", max_doc_frac=_SPARSE_DF_FRAC, top_k=_SPARSE_K),
 }

@@ -48,6 +48,7 @@ from datafusion_delta_sharing_spark.operators.tfidf import (
 __all__ = [
     "bm25_scores", "bm25_scores_sql",
     "dsir_logratio", "dsir_logratio_sql",
+    "sparse_cosine_pairs", "sparse_cosine_pairs_sql",
 ]
 
 
@@ -274,3 +275,114 @@ def dsir_logratio_sql(source_sql: str, text_col: str, id_col: str,
         GROUP BY {id_col}
     """
 
+
+def sparse_cosine_pairs(docs: DataFrame, text_col: str, id_col: str,
+                        max_doc_frac: float | None = None,
+                        top_k: int = 100, ndigits: int = 6) -> DataFrame:
+    """Top-``top_k`` most similar document pairs by TF-IDF sparse cosine
+    — the lexical counterpart of the dense-embedding ANN stack: same
+    "find near neighbors" job, but on exact term weights, so it catches
+    paraphrase-resistant boilerplate the embedding path may smooth over
+    and needs no model.
+
+    Weights use the smoothed TF-IDF of :func:`~.tfidf.tfidf_top_terms`
+    (``tf · (ln((N+1)/(df+1)) + 1)``); norms run over a document's FULL
+    term set; candidate pairs come from the shared-term posting-list
+    self-join, optionally df-cut (``max_doc_frac``, RELATIVE: terms in
+    more than that fraction of documents are cut, so the knob keeps
+    meaning as the corpus grows) — the same lossy-candidate/exact-score
+    contract as the PPJoin family: a pair sharing only hotter-than-cut
+    terms is not generated, but every emitted cosine uses cut-consistent
+    dot products (the cut also drops those terms from the dot product;
+    SQL mirror applies the identical cut).
+
+    Returns ``(doc_a, doc_b, n_shared, cosine)`` with doc_a < doc_b,
+    ordered by (cosine, doc_a, doc_b), rounded so accumulation order
+    cannot flip the oracle hash.
+
+    Scale shape: posting lists are an equi-join on token with the df-cut
+    bounding hot-term fan-out (the 100 TB knob); norms are one doc-keyed
+    aggregate; the final top-k is a distributed TakeOrderedAndProject,
+    never a single-partition window. CAVEAT: pair fan-out is Σ_t df_t²
+    over the KEPT terms — the cut bounds it only when kept terms are
+    rare (Zipfian vocabularies, i.e. real corpora). On a degenerate
+    tiny-vocabulary corpus every kept term is near-universal and pair
+    generation goes quadratic; use minhash-LSH there instead.
+    """
+    toks = token_rows(docs, text_col, id_col)
+    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.countDistinct(id_col).alias("n_docs"))
+    w = (tf.join(df, "token").join(F.broadcast(n_docs))
+         .withColumn("w", F.col("tf") * (F.log((F.col("n_docs") + 1)
+                                               / (F.col("df") + 1)) + 1)))
+    norms = (w.groupBy(id_col)
+             .agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm")))
+    posting = w.select("token", F.col(id_col).alias("_d"),
+                       F.col("w").alias("_w"), "df", "n_docs")
+    if max_doc_frac is not None:
+        if not 0 < max_doc_frac <= 1:
+            raise ValueError(
+                f"max_doc_frac must be in (0, 1], got {max_doc_frac}")
+        posting = posting.filter(
+            F.col("df") <= max_doc_frac * F.col("n_docs"))
+    left = posting.select("token", F.col("_d").alias("doc_a"),
+                          F.col("_w").alias("w_a"))
+    right = posting.select("token", F.col("_d").alias("doc_b"),
+                           F.col("_w").alias("w_b"))
+    pairs = (left.join(right, "token")
+             .filter(F.col("doc_a") < F.col("doc_b"))
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"),
+                  F.sum(F.col("w_a") * F.col("w_b")).alias("_dot")))
+    na = norms.select(F.col(id_col).alias("doc_a"),
+                      F.col("norm").alias("_norm_a"))
+    nb = norms.select(F.col(id_col).alias("doc_b"),
+                      F.col("norm").alias("_norm_b"))
+    return (pairs.join(na, "doc_a").join(nb, "doc_b")
+            .select("doc_a", "doc_b", "n_shared",
+                    F.round(F.col("_dot") / (F.col("_norm_a")
+                                             * F.col("_norm_b")),
+                            ndigits).alias("cosine"))
+            .orderBy(F.desc("cosine"), "doc_a", "doc_b")
+            .limit(top_k))
+
+
+def sparse_cosine_pairs_sql(source_sql: str, text_col: str, id_col: str,
+                            max_doc_frac: float | None = None,
+                            top_k: int = 100, ndigits: int = 6) -> str:
+    """DuckDB mirror of :func:`sparse_cosine_pairs`."""
+    cut = (f"WHERE df <= {max_doc_frac!r} * n_docs"
+           if max_doc_frac is not None else "")
+    return f"""
+        WITH toks AS ({token_rows_sql(source_sql, text_col, id_col)}),
+        tf AS (SELECT {id_col}, token, count(*) AS tf
+               FROM toks GROUP BY {id_col}, token),
+        w AS (
+            SELECT {id_col}, token, df, n_docs,
+                   tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1) AS w
+            FROM tf
+            JOIN (SELECT token, count(*) AS df FROM tf GROUP BY token)
+                USING (token)
+            CROSS JOIN (SELECT count(DISTINCT {id_col}) AS n_docs
+                        FROM {source_sql})
+        ),
+        norms AS (SELECT {id_col}, sqrt(sum(w * w)) AS norm
+                  FROM w GROUP BY {id_col}),
+        posting AS (SELECT token, {id_col} AS d, w FROM w {cut}),
+        pairs AS (
+            SELECT a.d AS doc_a, b.d AS doc_b,
+                   CAST(count(*) AS BIGINT) AS n_shared,
+                   sum(a.w * b.w) AS dot
+            FROM posting a JOIN posting b
+              ON a.token = b.token AND a.d < b.d
+            GROUP BY a.d, b.d
+        )
+        SELECT doc_a, doc_b, n_shared,
+               round(dot / (na.norm * nb.norm), {ndigits}) AS cosine
+        FROM pairs
+        JOIN norms na ON na.{id_col} = doc_a
+        JOIN norms nb ON nb.{id_col} = doc_b
+        ORDER BY cosine DESC, doc_a, doc_b
+        LIMIT {top_k}
+    """

@@ -148,3 +148,59 @@ def build_vocab_sql(source_sql: str, text_col: str, id_col: str,
             ) WHERE df >= {min_df}
         ) WHERE rank <= {size}
     """
+
+
+def bpe_pair_counts(docs: DataFrame, text_col: str,
+                    top_k: int = 50) -> DataFrame:
+    """First-round BPE merge statistics (Sennrich et al. 2016, the public
+    byte-pair-encoding recipe): adjacent character-pair counts across the
+    corpus, weighted by word frequency — the quantity a BPE tokenizer
+    trainer maximizes at every merge step. Emitted as the top-``top_k``
+    pairs by (count, pair), the exact candidate list for merge #1.
+
+    Returns ``(pair, pair_count)``. A pair occurring twice inside one
+    word occurrence counts twice ('aaa' -> 'aa' twice), matching the
+    reference BPE counting.
+
+    Scale shape: ONE corpus shuffle builds the word-frequency table
+    (vocabulary-sized); the pair expansion + count runs over the VOCAB,
+    not the corpus — at web scale that is billions of corpus tokens in,
+    millions of vocab rows out, and the pair table is bounded by
+    |alphabet|² regardless of corpus size. Top-k is a distributed
+    TakeOrderedAndProject.
+    """
+    toks = docs.select(F.explode(tokens_lower(F.col(text_col)))
+                       .alias("word"))
+    freq = toks.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    pairs = freq.filter(F.length("word") >= 2).select(
+        F.explode(F.transform(
+            F.sequence(F.lit(1), F.length("word") - 1),
+            lambda i: F.col("word").substr(i, F.lit(2)))).alias("pair"),
+        "n")
+    return (pairs.groupBy("pair")
+            .agg(F.sum("n").cast("bigint").alias("pair_count"))
+            .orderBy(F.desc("pair_count"), F.asc("pair"))
+            .limit(top_k))
+
+
+def bpe_pair_counts_sql(source_sql: str, text_col: str,
+                        top_k: int = 50) -> str:
+    """DuckDB mirror of :func:`bpe_pair_counts`."""
+    return f"""
+        WITH toks AS (
+            SELECT unnest(words) AS word
+            FROM (SELECT {tokens_lower_sql(text_col)} AS words
+                  FROM {source_sql})
+        ),
+        freq AS (SELECT word, count(*) AS n FROM toks GROUP BY word),
+        pairs AS (
+            SELECT substr(word, i, 2) AS pair, n
+            FROM (SELECT word, n,
+                         unnest(generate_series(1, len(word) - 1)) AS i
+                  FROM freq WHERE len(word) >= 2)
+        )
+        SELECT pair, CAST(sum(n) AS BIGINT) AS pair_count
+        FROM pairs GROUP BY pair
+        ORDER BY pair_count DESC, pair ASC
+        LIMIT {top_k}
+    """

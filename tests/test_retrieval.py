@@ -145,3 +145,63 @@ def test_lateral_topn_matches_direct_ranking(spark, sf_dir):
         items.sort(key=lambda x: (-x[1], x[0]))
         expect |= {(rn, n, t) for n, t in items[:2]}
     assert got == expect and len(got) > 0
+
+
+# -- BPE pair counts ----------------------------------------------------------
+
+def test_bpe_pair_counts_hand_checked(spark):
+    from datafusion_delta_sharing_spark.operators.tfidf import bpe_pair_counts
+
+    docs = _docs(spark, [(1, "aaa ab", "s"), (2, "ab aaa aaa", "s")])
+    # word freqs: aaa=3, ab=2. pairs: 'aa' twice per 'aaa' -> 6; 'ab' -> 2
+    got = {(r["pair"], r["pair_count"])
+           for r in bpe_pair_counts(docs, "text").collect()}
+    assert got == {("aa", 6), ("ab", 2)}
+
+
+# -- sparse TF-IDF cosine -----------------------------------------------------
+
+def test_sparse_cosine_identical_docs_score_one(spark):
+    from datafusion_delta_sharing_spark.operators.retrieval import (
+        sparse_cosine_pairs)
+
+    docs = _docs(spark, [(1, "alpha beta gamma", "s"),
+                         (2, "alpha beta gamma", "s"),
+                         (3, "delta epsilon zeta", "s")])
+    out = {(r["doc_a"], r["doc_b"]): r for r in
+           sparse_cosine_pairs(docs, "text", "doc_id").collect()}
+    assert out.keys() == {(1, 2)}  # no shared terms with doc 3
+    assert out[(1, 2)]["cosine"] == 1.0
+    assert out[(1, 2)]["n_shared"] == 3
+
+
+def test_sparse_cosine_df_cut_drops_hot_terms(spark):
+    from datafusion_delta_sharing_spark.operators.retrieval import (
+        sparse_cosine_pairs)
+
+    # 'the' is in every doc (df = 4/4); rare terms pair only 1-2
+    docs = _docs(spark, [(1, "the cat", "s"), (2, "the cat", "s"),
+                         (3, "the dog", "s"), (4, "the bird", "s")])
+    uncut = sparse_cosine_pairs(docs, "text", "doc_id").collect()
+    cut = sparse_cosine_pairs(docs, "text", "doc_id",
+                              max_doc_frac=0.9).collect()
+    assert len(uncut) == 6          # every pair shares 'the'
+    got = {(r["doc_a"], r["doc_b"]) for r in cut}
+    assert got == {(1, 2)}          # only the 'cat' pair survives the cut
+    with pytest.raises(ValueError):
+        sparse_cosine_pairs(docs, "text", "doc_id", max_doc_frac=0.0)
+
+
+# -- connector time travel diff -----------------------------------------------
+
+def test_connector_time_travel_diff_semantics(spark, sf_dir):
+    from datafusion_delta_sharing_spark.harness.connector import (
+        q_connector_time_travel_diff)
+    from datafusion_delta_sharing_spark.harness import load_table
+
+    out = q_connector_time_travel_diff(spark, sf_dir)
+    rows = {(r["change"], r["c_custkey"]) for r in out.collect()}
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey").collect()
+    expect = {("added", r.c_custkey) for r in cust if r.c_custkey % 3 == 0}
+    expect |= {("removed", r.c_custkey) for r in cust if r.c_custkey % 3 == 2}
+    assert rows == expect and len(rows) > 0

@@ -146,3 +146,80 @@ def test_dsir_weights_invariant_to_doc_order(corpus, seed):
     shuffled = _dsir_ref([corpus[p] for p in perm])
     remapped = {perm[j]: v for j, v in shuffled.items()}
     assert remapped == base
+
+
+# -- BPE pair counts ----------------------------------------------------------
+
+def _bpe_ref(docs: list[list[str]], top_k: int = 50):
+    counts: dict[str, int] = {}
+    freq: dict[str, int] = {}
+    for d in docs:
+        for w in d:
+            freq[w] = freq.get(w, 0) + 1
+    for w, n in freq.items():
+        for i in range(len(w) - 1):
+            counts[w[i:i + 2]] = counts.get(w[i:i + 2], 0) + n
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    return ranked[:top_k]
+
+
+@settings(max_examples=150, deadline=None)
+@given(corpus=_corpus)
+def test_bpe_oracle_matches_reference(corpus):
+    from datafusion_delta_sharing_spark.operators.tfidf import (
+        bpe_pair_counts_sql)
+
+    pdf = pd.DataFrame({"doc_id": range(len(corpus)),
+                        "text": [" ".join(d) for d in corpus]})
+    got = _duck(pdf, bpe_pair_counts_sql("documents", "text"))
+    assert list(zip(got["pair"], got["pair_count"])) == _bpe_ref(corpus)
+
+
+# -- sparse TF-IDF cosine -----------------------------------------------------
+
+def _sparse_cosine_ref(docs: list[list[str]],
+                       max_doc_frac=None, top_k: int = 100):
+    n = len([d for d in docs])
+    tf = [{t: d.count(t) for t in set(d)} for d in docs]
+    df: dict[str, int] = {}
+    for row in tf:
+        for t in row:
+            df[t] = df.get(t, 0) + 1
+    w = [{t: c * (math.log((n + 1) / (df[t] + 1)) + 1)
+          for t, c in row.items()} for row in tf]
+    norms = [math.sqrt(sum(x * x for x in row.values())) for row in w]
+    pairs = []
+    for a in range(len(docs)):
+        for b in range(a + 1, len(docs)):
+            shared = set(w[a]) & set(w[b])
+            if max_doc_frac is not None:
+                shared = {t for t in shared if df[t] <= max_doc_frac * n}
+            if not shared:
+                continue
+            dot = sum(w[a][t] * w[b][t] for t in sorted(shared))
+            pairs.append((a, b, len(shared),
+                          round(dot / (norms[a] * norms[b]), 6)))
+    pairs.sort(key=lambda p: (-p[3], p[0], p[1]))
+    return pairs[:top_k]
+
+
+@settings(max_examples=100, deadline=None)
+@given(corpus=st.lists(_doc, min_size=1, max_size=10))
+def test_sparse_cosine_oracle_matches_reference(corpus):
+    from datafusion_delta_sharing_spark.operators.retrieval import (
+        sparse_cosine_pairs_sql)
+
+    pdf = pd.DataFrame({"doc_id": range(len(corpus)),
+                        "text": [" ".join(d) for d in corpus]})
+    got = _duck(pdf, sparse_cosine_pairs_sql(
+        "documents", "text", "doc_id", max_doc_frac=0.8))
+    got_pairs = list(zip(got["doc_a"], got["doc_b"],
+                         got["n_shared"], got["cosine"]))
+    ref = _sparse_cosine_ref(corpus, max_doc_frac=0.8)
+    # compare as (a, b) -> (n_shared, cosine) maps plus top-k rank ORDER:
+    # float dots may differ in the last ulp between duckdb's and python's
+    # summation, so compare cosines with a 1-ulp-of-rounding tolerance
+    assert [(a, b, s) for a, b, s, _ in got_pairs] == \
+        [(a, b, s) for a, b, s, _ in ref]
+    for (_, _, _, cg), (_, _, _, cr) in zip(got_pairs, ref):
+        assert abs(cg - cr) <= 1e-6

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import functions as F
+from pyspark.sql import Window, functions as F
 from pyspark.sql.functions import pandas_udf
 
 from datafusion_delta_sharing_spark.harness import load_table
@@ -90,12 +90,80 @@ _UDAF_SQL = """
 """
 
 
+def q_udaf_window(spark, sf_dir):
+    """GROUPED_AGG pandas UDAF evaluated OVER A WINDOW FRAME — a distinct
+    physical path from the groupBy UDAF (WindowInPandas: Arrow batches
+    per bounded frame slice, not per group). Trailing-3-event mean value
+    per user; frame ordering made total with the (ts, event_id) tiebreak
+    so the result is partition-deterministic."""
+    @pandas_udf("double")
+    def pmean(v: pd.Series) -> float:
+        return float(v.mean())
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-2, 0))
+    return (ev.select("user_id", "event_id",
+                      F.round(pmean("value").over(w), 6)
+                      .alias("trailing_mean"))
+            .filter(F.col("event_id") % 20 == 0))
+
+
+_UDAF_WINDOW_SQL = """
+    SELECT user_id, event_id, round(trailing_mean, 6) AS trailing_mean
+    FROM (
+        SELECT user_id, event_id,
+               avg(value) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id
+                                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                   AS trailing_mean
+        FROM events
+    ) WHERE event_id % 20 = 0
+"""
+
+
+def q_arrow_grouped_map(spark, sf_dir):
+    """applyInArrow grouped map (Spark 4's arrow-native group transform,
+    no pandas conversion): per-returnflag summary built with pyarrow
+    compute inside the UDF. Types are constructed explicitly — the arrow
+    path does NO implicit coercion (int64 -> int32 fails loudly)."""
+    def summarize(table):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        qty = pc.cast(table["l_quantity"], pa.float64())
+        return pa.table({
+            "l_returnflag": pa.array([table["l_returnflag"][0].as_py()],
+                                     pa.string()),
+            "n_rows": pa.array([table.num_rows], pa.int64()),
+            "sum_qty": pa.array([pc.sum(qty).as_py()], pa.float64()),
+        })
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.select("l_returnflag", "l_quantity")
+            .groupBy("l_returnflag")
+            .applyInArrow(summarize,
+                          "l_returnflag string, n_rows bigint, "
+                          "sum_qty double"))
+
+
+_ARROW_GM_SQL = """
+    SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+           sum(CAST(l_quantity AS DOUBLE)) AS sum_qty
+    FROM lineitem GROUP BY l_returnflag
+"""
+
+
 QUERIES = {
     "variant_funcs": q_variant_funcs,
     "udaf_grouped_agg": q_udaf_grouped_agg,
+    "udaf_window": q_udaf_window,
+    "arrow_grouped_map": q_arrow_grouped_map,
 }
 
 ORACLES = {
     "variant_funcs": _VARIANT_SQL,
     "udaf_grouped_agg": _UDAF_SQL,
+    "udaf_window": _UDAF_WINDOW_SQL,
+    "arrow_grouped_map": _ARROW_GM_SQL,
 }

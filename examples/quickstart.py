@@ -101,6 +101,17 @@ def main() -> None:
                 "FROM sales.emea.orders WHERE id < 6 GROUP BY day ORDER BY day"
             ).show()
 
+            print("== metadata-only aggregates (zero parquet fetched) ==")
+            n_parquet_before = sum(
+                1 for r in server.requests if r["path"].endswith(".parquet"))
+            print("count_rows:", reader.count_rows("sales.emea.orders"))
+            reader.partition_row_counts("sales.emea.orders") \
+                .orderBy("day").show()
+            n_parquet_after = sum(
+                1 for r in server.requests if r["path"].endswith(".parquet"))
+            assert n_parquet_after == n_parquet_before, \
+                "metadata aggregates must not fetch data"
+
     spark.stop()
 
 

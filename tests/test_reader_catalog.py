@@ -1238,3 +1238,23 @@ def test_partition_row_counts_column_mapped(spark, tmp_path):
         assert out.columns == ["day", "row_count"]
         assert {(r.day, r.row_count) for r in out.collect()} == {
             (datetime.date(2021, 4, 28), 4)}
+
+
+def test_count_rows_delta_format_response(spark, tmp_path):
+    """responseformat=delta: stats arrive inside deltaSingleAction.add —
+    FileAction.from_json lifts them, so the metadata count works on
+    delta-format shares too (incl. a DV-carrying file)."""
+    from datafusion_delta_sharing_spark.sources import dv
+
+    files = _mock_files_local(tmp_path)
+    for f in files:
+        f["stats"] = _stats(2)
+    files[0]["deletion_vector"] = dv.inline_descriptor([0])
+    table = MockTable(share="s", schema="d", name="t",
+                      schema_string=SCHEMA_STRING,
+                      partition_columns=PARTITION_COLUMNS, files=files,
+                      response_format="delta")
+    with MockSharingServer([table]) as srv:
+        reader = _reader(spark, srv)
+        assert reader.count_rows("s.d.t") == 5  # 3 files x 2 rows - 1 DV
+        assert reader.table("s.d.t").count() == 5

@@ -31,13 +31,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # residual-of-zero output, both fixed this round) + the 11 r6_planned
 # semantics-changed queries + connector_dv_apply (the one sanctioned
 # registry addition: deletion-vector apply end-to-end, previously
-# pytest-only) + 11 NEW r6 capabilities (recursive CTE, correlated
+# pytest-only) + 12 NEW r6 capabilities (recursive CTE, correlated
 # LATERAL top-N, regr_* aggregates, BM25, DSIR selection, streaming
 # session windows, BPE pair statistics, sparse TF-IDF cosine join,
 # version-pinned time-travel diff, window-frame pandas UDAF, applyInArrow
-# grouped map - each added WITH a window slot so no new query ever lacks
-# a driver row) + 26 oldest-provenance refreshes (every r1-latest row
-# and the oldest r2-latest rows, alphabetical; the eleven displaced
+# grouped map, reaggregatable HLL rollup - each added WITH a window slot so no new query ever lacks
+# a driver row) + 25 oldest-provenance refreshes (every r1-latest row
+# and the oldest r2-latest rows, alphabetical; the twelve displaced
 # refreshes lead r7_planned). Registry growth otherwise stays FROZEN -
 # enforced by
 # tests/test_harness_connector.py::test_window_plan_covers_registry.
@@ -52,20 +52,20 @@ _WINDOW = (
     "join_salted", "sessionization", "scalar_subquery", "except",
     "histogram", "pareto_frontier", "heavy_hitters", "tpch_q11", "tpch_q22",
     "interval_join", "fuzzy_join", "tpch_q2", "connector_dv_apply",
-    # --- 11 NEW r6 capabilities (each enters the registry WITH a window
-    # slot so it gets a driver row the round it ships; the eleven displaced
+    # --- 12 NEW r6 capabilities (each enters the registry WITH a window
+    # slot so it gets a driver row the round it ships; the twelve displaced
     # alphabetical refreshes move to the front of r7_planned)
     "recursive_cte", "lateral_topn", "regr_funcs",
     "bm25_topk", "dsir_select", "stream_session",
     "bpe_pair_counts", "sparse_cosine_topk", "connector_time_travel_diff",
-    "udaf_window", "arrow_grouped_map",
-    # --- 26 oldest-provenance refreshes (r1/r2-latest rows, alphabetical)
+    "udaf_window", "arrow_grouped_map", "hll_rollup",
+    # --- 25 oldest-provenance refreshes (r1/r2-latest rows, alphabetical)
     "agg_corr", "explode_lateral", "map_funcs", "window_analytics",
     "agg_having", "agg_stats", "array_funcs", "conditional",
     "connector_catalog_sql", "count_distinct", "cte", "cube", "date_funcs",
     "distinct", "exists_correlated", "filter_compound", "flagship",
     "grouped_map_zscore", "grouping_sets", "in_subquery", "intersect",
-    "join_anti", "join_asof", "join_broadcast", "join_full", "join_inner",
+    "join_anti", "join_asof", "join_broadcast", "join_full",
 )
 
 

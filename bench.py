@@ -79,8 +79,9 @@ HEADLINE = [
     # r6 late batch 2: BPE merge statistics, sparse TF-IDF cosine join,
     # version-pinned snapshot diff through the connector
     "bpe_pair_counts", "sparse_cosine_topk", "connector_time_travel_diff",
-    # r6 late batch 3: window-frame pandas UDAF, applyInArrow grouped map
-    "udaf_window", "arrow_grouped_map",
+    # r6 late batch 3: window-frame pandas UDAF, applyInArrow grouped map,
+    # reaggregatable HLL rollup
+    "udaf_window", "arrow_grouped_map", "hll_rollup",
 ]
 
 

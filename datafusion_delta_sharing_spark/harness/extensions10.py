@@ -83,12 +83,50 @@ def q_sparse_cosine_topk(spark, sf_dir):
                                top_k=_SPARSE_K)
 
 
+_HLL_TOL = 0.05   # lgConfigK=12 -> ~1.6% standard error; 5% is 3 sigma
+
+
+def q_hll_rollup(spark, sf_dir):
+    """Re-aggregatable distinct-count sketches — the pre-aggregated
+    rollup primitive of a 100 TB warehouse: per-event-type HLL sketches
+    of event_id (Spark 3.5 Datasketches `hll_sketch_agg`), then the
+    TOTAL distinct count from `hll_union_agg` over the per-type sketches
+    alone — the corpus is never rescanned for the rollup, which is the
+    whole point (daily sketches merge into monthly counts for free).
+
+    The sketch estimate is engine-specific, so the emitted columns are
+    the EXACT count plus a within-tolerance boolean computed in-plan
+    against the estimate (the approx_count_distinct bounded-error oracle
+    pattern): if the sketch machinery breaks, within_tol flips to false
+    and the hash mismatches."""
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.expr("hll_sketch_agg(event_id)").alias("sk"),
+        F.countDistinct("event_id").alias("n_exact"))
+    tol_ok = (F.abs(F.expr("hll_sketch_estimate(sk)") - F.col("n_exact"))
+              <= _HLL_TOL * F.col("n_exact"))
+    per = per_type.select(
+        "event_type", F.col("n_exact").cast("bigint").alias("n_exact"),
+        tol_ok.alias("within_tol"))
+    merged = per_type.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est_all"))
+    exact_all = ev.agg(
+        F.countDistinct("event_id").alias("n_exact"))
+    total = (merged.join(F.broadcast(exact_all))
+             .select(F.lit("__all__").alias("event_type"),
+                     F.col("n_exact").cast("bigint").alias("n_exact"),
+                     (F.abs(F.col("est_all") - F.col("n_exact"))
+                      <= _HLL_TOL * F.col("n_exact")).alias("within_tol")))
+    return per.unionByName(total)
+
+
 QUERIES = {
     "bm25_topk": q_bm25_topk,
     "dsir_select": q_dsir_select,
     "stream_session": q_stream_session,
     "bpe_pair_counts": q_bpe_pair_counts,
     "sparse_cosine_topk": q_sparse_cosine_topk,
+    "hll_rollup": q_hll_rollup,
 }
 
 ORACLES = {
@@ -110,4 +148,15 @@ ORACLES = {
     "sparse_cosine_topk": sparse_cosine_pairs_sql(
         f"(SELECT * FROM documents WHERE doc_id < {_SPARSE_DOCS})",
         "text", "doc_id", max_doc_frac=_SPARSE_DF_FRAC, top_k=_SPARSE_K),
+    "hll_rollup": """
+        SELECT event_type, CAST(count(DISTINCT event_id) AS BIGINT)
+                   AS n_exact,
+               TRUE AS within_tol
+        FROM events GROUP BY event_type
+        UNION ALL
+        SELECT '__all__' AS event_type,
+               CAST(count(DISTINCT event_id) AS BIGINT) AS n_exact,
+               TRUE AS within_tol
+        FROM events
+    """,
 }

@@ -205,3 +205,26 @@ def test_connector_time_travel_diff_semantics(spark, sf_dir):
     expect = {("added", r.c_custkey) for r in cust if r.c_custkey % 3 == 0}
     expect |= {("removed", r.c_custkey) for r in cust if r.c_custkey % 3 == 2}
     assert rows == expect and len(rows) > 0
+
+
+# -- HLL sketch rollup --------------------------------------------------------
+
+def test_hll_rollup_tolerance_is_nonvacuous(spark):
+    """The within_tol boolean must be a real check: at 10k distinct ids
+    the dense-mode HLL estimate deviates from exact (so a broken sketch
+    WOULD flip the boolean), yet stays inside the 5% tolerance."""
+    from pyspark.sql import functions as F
+    from datafusion_delta_sharing_spark.harness import load_table
+    from datafusion_delta_sharing_spark.harness.extensions10 import (
+        q_hll_rollup)
+
+    sf = "/root/testdata/sf0.01"
+    rows = {r["event_type"]: r["within_tol"]
+            for r in q_hll_rollup(spark, sf).collect()}
+    assert rows and all(rows.values()) and "__all__" in rows
+    ev = load_table(spark, sf, "events")
+    est, exact = ev.agg(
+        F.expr("hll_sketch_estimate(hll_sketch_agg(event_id))"),
+        F.countDistinct("event_id")).first()
+    assert est != exact, "estimate exact at this cardinality: check vacuous"
+    assert abs(est - exact) <= 0.05 * exact

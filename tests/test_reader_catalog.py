@@ -1258,3 +1258,28 @@ def test_count_rows_delta_format_response(spark, tmp_path):
         reader = _reader(spark, srv)
         assert reader.count_rows("s.d.t") == 5  # 3 files x 2 rows - 1 DV
         assert reader.table("s.d.t").count() == 5
+
+
+def test_count_rows_respects_version_pin(spark, tmp_path):
+    """Metadata counts compose with time travel: the version pin flows
+    through get_table_data, so count_rows(version=N) counts snapshot N's
+    files — still with zero parquet fetched."""
+    blobs = {"/tv_old.parquet": _blob([1], [1.0]),
+             "/tv_new1.parquet": _blob([1, 2], [1.0, 2.0]),
+             "/tv_new2.parquet": _blob([3, 4, 5], [1.0, 2.0, 3.0])}
+    table = _count_table([])
+    with MockSharingServer([table], parquet_bytes=blobs) as srv:
+        mk = lambda fid, n: {
+            "id": fid, "url": f"{srv.base_url}/{fid}.parquet", "size": 1,
+            "partition_values": {"day": "2021-04-28", "tag": "a"},
+            "stats": _stats(n)}
+        table.files.extend([mk("tv_new1", 2), mk("tv_new2", 3)])
+        table.history[5] = [mk("tv_old", 1)]
+        reader = _reader(spark, srv)
+        assert reader.count_rows("s.d.t") == 5
+        assert reader.count_rows("s.d.t", version=5) == 1
+        pr = reader.partition_row_counts("s.d.t", version=5).collect()
+        assert [(str(r.day), r.tag, r.row_count) for r in pr] == [
+            ("2021-04-28", "a", 1)]
+        assert not any(r["path"].endswith(".parquet")
+                       for r in srv.requests)

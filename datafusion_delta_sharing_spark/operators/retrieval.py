@@ -88,6 +88,11 @@ def bm25_scores(docs: DataFrame, text_col: str, id_col: str,
     groupBy as the document length, and the corpus stats row (N, avgdl,
     per-term df) is broadcast back. The per-term sum is a fixed-order
     literal expression — no accumulation-order nondeterminism.
+
+    Population note: here ``N`` counts only documents with ≥1 token
+    (empty-token docs have no dl and can never match a term);
+    :func:`sparse_cosine_pairs` counts ALL distinct ids, empty docs
+    included — the two N definitions intentionally differ.
     """
     terms = _check_terms(query_terms)
     toks = token_rows(docs, text_col, id_col)
@@ -308,6 +313,11 @@ def sparse_cosine_pairs(docs: DataFrame, text_col: str, id_col: str,
     rare (Zipfian vocabularies, i.e. real corpora). On a degenerate
     tiny-vocabulary corpus every kept term is near-universal and pair
     generation goes quadratic; use minhash-LSH there instead.
+
+    Population note: here ``N`` (the idf denominator base) counts ALL
+    distinct ids — zero-token documents included; :func:`bm25_scores`
+    counts only documents with ≥1 token. Each matches its own oracle;
+    mind the difference when reusing the idf weights across operators.
     """
     toks = token_rows(docs, text_col, id_col)
     tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))

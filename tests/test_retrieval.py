@@ -213,12 +213,17 @@ def test_hll_rollup_tolerance_is_nonvacuous(spark):
     """The within_tol boolean must be a real check: at 10k distinct ids
     the dense-mode HLL estimate deviates from exact (so a broken sketch
     WOULD flip the boolean), yet stays inside the 5% tolerance."""
+    import os
+
     from pyspark.sql import functions as F
     from datafusion_delta_sharing_spark.harness import load_table
     from datafusion_delta_sharing_spark.harness.extensions10 import (
         q_hll_rollup)
+    from tests.conftest import sf_path
 
-    sf = "/root/testdata/sf0.01"
+    sf = sf_path("sf0.01")
+    if not os.path.isdir(sf):
+        pytest.skip("sf0.01 testdata set not present")
     rows = {r["event_type"]: r["within_tol"]
             for r in q_hll_rollup(spark, sf).collect()}
     assert rows and all(rows.values()) and "__all__" in rows

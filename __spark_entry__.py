@@ -43,7 +43,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # tests/test_harness_connector.py::test_window_plan_covers_registry.
 _MODULE_ORDER = ("connector", "extensions", "extensions2", "extensions3",
                  "extensions4", "extensions5", "extensions6", "extensions7",
-                 "extensions8", "extensions9", "extensions10", "formats",
+                 "extensions8", "extensions9", "extensions10", "extensions11",
+                 "formats",
                  "tpch", "tierb5", "tierb4", "tierb3", "tierb2", "tierb6",
                  "tierb7", "tierb8", "tierb9", "tierb")
 

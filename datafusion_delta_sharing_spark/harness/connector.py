@@ -192,12 +192,18 @@ def _ensure_served(spark: SparkSession, sf_dir: str) -> dict:
     order_files = []
     for path in sorted(glob.glob(os.path.join(
             orders_dir, "o_orderstatus=*", "*.parquet"))):
+        import pyarrow.parquet as _pq
+
         status = os.path.basename(os.path.dirname(path)).split("=", 1)[1]
         order_files.append({
             "id": f"orders-{status}-{os.path.basename(path)}",
             "url": f"file://{path}",
             "size": os.path.getsize(path),
             "partition_values": {"o_orderstatus": status},
+            # real servers ship numRecords stats per file action; the
+            # metadata-only aggregates (connector_meta_counts) need them
+            "stats": json.dumps(
+                {"numRecords": _pq.ParquetFile(path).metadata.num_rows}),
         })
 
     cdf_paths = _stage_cdf_customer(spark, sf_dir)
@@ -403,8 +409,28 @@ def q_connector_time_travel_diff(spark: SparkSession,
                                              "c_name")
 
 
+def q_connector_meta_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only aggregates end-to-end (beyond reference: the ref
+    parses numRecords stats and drops them, action.rs:180-183): the
+    GROUP BY partition-key COUNT(*) and the total COUNT(*) answered from
+    the file listing alone — zero parquet bytes move. At 100 TB this is
+    a metadata round-trip instead of a full-table scan. The row counts
+    are right only if every file action's stats survive the NDJSON round
+    trip and the DV-cardinality/exactness contract holds — the oracle is
+    the real scan-side GROUP BY."""
+    reader = _reader(spark, sf_dir)
+    name = f"{_SHARE}.{_SCHEMA}.orders"
+    per = reader.partition_row_counts(name).select(
+        "o_orderstatus", F.col("row_count").alias("n_rows"))
+    total = reader.count_rows(name)
+    total_df = spark.createDataFrame(
+        [("__ALL__", total)], schema="o_orderstatus string, n_rows bigint")
+    return per.unionByName(total_df)
+
+
 QUERIES = {
     "connector_flagship": q_connector_flagship,
+    "connector_meta_counts": q_connector_meta_counts,
     "connector_time_travel_diff": q_connector_time_travel_diff,
     "connector_dv_apply": q_connector_dv_apply,
     "connector_partitioned": q_connector_partitioned,
@@ -417,6 +443,14 @@ ORACLES = {
     "connector_flagship": """
         SELECT c_custkey, c_name, c_acctbal, c_mktsegment
         FROM customer WHERE c_acctbal >= 1000.0
+    """,
+    "connector_meta_counts": """
+        SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows
+        FROM orders GROUP BY o_orderstatus
+        UNION ALL
+        SELECT '__ALL__' AS o_orderstatus,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM orders
     """,
     "connector_time_travel_diff": """
         SELECT 'added' AS change, c_custkey, c_name

@@ -212,3 +212,70 @@ def triangle_count_sql(group_source_sql: str, group_col: str,
                        item_col: str) -> str:
     """DuckDB mirror of cooccurrence_edges (no degree cut) + triangle_count."""
     return _triangle_sql(group_source_sql, group_col, item_col, None)
+
+
+def bfs_hop_counts(edges: DataFrame, seeds: DataFrame,
+                   max_hops: int) -> DataFrame:
+    """Multi-source BFS over an ordered (a < b) undirected edge list:
+    ``(hops, n_vertices)`` — how many vertices are first reached at each
+    hop distance 0..max_hops from the seed set.
+
+    The distributed-BFS shape: each round equi-joins the current frontier
+    with the (bidirectional) adjacency list on the vertex key, distincts
+    the neighbor set, and anti-joins the visited set — one hash shuffle
+    per round, never a path enumeration (a recursive path expansion is
+    combinatorial on dense graphs; level-synchronous frontier BFS is
+    linear in edges per round). ``max_hops`` bounds the lazy plan depth;
+    production runs at high hop counts would checkpoint the frontier per
+    round, but at the 2-4 hops of typical neighborhood queries the
+    composed plan is fine.
+
+    ``seeds`` must be a single-column (v) DataFrame; seed vertices absent
+    from the edge list still count at hops 0 (a seed is reached by
+    definition).
+    """
+    if max_hops < 0:
+        raise ValueError(f"max_hops must be >= 0, got {max_hops}")
+    adj = (edges.select(F.col("a").alias("v"), F.col("b").alias("w"))
+           .unionAll(edges.select(F.col("b").alias("v"),
+                                  F.col("a").alias("w"))))
+    frontier = seeds.select("v").distinct()
+    visited = frontier.withColumn("hops", F.lit(0))
+    for h in range(1, max_hops + 1):
+        nxt = (frontier.join(adj, "v")
+               .select(F.col("w").alias("v")).distinct()
+               .join(visited.select("v"), "v", "left_anti"))
+        visited = visited.unionByName(nxt.withColumn("hops", F.lit(h)))
+        frontier = nxt
+    return (visited.groupBy("hops")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_vertices")))
+
+
+def bfs_hop_counts_sql(edges_sql: str, seeds_sql: str,
+                       max_hops: int) -> str:
+    """DuckDB mirror of :func:`bfs_hop_counts`: level-synchronous
+    reachable-set CTEs (s1 = s0 ∪ neighbors(s0), ...) rather than a
+    recursive path expansion — same reason as the Spark side (path
+    recursion is combinatorial on dense co-occurrence graphs). Per-hop
+    counts are reachable-set size deltas; zero-growth levels are
+    filtered to match the Spark side's empty groupBy output."""
+    ctes = [f"adj AS (SELECT a AS v, b AS w FROM ({edges_sql}) "
+            f"UNION ALL SELECT b AS v, a AS w FROM ({edges_sql}))",
+            f"s0 AS (SELECT DISTINCT v FROM ({seeds_sql}))"]
+    for h in range(1, max_hops + 1):
+        ctes.append(
+            f"s{h} AS (SELECT v FROM s{h-1} UNION "
+            f"SELECT adj.w AS v FROM adj "
+            f"JOIN s{h-1} ON adj.v = s{h-1}.v)")
+    levels = ["SELECT 0 AS hops, (SELECT count(*) FROM s0) AS n_vertices"]
+    for h in range(1, max_hops + 1):
+        levels.append(
+            f"SELECT {h} AS hops, (SELECT count(*) FROM s{h}) "
+            f"- (SELECT count(*) FROM s{h-1}) AS n_vertices")
+    union = " UNION ALL ".join(levels)
+    return f"""
+    WITH {', '.join(ctes)}
+    SELECT CAST(hops AS INT) AS hops,
+           CAST(n_vertices AS BIGINT) AS n_vertices
+    FROM ({union}) WHERE n_vertices > 0
+    """

@@ -15,7 +15,7 @@ rewrite loses and invents nothing.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def interval_overlap_join(left: DataFrame, right: DataFrame,
@@ -78,4 +78,90 @@ def interval_overlap_join_sql(left_sql: str, right_sql: str, id_col: str,
       ON l.{id_col} < r.{id_col}
      AND l.{start_col} < r.{end_col}
      AND r.{start_col} < l.{end_col}
+    """
+
+
+def merge_intervals(df: DataFrame, key_col: str, start_col: str,
+                    end_col: str) -> DataFrame:
+    """Merge overlapping/touching half-open ``[start, end)`` intervals per
+    key (the gaps-and-islands rewrite) and return per-key coverage:
+    ``(key, n_intervals, n_islands, covered_us)``.
+
+    The classic uses: user-activity coverage, sensor uptime, and the
+    "how much wall-clock did these overlapping jobs actually occupy"
+    rollup. The scalable shape is one shuffle on the key plus two window
+    passes WITHIN the key partition (running max-end flags island starts,
+    running sum numbers the islands) and two keyed aggregations — never a
+    self-join, never a driver loop, so it holds at any key cardinality
+    as long as a single key's intervals fit a partition (the same
+    contract as any per-key window).
+
+    Island rule: an interval starts a new island iff its start is
+    STRICTLY greater than the running max end of all earlier intervals
+    (ties on (start, end) are order-insensitive: equal starts always
+    co-island since every interval is non-empty). ``covered_us`` sums
+    ``max_end − min_start`` per island, counting overlapped time once.
+    """
+    s, e = F.col(start_col), F.col(end_col)
+    order = [start_col, end_col]
+    w_prev = (Window.partitionBy(key_col).orderBy(*order)
+              .rowsBetween(Window.unboundedPreceding, -1))
+    prev_max_e = F.max(e).over(w_prev)
+    new_island = F.when(prev_max_e.isNull() | (s > prev_max_e),
+                        1).otherwise(0)
+    w_cum = (Window.partitionBy(key_col).orderBy(*order)
+             .rowsBetween(Window.unboundedPreceding, 0))
+    flagged = df.select(key_col, start_col, end_col,
+                        new_island.alias("new_island"))
+    numbered = flagged.withColumn(
+        "island", F.sum("new_island").over(w_cum))
+    islands = (numbered.groupBy(key_col, "island")
+               .agg(F.min(start_col).alias("i_s"),
+                    F.max(end_col).alias("i_e"),
+                    F.count(F.lit(1)).alias("n_iv")))
+    return (islands.groupBy(key_col)
+            .agg(F.sum("n_iv").cast("long").alias("n_intervals"),
+                 F.count(F.lit(1)).cast("long").alias("n_islands"),
+                 F.sum(F.col("i_e") - F.col("i_s")).cast("long")
+                 .alias("covered_us")))
+
+
+def merge_intervals_sql(source_sql: str, key_col: str, start_col: str,
+                        end_col: str) -> str:
+    """Engine-shared SQL mirror of :func:`merge_intervals` (identical
+    spelling runs on Spark and DuckDB — both support ROWS-framed running
+    max/sum)."""
+    return f"""
+    WITH flagged AS (
+        SELECT {key_col}, {start_col}, {end_col},
+               CASE WHEN max({end_col}) OVER (
+                        PARTITION BY {key_col}
+                        ORDER BY {start_col}, {end_col}
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ) IS NULL
+                    OR {start_col} > max({end_col}) OVER (
+                        PARTITION BY {key_col}
+                        ORDER BY {start_col}, {end_col}
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ) THEN 1 ELSE 0 END AS new_island
+        FROM {source_sql}
+    ), numbered AS (
+        SELECT {key_col}, {start_col}, {end_col},
+               sum(new_island) OVER (
+                   PARTITION BY {key_col}
+                   ORDER BY {start_col}, {end_col}
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS island
+        FROM flagged
+    ), islands AS (
+        SELECT {key_col}, island,
+               min({start_col}) AS i_s, max({end_col}) AS i_e,
+               count(*) AS n_iv
+        FROM numbered GROUP BY {key_col}, island
+    )
+    SELECT {key_col},
+           CAST(sum(n_iv) AS BIGINT) AS n_intervals,
+           CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(sum(i_e - i_s) AS BIGINT) AS covered_us
+    FROM islands GROUP BY {key_col}
     """

@@ -290,3 +290,52 @@ def stream_session_counts(spark: SparkSession, sf_dir: str,
                 "n_events", "session_value")
     )
     return materialize_stream(agg, "complete", "stream_session")
+
+
+def stream_hourly_topk(spark: SparkSession, sf_dir: str,
+                       k: int = 3) -> DataFrame:
+    """Streaming top-k dashboard: per hourly event-time window, the k
+    most frequent event types, recomputed on every micro-batch.
+
+    The aggregation (window × type counts) runs as a streaming
+    complete-mode query; the RANKING runs inside the foreachBatch sink on
+    each refresh — Structured Streaming forbids a window-function over a
+    streaming aggregate in the same plan, and per-batch ranking over the
+    (bounded, windows × types sized) aggregate is the idiomatic rewrite:
+    the corpus-sized work stays incremental in the state store, only the
+    dashboard-sized result is re-ranked per refresh. Ties break by
+    event_type so the emitted top-k is deterministic."""
+    from pyspark.sql import Window as W
+
+    events = stream_events(spark, sf_dir)
+    agg = (events.withWatermark("ts", "1 hour")
+           .groupBy(F.window("ts", "1 hour"), "event_type")
+           .agg(F.count(F.lit(1)).alias("n"))
+           .select(F.col("window.start").cast("timestamp_ntz")
+                   .alias("window_start"), "event_type", "n"))
+
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="stream_topk_")
+    data_dir, ckpt = f"{root}/data", f"{root}/ckpt"
+    rank_w = (W.partitionBy("window_start")
+              .orderBy(F.desc("n"), "event_type"))
+
+    def _rank_and_overwrite(batch_df, _batch_id):
+        (batch_df.withColumn("rank", F.row_number().over(rank_w))
+         .filter(F.col("rank") <= k)
+         .write.mode("overwrite").parquet(data_dir))
+
+    query = (agg.writeStream.outputMode("complete")
+             .foreachBatch(_rank_and_overwrite)
+             .option("checkpointLocation", ckpt).start())
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    import os
+
+    os.makedirs(data_dir, exist_ok=True)
+    out_schema = T.StructType(agg.schema.fields
+                              + [T.StructField("rank", T.IntegerType())])
+    return spark.read.schema(out_schema).parquet(data_dir)

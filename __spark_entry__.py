@@ -25,21 +25,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # Window management (VERDICT r2 structural note): entries named in _WINDOW
 # are pulled to the front, in order; everything else follows in module
 # order. Rotation state lives in WINDOW_PLAN.json (per-query driver-row
-# provenance r1-r5; after r5 every registry query has at least one driver
-# row). r6 window (VERDICT r5 #1): join_salted (its r5 row was the round's
-# only red - hash-flake from a scheduling-dependent salt + a rounded
-# residual-of-zero output, both fixed this round) + the 11 r6_planned
-# semantics-changed queries + connector_dv_apply (the one sanctioned
-# registry addition: deletion-vector apply end-to-end, previously
-# pytest-only) + 12 NEW r6 capabilities (recursive CTE, correlated
-# LATERAL top-N, regr_* aggregates, BM25, DSIR selection, streaming
-# session windows, BPE pair statistics, sparse TF-IDF cosine join,
-# version-pinned time-travel diff, window-frame pandas UDAF, applyInArrow
-# grouped map, reaggregatable HLL rollup - each added WITH a window slot so no new query ever lacks
-# a driver row) + 25 oldest-provenance refreshes (every r1-latest row
-# and the oldest r2-latest rows, alphabetical; the twelve displaced
-# refreshes lead r7_planned). Registry growth otherwise stays FROZEN -
-# enforced by
+# provenance r1-r6; after r5 every registry query has at least one driver
+# row, and the r6 window went 50/50 green). r7 window: the 13 NEW r7
+# capabilities (extensions11 + connector_meta_counts - each added WITH a
+# window slot so no new query ever lacks a driver row; WINDOW_PLAN.json
+# r7_new) + the first 37 oldest-provenance refreshes from r7_planned.
+# The 13 displaced r7_planned tail entries lead r8_planned. Registry
+# growth otherwise stays FROZEN - enforced by
 # tests/test_harness_connector.py::test_window_plan_covers_registry.
 _MODULE_ORDER = ("connector", "extensions", "extensions2", "extensions3",
                  "extensions4", "extensions5", "extensions6", "extensions7",
@@ -49,24 +41,28 @@ _MODULE_ORDER = ("connector", "extensions", "extensions2", "extensions3",
                  "tierb7", "tierb8", "tierb9", "tierb")
 
 _WINDOW = (
-    # --- the fixed red row + WINDOW_PLAN.json r6_planned (11) + the new DV query
-    "join_salted", "sessionization", "scalar_subquery", "except",
-    "histogram", "pareto_frontier", "heavy_hitters", "tpch_q11", "tpch_q22",
-    "interval_join", "fuzzy_join", "tpch_q2", "connector_dv_apply",
-    # --- 12 NEW r6 capabilities (each enters the registry WITH a window
-    # slot so it gets a driver row the round it ships; the twelve displaced
-    # alphabetical refreshes move to the front of r7_planned)
-    "recursive_cte", "lateral_topn", "regr_funcs",
-    "bm25_topk", "dsir_select", "stream_session",
-    "bpe_pair_counts", "sparse_cosine_topk", "connector_time_travel_diff",
-    "udaf_window", "arrow_grouped_map", "hll_rollup",
-    # --- 25 oldest-provenance refreshes (r1/r2-latest rows, alphabetical)
-    "agg_corr", "explode_lateral", "map_funcs", "window_analytics",
-    "agg_having", "agg_stats", "array_funcs", "conditional",
-    "connector_catalog_sql", "count_distinct", "cte", "cube", "date_funcs",
-    "distinct", "exists_correlated", "filter_compound", "flagship",
-    "grouped_map_zscore", "grouping_sets", "in_subquery", "intersect",
-    "join_anti", "join_asof", "join_broadcast", "join_full",
+    # --- 13 NEW r7 capabilities (each enters the registry WITH a window
+    # slot so it gets a driver row the round it ships; WINDOW_PLAN.json
+    # r7_new is the freeze-test mandatory set)
+    "interval_merge", "asof_tolerance", "higher_moments", "mode_rollup",
+    "within_group_percentiles", "bfs_hops", "zipf_fit", "stream_topk",
+    "hash_funcs", "param_sql", "group_by_all", "python_udtf_analyze",
+    "connector_meta_counts",
+    # --- 37 oldest-provenance refreshes: the head of WINDOW_PLAN.json
+    # r7_planned (the twelve r6-displaced r2-latest rows lead, then the
+    # remaining r2-latest and oldest r3-latest rows; the 13 displaced
+    # tail entries move to the front of r8_planned). No r6 semantics
+    # changed, so no priority re-attestation slots were needed.
+    "json_funcs", "math_funcs", "pandas_udf_scalar", "pivot", "rollup",
+    "scan_filter_project", "join_right", "join_semi", "join_theta",
+    "join_left", "join_range", "join_inner", "string_funcs",
+    "topk_global", "topk_per_group", "tpch_q1", "union_all",
+    "union_distinct", "window_lag_lead", "window_range_frame",
+    "window_rank", "window_running", "ann_topk", "approx_percentile",
+    "bool_aggs", "collect_agg", "cross_join", "date_funcs2",
+    "dedup_components", "dedup_exact", "dedup_exact_subset",
+    "doc_fingerprint", "except_all", "lang_id", "min_max_by",
+    "multimodal_features", "ngram_jaccard",
 )
 
 

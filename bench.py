@@ -82,6 +82,11 @@ HEADLINE = [
     # r6 late batch 3: window-frame pandas UDAF, applyInArrow grouped map,
     # reaggregatable HLL rollup
     "udaf_window", "arrow_grouped_map", "hll_rollup",
+    # r7 additions: interval algebra + forward as-of, graph BFS,
+    # distribution shape, streaming top-k, metadata-only connector counts
+    "interval_merge", "asof_tolerance", "bfs_hops", "higher_moments",
+    "within_group_percentiles", "zipf_fit", "stream_topk", "hash_funcs",
+    "connector_meta_counts",
 ]
 
 

@@ -225,10 +225,11 @@ def bfs_hop_counts(edges: DataFrame, seeds: DataFrame,
     the neighbor set, and anti-joins the visited set — one hash shuffle
     per round, never a path enumeration (a recursive path expansion is
     combinatorial on dense graphs; level-synchronous frontier BFS is
-    linear in edges per round). ``max_hops`` bounds the lazy plan depth;
-    production runs at high hop counts would checkpoint the frontier per
-    round, but at the 2-4 hops of typical neighborhood queries the
-    composed plan is fine.
+    linear in edges per round). Each round's frontier is
+    ``localCheckpoint``-ed (the connected_components pattern): without
+    it, hop N's plan re-derives every earlier frontier — and the edge
+    list feeding it — once per reference, and the lazy plan grows
+    multiplicatively with hop count.
 
     ``seeds`` must be a single-column (v) DataFrame; seed vertices absent
     from the edge list still count at hops 0 (a seed is reached by
@@ -239,12 +240,13 @@ def bfs_hop_counts(edges: DataFrame, seeds: DataFrame,
     adj = (edges.select(F.col("a").alias("v"), F.col("b").alias("w"))
            .unionAll(edges.select(F.col("b").alias("v"),
                                   F.col("a").alias("w"))))
-    frontier = seeds.select("v").distinct()
+    frontier = seeds.select("v").distinct().localCheckpoint(eager=True)
     visited = frontier.withColumn("hops", F.lit(0))
     for h in range(1, max_hops + 1):
         nxt = (frontier.join(adj, "v")
                .select(F.col("w").alias("v")).distinct()
-               .join(visited.select("v"), "v", "left_anti"))
+               .join(visited.select("v"), "v", "left_anti")
+               .localCheckpoint(eager=True))
         visited = visited.unionByName(nxt.withColumn("hops", F.lit(h)))
         frontier = nxt
     return (visited.groupBy("hops")

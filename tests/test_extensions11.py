@@ -1,0 +1,103 @@
+"""Unit tests for the r7 batch: interval merge, BFS, moment checks, and
+the polymorphic UDTF's plan-time validation."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_delta_sharing_spark.operators.graph import bfs_hop_counts
+from datafusion_delta_sharing_spark.operators.intervals import (
+    merge_intervals)
+
+
+def _merged(spark, rows):
+    df = spark.createDataFrame(rows, "k string, s long, e long")
+    out = merge_intervals(df, "k", "s", "e").collect()
+    return {r.k: (r.n_intervals, r.n_islands, r.covered_us) for r in out}
+
+
+def test_merge_intervals_overlap_touch_contain(spark):
+    got = _merged(spark, [
+        # overlap chain + a gap
+        ("a", 0, 10), ("a", 5, 15), ("a", 20, 30),
+        # half-open adjacency merges ([0,10)+[10,20) is contiguous time)
+        ("b", 0, 10), ("b", 10, 20),
+        # containment: the island end is the MAX end, not the last end
+        ("c", 0, 100), ("c", 10, 20),
+    ])
+    assert got == {"a": (3, 2, 25), "b": (2, 1, 20), "c": (2, 1, 100)}
+
+
+def test_merge_intervals_duplicate_and_equal_start_rows(spark):
+    # duplicate (s, e) rows and equal-start ties must co-island no matter
+    # which order the window visits them
+    got = _merged(spark, [
+        ("a", 0, 10), ("a", 0, 10), ("a", 0, 5), ("a", 50, 60),
+    ])
+    assert got == {"a": (4, 2, 20)}
+
+
+def _path_graph(spark):
+    # a-b-c-d path, ordered (a < b) convention
+    return spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "a long, b long")
+
+
+def test_bfs_hop_counts_path(spark):
+    edges = _path_graph(spark)
+    seeds = spark.createDataFrame([(1,)], "v long")
+    got = {r.hops: r.n_vertices
+           for r in bfs_hop_counts(edges, seeds, 3).collect()}
+    assert got == {0: 1, 1: 1, 2: 1, 3: 1}
+    # bounded horizon: vertex 4 unreached at max_hops=2
+    got2 = {r.hops: r.n_vertices
+            for r in bfs_hop_counts(edges, seeds, 2).collect()}
+    assert got2 == {0: 1, 1: 1, 2: 1}
+
+
+def test_bfs_seeds_outside_graph_and_zero_hops(spark):
+    edges = _path_graph(spark)
+    # seed 99 is not in the edge list: still reached at hops 0
+    seeds = spark.createDataFrame([(2,), (99,)], "v long")
+    got = {r.hops: r.n_vertices
+           for r in bfs_hop_counts(edges, seeds, 1).collect()}
+    assert got == {0: 2, 1: 2}  # hop 1: {1, 3}
+    got0 = {r.hops: r.n_vertices
+            for r in bfs_hop_counts(edges, seeds, 0).collect()}
+    assert got0 == {0: 2}
+    with pytest.raises(ValueError, match="max_hops"):
+        bfs_hop_counts(edges, seeds, -1)
+
+
+def test_higher_moments_check_distinguishes_population_from_sample(
+        spark, sf_dir):
+    """builtin_ok is non-vacuous: the 1e-6 tolerance accepts Spark's
+    population g1/g2 but would REJECT the bias-corrected sample
+    definitions (what e.g. DuckDB's skewness() computes) — at n≈200 the
+    correction shifts g1 by ~1% of its value, orders of magnitude above
+    the tolerance."""
+    from datafusion_delta_sharing_spark.harness import load_table
+    from datafusion_delta_sharing_spark.harness.extensions11 import (
+        q_higher_moments)
+
+    rows = q_higher_moments(spark, sf_dir).collect()
+    assert rows and all(r.builtin_ok for r in rows)
+    ev = load_table(spark, sf_dir, "events")
+    stats = (ev.groupBy("event_type")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.skewness("value").alias("g1")).collect())
+    for r in stats:
+        sample_g1 = r.g1 * (r.n * (r.n - 1)) ** 0.5 / (r.n - 2)
+        assert abs(sample_g1 - r.g1) > 1e-6, (
+            "tolerance could not tell population from sample skewness")
+
+
+def test_udtf_analyze_rejects_bad_constant(spark, sf_dir):
+    """The analyze() validation must fire at PLAN time for a
+    non-positive column count."""
+    from datafusion_delta_sharing_spark.harness.extensions11 import (
+        q_python_udtf_analyze)
+
+    # registering via the query fn also registers the UDTF
+    q_python_udtf_analyze(spark, sf_dir)
+    with pytest.raises(Exception, match="n_cols"):
+        spark.sql("SELECT * FROM split_cols('a b', 0)").collect()

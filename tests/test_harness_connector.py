@@ -73,13 +73,12 @@ def test_window_plan_covers_registry():
 
     Invariants: (a) every _WINDOW name resolves in the registry, (b) the
     window has exactly the driver's 50 slots with no duplicates, (c) the
-    r6 window contains every mandatory slot — the fixed r5 red row
-    (join_salted), all 11 r6_planned semantics-changed queries, and the
-    sanctioned new connector_dv_apply entry — and (d) every registry
-    query either already has a driver provenance pass row in
-    WINDOW_PLAN.json or sits in the r6 window, so adding a registry query
-    without a rotation plan fails the build instead of silently
-    re-opening the attestation gap.
+    r7 window contains every mandatory slot — all 13 new r7 capabilities
+    (WINDOW_PLAN.json r7_new; a new query must get a driver row the
+    round it ships) — and (d) every registry query either already has a
+    driver provenance pass row in WINDOW_PLAN.json or sits in the r7
+    window, so adding a registry query without a rotation plan fails the
+    build instead of silently re-opening the attestation gap.
     """
     import json
     import pathlib
@@ -101,12 +100,11 @@ def test_window_plan_covers_registry():
     assert len(set(window)) == len(window), "duplicate window entries"
     missing = [q for q in window if q not in registry]
     assert not missing, f"window names not in registry: {missing}"
-    mandatory = ({"join_salted", "connector_dv_apply"}
-                 | set(plan["r6_planned"]["queries"]))
+    mandatory = set(plan["r7_new"]["queries"])
     dropped = mandatory - set(window)
-    assert not dropped, f"mandatory r6 slots missing from window: {dropped}"
-    assert window == plan["r6_window"], (
-        "_WINDOW and WINDOW_PLAN.json r6_window diverged")
+    assert not dropped, f"mandatory r7 slots missing from window: {dropped}"
+    assert window == plan["r7_window"], (
+        "_WINDOW and WINDOW_PLAN.json r7_window diverged")
 
     assert len(registry) == plan["registry_size"], (
         f"registry grew to {len(registry)} without a WINDOW_PLAN update "
@@ -118,10 +116,13 @@ def test_window_plan_covers_registry():
         f"registry queries with no driver provenance and no window slot: "
         f"{sorted(unplanned)}")
 
-    # provenance hygiene: the folded r5 rows must cover the whole r5
-    # window (49 pass + the join_salted fail the r6 window re-attests)
+    # provenance hygiene: the folded r5/r6 rows must cover their windows
+    # (r5: 49 pass + the join_salted fail its r6 row superseded; r6:
+    # 50/50 pass)
     r5_rows = {q for q, rounds in plan["provenance"].items() if "r5" in rounds}
     assert set(plan["r5_window"]) <= r5_rows, "r5 driver rows not folded"
+    r6_rows = {q for q, rounds in plan["provenance"].items() if "r6" in rounds}
+    assert set(plan["r6_window"]) <= r6_rows, "r6 driver rows not folded"
 
     # forward plan hygiene: every r*_planned entry must resolve — a
     # typo'd name would silently drop a query from its future re-check

@@ -36,21 +36,24 @@ def entry(spark: SparkSession) -> DataFrame:
 _MODULE_ORDER = ("connector", "extensions", "extensions2", "extensions3",
                  "extensions4", "extensions5", "extensions6", "extensions7",
                  "extensions8", "extensions9", "extensions10", "extensions11",
-                 "formats",
+                 "extensions12", "formats",
                  "tpch", "tierb5", "tierb4", "tierb3", "tierb2", "tierb6",
                  "tierb7", "tierb8", "tierb9", "tierb")
 
 _WINDOW = (
-    # --- 13 NEW r7 capabilities (each enters the registry WITH a window
+    # --- 22 NEW r7 capabilities (each enters the registry WITH a window
     # slot so it gets a driver row the round it ships; WINDOW_PLAN.json
     # r7_new is the freeze-test mandatory set)
     "interval_merge", "asof_tolerance", "higher_moments", "mode_rollup",
     "within_group_percentiles", "bfs_hops", "zipf_fit", "stream_topk",
     "hash_funcs", "param_sql", "group_by_all", "python_udtf_analyze",
     "connector_meta_counts",
-    # --- 37 oldest-provenance refreshes: the head of WINDOW_PLAN.json
+    "bitmap_distinct", "distinct_aggs", "approx_topk", "format_funcs",
+    "feature_hashing", "observe_metrics", "calendar_funcs",
+    "aes_roundtrip", "connector_cdf_stream",
+    # --- 28 oldest-provenance refreshes: the head of WINDOW_PLAN.json
     # r7_planned (the twelve r6-displaced r2-latest rows lead, then the
-    # remaining r2-latest and oldest r3-latest rows; the 13 displaced
+    # remaining r2-latest and oldest r3-latest rows; the 22 displaced
     # tail entries move to the front of r8_planned). No r6 semantics
     # changed, so no priority re-attestation slots were needed.
     "json_funcs", "math_funcs", "pandas_udf_scalar", "pivot", "rollup",
@@ -60,9 +63,6 @@ _WINDOW = (
     "union_distinct", "window_lag_lead", "window_range_frame",
     "window_rank", "window_running", "ann_topk", "approx_percentile",
     "bool_aggs", "collect_agg", "cross_join", "date_funcs2",
-    "dedup_components", "dedup_exact", "dedup_exact_subset",
-    "doc_fingerprint", "except_all", "lang_id", "min_max_by",
-    "multimodal_features", "ngram_jaccard",
 )
 
 

@@ -87,6 +87,10 @@ HEADLINE = [
     "interval_merge", "asof_tolerance", "bfs_hops", "higher_moments",
     "within_group_percentiles", "zipf_fit", "stream_topk", "hash_funcs",
     "connector_meta_counts",
+    # late-r7 additions: exact bitmap distinct, sketch top-k with exact
+    # check, hashing-trick features, observe metrics, CDF streaming
+    "bitmap_distinct", "approx_topk", "feature_hashing",
+    "observe_metrics", "aes_roundtrip", "connector_cdf_stream",
 ]
 
 

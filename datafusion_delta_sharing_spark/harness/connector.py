@@ -428,9 +428,41 @@ def q_connector_meta_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per.unionByName(total_df)
 
 
+def q_connector_cdf_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDF STREAMING source end-to-end (beyond reference: the ref's
+    ``/changes`` client is ``todo!()``): ``spark.readStream`` over the
+    real protocol with logical version offsets — the v2 add commit
+    (slice 0) and the v3 remove commit (slice 2) arrive as micro-batches
+    tagged insert/delete, materialize through an executor-side parquet
+    sink, and aggregate per (change type, commit version). The counts
+    are right only if the stream replays the server's history from
+    ``startingVersion`` and maps both action kinds to CDF metadata."""
+    import json
+
+    from datafusion_delta_sharing_spark.sources.datasource import (
+        DeltaSharingDataSource,
+    )
+    from datafusion_delta_sharing_spark.streaming.windows import (
+        materialize_stream,
+    )
+
+    state = _ensure_served(spark, sf_dir)
+    spark.dataSource.register(DeltaSharingDataSource)
+    stream = (spark.readStream.format("deltasharing")
+              .option("profile_json", state["profile_json"])
+              .option("table", f"{_SHARE}.{_SCHEMA}.customer_cdf")
+              .option("readChangeFeed", "true")
+              .option("startingVersion", "2").load())
+    rows = materialize_stream(stream, "append", "connector_cdf_stream")
+    return (rows.groupBy("_change_type", "_commit_version")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+                 F.sum("c_custkey").cast("long").alias("sum_keys")))
+
+
 QUERIES = {
     "connector_flagship": q_connector_flagship,
     "connector_meta_counts": q_connector_meta_counts,
+    "connector_cdf_stream": q_connector_cdf_stream,
     "connector_time_travel_diff": q_connector_time_travel_diff,
     "connector_dv_apply": q_connector_dv_apply,
     "connector_partitioned": q_connector_partitioned,
@@ -451,6 +483,19 @@ ORACLES = {
         SELECT '__ALL__' AS o_orderstatus,
                CAST(count(*) AS BIGINT) AS n_rows
         FROM orders
+    """,
+    "connector_cdf_stream": """
+        SELECT 'insert' AS _change_type,
+               CAST(2 AS BIGINT) AS _commit_version,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(c_custkey) AS BIGINT) AS sum_keys
+        FROM customer WHERE c_custkey % 3 = 0
+        UNION ALL
+        SELECT 'delete' AS _change_type,
+               CAST(3 AS BIGINT) AS _commit_version,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(c_custkey) AS BIGINT) AS sum_keys
+        FROM customer WHERE c_custkey % 3 = 2
     """,
     "connector_time_travel_diff": """
         SELECT 'added' AS change, c_custkey, c_name

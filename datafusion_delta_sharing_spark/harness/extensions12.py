@@ -1,0 +1,297 @@
+"""Extensions batch 12 (late r7): exact bitmap distinct counts, sketch
+top-k with an in-plan exactness check, ML featurization, and more SQL /
+DataFrame API surface.
+
+* ``bitmap_distinct`` — Spark 3.5 bitmap aggregates
+  (``bitmap_bit_position`` / ``bitmap_construct_agg`` / ``bitmap_count``):
+  EXACT distinct counts from fixed-width bitmap chunks — the mergeable
+  exact-distinct primitive (HLL's exact sibling: per-bucket bitmaps OR
+  together across days/partitions for free). The oracle is the plain
+  ``count(DISTINCT ...)`` — bitmaps are exact, so no tolerance row.
+* ``distinct_aggs`` — ``sum/avg/count(DISTINCT ...)`` + ``count_if``
+  (engine-shared spelling; DISTINCT aggregates add an in-shuffle dedup
+  that plain aggregates don't — worth its own driver row).
+* ``approx_topk`` — Spark 4 ``approx_top_k`` sketch, checked in-plan
+  against the exact GROUP BY top-k (the hll_rollup bounded-check
+  pattern): the emitted rows are the EXACT top-3 with a boolean proving
+  the sketch found the same (item, count) pairs.
+* ``format_funcs`` — printf-style ``format_string``, hex/conv radix,
+  repeat/reverse, char vs byte length, against DuckDB's C-style printf.
+* ``feature_hashing`` — the hashing trick
+  (:func:`..operators.tfidf.feature_hash_counts`): fixed-dim sparse
+  bag-of-words with no vocabulary pass.
+* ``observe_metrics`` — ``DataFrame.observe`` + ``Observation``: data-
+  quality counters collected ON an existing pass (zero extra scans in
+  production; here the noop-sink action IS the pass), returned as a
+  one-row DataFrame the oracle recomputes from scratch.
+* ``calendar_funcs`` — make_date / make_timestamp / last_day /
+  dayofyear / quarter round-trips on the orders dates.
+* ``aes_roundtrip`` — ``aes_encrypt``/``aes_decrypt`` (GCM): ciphertext
+  is IV-random so the oracle checks the INVARIANTS — decrypt∘encrypt
+  identity and the GCM framing overhead (12-byte IV + 16-byte tag) —
+  plus the plaintext row values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datafusion_delta_sharing_spark.functions.money import (
+    cents_sql as _cents_sql)
+from datafusion_delta_sharing_spark.harness import (
+    load_table, register_views)
+from datafusion_delta_sharing_spark.operators.tfidf import (
+    feature_hash_counts, feature_hash_counts_sql)
+
+# -- exact bitmap distinct ----------------------------------------------------
+
+_BITMAP_SQL_SPARK = """
+    SELECT event_type,
+           CAST(sum(n_chunk) AS BIGINT) AS n_distinct
+    FROM (
+        SELECT event_type,
+               bitmap_count(bitmap_construct_agg(
+                   bitmap_bit_position(event_id))) AS n_chunk
+        FROM events
+        GROUP BY event_type, bitmap_bucket_number(event_id)
+    ) GROUP BY event_type
+"""
+
+
+def q_bitmap_distinct(spark, sf_dir):
+    """Exact distinct via bitmap chunks: group by (key, bucket) builds a
+    fixed-width bitmap per 32768-id chunk; counts sum across chunks.
+    Unlike count(DISTINCT) the per-chunk bitmaps are MERGEABLE state —
+    the daily→monthly exact-distinct rollup without re-deduplicating."""
+    register_views(spark, sf_dir, ["events"])
+    return spark.sql(_BITMAP_SQL_SPARK)
+
+
+# -- DISTINCT aggregates + count_if ------------------------------------------
+
+_DISTINCT_AGGS_SQL = """
+    SELECT event_type,
+           CAST(count_if(value > 100) AS BIGINT) AS n_big,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(sum(DISTINCT user_id) AS BIGINT) AS sum_users,
+           round(avg(DISTINCT user_id), 6) AS avg_users
+    FROM events GROUP BY event_type
+"""
+
+
+def q_distinct_aggs(spark, sf_dir):
+    register_views(spark, sf_dir, ["events"])
+    return spark.sql(_DISTINCT_AGGS_SQL)
+
+
+# -- approx_top_k with in-plan exactness check --------------------------------
+
+_ATK_K = 3
+
+
+def q_approx_topk(spark, sf_dir):
+    """Spark 4 ``approx_top_k`` sketch vs the exact top-k: emitted rows
+    are the EXACT top-3 event types (count desc, type tie-break); the
+    sketch's (item, count) pairs are matched in-plan — ``sketch_ok``
+    flips false (and the hash mismatches) if the sketch misses an item
+    or miscounts it. With 5 distinct types the sketch tracks all items
+    exactly; the check is the contract that stays testable when the
+    domain outgrows maxItemsTracked."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    exact = (ev.groupBy("event_type")
+             .agg(F.count(F.lit(1)).alias("n"))
+             .withColumn("rk", F.row_number().over(
+                 W.orderBy(F.desc("n"), "event_type")))
+             .filter(F.col("rk") <= _ATK_K))
+    sketch = ev.agg(F.expr(f"approx_top_k(event_type, {_ATK_K})")
+                    .alias("top"))
+    joined = exact.join(F.broadcast(sketch))
+    sketch_ok = F.exists(
+        "top", lambda s: (s["item"] == F.col("event_type"))
+        & (s["count"] == F.col("n")))
+    return joined.select(
+        "event_type", F.col("n").cast("long").alias("n"),
+        F.col("rk").cast("int").alias("rk"),
+        sketch_ok.alias("sketch_ok"))
+
+
+# -- printf / radix / length surface ------------------------------------------
+
+
+def q_format_funcs(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.format_string("%07d|%s", F.col("c_custkey"),
+                        F.col("c_mktsegment")).alias("tag"),
+        F.format_string("%.3f", F.col("c_acctbal").cast("double"))
+        .alias("bal_str"),
+        F.hex(F.col("c_custkey")).alias("key_hex"),
+        F.conv(F.col("c_custkey").cast("string"), 10, 2).alias("key_bin"),
+        F.expr("repeat('*', CAST(c_custkey % 5 + 1 AS INT))")
+        .alias("stars"),
+        F.reverse(F.col("c_name")).alias("rev_name"),
+        F.length("c_name").alias("n_chars"),
+        F.octet_length("c_name").alias("n_bytes"))
+
+
+_FORMAT_ORACLE = """
+    SELECT c_custkey,
+           printf('%07d|%s', c_custkey, c_mktsegment) AS tag,
+           printf('%.3f', c_acctbal) AS bal_str,
+           upper(to_hex(c_custkey)) AS key_hex,
+           bin(c_custkey) AS key_bin,
+           repeat('*', CAST(c_custkey % 5 + 1 AS INT)) AS stars,
+           reverse(c_name) AS rev_name,
+           CAST(length(c_name) AS INT) AS n_chars,
+           CAST(strlen(c_name) AS INT) AS n_bytes
+    FROM customer
+"""
+
+# -- hashing-trick featurization ----------------------------------------------
+
+_FH_BUCKETS = 64
+_FH_DOCS = 300
+
+
+def q_feature_hashing(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _FH_DOCS)
+    return feature_hash_counts(docs, "text", "doc_id",
+                               n_buckets=_FH_BUCKETS)
+
+
+# -- observe / Observation ------------------------------------------------------
+
+
+def q_observe_metrics(spark, sf_dir):
+    """``DataFrame.observe``: accumulator-style metrics collected during
+    an existing pass — the production data-quality pattern (row counts,
+    null counts, sums ride the write job; NO extra scan). Here the
+    observed pass is a noop-sink write; the returned one-row frame holds
+    the metrics, and the oracle recomputes them from scratch."""
+    from pyspark.sql import Observation
+
+    from datafusion_delta_sharing_spark.functions.money import cents
+
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = Observation("dq")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(cents(F.col("l_extendedprice"))).alias("price_cents"),
+        F.count_if(F.col("l_discount") > 0.05).alias("n_discounted"),
+        # DISTINCT aggregates are not allowed in observed metrics
+        # ([INVALID_OBSERVED_METRICS]); min/max are
+        F.max(cents(F.col("l_extendedprice"))).alias("max_price_cents"))
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["price_cents"], m["n_discounted"],
+          m["max_price_cents"])],
+        "n_rows bigint, price_cents bigint, n_discounted bigint, "
+        "max_price_cents bigint")
+
+
+# -- calendar constructors ------------------------------------------------------
+
+# DATE results are CAST to TIMESTAMP for the value compare: Spark
+# collects DATE as python date objects while DuckDB hands pandas
+# datetime64 — wall-equal values that would hash apart (session tz is
+# UTC on both sides, so the cast cannot shift instants)
+_CAL_SQL = """
+    SELECT o_orderkey,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP)
+               AS month_end,
+           CAST(dayofyear(CAST(o_orderdate AS DATE)) AS INT) AS doy,
+           CAST(quarter(CAST(o_orderdate AS DATE)) AS INT) AS qtr,
+           CAST(make_date(CAST(year(o_orderdate) AS INT),
+                          CAST(month(o_orderdate) AS INT), 1)
+                AS TIMESTAMP) AS month_start,
+           make_timestamp(CAST(year(o_orderdate) AS INT),
+                          CAST(month(o_orderdate) AS INT),
+                          CAST(day(o_orderdate) AS INT), 12, 0, 0.5)
+               AS noonish
+    FROM orders
+"""
+
+
+def q_calendar_funcs(spark, sf_dir):
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(_CAL_SQL)
+
+
+# -- AES round-trip ---------------------------------------------------------
+
+_AES_KEY = "0123456789abcdef"  # 16-byte AES-128 key (demo fixture)
+
+
+def q_aes_roundtrip(spark, sf_dir):
+    """GCM ciphertext embeds a random IV, so the VALUE is not oracle-able
+    — the invariants are: decrypt∘encrypt is the identity, and the GCM
+    frame costs exactly 28 bytes (12 IV + 16 tag) over the plaintext.
+    Both are computed in-plan; a broken codec flips a boolean or shifts
+    the length and the hash mismatches."""
+    cust = load_table(spark, sf_dir, "customer")
+    enc = F.expr(f"aes_encrypt(c_name, '{_AES_KEY}')")
+    dec = F.expr(f"CAST(aes_decrypt(aes_encrypt(c_name, '{_AES_KEY}'), "
+                 f"'{_AES_KEY}') AS STRING)")
+    return cust.select(
+        "c_custkey", "c_name",
+        (dec == F.col("c_name")).alias("roundtrip_ok"),
+        (F.octet_length(enc)
+         - F.octet_length(F.encode("c_name", "UTF-8")))
+        .cast("int").alias("gcm_overhead"))
+
+
+QUERIES = {
+    "bitmap_distinct": q_bitmap_distinct,
+    "distinct_aggs": q_distinct_aggs,
+    "approx_topk": q_approx_topk,
+    "format_funcs": q_format_funcs,
+    "feature_hashing": q_feature_hashing,
+    "observe_metrics": q_observe_metrics,
+    "calendar_funcs": q_calendar_funcs,
+    "aes_roundtrip": q_aes_roundtrip,
+}
+
+ORACLES = {
+    "bitmap_distinct": """
+        SELECT event_type, CAST(count(DISTINCT event_id) AS BIGINT)
+                   AS n_distinct
+        FROM events GROUP BY event_type
+    """,
+    "distinct_aggs": _DISTINCT_AGGS_SQL,
+    "approx_topk": f"""
+        SELECT event_type, CAST(n AS BIGINT) AS n, CAST(rk AS INT) AS rk,
+               TRUE AS sketch_ok
+        FROM (
+            SELECT event_type, count(*) AS n,
+                   row_number() OVER (ORDER BY count(*) DESC, event_type)
+                       AS rk
+            FROM events GROUP BY event_type
+        ) WHERE rk <= {_ATK_K}
+    """,
+    "format_funcs": _FORMAT_ORACLE,
+    "feature_hashing": feature_hash_counts_sql(
+        f"(SELECT * FROM documents WHERE doc_id < {_FH_DOCS})",
+        "text", "doc_id", n_buckets=_FH_BUCKETS),
+    "observe_metrics": f"""
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum({_cents_sql('l_extendedprice')}) AS BIGINT)
+                   AS price_cents,
+               CAST(count_if(l_discount > 0.05) AS BIGINT)
+                   AS n_discounted,
+               CAST(max({_cents_sql('l_extendedprice')}) AS BIGINT)
+                   AS max_price_cents
+        FROM lineitem
+    """,
+    "calendar_funcs": _CAL_SQL,
+    "aes_roundtrip": """
+        SELECT c_custkey, c_name, TRUE AS roundtrip_ok,
+               28 AS gcm_overhead
+        FROM customer
+    """,
+}

@@ -204,3 +204,41 @@ def bpe_pair_counts_sql(source_sql: str, text_col: str,
         ORDER BY pair_count DESC, pair ASC
         LIMIT {top_k}
     """
+
+
+def feature_hash_counts(docs: DataFrame, text_col: str, id_col: str,
+                        n_buckets: int = 64) -> DataFrame:
+    """The hashing trick (Weinberger et al. 2009): sparse bag-of-words
+    features in a FIXED ``n_buckets``-dim space with no vocabulary pass —
+    ``bucket = int(md5(token)[:8hex]) % n_buckets`` — the standard
+    featurizer when the vocabulary is unbounded (URLs, ids, misspellings)
+    or a second corpus scan is too expensive at 100 TB.
+
+    Returns ``(id, bucket, n)`` sparse rows (one corpus explode + one
+    keyed aggregate — no vocab table, no broadcast, nothing driver-side).
+    md5 is the hash so the Spark expression and the DuckDB oracle agree
+    engine-portably (the splits.py trick); the first 8 hex digits
+    (< 2^32) fit a BIGINT exactly, and both operands are non-negative so
+    ``%`` agrees across engines."""
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+    toks = token_rows(docs, text_col, id_col)
+    bucket = (F.conv(F.substring(F.md5("token"), 1, 8), 16, 10)
+              .cast("long") % n_buckets)
+    return (toks.withColumn("bucket", bucket)
+            .groupBy(id_col, "bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias("n")))
+
+
+def feature_hash_counts_sql(source_sql: str, text_col: str, id_col: str,
+                            n_buckets: int = 64) -> str:
+    """DuckDB mirror of :func:`feature_hash_counts`."""
+    return f"""
+        SELECT {id_col}, bucket, CAST(count(*) AS BIGINT) AS n
+        FROM (
+            SELECT {id_col},
+                   CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT)
+                       % {n_buckets} AS bucket
+            FROM ({token_rows_sql(source_sql, text_col, id_col)})
+        ) GROUP BY {id_col}, bucket
+    """

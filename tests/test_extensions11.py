@@ -101,3 +101,63 @@ def test_udtf_analyze_rejects_bad_constant(spark, sf_dir):
     q_python_udtf_analyze(spark, sf_dir)
     with pytest.raises(Exception, match="n_cols"):
         spark.sql("SELECT * FROM split_cols('a b', 0)").collect()
+
+
+# -- batch 12 -----------------------------------------------------------------
+
+
+def test_feature_hash_counts_contract(spark):
+    """Buckets stay in [0, n_buckets); multiplicities sum to the token
+    count; bad bucket counts rejected."""
+    from datafusion_delta_sharing_spark.operators.tfidf import (
+        feature_hash_counts)
+
+    docs = spark.createDataFrame(
+        [(1, "a b a c"), (2, "b b"), (3, None)], "doc_id long, text string")
+    out = feature_hash_counts(docs, "text", "doc_id", n_buckets=8).collect()
+    assert all(0 <= r.bucket < 8 for r in out)
+    assert sum(r.n for r in out if r.doc_id == 1) == 4
+    assert sum(r.n for r in out if r.doc_id == 2) == 2
+    assert not [r for r in out if r.doc_id == 3]  # NULL text -> no rows
+    with pytest.raises(ValueError, match="n_buckets"):
+        feature_hash_counts(docs, "text", "doc_id", n_buckets=0)
+
+
+def test_observe_metrics_rides_the_pass(spark, sf_dir):
+    """The observed metrics equal a from-scratch aggregate — and they were
+    collected by the noop write, not a second scan inside the query fn."""
+    from pyspark.sql import functions as F
+
+    from datafusion_delta_sharing_spark.functions.money import cents
+    from datafusion_delta_sharing_spark.harness import load_table
+    from datafusion_delta_sharing_spark.harness.extensions12 import (
+        q_observe_metrics)
+
+    row = q_observe_metrics(spark, sf_dir).collect()[0]
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents(F.col("l_extendedprice"))).alias("c"),
+        F.max(cents(F.col("l_extendedprice"))).alias("m")).collect()[0]
+    assert (row.n_rows, row.price_cents, row.max_price_cents) == (
+        exact.n, exact.c, exact.m)
+
+
+def test_approx_topk_check_is_nonvacuous(spark, sf_dir):
+    """sketch_ok must be a real comparison: corrupting the expected count
+    by 1 must flip it."""
+    from pyspark.sql import functions as F
+
+    from datafusion_delta_sharing_spark.harness.extensions12 import (
+        q_approx_topk)
+
+    rows = q_approx_topk(spark, sf_dir).collect()
+    assert rows and all(r.sketch_ok for r in rows)
+    from datafusion_delta_sharing_spark.harness import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    sketch = ev.agg(F.expr("approx_top_k(event_type, 3)").alias("top"))
+    bad = sketch.select(F.exists(
+        "top", lambda s: (s["item"] == F.lit(rows[0].event_type))
+        & (s["count"] == F.lit(rows[0].n + 1))).alias("ok")).collect()[0]
+    assert bad.ok is False

@@ -25,7 +25,8 @@ _ALLOWS: dict[str, frozenset] = {
         "quality_filter", "tfidf_top", "pmi_collocations",
         "distinctive_terms", "corpus_overlap",
         "unigram_logprob", "bigram_logprob", "heavy_hitters",
-        "bm25_topk", "dsir_select", "sparse_cosine_topk", "hll_rollup")},
+        "bm25_topk", "dsir_select", "sparse_cosine_topk", "hll_rollup",
+        "approx_topk")},
     # intentional non-equi-join demonstrations (the operator IS the BNLJ)
     "cross_join": frozenset({"bnl_join"}),
     "join_theta": frozenset({"bnl_join"}),

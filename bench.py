@@ -91,6 +91,9 @@ HEADLINE = [
     # check, hashing-trick features, observe metrics, CDF streaming
     "bitmap_distinct", "approx_topk", "feature_hashing",
     "observe_metrics", "aes_roundtrip", "connector_cdf_stream",
+    # VERDICT r6 prescriptions: query-TABLE BM25 (inverted-index join),
+    # the k-round greedy BPE merge loop (vocab-bounded per round)
+    "bm25_join_topk", "bpe_merge_steps",
 ]
 
 
@@ -312,6 +315,33 @@ def main() -> None:
     sys.stdout.write("\n")
     sys.stdout.flush()
     print(json.dumps(doc))
+    # VERDICT r6 #3: the driver's stdout channel tail-truncated the full
+    # document three rounds running (parsed: null). The FINAL stdout line
+    # is therefore a compact summary guaranteed < 2,000 chars — total,
+    # query count, the 3 slowest queries, the worst-3 prev-ratios, and
+    # the calibration drift — so the driver's tail always captures
+    # something machine-readable; the complete artifact is the line
+    # above + BENCH_LATEST.json in-repo.
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:3])
+    worst_ratios = dict(sorted(deltas.items(), key=lambda kv: -kv[1])[:3])
+    calib_ratio = (round(calib_after["jvm_allcore_s"]
+                         / calib_before["jvm_allcore_s"], 3)
+                   if calib_before.get("jvm_allcore_s") else None)
+    compact = {
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": slowest,            # 3 slowest medians (full map: artifact)
+        "n_queries": len(timings),
+        "sf": sf_val,
+        "worst3_vs_prev": worst_ratios,
+        "prev_round": prev["round"],
+        "calibration_ratio_jvm": calib_ratio,
+        "full_artifact": "BENCH_LATEST.json",
+    }
+    line = json.dumps(compact)
+    assert len(line) < 2000, f"compact bench summary grew to {len(line)}"
+    print(line)
     spark.stop()
 
 

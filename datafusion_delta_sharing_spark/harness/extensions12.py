@@ -223,6 +223,62 @@ def q_calendar_funcs(spark, sf_dir):
     return spark.sql(_CAL_SQL)
 
 
+# -- BM25 against a query TABLE (VERDICT r6 #5) -------------------------------
+
+# Probe queries as a TABLE (the decontamination-probe shape): mixes the
+# rare planted-dup marker (df≈5%) with common terms on both sides of the
+# df-cut so the cut is non-vacuous — terms in >78% of documents are
+# dropped from postings AND scoring (cut-consistent, lossy-candidate
+# contract documented on the operator).
+_BMJ_QUERIES = [
+    (1, "dup merge window"),
+    (2, "hash join sort"),
+    (3, "the fast key line"),
+    (4, "dup stream order"),
+    (5, "vector column value"),
+    (6, "scan batch small agg"),
+]
+_BMJ_FRAC = 0.78
+_BMJ_K = 5
+
+
+def q_bm25_join_topk(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    from datafusion_delta_sharing_spark.operators.retrieval import (
+        bm25_join)
+
+    docs = load_table(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(_BMJ_QUERIES,
+                                    "qid int, qtext string")
+    scored = bm25_join(docs, queries, "text", "doc_id", "qid", "qtext",
+                       max_doc_frac=_BMJ_FRAC)
+    ranked = scored.withColumn(
+        "rank", F.row_number().over(
+            W.partitionBy("qid").orderBy(F.desc("score"), "doc_id")))
+    return (ranked.filter(F.col("rank") <= _BMJ_K)
+            .select("qid", "doc_id", "n_terms_hit", "score",
+                    F.col("rank").cast("int").alias("rank")))
+
+
+def _bmj_queries_sql() -> str:
+    rows = ", ".join(f"({qid}, '{text}')" for qid, text in _BMJ_QUERIES)
+    return (f"(SELECT * FROM (VALUES {rows}) AS q(qid, qtext))")
+
+
+# -- BPE merge loop (VERDICT r6 #4) -------------------------------------------
+
+_BPE_K = 8
+
+
+def q_bpe_merge_steps(spark, sf_dir):
+    from datafusion_delta_sharing_spark.operators.tfidf import (
+        bpe_apply_merges)
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_apply_merges(docs, "text", k=_BPE_K)
+
+
 # -- AES round-trip ---------------------------------------------------------
 
 _AES_KEY = "0123456789abcdef"  # 16-byte AES-128 key (demo fixture)
@@ -255,6 +311,8 @@ QUERIES = {
     "observe_metrics": q_observe_metrics,
     "calendar_funcs": q_calendar_funcs,
     "aes_roundtrip": q_aes_roundtrip,
+    "bm25_join_topk": q_bm25_join_topk,
+    "bpe_merge_steps": q_bpe_merge_steps,
 }
 
 ORACLES = {
@@ -294,4 +352,35 @@ ORACLES = {
                28 AS gcm_overhead
         FROM customer
     """,
+    "bm25_join_topk": None,  # built below (needs the operator's mirror)
 }
+
+
+def _bmj_oracle() -> str:
+    from datafusion_delta_sharing_spark.operators.retrieval import (
+        bm25_join_sql)
+
+    inner = bm25_join_sql("documents", _bmj_queries_sql(), "text",
+                          "doc_id", "qid", "qtext",
+                          max_doc_frac=_BMJ_FRAC)
+    return f"""
+        SELECT qid, doc_id, n_terms_hit, score, CAST(rank AS INT) AS rank
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+            FROM ({inner})
+        ) WHERE rank <= {_BMJ_K}
+    """
+
+
+ORACLES["bm25_join_topk"] = _bmj_oracle()
+
+
+def _bpe_oracle() -> str:
+    from datafusion_delta_sharing_spark.operators.tfidf import (
+        bpe_apply_merges_sql)
+
+    return bpe_apply_merges_sql("documents", "text", k=_BPE_K)
+
+
+ORACLES["bpe_merge_steps"] = _bpe_oracle()

@@ -105,6 +105,9 @@ class MockSharingServer:
                     "auth": self.headers.get("Authorization"),
                     "capabilities": self.headers.get(
                         "delta-sharing-capabilities"),
+                    # byte-accounting for the fetch-path probe: which
+                    # slice of a served blob this GET actually moved
+                    "range": self.headers.get("Range"),
                 })
 
             def _send(self, status: int, payload: bytes,

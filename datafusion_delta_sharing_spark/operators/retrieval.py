@@ -47,6 +47,7 @@ from datafusion_delta_sharing_spark.operators.tfidf import (
 
 __all__ = [
     "bm25_scores", "bm25_scores_sql",
+    "bm25_join", "bm25_join_sql",
     "dsir_logratio", "dsir_logratio_sql",
     "sparse_cosine_pairs", "sparse_cosine_pairs_sql",
 ]
@@ -395,4 +396,98 @@ def sparse_cosine_pairs_sql(source_sql: str, text_col: str, id_col: str,
         JOIN norms nb ON nb.{id_col} = doc_b
         ORDER BY cosine DESC, doc_a, doc_b
         LIMIT {top_k}
+    """
+
+
+def bm25_join(docs: DataFrame, queries: DataFrame, text_col: str,
+              id_col: str, qid_col: str, qtext_col: str,
+              k1: float = 1.2, b: float = 0.75,
+              max_doc_frac: float | None = None,
+              ndigits: int = 6) -> DataFrame:
+    """Okapi BM25 of every (query, document) pair via the inverted-index
+    posting join — the unbounded-query-set form :func:`bm25_scores`
+    cannot take (it builds one conditional column per LITERAL term; this
+    joins a query TABLE, e.g. thousands of decontamination probes).
+
+    Same scoring math and the same ``N`` population (documents with ≥1
+    token) as :func:`bm25_scores`; query terms are the DISTINCT tokens of
+    each query row (Okapi's set-of-terms convention, matching the
+    fixed-term form). Returns ``(qid, id, n_terms_hit, score)`` for pairs
+    sharing ≥1 kept term, score rounded to ``ndigits`` (the per-pair sum
+    is a float aggregate, not a fixed-order literal chain — rounding
+    absorbs accumulation order; BM25 scores are O(1–10), far from the
+    residual-of-zero trap).
+
+    Scale shape: corpus tf and df are ONE doc shuffle + one token-keyed
+    aggregate; the candidate generator is the token equi-join between
+    query terms and postings, whose fan-out is Σ_t (df_t × qf_t) — the
+    ``max_doc_frac`` df-cut drops terms in more than that FRACTION of
+    documents from the postings AND the scoring (cut-consistent, the
+    sparse_cosine_pairs contract: lossy candidates under degenerate
+    vocabularies, exact scores over the kept terms). Corpus stats
+    broadcast; nothing is driver-side.
+    """
+    toks = token_rows(docs, text_col, id_col)
+    tf = toks.groupBy(id_col, "token").agg(
+        F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.avg("dl").alias("avgdl"))
+    if max_doc_frac is not None:
+        df = (df.join(F.broadcast(stats.select("n_docs")))
+              .filter(F.col("df") <= F.col("n_docs") * max_doc_frac)
+              .select("token", "df"))
+    qterms = (token_rows(queries, qtext_col, qid_col)
+              .select(F.col(qid_col), "token").distinct())
+    posts = (tf.join(df, "token")                    # df-cut applied here
+             .join(dl, id_col)
+             .join(F.broadcast(stats)))
+    pairs = qterms.join(posts, "token")
+    idf = F.log(1 + (F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    norm = (F.col("tf")
+            + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+    contrib = idf * (F.col("tf") * (k1 + 1)) / norm
+    return (pairs.withColumn("contrib", contrib)
+            .groupBy(qid_col, id_col)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_terms_hit"),
+                 F.round(F.sum("contrib"), ndigits).alias("score")))
+
+
+def bm25_join_sql(docs_sql: str, queries_sql: str, text_col: str,
+                  id_col: str, qid_col: str, qtext_col: str,
+                  k1: float = 1.2, b: float = 0.75,
+                  max_doc_frac: float | None = None,
+                  ndigits: int = 6) -> str:
+    """DuckDB mirror of :func:`bm25_join` (identical CTE structure)."""
+    cut = (f"WHERE df <= n_docs * {max_doc_frac}"
+           if max_doc_frac is not None else "")
+    return f"""
+    WITH toks AS ({token_rows_sql(docs_sql, text_col, id_col)}),
+    tf AS (SELECT {id_col}, token, count(*) AS tf
+           FROM toks GROUP BY {id_col}, token),
+    dl AS (SELECT {id_col}, count(*) AS dl FROM toks GROUP BY {id_col}),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    dft AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+    dfc AS (SELECT token, df FROM dft, stats {cut}),
+    qterms AS (SELECT DISTINCT {qid_col}, token
+               FROM ({token_rows_sql(queries_sql, qtext_col, qid_col)})),
+    pairs AS (
+        SELECT q.{qid_col}, t.{id_col}, t.tf, d.df, l.dl,
+               s.n_docs, s.avgdl
+        FROM qterms q
+        JOIN tf t ON t.token = q.token
+        JOIN dfc d ON d.token = q.token
+        JOIN dl l ON l.{id_col} = t.{id_col}
+        CROSS JOIN stats s
+    )
+    SELECT {qid_col}, {id_col},
+           CAST(count(*) AS BIGINT) AS n_terms_hit,
+           round(sum(
+               ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+               * (tf * ({k1} + 1))
+               / (tf + {k1} * (1 - {b} + {b} * dl / avgdl))
+           ), {ndigits}) AS score
+    FROM pairs GROUP BY {qid_col}, {id_col}
     """

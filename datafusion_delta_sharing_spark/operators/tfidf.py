@@ -242,3 +242,145 @@ def feature_hash_counts_sql(source_sql: str, text_col: str, id_col: str,
             FROM ({token_rows_sql(source_sql, text_col, id_col)})
         ) GROUP BY {id_col}, bucket
     """
+
+
+# BPE symbol-string separator. Corpus tokens are whitespace-split words,
+# so '|' cannot appear INSIDE a token produced by tokens_lower only if the
+# raw text never contains it — both sides guard loudly instead of assuming.
+_BPE_SEP = "|"
+
+
+def bpe_apply_merges(docs: DataFrame, text_col: str,
+                     k: int = 8) -> DataFrame:
+    """The actual BPE training loop (Sennrich et al. 2016), ``k`` greedy
+    rounds: count adjacent symbol pairs over the (word, freq) vocabulary,
+    merge the argmax pair (count desc, then (left, right) — a total
+    order), rewrite the vocabulary, repeat. Returns the learned merge
+    table ``(step, left_sym, right_sym, merged, pair_count)`` — the
+    artifact a tokenizer trainer ships.
+
+    Each round is one bounded aggregate (pair counts over the VOCAB, not
+    the corpus) + one vocab rewrite; the corpus is tokenized exactly once
+    up front. The vocabulary is ``localCheckpoint``-ed per round (the
+    connected_components pattern) so round N's plan doesn't re-derive
+    rounds 1..N-1.
+
+    Words are held as a separator-joined symbol STRING and the rewrite is
+    a left-to-right fold (``aggregate``): merge the tail symbol with the
+    incoming one when they equal the round's pair — the standard
+    leftmost-non-overlapping BPE convention ('aaa' + (a,a) -> ['aa','a']).
+    A merged symbol can never chain inside its own round (left||right
+    = left is impossible for a nonempty right), so the fold is exact.
+    The DuckDB mirror replays the SAME k merges with ``list_reduce`` and
+    byte-identical CASE arithmetic.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    sep = _BPE_SEP
+    toks = docs.select(F.explode(tokens_lower(F.col(text_col)))
+                       .alias("word"))
+    freq = toks.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    guarded = F.when(
+        F.col("word").contains(sep),
+        F.raise_error(F.lit(
+            "bpe_apply_merges: a token contains the symbol separator "
+            f"{sep!r}; pick a different separator for this corpus")),
+    ).otherwise(F.col("word"))
+    vocab = freq.select(
+        F.array_join(F.split(guarded, ""), sep).alias("syms"),
+        "n").localCheckpoint(eager=True)
+
+    merges = None
+    for step in range(1, k + 1):
+        syms_list = F.split(F.col("syms"), "\\" + sep)
+        pairs = (vocab
+                 .filter(F.size(syms_list) >= 2)
+                 .select(F.explode(F.transform(
+                     F.sequence(F.lit(1), F.size(syms_list) - 1),
+                     lambda i: F.struct(
+                         F.element_at(syms_list, i).alias("a"),
+                         F.element_at(syms_list, i + 1).alias("b"))))
+                     .alias("p"), "n")
+                 .select("p.a", "p.b", "n"))
+        best = (pairs.groupBy("a", "b")
+                .agg(F.sum("n").cast("bigint").alias("cnt"))
+                .orderBy(F.desc("cnt"), "a", "b").limit(1)
+                .localCheckpoint(eager=True))
+        row = best.select(
+            F.lit(step).alias("step"),
+            F.col("a").alias("left_sym"), F.col("b").alias("right_sym"),
+            F.concat("a", "b").alias("merged"),
+            F.col("cnt").alias("pair_count"))
+        merges = row if merges is None else merges.unionByName(row)
+
+        tail_re = "([^\\" + sep + "]+)$"  # sep escaped for the char class
+
+        def _fold(acc, s):
+            tail_is_a = F.regexp_extract(acc, tail_re, 1) == F.col("a")
+            return (F.when(tail_is_a & (s == F.col("b")),
+                           F.concat(
+                               F.substr(acc, F.lit(1),
+                                        F.length(acc)
+                                        - F.length(F.col("a"))),
+                               F.col("a"), F.col("b")))
+                    .otherwise(F.concat(acc, F.lit(sep), s)))
+
+        vocab = (vocab.crossJoin(F.broadcast(best))
+                 .select(F.aggregate(
+                     F.slice(syms_list, 2,
+                             F.greatest(F.size(syms_list) - 1, F.lit(0))),
+                     F.element_at(syms_list, 1), _fold).alias("syms"),
+                     "n")
+                 .localCheckpoint(eager=True))
+    return merges
+
+
+def bpe_apply_merges_sql(source_sql: str, text_col: str,
+                         k: int = 8) -> str:
+    """DuckDB mirror of :func:`bpe_apply_merges`: k generated CTE rounds
+    replaying the same greedy merges (list_reduce fold, same CASE)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    sep = _BPE_SEP
+    tail_re = "([^\\" + sep + "]+)$"  # sep escaped for the char class
+    ctes = [f"""toks AS (
+        SELECT unnest(words) AS word
+        FROM (SELECT {tokens_lower_sql(text_col)} AS words
+              FROM {source_sql})
+    )""", """freq AS (SELECT word, count(*) AS n FROM toks GROUP BY word)""",
+        f"""v0 AS (
+        SELECT array_to_string(regexp_split_to_array(
+                   CASE WHEN contains(word, '{sep}')
+                        THEN error('bpe_apply_merges oracle: token '
+                                   || 'contains the symbol separator')
+                        ELSE word END, ''), '{sep}') AS syms, n
+        FROM freq
+    )"""]
+    for r in range(1, k + 1):
+        prev = f"v{r - 1}"
+        ctes.append(f"""p{r} AS (
+            SELECT L[i] AS a, L[i + 1] AS b, n
+            FROM (SELECT string_split(syms, '{sep}') AS L, n FROM {prev}),
+                 unnest(generate_series(1, len(L) - 1)) AS t(i)
+            WHERE len(L) >= 2
+        )""")
+        ctes.append(f"""m{r} AS (
+            SELECT a, b, CAST(sum(n) AS BIGINT) AS cnt
+            FROM p{r} GROUP BY a, b
+            ORDER BY cnt DESC, a, b LIMIT 1
+        )""")
+        if r < k:
+            ctes.append(f"""v{r} AS (
+            SELECT list_reduce(string_split(syms, '{sep}'), (acc, s) ->
+                       CASE WHEN regexp_extract(acc, '{tail_re}', 1) = m.a
+                                 AND s = m.b
+                            THEN substr(acc, 1, length(acc) - length(m.a))
+                                 || m.a || m.b
+                            ELSE acc || '{sep}' || s END) AS syms, n
+            FROM {prev}, m{r} m
+        )""")
+    selects = " UNION ALL ".join(
+        f"SELECT {r} AS step, a AS left_sym, b AS right_sym, "
+        f"a || b AS merged, cnt AS pair_count FROM m{r}"
+        for r in range(1, k + 1))
+    return f"WITH {', '.join(ctes)} {selects}"

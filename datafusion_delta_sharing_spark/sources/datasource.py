@@ -401,8 +401,21 @@ def _read_file_partition(options, full_schema: T.StructType,
     def _open(url, size):
         import requests
 
+        from datafusion_delta_sharing_spark.sources.reader import (
+            _RangedHttpFile,
+        )
+
+        def _pf(u, s):
+            src = _open_parquet_source(u, s)
+            # pre_buffer coalesces projected column-chunk reads into
+            # ranged batches — fewer round trips per file over HTTP
+            # (see reader.py:_fetch_batches_task, same rationale)
+            if isinstance(src, _RangedHttpFile):
+                return pq.ParquetFile(src, pre_buffer=True)
+            return pq.ParquetFile(src)
+
         try:
-            return pq.ParquetFile(_open_parquet_source(url, size))
+            return _pf(url, size)
         except requests.HTTPError as exc:
             # ONLY auth failures mean an expired presigned URL; anything
             # else (corrupt footer, 404, scheme errors) must surface as
@@ -412,7 +425,7 @@ def _read_file_partition(options, full_schema: T.StructType,
             if status not in (401, 403):
                 raise
             fresh = refresh()
-            return pq.ParquetFile(_open_parquet_source(fresh.url, fresh.size))
+            return _pf(fresh.url, fresh.size)
 
     reader = _open(partition.url, partition.size)
     file_row = 0  # physical row position within the file

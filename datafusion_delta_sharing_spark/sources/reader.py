@@ -370,6 +370,12 @@ def _fetch_batches_task(
 
             def open_reader(target_url: str):
                 source = _open_parquet_source(target_url, size, session=session)
+                # pre_buffer coalesces the projected column-chunk reads
+                # into ranged batches (fetch-probe measured: 5 -> 3 GETs
+                # per file, same bytes) — on a real object store the
+                # round trips, not the bytes, dominate small-file cost
+                if isinstance(source, _RangedHttpFile):
+                    return pq.ParquetFile(source, pre_buffer=True)
                 return pq.ParquetFile(source)
 
             try:

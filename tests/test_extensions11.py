@@ -161,3 +161,51 @@ def test_approx_topk_check_is_nonvacuous(spark, sf_dir):
         "top", lambda s: (s["item"] == F.lit(rows[0].event_type))
         & (s["count"] == F.lit(rows[0].n + 1))).alias("ok")).collect()[0]
     assert bad.ok is False
+
+
+def test_bpe_merge_fold_leftmost_nonoverlapping(spark):
+    """'aaa' + merge (a,a) must yield ['aa','a'] (leftmost
+    non-overlapping), and the merged symbol must not chain within its
+    own round — the Sennrich convention."""
+    from datafusion_delta_sharing_spark.operators.tfidf import (
+        bpe_apply_merges)
+
+    docs = spark.createDataFrame(
+        [("aaa aaa ab",)], "text string")
+    merges = {r.step: (r.left_sym, r.right_sym, r.pair_count)
+              for r in bpe_apply_merges(docs, "text", k=2).collect()}
+    # round 1: pairs of 'aaa' (freq 2) -> ('a','a') twice each = 4;
+    # 'ab' contributes ('a','b') = 1. argmax = (a, a) count 4.
+    assert merges[1] == ("a", "a", 4)
+    # round 2 vocab: 'aa|a' (n=2), 'a|b' (n=1): pairs (aa,a)=2, (a,b)=1
+    assert merges[2] == ("aa", "a", 2)
+
+
+def test_bpe_apply_merges_rejects_bad_k(spark):
+    from datafusion_delta_sharing_spark.operators.tfidf import (
+        bpe_apply_merges, bpe_apply_merges_sql)
+
+    docs = spark.createDataFrame([("x y",)], "text string")
+    with pytest.raises(ValueError, match="k must be"):
+        bpe_apply_merges(docs, "text", k=0)
+    with pytest.raises(ValueError, match="k must be"):
+        bpe_apply_merges_sql("documents", "text", k=0)
+
+
+def test_bm25_join_matches_fixed_term_form(spark, sf_dir):
+    """A single-term query through the posting-join form must score
+    exactly like the fixed-literal form (same math, same N population) —
+    modulo the join form's absent n_tokens column."""
+    from datafusion_delta_sharing_spark.harness import load_table
+    from datafusion_delta_sharing_spark.operators.retrieval import (
+        bm25_join, bm25_scores)
+
+    docs = load_table(spark, sf_dir, "documents")
+    queries = spark.createDataFrame([(1, "dup")], "qid int, qtext string")
+    joined = {r.doc_id: r.score
+              for r in bm25_join(docs, queries, "text", "doc_id",
+                                 "qid", "qtext").collect()}
+    fixed = {r.doc_id: r.score
+             for r in bm25_scores(docs, "text", "doc_id",
+                                  ["dup"]).collect()}
+    assert joined == fixed and joined

@@ -26,7 +26,10 @@ _ALLOWS: dict[str, frozenset] = {
         "distinctive_terms", "corpus_overlap",
         "unigram_logprob", "bigram_logprob", "heavy_hitters",
         "bm25_topk", "dsir_select", "sparse_cosine_topk", "hll_rollup",
-        "approx_topk")},
+        "approx_topk", "bm25_join_topk")},
+    # bpe_merge_steps needs NO allow: its per-round 1-row argmax
+    # crossJoins run eagerly inside localCheckpoints during build — the
+    # returned merge table's plan reads materialized leaves only
     # intentional non-equi-join demonstrations (the operator IS the BNLJ)
     "cross_join": frozenset({"bnl_join"}),
     "join_theta": frozenset({"bnl_join"}),

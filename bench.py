@@ -92,8 +92,10 @@ HEADLINE = [
     "bitmap_distinct", "approx_topk", "feature_hashing",
     "observe_metrics", "aes_roundtrip", "connector_cdf_stream",
     # VERDICT r6 prescriptions: query-TABLE BM25 (inverted-index join),
-    # the k-round greedy BPE merge loop (vocab-bounded per round)
+    # the k-round greedy BPE merge loop (vocab-bounded per round) — plus
+    # the train->encode completion and the snapshot-diff streaming source
     "bm25_join_topk", "bpe_merge_steps",
+    "bpe_encode_lens", "connector_snapshot_stream",
 ]
 
 

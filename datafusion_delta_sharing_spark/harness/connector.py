@@ -459,10 +459,44 @@ def q_connector_cdf_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("c_custkey").cast("long").alias("sum_keys")))
 
 
+def q_connector_snapshot_stream(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """The snapshot-diff STREAMING source end-to-end: ``spark.readStream``
+    over the share without readChangeFeed — the source lists the current
+    snapshot per micro-batch and emits newly-appeared files (version-
+    numbered offsets; replay re-lists from the server, no local manifest).
+    Here the customer share is static HTTP parquet, so one micro-batch
+    carries the whole snapshot through the ranged executor fetch; the
+    per-segment aggregate is right only if every file's bytes arrive
+    through the streaming path."""
+    import json
+
+    from datafusion_delta_sharing_spark.functions.money import cents
+    from datafusion_delta_sharing_spark.sources.datasource import (
+        DeltaSharingDataSource,
+    )
+    from datafusion_delta_sharing_spark.streaming.windows import (
+        materialize_stream,
+    )
+
+    state = _ensure_served(spark, sf_dir)
+    spark.dataSource.register(DeltaSharingDataSource)
+    stream = (spark.readStream.format("deltasharing")
+              .option("profile_json", state["profile_json"])
+              .option("table", f"{_SHARE}.{_SCHEMA}.customer").load())
+    rows = materialize_stream(stream, "append",
+                              "connector_snapshot_stream")
+    return (rows.groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_customers"),
+                 F.sum(cents(F.col("c_acctbal"))).cast("long")
+                 .alias("bal_cents")))
+
+
 QUERIES = {
     "connector_flagship": q_connector_flagship,
     "connector_meta_counts": q_connector_meta_counts,
     "connector_cdf_stream": q_connector_cdf_stream,
+    "connector_snapshot_stream": q_connector_snapshot_stream,
     "connector_time_travel_diff": q_connector_time_travel_diff,
     "connector_dv_apply": q_connector_dv_apply,
     "connector_partitioned": q_connector_partitioned,
@@ -483,6 +517,13 @@ ORACLES = {
         SELECT '__ALL__' AS o_orderstatus,
                CAST(count(*) AS BIGINT) AS n_rows
         FROM orders
+    """,
+    "connector_snapshot_stream": """
+        SELECT c_mktsegment,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                   AS bal_cents
+        FROM customer GROUP BY c_mktsegment
     """,
     "connector_cdf_stream": """
         SELECT 'insert' AS _change_type,

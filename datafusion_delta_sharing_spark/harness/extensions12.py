@@ -279,6 +279,18 @@ def q_bpe_merge_steps(spark, sf_dir):
     return bpe_apply_merges(docs, "text", k=_BPE_K)
 
 
+def q_bpe_encode_lens(spark, sf_dir):
+    """Token counting under the TRAINED tokenizer (completes the
+    train→encode loop): per document, word count and token count after
+    the k learned merges. The merges are applied to the vocabulary once;
+    the corpus joins the per-word cache — the production encode shape."""
+    from datafusion_delta_sharing_spark.operators.tfidf import (
+        bpe_encode_lengths)
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_encode_lengths(docs, "text", "doc_id", k=_BPE_K)
+
+
 # -- AES round-trip ---------------------------------------------------------
 
 _AES_KEY = "0123456789abcdef"  # 16-byte AES-128 key (demo fixture)
@@ -313,6 +325,7 @@ QUERIES = {
     "aes_roundtrip": q_aes_roundtrip,
     "bm25_join_topk": q_bm25_join_topk,
     "bpe_merge_steps": q_bpe_merge_steps,
+    "bpe_encode_lens": q_bpe_encode_lens,
 }
 
 ORACLES = {
@@ -383,4 +396,12 @@ def _bpe_oracle() -> str:
     return bpe_apply_merges_sql("documents", "text", k=_BPE_K)
 
 
+def _bpe_encode_oracle() -> str:
+    from datafusion_delta_sharing_spark.operators.tfidf import (
+        bpe_encode_lengths_sql)
+
+    return bpe_encode_lengths_sql("documents", "text", "doc_id", k=_BPE_K)
+
+
 ORACLES["bpe_merge_steps"] = _bpe_oracle()
+ORACLES["bpe_encode_lens"] = _bpe_encode_oracle()

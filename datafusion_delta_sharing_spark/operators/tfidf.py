@@ -250,14 +250,16 @@ def feature_hash_counts_sql(source_sql: str, text_col: str, id_col: str,
 _BPE_SEP = "|"
 
 
-def bpe_apply_merges(docs: DataFrame, text_col: str,
-                     k: int = 8) -> DataFrame:
+def _bpe_train(docs: DataFrame, text_col: str,
+               k: int = 8) -> tuple[DataFrame, DataFrame]:
     """The actual BPE training loop (Sennrich et al. 2016), ``k`` greedy
     rounds: count adjacent symbol pairs over the (word, freq) vocabulary,
     merge the argmax pair (count desc, then (left, right) — a total
     order), rewrite the vocabulary, repeat. Returns the learned merge
     table ``(step, left_sym, right_sym, merged, pair_count)`` — the
-    artifact a tokenizer trainer ships.
+    artifact a tokenizer trainer ships — AND the final encoded
+    vocabulary ``(word, syms, n)``, the per-word cache the encode path
+    joins on.
 
     Each round is one bounded aggregate (pair counts over the VOCAB, not
     the corpus) + one vocab rewrite; the corpus is tokenized exactly once
@@ -287,6 +289,7 @@ def bpe_apply_merges(docs: DataFrame, text_col: str,
             f"{sep!r}; pick a different separator for this corpus")),
     ).otherwise(F.col("word"))
     vocab = freq.select(
+        "word",
         F.array_join(F.split(guarded, ""), sep).alias("syms"),
         "n").localCheckpoint(eager=True)
 
@@ -326,19 +329,59 @@ def bpe_apply_merges(docs: DataFrame, text_col: str,
                     .otherwise(F.concat(acc, F.lit(sep), s)))
 
         vocab = (vocab.crossJoin(F.broadcast(best))
-                 .select(F.aggregate(
-                     F.slice(syms_list, 2,
-                             F.greatest(F.size(syms_list) - 1, F.lit(0))),
-                     F.element_at(syms_list, 1), _fold).alias("syms"),
-                     "n")
+                 .select("word",
+                         F.aggregate(
+                             F.slice(syms_list, 2,
+                                     F.greatest(F.size(syms_list) - 1,
+                                                F.lit(0))),
+                             F.element_at(syms_list, 1), _fold)
+                         .alias("syms"),
+                         "n")
                  .localCheckpoint(eager=True))
+    return merges, vocab
+
+
+def bpe_apply_merges(docs: DataFrame, text_col: str,
+                     k: int = 8) -> DataFrame:
+    """The learned merge table of :func:`_bpe_train` — see there for the
+    algorithm and determinism contract."""
+    merges, _ = _bpe_train(docs, text_col, k)
     return merges
 
 
-def bpe_apply_merges_sql(source_sql: str, text_col: str,
-                         k: int = 8) -> str:
-    """DuckDB mirror of :func:`bpe_apply_merges`: k generated CTE rounds
-    replaying the same greedy merges (list_reduce fold, same CASE)."""
+def bpe_encode_lengths(docs: DataFrame, text_col: str, id_col: str,
+                       k: int = 8) -> DataFrame:
+    """ENCODE under the trained tokenizer: per document, the word count
+    and the token count after applying the ``k`` learned merges — the
+    number that drives sequence packing / token budgeting once a real
+    tokenizer replaces whitespace counts.
+
+    The encode path is the production shape: merges are applied to the
+    VOCABULARY once (k bounded rewrites, corpus untouched), then the
+    corpus joins the (word → encoded symbols) table on the word — the
+    per-word cache every real tokenizer keeps, as a broadcast-sized
+    equi-join. Returns ``(id, n_words, n_tokens)``.
+    """
+    _, vocab = _bpe_train(docs, text_col, k)
+    sep = _BPE_SEP
+    enc = vocab.select(
+        "word",
+        F.size(F.split(F.col("syms"), "\\" + sep)).alias("word_tokens"))
+    toks = token_rows(docs, text_col, id_col)
+    # the encoded vocab is vocabulary-sized — broadcastable on real
+    # corpora too (millions of rows); leave the hint to AQE
+    return (toks.join(enc, toks.token == enc.word)
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_words"),
+                 F.sum("word_tokens").cast("bigint").alias("n_tokens")))
+
+
+def _bpe_ctes(source_sql: str, text_col: str, k: int,
+              final_vocab: bool) -> list[str]:
+    """The shared CTE chain behind both mirrors: toks → freq → v0 and k
+    rounds of (pair counts p_r, argmax m_r, rewrite v_r). ``final_vocab``
+    also rewrites after round k (the encode path needs v_k; the
+    merge-table query does not)."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     sep = _BPE_SEP
@@ -349,7 +392,7 @@ def bpe_apply_merges_sql(source_sql: str, text_col: str,
               FROM {source_sql})
     )""", """freq AS (SELECT word, count(*) AS n FROM toks GROUP BY word)""",
         f"""v0 AS (
-        SELECT array_to_string(regexp_split_to_array(
+        SELECT word, array_to_string(regexp_split_to_array(
                    CASE WHEN contains(word, '{sep}')
                         THEN error('bpe_apply_merges oracle: token '
                                    || 'contains the symbol separator')
@@ -369,9 +412,10 @@ def bpe_apply_merges_sql(source_sql: str, text_col: str,
             FROM p{r} GROUP BY a, b
             ORDER BY cnt DESC, a, b LIMIT 1
         )""")
-        if r < k:
+        if r < k or final_vocab:
             ctes.append(f"""v{r} AS (
-            SELECT list_reduce(string_split(syms, '{sep}'), (acc, s) ->
+            SELECT word,
+                   list_reduce(string_split(syms, '{sep}'), (acc, s) ->
                        CASE WHEN regexp_extract(acc, '{tail_re}', 1) = m.a
                                  AND s = m.b
                             THEN substr(acc, 1, length(acc) - length(m.a))
@@ -379,8 +423,37 @@ def bpe_apply_merges_sql(source_sql: str, text_col: str,
                             ELSE acc || '{sep}' || s END) AS syms, n
             FROM {prev}, m{r} m
         )""")
+    return ctes
+
+
+def bpe_apply_merges_sql(source_sql: str, text_col: str,
+                         k: int = 8) -> str:
+    """DuckDB mirror of :func:`bpe_apply_merges`: k generated CTE rounds
+    replaying the same greedy merges (list_reduce fold, same CASE)."""
+    ctes = _bpe_ctes(source_sql, text_col, k, final_vocab=False)
     selects = " UNION ALL ".join(
         f"SELECT {r} AS step, a AS left_sym, b AS right_sym, "
         f"a || b AS merged, cnt AS pair_count FROM m{r}"
         for r in range(1, k + 1))
     return f"WITH {', '.join(ctes)} {selects}"
+
+
+def bpe_encode_lengths_sql(source_sql: str, text_col: str, id_col: str,
+                           k: int = 8) -> str:
+    """DuckDB mirror of :func:`bpe_encode_lengths`: the same k replayed
+    merges, then the corpus joins the encoded vocabulary on the word."""
+    sep = _BPE_SEP
+    ctes = _bpe_ctes(source_sql, text_col, k, final_vocab=True)
+    return f"""
+    WITH {', '.join(ctes)},
+    enc AS (
+        SELECT word, len(string_split(syms, '{sep}')) AS word_tokens
+        FROM v{k}
+    ),
+    corpus AS ({token_rows_sql(source_sql, text_col, id_col)})
+    SELECT c.{id_col},
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(e.word_tokens) AS BIGINT) AS n_tokens
+    FROM corpus c JOIN enc e ON e.word = c.token
+    GROUP BY c.{id_col}
+    """

@@ -209,3 +209,15 @@ def test_bm25_join_matches_fixed_term_form(spark, sf_dir):
              for r in bm25_scores(docs, "text", "doc_id",
                                   ["dup"]).collect()}
     assert joined == fixed and joined
+
+
+def test_bpe_encode_lengths_applies_all_merges(spark):
+    """After k=2 merges on 'aaa aaa ab' ((a,a) then (aa,a)), 'aaa'
+    encodes to ONE token and 'ab' stays two — n_tokens = 1+1+2."""
+    from datafusion_delta_sharing_spark.operators.tfidf import (
+        bpe_encode_lengths)
+
+    docs = spark.createDataFrame([(7, "aaa aaa ab")],
+                                 "doc_id long, text string")
+    rows = bpe_encode_lengths(docs, "text", "doc_id", k=2).collect()
+    assert [(r.doc_id, r.n_words, r.n_tokens) for r in rows] == [(7, 3, 4)]

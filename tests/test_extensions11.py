@@ -221,3 +221,26 @@ def test_bpe_encode_lengths_applies_all_merges(spark):
                                  "doc_id long, text string")
     rows = bpe_encode_lengths(docs, "text", "doc_id", k=2).collect()
     assert [(r.doc_id, r.n_words, r.n_tokens) for r in rows] == [(7, 3, 4)]
+
+
+def test_bm25_join_dfcut_is_cut_consistent(spark):
+    """A term above the df-cut must vanish from BOTH candidates and
+    scoring: a query made only of cut terms yields no pairs, and a mixed
+    query's score equals the kept-terms-only score."""
+    from datafusion_delta_sharing_spark.operators.retrieval import (
+        bm25_join)
+
+    docs = spark.createDataFrame(
+        [(i, "hot rare") if i == 0 else (i, "hot cold")
+         for i in range(10)], "doc_id long, text string")
+    # df: hot=10/10, cold=9/10, rare=1/10 -> cut at 0.5 keeps only rare
+    queries = spark.createDataFrame(
+        [(1, "hot"), (2, "hot rare")], "qid int, qtext string")
+    rows = bm25_join(docs, queries, "text", "doc_id", "qid", "qtext",
+                     max_doc_frac=0.5).collect()
+    assert {r.qid for r in rows} == {2}, "cut term still produced pairs"
+    only_rare = bm25_join(docs, queries.filter("qid = 2"), "text",
+                          "doc_id", "qid", "qtext",
+                          max_doc_frac=0.5).collect()
+    assert {(r.qid, r.doc_id, r.score) for r in rows} == {
+        (r.qid, r.doc_id, r.score) for r in only_rare}

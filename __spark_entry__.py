@@ -41,14 +41,16 @@ _MODULE_ORDER = ("connector", "extensions", "extensions2", "extensions3",
                  "tierb7", "tierb8", "tierb9", "tierb")
 
 _WINDOW = (
-    # --- 26 NEW r7 capabilities (each enters the registry WITH a window
+    # --- 28 NEW r7 capabilities (each enters the registry WITH a window
     # slot so it gets a driver row the round it ships; WINDOW_PLAN.json
     # r7_new is the freeze-test mandatory set). Includes the VERDICT r6
     # prescriptions — #5 bm25_join_topk (query-TABLE BM25 via the
     # inverted-index posting join), #4 bpe_merge_steps (the k-round
     # greedy BPE merge loop, vocab-bounded per round) — plus the
-    # train->encode completion (bpe_encode_lens) and the snapshot-diff
-    # streaming source through the connector (connector_snapshot_stream).
+    # train->encode completion (bpe_encode_lens), the snapshot-diff and
+    # CDF streaming sources, the OAuth credentials-v2 path end-to-end
+    # (which surfaced and fixed the executor-side profile-shipping bug),
+    # and the TABLE-argument UDTF.
     "interval_merge", "asof_tolerance", "higher_moments", "mode_rollup",
     "within_group_percentiles", "bfs_hops", "zipf_fit", "stream_topk",
     "hash_funcs", "param_sql", "group_by_all", "python_udtf_analyze",
@@ -58,10 +60,11 @@ _WINDOW = (
     "aes_roundtrip", "connector_cdf_stream",
     "bm25_join_topk", "bpe_merge_steps",
     "bpe_encode_lens", "connector_snapshot_stream",
-    # --- 24 oldest-provenance refreshes: the head of WINDOW_PLAN.json
-    # r7_planned — ALL 22 r2-latest rows are inside, so after r7 no
+    "udtf_table_arg", "connector_oauth",
+    # --- 22 oldest-provenance refreshes: the head of WINDOW_PLAN.json
+    # r7_planned — exactly the 22 r2-latest rows, so after r7 no
     # registry query's latest driver row predates r3 (VERDICT r6 #1's
-    # Done bar). The 26 displaced tail entries (all r3-latest) lead
+    # Done bar). The 28 displaced tail entries (all r3-latest) lead
     # r8_planned. No r6 semantics changed, so no priority
     # re-attestation slots were needed.
     "json_funcs", "math_funcs", "pandas_udf_scalar", "pivot", "rollup",
@@ -69,7 +72,7 @@ _WINDOW = (
     "join_left", "join_range", "join_inner", "string_funcs",
     "topk_global", "topk_per_group", "tpch_q1", "union_all",
     "union_distinct", "window_lag_lead", "window_range_frame",
-    "window_rank", "window_running", "ann_topk", "approx_percentile",
+    "window_rank", "window_running",
 )
 
 

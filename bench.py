@@ -96,6 +96,8 @@ HEADLINE = [
     # the train->encode completion and the snapshot-diff streaming source
     "bm25_join_topk", "bpe_merge_steps",
     "bpe_encode_lens", "connector_snapshot_stream",
+    # final r7 pair: partitioned TABLE-argument UDTF, OAuth end-to-end
+    "udtf_table_arg", "connector_oauth",
 ]
 
 

@@ -260,8 +260,21 @@ def _ensure_served(spark: SparkSession, sf_dir: str) -> dict:
         f["url"] = f"{server.base_url}/customer-dv-{i}.parquet"
     server.tables[3].files[1]["deletion_vector"]["pathOrInlineDv"] = (
         f"{server.base_url}/customer-dv.bin")
+    # additive: the mock accepts the static bearer token AND any token
+    # it issued via /oauth/token, so enabling OAuth never breaks the
+    # bearer-profile queries sharing this server
+    server.oauth = {"client_id": "bench-cid",
+                    "client_secret": "bench-oauth-fixture",
+                    "expires_in": 3600}
+    oauth_doc = {"shareCredentialsVersion": 2,
+                 "type": "oauth_client_credentials",
+                 "endpoint": server.endpoint,
+                 "tokenEndpoint": f"{server.base_url}/oauth/token",
+                 "clientId": "bench-cid",
+                 "clientSecret": "bench-oauth-fixture"}
     state = {"server": server,
-             "profile_json": json.dumps(server.profile_doc())}
+             "profile_json": json.dumps(server.profile_doc()),
+             "oauth_profile_json": json.dumps(oauth_doc)}
     _SERVED[sf_dir] = state
     return state
 
@@ -492,11 +505,39 @@ def q_connector_snapshot_stream(spark: SparkSession,
                  .alias("bal_cents")))
 
 
+def q_connector_oauth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The credentials-v2 OAuth path end-to-end (beyond reference: the
+    ref is v1 bearer-only, profile.rs:80-95): a client-credentials
+    profile fetches its token from the mock's ``/oauth/token``, the
+    listing and the executor-side ranged fetch authenticate with it, and
+    the aggregate is right only if every request in the chain carried a
+    VALID issued token (the server 401s anything else)."""
+    from datafusion_delta_sharing_spark.client import DeltaSharingClient
+    from datafusion_delta_sharing_spark.profile import Profile
+    from datafusion_delta_sharing_spark.sources.reader import (
+        DeltaSharingReader,
+    )
+
+    state = _ensure_served(spark, sf_dir)
+    profile = Profile.from_json(state["oauth_profile_json"])
+    reader = DeltaSharingReader(spark, DeltaSharingClient(profile))
+    # vacuously-true predicate: exercises the hint + residual machinery
+    # under OAuth without changing the row set (acctbal CAN be negative)
+    df = reader.table(f"{_SHARE}.{_SCHEMA}.customer",
+                      predicate="c_custkey >= 0",
+                      columns=["c_custkey", "c_mktsegment"])
+    return (df.groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_customers"),
+                 F.min("c_custkey").alias("min_key"),
+                 F.max("c_custkey").alias("max_key")))
+
+
 QUERIES = {
     "connector_flagship": q_connector_flagship,
     "connector_meta_counts": q_connector_meta_counts,
     "connector_cdf_stream": q_connector_cdf_stream,
     "connector_snapshot_stream": q_connector_snapshot_stream,
+    "connector_oauth": q_connector_oauth,
     "connector_time_travel_diff": q_connector_time_travel_diff,
     "connector_dv_apply": q_connector_dv_apply,
     "connector_partitioned": q_connector_partitioned,
@@ -517,6 +558,13 @@ ORACLES = {
         SELECT '__ALL__' AS o_orderstatus,
                CAST(count(*) AS BIGINT) AS n_rows
         FROM orders
+    """,
+    "connector_oauth": """
+        SELECT c_mktsegment,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               min(c_custkey) AS min_key,
+               max(c_custkey) AS max_key
+        FROM customer GROUP BY c_mktsegment
     """,
     "connector_snapshot_stream": """
         SELECT c_mktsegment,

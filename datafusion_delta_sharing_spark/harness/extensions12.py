@@ -291,6 +291,49 @@ def q_bpe_encode_lens(spark, sf_dir):
     return bpe_encode_lengths(docs, "text", "doc_id", k=_BPE_K)
 
 
+# -- UDTF with a TABLE argument ------------------------------------------------
+
+_CHANGE_SQL_ORACLE = """
+    SELECT user_id, event_id, event_type
+    FROM (
+        SELECT user_id, event_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events
+    ) WHERE prev IS NULL OR event_type <> prev
+"""
+
+
+def q_udtf_table_arg(spark, sf_dir):
+    """Spark 4 UDTF over a TABLE argument with PARTITION BY/ORDER BY —
+    the polymorphic table-IN-table-OUT surface (a fresh UDTF instance
+    per partition, rows arriving in the declared order): change-point
+    detection over each user's event stream. The oracle is the lag-window
+    equivalent, so the partition/ordering contract is value-checked, not
+    assumed. The multi-column ORDER BY needs the parenthesized form —
+    Spark's parser rejects the bare list."""
+    from pyspark.sql.functions import udtf
+
+    class ChangePoints:
+        def __init__(self):
+            self.prev = None
+
+        def eval(self, row):
+            if self.prev is None or row.event_type != self.prev:
+                yield (row.user_id, row.event_id, row.event_type)
+            self.prev = row.event_type
+
+    spark.udtf.register("change_points", udtf(
+        ChangePoints,
+        returnType="user_id bigint, event_id bigint, event_type string"))
+    register_views(spark, sf_dir, ["events"])
+    return spark.sql("""
+        SELECT * FROM change_points(
+            TABLE(SELECT user_id, event_id, event_type, ts FROM events)
+            PARTITION BY user_id ORDER BY (ts, event_id))
+    """)
+
+
 # -- AES round-trip ---------------------------------------------------------
 
 _AES_KEY = "0123456789abcdef"  # 16-byte AES-128 key (demo fixture)
@@ -326,6 +369,7 @@ QUERIES = {
     "bm25_join_topk": q_bm25_join_topk,
     "bpe_merge_steps": q_bpe_merge_steps,
     "bpe_encode_lens": q_bpe_encode_lens,
+    "udtf_table_arg": q_udtf_table_arg,
 }
 
 ORACLES = {
@@ -366,6 +410,7 @@ ORACLES = {
         FROM customer
     """,
     "bm25_join_topk": None,  # built below (needs the operator's mirror)
+    "udtf_table_arg": _CHANGE_SQL_ORACLE,
 }
 
 

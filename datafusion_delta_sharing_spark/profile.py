@@ -137,6 +137,20 @@ class Profile:
             )
         return {"Authorization": f"Bearer {self.bearer_token}"}
 
+    def to_doc(self) -> dict:
+        """Round-trippable profile document (``Profile.from_json`` input)
+        — how the reader ships credentials to executor fetch tasks. A
+        hand-built v1 doc there silently broke every non-bearer profile
+        type (the OAuth path crashed on ``.bearer_token``)."""
+        doc = {
+            "shareCredentialsVersion": self.share_credentials_version,
+            "endpoint": self.endpoint,
+            "bearerToken": self.bearer_token,
+        }
+        if self.expiration_time is not None:
+            doc["expirationTime"] = self.expiration_time.isoformat()
+        return doc
+
     def __str__(self) -> str:  # never leak the token
         return (
             f"Profile(endpoint={self.endpoint!r}, bearer_token='<redacted>', "
@@ -235,6 +249,24 @@ class OAuthClientCredentialsProfile:
 
     def is_expired(self, now=None) -> bool:
         return False  # tokens self-refresh; the grant itself doesn't expire
+
+    def to_doc(self) -> dict:
+        """Round-trippable profile document (``Profile.from_json``
+        dispatches back to this class) — ships the GRANT, not a token:
+        each executor reconstructing the profile fetches its own
+        short-lived token, per the class contract. Same trust domain as
+        the v1 path, which ships the long-lived bearer token itself."""
+        doc = {
+            "shareCredentialsVersion": 2,
+            "type": "oauth_client_credentials",
+            "endpoint": self.endpoint,
+            "tokenEndpoint": self.token_endpoint,
+            "clientId": self.client_id,
+            "clientSecret": self._client_secret,
+        }
+        if self.scope:
+            doc["scope"] = self.scope
+        return doc
 
     def __str__(self) -> str:  # never leak the secret or token
         return (f"OAuthClientCredentialsProfile(endpoint={self.endpoint!r}, "

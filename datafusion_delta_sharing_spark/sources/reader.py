@@ -1081,11 +1081,12 @@ class DeltaSharingReader:
         desc_df = (self.spark.createDataFrame(descriptors, desc_schema)
                    .repartition(int(n_tasks)))
 
-        profile_doc = json.dumps({
-            "shareCredentialsVersion": self.client.profile.share_credentials_version,
-            "endpoint": self.client.profile.endpoint,
-            "bearerToken": self.client.profile.bearer_token,
-        })
+        # the profile serializes ITSELF (Profile.to_doc round-trips via
+        # from_json): a hand-built v1 doc here crashed every non-bearer
+        # profile type on the executor fetch path (OAuth had no
+        # .bearer_token) — found when connector_oauth first drove the
+        # credentials-v2 grant through mapInArrow
+        profile_doc = json.dumps(self.client.profile.to_doc())
         fqn = table.full_name()
         data_json = data_schema.json()
         full_json = full_schema.json()

@@ -1283,3 +1283,41 @@ def test_count_rows_respects_version_pin(spark, tmp_path):
             ("2021-04-28", "a", 1)]
         assert not any(r["path"].endswith(".parquet")
                        for r in srv.requests)
+
+
+def test_oauth_profile_through_distributed_fetch(spark):
+    """Regression pin (r7): the mapInArrow fetch path must ship the
+    profile via to_doc() round-trip — a hand-built v1 bearer doc crashed
+    every OAuth read on the executors (no .bearer_token). Executors
+    reconstruct the OAuth profile and fetch their own tokens."""
+    schema = json.dumps({"type": "struct", "fields": [
+        {"name": "id", "type": "long", "nullable": False, "metadata": {}},
+        {"name": "amount", "type": "double", "nullable": True,
+         "metadata": {}}]})
+    blob = _blob([1, 2, 3], [1.0, 2.0, 3.0])
+    table = MockTable(share="s", schema="d", name="t",
+                      schema_string=schema)
+    with MockSharingServer([table], parquet_bytes={"/o1.parquet": blob}) as srv:
+        srv.oauth = {"client_id": "cid", "client_secret": "sek",
+                     "expires_in": 3600}
+        table.files.append({"id": "o1",
+                            "url": f"{srv.base_url}/o1.parquet",
+                            "size": len(blob), "partition_values": {}})
+        doc = {"shareCredentialsVersion": 2,
+               "type": "oauth_client_credentials",
+               "endpoint": srv.endpoint,
+               "tokenEndpoint": f"{srv.base_url}/oauth/token",
+               "clientId": "cid", "clientSecret": "sek"}
+        client = DeltaSharingClient(Profile.from_json(json.dumps(doc)))
+        reader = DeltaSharingReader(spark, client)
+        got = sorted(r.id for r in reader.table("s.d.t").collect())
+        assert got == [1, 2, 3]
+        # happy path: ONE grant (the driver's listing) — data files are
+        # presigned URLs, unauthenticated by protocol design; executors
+        # only re-grant on the 401/403 URL-refresh path
+        assert len(srv.issued_tokens) == 1
+        # round-trip contract both profile kinds rely on
+        for d in (doc, srv.profile_doc()):
+            p = Profile.from_json(json.dumps(d))
+            assert Profile.from_json(json.dumps(p.to_doc())).endpoint \
+                == p.endpoint

@@ -255,3 +255,37 @@ def test_feature_hash_oracle_matches_reference(corpus, n_buckets):
             ref[(i, bk)] = ref.get((i, bk), 0) + 1
     assert {(int(r["doc_id"]), int(r["bucket"])): int(r["n"])
             for _, r in got.iterrows()} == ref
+
+
+# -- fetch-probe byte accounting ------------------------------------------------
+
+
+def test_fetch_probe_range_arithmetic():
+    """The SCALING fetch-path numbers come from this arithmetic: all
+    three RFC-7233 single-range forms plus the no-Range fallback."""
+    import pathlib
+    import sys
+
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent
+                           / "tools"))
+    from fetch_probe import _served_bytes
+
+    sizes = {"/f.parquet": 1000}
+
+    def req(rng):
+        return {"method": "GET", "path": "/f.parquet", "range": rng}
+
+    # closed range: end - start + 1
+    assert _served_bytes([req("bytes=10-19")], sizes)["bytes_served"] == 10
+    # open-ended: size - start
+    assert _served_bytes([req("bytes=900-")], sizes)["bytes_served"] == 100
+    # suffix: min(N, size)
+    assert _served_bytes([req("bytes=-64")], sizes)["bytes_served"] == 64
+    assert _served_bytes([req("bytes=-9999")], sizes)["bytes_served"] == 1000
+    # no Range header: whole file
+    assert _served_bytes([req(None)], sizes)["bytes_served"] == 1000
+    # non-parquet and non-GET rows are ignored
+    other = [{"method": "GET", "path": "/query", "range": None},
+             {"method": "POST", "path": "/f.parquet", "range": None}]
+    out = _served_bytes(other, sizes)
+    assert out == {"parquet_gets": 0, "bytes_served": 0}

@@ -219,6 +219,14 @@ def main() -> None:
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     runs: dict[str, list[float]] = {}
     timings: dict[str, float] = {}  # medians — the headline numbers
+    # VERDICT r7 #2: per-streaming-query compute vs trigger-wait split.
+    # Each streaming helper records its query's summed
+    # durationMs.triggerExecution under the registry name; wall - compute
+    # is lifecycle/trigger wait, the part a loaded box inflates 5x
+    # (stream_topk r7: 11.49 s loaded vs 2.34 s quiet, identical code).
+    from datafusion_delta_sharing_spark.streaming import progress as PROG
+
+    stream_split: dict[str, dict] = {}
     for name in HEADLINE:
         fn = queries[name]
         samples = []
@@ -229,6 +237,15 @@ def main() -> None:
             samples.append(round(time.perf_counter() - start, 3))
         runs[name] = samples
         timings[name] = round(statistics.median(samples), 3)
+        compute_runs = PROG.take(name)
+        if compute_runs:
+            compute = round(statistics.median(compute_runs), 3)
+            stream_split[name] = {
+                "wall": timings[name],
+                "compute": compute,
+                "wait": round(max(0.0, timings[name] - compute), 3),
+                "compute_runs": compute_runs,
+            }
     load_after = os.getloadavg()
     calib_after = _calibrate(spark)
 
@@ -259,6 +276,11 @@ def main() -> None:
                     "after": list(load_after)},
         "calibration": {"before": calib_before, "after": calib_after},
         "delta_vs_prev": deltas,       # this run / latest BENCH_r{N}.json
+        # per-streaming-query wall/compute/wait (VERDICT r7 #2): compute =
+        # sum of durationMs.triggerExecution over the query's progress
+        # events (median across runs, raw runs alongside); wait = wall -
+        # compute is trigger scheduling + lifecycle, NOT plan cost
+        "stream_seconds": stream_split,
         "prev_round": prev["round"],
         "prev_basis": prev["basis"],   # "best" for r<=4 artifacts
         "sf": sf_val,
@@ -326,14 +348,23 @@ def main() -> None:
     # the calibration drift — so the driver's tail always captures
     # something machine-readable; the complete artifact is the line
     # above + BENCH_LATEST.json in-repo.
-    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:3])
+    # compute-substituted timings (VERDICT r7 #2): streaming queries are
+    # counted by their micro-batch compute time, not wall — the compact
+    # line's headline number can no longer be inflated 5x by trigger
+    # scheduling waits on a loaded box; batch queries are unchanged
+    timings_c = {n: stream_split[n]["compute"] if n in stream_split else t
+                 for n, t in timings.items()}
+    total_c = round(sum(timings_c.values()), 3)
+    slowest = dict(sorted(timings_c.items(), key=lambda kv: -kv[1])[:3])
     worst_ratios = dict(sorted(deltas.items(), key=lambda kv: -kv[1])[:3])
     calib_ratio = (round(calib_after["jvm_allcore_s"]
                          / calib_before["jvm_allcore_s"], 3)
                    if calib_before.get("jvm_allcore_s") else None)
     compact = {
         "metric": "headline_suite_seconds",
-        "value": total,
+        "value": total_c,              # streaming counted at compute time
+        "wall_value": total,           # sum of wall medians (old headline)
+        "stream_wait_s": round(total - total_c, 3),
         "unit": "sec",
         "queries": slowest,            # 3 slowest medians (full map: artifact)
         "n_queries": len(timings),

@@ -508,10 +508,16 @@ def q_connector_snapshot_stream(spark: SparkSession,
 def q_connector_oauth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The credentials-v2 OAuth path end-to-end (beyond reference: the
     ref is v1 bearer-only, profile.rs:80-95): a client-credentials
-    profile fetches its token from the mock's ``/oauth/token``, the
-    listing and the executor-side ranged fetch authenticate with it, and
-    the aggregate is right only if every request in the chain carried a
-    VALID issued token (the server 401s anything else)."""
+    profile fetches its token from the mock's ``/oauth/token`` and the
+    listing/metadata requests authenticate with it — the aggregate is
+    right only if every LISTING request carried a valid issued token
+    (the server 401s anything else on those routes). The executor-side
+    parquet GETs are presigned-URL fetches and carry no Authorization by
+    protocol design (one OAuth grant authorizes a listing, and the URLs
+    it returns are themselves the data credential) — the mock mirrors
+    that by serving parquet paths before its auth check, and
+    tests/test_reader_catalog.py pins exactly one issued token for the
+    whole chain (ADVICE r7)."""
     from datafusion_delta_sharing_spark.client import DeltaSharingClient
     from datafusion_delta_sharing_spark.profile import Profile
     from datafusion_delta_sharing_spark.sources.reader import (

@@ -1,0 +1,41 @@
+"""Per-stream compute-time accounting (VERDICT r7 #2).
+
+Wall-clock time of a streaming query conflates two very different
+quantities: COMPUTE (the micro-batch work Spark actually scheduled —
+``durationMs.triggerExecution`` summed over the query's progress events)
+and WAIT (trigger scheduling, source polling, query start/stop
+lifecycle). On a loaded box the wait term dominates and is pure noise:
+r7's ``stream_topk`` read 11.49 s under load vs 2.34 s quiet for
+byte-identical code — a 5x artifact the CPU calibration probes cannot
+normalize because no CPU was being spent.
+
+Every streaming helper calls :func:`note` right before stopping its
+query; ``bench.py`` drains the recorded compute seconds per registry
+query and reports BOTH numbers (wall and compute) so a cross-round delta
+on a streaming query can be read against the number that actually
+reflects the plan.
+"""
+
+from __future__ import annotations
+
+# tag -> compute seconds per completed run, in run order
+RECORDED: dict[str, list[float]] = {}
+
+
+def note(tag: str, query) -> None:
+    """Record the summed triggerExecution time of ``query`` under ``tag``
+    (the registry query name). Call after processAllAvailable(), before
+    stop() — recentProgress is retained on the query handle, capped by
+    spark.sql.streaming.numRecentProgressUpdates (default 100, far above
+    the handful of micro-batches any harness stream runs)."""
+    ms = 0
+    for p in query.recentProgress:
+        duration = p["durationMs"] if "durationMs" in p else {}
+        ms += int(duration.get("triggerExecution", 0) or 0)
+    RECORDED.setdefault(tag, []).append(round(ms / 1000.0, 3))
+
+
+def take(tag: str) -> list[float]:
+    """Drain and return the compute-seconds runs recorded under ``tag``
+    (empty list when ``tag`` never ran a stream — i.e. a batch query)."""
+    return RECORDED.pop(tag, [])

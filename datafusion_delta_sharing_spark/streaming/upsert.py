@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from datafusion_delta_sharing_spark.functions import money as MONEY
 
+from datafusion_delta_sharing_spark.streaming import progress as _PROGRESS
 from datafusion_delta_sharing_spark.streaming.windows import (
     set_stream_decode_confs,
     stream_events,
@@ -235,6 +236,7 @@ def stream_upsert_totals(spark: SparkSession, sf_dir: str,
     )
     try:
         query.processAllAvailable()
+        _PROGRESS.note("stream_upsert", query)
     finally:
         query.stop()
     return state_totals(spark, state_dir)

@@ -14,6 +14,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from datafusion_delta_sharing_spark.functions import money as MONEY
+from datafusion_delta_sharing_spark.streaming import progress as _PROGRESS
 
 
 def materialize_stream(stream_df: DataFrame, mode: str,
@@ -40,6 +41,7 @@ def materialize_stream(stream_df: DataFrame, mode: str,
     query = writer.option("checkpointLocation", ckpt).start()
     try:
         query.processAllAvailable()
+        _PROGRESS.note(name, query)
     finally:
         query.stop()
     # explicit schema + pre-created dir: a zero-batch run writes nothing
@@ -331,6 +333,7 @@ def stream_hourly_topk(spark: SparkSession, sf_dir: str,
              .option("checkpointLocation", ckpt).start())
     try:
         query.processAllAvailable()
+        _PROGRESS.note("stream_topk", query)
     finally:
         query.stop()
     import os

@@ -124,16 +124,18 @@ def main() -> None:
         entry["narrow_fetch_2of5_cols"] = nacct
 
         # partition pruning: predicate on the partition column keeps
-        # whole files off the wire (file:// URLs here -> count listings)
-        i0 = len(server.requests)
+        # whole files out of the PLANNED scan. The orders share uses
+        # file:// URLs that never hit the request log, so count the file
+        # actions the scan actually plans (df.inputFiles()) against the
+        # share's total — a pruning regression makes files_planned jump
+        # to files_total (ADVICE r7: the old /query-call count was the
+        # listing count regardless of pruning and could not regress)
         df = reader.table("bench.tpch.orders",
                           predicate="o_orderstatus = 'F'")
         df.write.format("noop").mode("overwrite").save()
-        listed = [r for r in server.requests[i0:]
-                  if r["path"].endswith("/query")]
         entry["orders_partition_pruning"] = {
             "files_total": len(server.tables[1].files),
-            "query_calls": len(listed),
+            "files_planned": len(df.inputFiles()),
         }
 
         # metadata-only count: ZERO parquet bytes at any scale

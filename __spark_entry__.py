@@ -25,54 +25,56 @@ def entry(spark: SparkSession) -> DataFrame:
 # Window management (VERDICT r2 structural note): entries named in _WINDOW
 # are pulled to the front, in order; everything else follows in module
 # order. Rotation state lives in WINDOW_PLAN.json (per-query driver-row
-# provenance r1-r6; after r5 every registry query has at least one driver
-# row, and the r6 window went 50/50 green). r7 window: the 13 NEW r7
-# capabilities (extensions11 + connector_meta_counts - each added WITH a
-# window slot so no new query ever lacks a driver row; WINDOW_PLAN.json
-# r7_new) + the first 37 oldest-provenance refreshes from r7_planned.
-# The 13 displaced r7_planned tail entries lead r8_planned. Registry
-# growth otherwise stays FROZEN - enforced by
+# provenance r1-r7; every registry query has at least one driver row, and
+# the r6/r7 windows went 50/50 green). History note (VERDICT r7 #3): the
+# r7 window was 28 new capabilities + 22 r2-latest refreshes — the
+# "13 new + 37" wording that used to sit here was stale bookkeeping; the
+# enforced plan (WINDOW_PLAN.json r7_window) was always the 28/22 split.
+# r8 window: the 7 NEW r8 capabilities (WINDOW_PLAN.json r8_new — batch
+# deliberately capped per VERDICT r7 #1 so refreshes dominate) + ALL 43
+# r3-latest refreshes; after a green r8 no driver row predates r4.
+# Registry growth otherwise stays FROZEN - enforced by
 # tests/test_harness_connector.py::test_window_plan_covers_registry.
 _MODULE_ORDER = ("connector", "extensions", "extensions2", "extensions3",
                  "extensions4", "extensions5", "extensions6", "extensions7",
                  "extensions8", "extensions9", "extensions10", "extensions11",
-                 "extensions12", "formats",
+                 "extensions12", "extensions13", "formats",
                  "tpch", "tierb5", "tierb4", "tierb3", "tierb2", "tierb6",
                  "tierb7", "tierb8", "tierb9", "tierb")
 
 _WINDOW = (
-    # --- 28 NEW r7 capabilities (each enters the registry WITH a window
+    # --- 7 NEW r8 capabilities (each enters the registry WITH a window
     # slot so it gets a driver row the round it ships; WINDOW_PLAN.json
-    # r7_new is the freeze-test mandatory set). Includes the VERDICT r6
-    # prescriptions — #5 bm25_join_topk (query-TABLE BM25 via the
-    # inverted-index posting join), #4 bpe_merge_steps (the k-round
-    # greedy BPE merge loop, vocab-bounded per round) — plus the
-    # train->encode completion (bpe_encode_lens), the snapshot-diff and
-    # CDF streaming sources, the OAuth credentials-v2 path end-to-end
-    # (which surfaced and fixed the executor-side profile-shipping bug),
-    # and the TABLE-argument UDTF.
-    "interval_merge", "asof_tolerance", "higher_moments", "mode_rollup",
-    "within_group_percentiles", "bfs_hops", "zipf_fit", "stream_topk",
-    "hash_funcs", "param_sql", "group_by_all", "python_udtf_analyze",
-    "connector_meta_counts",
-    "bitmap_distinct", "distinct_aggs", "approx_topk", "format_funcs",
-    "feature_hashing", "observe_metrics", "calendar_funcs",
-    "aes_roundtrip", "connector_cdf_stream",
-    "bm25_join_topk", "bpe_merge_steps",
-    "bpe_encode_lens", "connector_snapshot_stream",
-    "udtf_table_arg", "connector_oauth",
-    # --- 22 oldest-provenance refreshes: the head of WINDOW_PLAN.json
-    # r7_planned — exactly the 22 r2-latest rows, so after r7 no
-    # registry query's latest driver row predates r3 (VERDICT r6 #1's
-    # Done bar). The 28 displaced tail entries (all r3-latest) lead
-    # r8_planned. No r6 semantics changed, so no priority
-    # re-attestation slots were needed.
-    "json_funcs", "math_funcs", "pandas_udf_scalar", "pivot", "rollup",
-    "scan_filter_project", "join_right", "join_semi", "join_theta",
-    "join_left", "join_range", "join_inner", "string_funcs",
-    "topk_global", "topk_per_group", "tpch_q1", "union_all",
-    "union_distinct", "window_lag_lead", "window_range_frame",
-    "window_rank", "window_running",
+    # r8_new is the freeze-test mandatory set). The five VERDICT r7
+    # prescriptions — #4 stream_minhash_dedup (incremental LSH near-dup
+    # over an ingest stream, batch-parity-checked), #5 percentile_rollup
+    # (mergeable value-frequency percentiles + percentile_approx
+    # rank-error attestation), #6 scd2_lookup (point-in-time lookup
+    # against scd2_build's intervals), #7 shortest_paths (bounded
+    # Bellman-Ford), #8 connector_bearer_expiry (expirationTime
+    # rejection end-to-end) — plus two family completions:
+    # label_propagation (majority-vote communities) and
+    # sorted_neighborhood (Hernandez-Stolfo SNM blocking dedup).
+    "stream_minhash_dedup", "percentile_rollup", "scd2_lookup",
+    "shortest_paths", "label_propagation", "sorted_neighborhood",
+    "connector_bearer_expiry",
+    # --- 43 oldest-provenance refreshes: ALL r3-latest rows after
+    # folding the r7 driver rows (the new-capability batch was capped at
+    # 7 per VERDICT r7 #1 precisely so the whole stale set fits). After
+    # a green r8 window no registry query's latest driver row predates
+    # r4 (the Done bar was <= 10); the 45 r4-latest rows lead
+    # r9_planned.
+    "ann_topk", "approx_percentile", "bool_aggs", "collect_agg",
+    "cross_join", "date_funcs2", "dedup_components", "dedup_exact",
+    "dedup_exact_subset", "doc_fingerprint", "except_all", "lang_id",
+    "min_max_by", "multimodal_features", "ngram_jaccard",
+    "ngram_jaccard_dfcut", "null_safe_eq", "python_udtf", "regexp_funcs",
+    "session_window_batch", "stateful_stream", "stream_hourly",
+    "stream_sliding", "string_distance", "string_funcs2", "text_metrics",
+    "tpch_q10", "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q15",
+    "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q21", "tpch_q3",
+    "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7", "tpch_q8", "tpch_q9",
+    "unpivot",
 )
 
 

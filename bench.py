@@ -98,6 +98,13 @@ HEADLINE = [
     "bpe_encode_lens", "connector_snapshot_stream",
     # final r7 pair: partitioned TABLE-argument UDTF, OAuth end-to-end
     "udtf_table_arg", "connector_oauth",
+    # r8 additions (VERDICT r7 #4-#8 + family completions): streaming
+    # incremental LSH dedup, mergeable percentile rollup, SCD2
+    # point-in-time lookup, bounded Bellman-Ford, majority label
+    # propagation, sorted-neighborhood dedup, bearer-expiry rejection
+    "stream_minhash_dedup", "percentile_rollup", "scd2_lookup",
+    "shortest_paths", "label_propagation", "sorted_neighborhood",
+    "connector_bearer_expiry",
 ]
 
 

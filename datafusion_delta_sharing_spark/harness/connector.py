@@ -538,8 +538,54 @@ def q_connector_oauth(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("c_custkey").alias("max_key")))
 
 
+def q_connector_bearer_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bearer ``expirationTime`` enforcement end-to-end (VERDICT r7 #8;
+    reference parity: src/profile.rs:317-356 rejects expired tokens at
+    authorize time). Two profiles over the same share: a future-dated
+    bearer lists and aggregates normally (the n_customers column), and a
+    PAST-dated bearer must be rejected by the reader's first request with
+    the documented ProfileError naming the expiry — before any bytes
+    move. The booleans are computed from the actual raised error, so a
+    regression that stops checking expirationTime (or garbles the
+    message) flips them and the hash mismatches. The deterministic
+    crossing-expiry scenario (same reader, token expiring mid-session
+    between two requests) is pinned in
+    tests/test_harness_connector.py::test_bearer_expiry_mid_session."""
+    import json
+
+    from datafusion_delta_sharing_spark.client import DeltaSharingClient
+    from datafusion_delta_sharing_spark.errors import ProfileError
+    from datafusion_delta_sharing_spark.profile import Profile
+    from datafusion_delta_sharing_spark.sources.reader import (
+        DeltaSharingReader,
+    )
+
+    state = _ensure_served(spark, sf_dir)
+    doc = json.loads(state["profile_json"])
+    live = Profile.from_json(json.dumps(
+        {**doc, "expirationTime": "2099-01-01T00:00:00Z"}))
+    counts = (DeltaSharingReader(spark, DeltaSharingClient(live))
+              .table(f"{_SHARE}.{_SCHEMA}.customer",
+                     columns=["c_custkey"])
+              .agg(F.count(F.lit(1)).cast("long").alias("n_customers")))
+    expired = Profile.from_json(json.dumps(
+        {**doc, "expirationTime": "2020-01-01T00:00:00Z"}))
+    rejected = mentions = False
+    try:
+        DeltaSharingReader(spark, DeltaSharingClient(expired)).table(
+            f"{_SHARE}.{_SCHEMA}.customer")
+    except ProfileError as exc:
+        rejected = True
+        mentions = "expired" in str(exc)
+    flags = spark.createDataFrame(
+        [(rejected, mentions)],
+        "expired_rejected boolean, error_mentions_expiry boolean")
+    return counts.join(F.broadcast(flags))
+
+
 QUERIES = {
     "connector_flagship": q_connector_flagship,
+    "connector_bearer_expiry": q_connector_bearer_expiry,
     "connector_meta_counts": q_connector_meta_counts,
     "connector_cdf_stream": q_connector_cdf_stream,
     "connector_snapshot_stream": q_connector_snapshot_stream,
@@ -553,6 +599,12 @@ QUERIES = {
 }
 
 ORACLES = {
+    "connector_bearer_expiry": """
+        SELECT CAST(count(*) AS BIGINT) AS n_customers,
+               TRUE AS expired_rejected,
+               TRUE AS error_mentions_expiry
+        FROM customer
+    """,
     "connector_flagship": """
         SELECT c_custkey, c_name, c_acctbal, c_mktsegment
         FROM customer WHERE c_acctbal >= 1000.0

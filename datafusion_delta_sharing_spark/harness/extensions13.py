@@ -1,0 +1,427 @@
+"""Extensions batch 13 (r8): the VERDICT r7 prescriptions — streaming
+MinHash-band dedup, mergeable percentile rollup, SCD2 point-in-time
+lookup, bounded Bellman-Ford — plus two family completions (majority
+label propagation, sorted-neighborhood dedup).
+
+* ``stream_minhash_dedup`` — incremental LSH near-dup dedup over an
+  ingest stream (per-micro-batch shingle→minhash→band probes against a
+  persisted band index, :mod:`..streaming.minhash_dedup`). The summary
+  row asserts exact PARITY with the batch ``minhash_lsh_pairs`` dup set
+  on the same corpus (both built from the same banding/verify code) and
+  bounds recall against the exact n-gram Jaccard baseline the oracle
+  recomputes.
+* ``percentile_rollup`` — MERGEABLE percentiles: per-group value-
+  frequency partials (the exact mergeable sketch for bounded value
+  domains — integer cents here; bin first for unbounded ones) roll up
+  into the global distribution WITHOUT rescanning raw rows, completing
+  the pre-aggregated-rollup family (hll_rollup approx distinct ✅,
+  bitmap_distinct exact ✅, now percentiles). Spark's
+  ``percentile_approx`` sketch is attested in-plan by a rank-error
+  bound (``approx_ok``; corrupt-by-one pinned in
+  tests/test_extensions13.py).
+* ``scd2_lookup`` — the other half of the SCD2 workflow (scd2_build
+  constructs validity intervals; this queries them): point-in-time
+  dimension lookup, each probe matched to the one interval containing
+  it (fact ts in [valid_from, valid_to)). Equi-key on user + range
+  residual — a SortMergeJoin, never a BNLJ; the non-overlap invariant
+  bounds fan-out to exactly one row per probe.
+* ``shortest_paths`` — bounded Bellman-Ford over the weighted part
+  co-occurrence graph (k min-cost relaxation rounds, frontier = improved
+  vertices, integer costs; :func:`..operators.graph.bellman_ford_dists`).
+* ``label_propagation`` — synchronous majority-label community rounds
+  with a deterministic tie-break (:func:`..operators.graph.
+  label_propagation`) — the dense-community complement of min-label
+  connected components.
+* ``sorted_neighborhood`` — blocked sorted-neighborhood dedup
+  (Hernandez-Stolfo SNM): sort-key blocking + per-block rank-window
+  candidates + exact Jaccard verify — the cheap prefix-stable first
+  pass of the dedup family (:func:`..operators.dedup.
+  sorted_neighborhood_pairs`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from datafusion_delta_sharing_spark.functions.money import (
+    cents, cents_sql)
+from datafusion_delta_sharing_spark.harness import (
+    load_table, register_views)
+from datafusion_delta_sharing_spark.harness.extensions import (
+    _DOCS_AUG, _JACCARD_DOCS, _MINHASH_BOUND, _docs_with_near_copies,
+    _posts_cte)
+from datafusion_delta_sharing_spark.harness.extensions7 import (
+    _SCD2_SQL)
+from datafusion_delta_sharing_spark.operators import dedup as DD
+from datafusion_delta_sharing_spark.operators import graph as GR
+
+# -- streaming MinHash-band dedup ---------------------------------------------
+
+# same LSH parameters as dedup_minhash so the parity claim is against the
+# registry's own batch operator configuration
+_SMD_HASHES, _SMD_BANDS, _SMD_K, _SMD_T = 16, 4, 5, 0.15
+_SMD_SLICES = 3
+# dup-set recall vs the exact jaccard baseline: measured .90 (sf0.01) /
+# .95+ (sf0.1) — set-level recall tracks the pair-level _MINHASH_BOUND
+# family; reuse its 0.85 slack
+_SMD_BOUND = _MINHASH_BOUND
+
+
+def q_stream_minhash_dedup(spark, sf_dir):
+    """Incremental near-dup dedup over a 3-micro-batch ingest of the
+    planted-near-copy corpus, summarized against (a) the batch
+    minhash_lsh_pairs dup set — exact parity expected, both sides share
+    the banding and verify code — and (b) the exact n-gram Jaccard dup
+    set, which the ORACLE recomputes in SQL (recall bounded, false
+    positives structurally zero because the stream verifies true Jaccard
+    at the same threshold the exact baseline uses)."""
+    from datafusion_delta_sharing_spark.streaming.minhash_dedup import (
+        stream_minhash_dedup_flags)
+
+    corpus = _docs_with_near_copies(spark, sf_dir)
+    streamed = stream_minhash_dedup_flags(
+        spark, corpus, "text", "doc_id", n_slices=_SMD_SLICES,
+        num_hashes=_SMD_HASHES, bands=_SMD_BANDS, k=_SMD_K,
+        threshold=_SMD_T)
+    batch_dups = (DD.minhash_lsh_pairs(
+        corpus, "text", "doc_id", num_hashes=_SMD_HASHES,
+        bands=_SMD_BANDS, k=_SMD_K, threshold=_SMD_T)
+        .select(F.col("id_b").alias("doc_id")).distinct())
+    exact_dups = (DD.ngram_jaccard_pairs(
+        corpus, "text", "doc_id", k=_SMD_K, threshold=_SMD_T)
+        .select(F.col("id_b").alias("doc_id")).distinct())
+    u = (streamed.withColumn("in_s", F.lit(1))
+         .join(batch_dups.withColumn("in_b", F.lit(1)), "doc_id",
+               "full_outer")
+         .join(exact_dups.withColumn("in_e", F.lit(1)), "doc_id",
+               "full_outer"))
+    counts = u.agg(
+        F.coalesce(F.sum(F.when(F.col("in_s").isNotNull()
+                                & F.col("in_b").isNull(), 1)),
+                   F.lit(0)).cast("bigint").alias("n_stream_only"),
+        F.coalesce(F.sum(F.when(F.col("in_b").isNotNull()
+                                & F.col("in_s").isNull(), 1)),
+                   F.lit(0)).cast("bigint").alias("n_batch_only"),
+        F.coalesce(F.sum("in_e"), F.lit(0)).cast("bigint")
+        .alias("n_exact_dups"),
+        F.coalesce(F.sum(F.when(F.col("in_e").isNotNull()
+                                & F.col("in_s").isNotNull(), 1)),
+                   F.lit(0)).cast("bigint").alias("n_hit"),
+        F.coalesce(F.sum(F.when(F.col("in_s").isNotNull()
+                                & F.col("in_e").isNull(), 1)),
+                   F.lit(0)).cast("bigint").alias("n_false"))
+    n_docs = corpus.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    # same float expression shape as operators/recall.py
+    allowed = (F.floor(F.lit(1.0 - _SMD_BOUND) * F.col("n_exact_dups"))
+               .cast("bigint"))
+    return (counts.join(F.broadcast(n_docs))
+            .select("n_docs", "n_exact_dups",
+                    allowed.alias("n_missed_allowed"), "n_false",
+                    "n_stream_only", "n_batch_only",
+                    ((F.col("n_exact_dups") - F.col("n_hit"))
+                     <= allowed).alias("recall_ok")))
+
+
+# exact dup set: docs that are the larger member of at least one pair
+# with shingle Jaccard >= threshold — the same quadratic posting-join
+# oracle the ngram_jaccard family uses
+_SMD_EXACT_SQL = f"""
+    SELECT count(*) FROM (
+        SELECT DISTINCT id_b FROM (
+            WITH {_DOCS_AUG}, {_posts_cte('docs_aug')},
+            sizes AS (SELECT id, count(*) AS sz FROM posts GROUP BY id),
+            inter AS (
+                SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+                FROM posts a JOIN posts b ON a.sh = b.sh AND a.id < b.id
+                GROUP BY a.id, b.id
+            )
+            SELECT id_a, id_b,
+                   round(n_inter / (sa.sz + sb.sz - n_inter), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.id = id_a
+            JOIN sizes sb ON sb.id = id_b
+            WHERE round(n_inter / (sa.sz + sb.sz - n_inter), 6) >= {_SMD_T}
+        )
+    )
+"""
+
+# -- mergeable percentile rollup ----------------------------------------------
+
+_PCT_PS = (0.50, 0.90, 0.99)
+_PCT_ACCURACY = 100  # percentile_approx rank error <= n/accuracy
+
+# ONE spelling for both engines: value-frequency partials per group, the
+# '__all__' row MERGED from the partials (never from raw rows), discrete
+# inverse-CDF percentiles (smallest value with cumulative count >=
+# ceil(p*n) — integer-exact, no interpolation to drift cross-engine)
+_PCT_CORE = f"""
+    WITH vals AS (
+        SELECT event_type AS g, {cents_sql('value')} AS v
+        FROM events WHERE value IS NOT NULL
+    ),
+    freq_g AS (SELECT g, v, count(*) AS cnt FROM vals GROUP BY g, v),
+    freq AS (
+        SELECT g, v, cnt FROM freq_g
+        UNION ALL
+        SELECT '__all__' AS g, v, sum(cnt) AS cnt FROM freq_g GROUP BY v
+    ),
+    cum AS (
+        SELECT g, v,
+               sum(cnt) OVER (PARTITION BY g ORDER BY v) AS cum,
+               sum(cnt) OVER (PARTITION BY g) AS n
+        FROM freq
+    )
+    SELECT g AS event_type, CAST(max(n) AS BIGINT) AS n,
+           CAST(min(CASE WHEN cum >= ceil({_PCT_PS[0]!r} * n) THEN v END)
+                AS BIGINT) AS p50_cents,
+           CAST(min(CASE WHEN cum >= ceil({_PCT_PS[1]!r} * n) THEN v END)
+                AS BIGINT) AS p90_cents,
+           CAST(min(CASE WHEN cum >= ceil({_PCT_PS[2]!r} * n) THEN v END)
+                AS BIGINT) AS p99_cents
+    FROM cum GROUP BY g
+"""
+
+
+def _pct_approx_ok(spark, sf_dir, corrupt_cents: int = 0):
+    """(event_type, approx_ok): does ``percentile_approx`` agree with the
+    frequency-table distribution within its rank-error guarantee
+    (n/accuracy, +2 slack for rank-convention differences)? Checked per
+    group AND for the merged '__all__' row. ``corrupt_cents`` shifts the
+    sketch output before the check — the non-vacuousness knob the test
+    uses to prove the bound can fail."""
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull())
+          .select(F.col("event_type").alias("g"),
+                  cents(F.col("value")).alias("v")))
+    ps = list(_PCT_PS)
+    apx_expr = F.expr(
+        f"percentile_approx(v, array({', '.join(map(repr, ps))}), "
+        f"{_PCT_ACCURACY})").alias("apx")
+    apx = (ev.groupBy("g").agg(apx_expr)
+           .unionByName(ev.agg(apx_expr)
+                        .withColumn("g", F.lit("__all__"))))
+    if corrupt_cents:
+        apx = apx.withColumn(
+            "apx", F.transform("apx", lambda x: x + F.lit(corrupt_cents)))
+    freq_g = ev.groupBy("g", "v").agg(F.count(F.lit(1)).alias("cnt"))
+    freq = freq_g.unionByName(
+        freq_g.groupBy("v").agg(F.sum("cnt").alias("cnt"))
+        .withColumn("g", F.lit("__all__")))
+    aggs = [F.sum("cnt").alias("n")]
+    for i in range(len(ps)):
+        aggs.append(F.sum(F.when(F.col("v") <= F.col("apx")[i],
+                                 F.col("cnt"))).alias(f"le{i}"))
+        aggs.append(F.sum(F.when(F.col("v") < F.col("apx")[i],
+                                 F.col("cnt"))).alias(f"lt{i}"))
+    ranked = freq.join(F.broadcast(apx), "g").groupBy("g").agg(*aggs)
+    tol = F.ceil(F.col("n") / F.lit(_PCT_ACCURACY)) + F.lit(2)
+    ok = F.lit(True)
+    for i, p in enumerate(ps):
+        target = F.ceil(F.lit(p) * F.col("n"))
+        ok = (ok
+              & (F.coalesce(F.col(f"le{i}"), F.lit(0)) >= target - tol)
+              & (F.coalesce(F.col(f"lt{i}"), F.lit(0)) <= target + tol))
+    return ranked.select(F.col("g").alias("event_type"),
+                         ok.alias("approx_ok"))
+
+
+def q_percentile_rollup(spark, sf_dir):
+    """Mergeable percentile rollup: the '__all__' row's percentiles come
+    from MERGING the per-group value-frequency partials (sum counts by
+    value) — raw rows are scanned once for the partials and never again,
+    the daily→monthly percentile pattern at 100 TB (domain-bounded: the
+    frequency table is |groups| × |distinct cents|; bin first when the
+    value domain is unbounded). ``approx_ok`` attests Spark's
+    percentile_approx sketch against the same distribution within its
+    rank-error guarantee — corrupting the sketch by one bin flips it
+    (tests/test_extensions13.py)."""
+    register_views(spark, sf_dir, ["events"])
+    pct = spark.sql(_PCT_CORE)
+    return (pct.join(_pct_approx_ok(spark, sf_dir), "event_type")
+            .select("event_type", "n", "p50_cents", "p90_cents",
+                    "p99_cents", "approx_ok"))
+
+
+# -- SCD2 point-in-time lookup ------------------------------------------------
+
+_SCD2_PROBE_SHIFT = "45 MINUTE"
+
+
+def q_scd2_lookup(spark, sf_dir):
+    """Point-in-time (as-of) dimension lookup against the SCD2 validity
+    intervals scd2_build constructs: each probe (an event's ts shifted
+    forward 45 minutes) resolves the state valid at that instant —
+    probe_ts in [valid_from, valid_to), open interval = current. The
+    join carries the user_id equi-key, so Spark plans a SortMergeJoin
+    with the range as residual (never a BNLJ — plan-linted), and the
+    interval non-overlap invariant makes the fan-out exactly one row per
+    probe. The oracle embeds scd2_build's own interval SQL (_SCD2_SQL),
+    so the two halves of the SCD2 workflow share one definition."""
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("user_id") < 100)
+          .select("user_id", "event_type", "ts", "event_id"))
+    w = Window.partitionBy("user_id").orderBy(
+        F.asc_nulls_last("ts"), F.asc_nulls_last("event_id"))
+    dim = (ev.withColumn("valid_to", F.lead("ts").over(w))
+           .withColumn("version", F.row_number().over(w))
+           .select(F.col("user_id").alias("d_user"),
+                   F.col("event_type").alias("state"),
+                   F.col("ts").alias("valid_from"), "valid_to",
+                   "version"))
+    facts = ev.select(
+        "event_id", "user_id",
+        (F.col("ts") + F.expr(f"INTERVAL {_SCD2_PROBE_SHIFT}"))
+        .alias("probe_ts"))
+    joined = facts.join(
+        dim,
+        (facts.user_id == dim.d_user)
+        & (F.col("probe_ts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull()
+           | (F.col("probe_ts") < F.col("valid_to"))))
+    return joined.select("event_id", "user_id", "probe_ts", "state",
+                         "version")
+
+
+_SCD2_LOOKUP_SQL = f"""
+    WITH dim AS ({_SCD2_SQL}),
+    facts AS (
+        SELECT event_id, user_id,
+               ts + INTERVAL {_SCD2_PROBE_SHIFT} AS probe_ts
+        FROM events WHERE user_id < 100
+    )
+    SELECT f.event_id, f.user_id, f.probe_ts, d.state, d.version
+    FROM facts f
+    JOIN dim d
+      ON d.user_id = f.user_id
+     AND f.probe_ts >= d.valid_from
+     AND (d.valid_to IS NULL OR f.probe_ts < d.valid_to)
+"""
+
+# -- weighted shortest paths (bounded Bellman-Ford) -----------------------------
+
+# same co-occurrence subgraph pin as bfs_hops/triangles (the synthetic
+# corpus' graphs are near-complete; the pin keeps the edge list
+# oracle-sized — do NOT "optimize" it away, see extensions11 _BFS notes)
+_SP_ORDERS = 2000
+_SP_SEED_MOD = 23
+_SP_HOPS = 4
+_SP_SCALE = 1_000_000  # edge cost = max(1, SCALE // co-occurrence count)
+
+
+def _sp_edges(spark, sf_dir):
+    li = (load_table(spark, sf_dir, "lineitem")
+          .filter(F.col("l_orderkey") < _SP_ORDERS))
+    items = (li.select(F.col("l_orderkey").alias("g"),
+                       F.col("l_partkey").alias("i")).distinct())
+    a = items.select("g", F.col("i").alias("a"))
+    b = items.select("g", F.col("i").alias("b"))
+    # weight = co-occurrence support; cost integer-inverse so stronger
+    # ties are cheaper and every path sum is bit-exact on both engines
+    return (a.join(b, "g").filter(F.col("a") < F.col("b"))
+            .groupBy("a", "b").agg(F.count(F.lit(1)).alias("cnt"))
+            .select("a", "b",
+                    F.greatest(F.lit(1),
+                               F.expr(f"{_SP_SCALE} div cnt"))
+                    .cast("long").alias("cost")))
+
+
+def q_shortest_paths(spark, sf_dir):
+    li = (load_table(spark, sf_dir, "lineitem")
+          .filter(F.col("l_orderkey") < _SP_ORDERS))
+    seeds = (li.filter(F.col("l_partkey") % _SP_SEED_MOD == 0)
+             .select(F.col("l_partkey").alias("v")).distinct())
+    return GR.bellman_ford_dists(_sp_edges(spark, sf_dir), seeds,
+                                 _SP_HOPS)
+
+
+_SP_ITEMS_SQL = (f"SELECT DISTINCT l_orderkey AS g, l_partkey AS i "
+                 f"FROM lineitem WHERE l_orderkey < {_SP_ORDERS}")
+_SP_EDGES_SQL = f"""
+    SELECT a, b, CAST(greatest(1, {_SP_SCALE} // cnt) AS BIGINT) AS cost
+    FROM (
+        SELECT l.i AS a, r.i AS b, count(*) AS cnt
+        FROM ({_SP_ITEMS_SQL}) l
+        JOIN ({_SP_ITEMS_SQL}) r
+          ON l.g = r.g AND l.i < r.i
+        GROUP BY l.i, r.i
+    )
+"""
+_SP_SEEDS_SQL = (f"SELECT DISTINCT l_partkey AS v FROM lineitem "
+                 f"WHERE l_orderkey < {_SP_ORDERS} "
+                 f"AND l_partkey % {_SP_SEED_MOD} = 0")
+
+# -- majority label propagation --------------------------------------------------
+
+_LP_ROUNDS = 3
+
+
+def q_label_propagation(spark, sf_dir):
+    li = (load_table(spark, sf_dir, "lineitem")
+          .filter(F.col("l_orderkey") < _SP_ORDERS))
+    edges = GR.cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    return GR.label_propagation(edges, rounds=_LP_ROUNDS)
+
+
+_LP_EDGES_SQL = f"""
+    SELECT DISTINCT l.i AS a, r.i AS b
+    FROM ({_SP_ITEMS_SQL}) l
+    JOIN ({_SP_ITEMS_SQL}) r
+      ON l.g = r.g AND l.i < r.i
+"""
+
+# -- sorted-neighborhood dedup ----------------------------------------------------
+
+_SNM_BLOCK, _SNM_KEY, _SNM_WINDOW, _SNM_T = 8, 40, 8, 0.15
+
+
+def q_sorted_neighborhood(spark, sf_dir):
+    """Blocked SNM over the planted-near-copy corpus: the planted copies
+    append words at the END of the text, so original and copy share the
+    40-char sort key and land in adjacent ranks — the workload SNM
+    exists for. Same verify threshold as the ngram_jaccard family."""
+    docs = _docs_with_near_copies(spark, sf_dir)
+    return DD.sorted_neighborhood_pairs(
+        docs, "text", "doc_id", block_chars=_SNM_BLOCK,
+        key_chars=_SNM_KEY, window=_SNM_WINDOW, k=5, threshold=_SNM_T)
+
+
+QUERIES = {
+    "stream_minhash_dedup": q_stream_minhash_dedup,
+    "percentile_rollup": q_percentile_rollup,
+    "scd2_lookup": q_scd2_lookup,
+    "shortest_paths": q_shortest_paths,
+    "label_propagation": q_label_propagation,
+    "sorted_neighborhood": q_sorted_neighborhood,
+}
+
+ORACLES = {
+    "stream_minhash_dedup": f"""
+        SELECT CAST((SELECT 2 * count(*) FROM documents
+                     WHERE doc_id < {_JACCARD_DOCS}) AS BIGINT) AS n_docs,
+               n_exact_dups,
+               CAST(floor(CAST({1.0 - _SMD_BOUND!r} AS DOUBLE)
+                          * n_exact_dups) AS BIGINT) AS n_missed_allowed,
+               CAST(0 AS BIGINT) AS n_false,
+               CAST(0 AS BIGINT) AS n_stream_only,
+               CAST(0 AS BIGINT) AS n_batch_only,
+               TRUE AS recall_ok
+        FROM (SELECT CAST(({_SMD_EXACT_SQL}) AS BIGINT) AS n_exact_dups)
+    """,
+    "percentile_rollup": f"""
+        SELECT event_type, n, p50_cents, p90_cents, p99_cents,
+               TRUE AS approx_ok
+        FROM ({_PCT_CORE})
+    """,
+    "scd2_lookup": _SCD2_LOOKUP_SQL,
+    "shortest_paths": GR.bellman_ford_dists_sql(
+        _SP_EDGES_SQL, _SP_SEEDS_SQL, _SP_HOPS),
+    "label_propagation": GR.label_propagation_sql(
+        _LP_EDGES_SQL, _LP_ROUNDS),
+    "sorted_neighborhood": f"""
+        WITH {_DOCS_AUG}, {_posts_cte('docs_aug')},
+        {DD.sorted_neighborhood_pairs_sql(
+            'docs_aug', 'posts', 'text', 'doc_id',
+            block_chars=_SNM_BLOCK, key_chars=_SNM_KEY,
+            window=_SNM_WINDOW, threshold=_SNM_T)}
+    """,
+}

@@ -204,13 +204,14 @@ def minhash_signature(df: DataFrame, text_col: str, id_col: str,
     return _with_shingles(df, text_col, id_col, k).withColumn("sig", sig)
 
 
-def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
-                      num_hashes: int = 16, bands: int = 4, k: int = 5,
-                      threshold: float = 0.2) -> DataFrame:
-    """MinHash-LSH near-duplicate pairs: band the signature, bucket-join on
-    (band index, band hash), then verify true Jaccard on the candidate pairs
-    only. Candidate generation is an equi-join shuffle on the band hash —
-    the classic shingle->minhash->band->bucket-join pipeline."""
+def minhash_band_buckets(signed: DataFrame, num_hashes: int,
+                         bands: int) -> DataFrame:
+    """(id, band, bh) posting table of a :func:`minhash_signature` result:
+    the signature split into ``bands`` contiguous chunks, each hashed to
+    one bucket key. The ONE definition of the banding — the batch LSH
+    pair join and the streaming band index both derive buckets here, so
+    their candidate semantics cannot drift (stream/batch parity is a
+    checked contract, harness stream_minhash_dedup)."""
     if num_hashes < 1 or bands < 1 or num_hashes % bands:
         # a non-dividing band count would silently drop the trailing
         # num_hashes % bands signature entries (lower recall than asked),
@@ -219,32 +220,29 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
             f"need num_hashes >= 1 and bands >= 1 with bands dividing "
             f"num_hashes; got num_hashes={num_hashes}, bands={bands}")
     rows = num_hashes // bands
-    signed = minhash_signature(df, text_col, id_col, num_hashes, k).cache()
     band_cols = []
     for band in range(bands):
         chunk = [F.col("sig")[i] for i in range(band * rows, (band + 1) * rows)]
         band_cols.append(F.struct(F.lit(band).alias("band"),
                                   F.xxhash64(*chunk).alias("bh")))
-    # candidate generation carries ONLY (id, band, bh): the shingle arrays
+    # the posting table carries ONLY (id, band, bh): the shingle arrays
     # must not ride through the bands×-exploded bucket exchange (VERDICT r1
     # #5 — at 100 TB the duplicated arrays dominate the shuffle). Shingles
     # re-attach once per side AFTER the candidate pairs are deduplicated.
-    buckets = (
+    return (
         signed.withColumn("bucket", F.explode(F.array(*band_cols)))
         .select("id",
                 F.col("bucket.band").alias("band"),
                 F.col("bucket.bh").alias("bh"))
     )
-    a = buckets.alias("a")
-    b = buckets.alias("b")
-    candidates = (
-        a.join(b, (F.col("a.band") == F.col("b.band"))
-               & (F.col("a.bh") == F.col("b.bh"))
-               & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    shingle_map = signed.select("id", "shingles")
+
+
+def verify_jaccard_pairs(candidates: DataFrame, shingle_map: DataFrame,
+                         threshold: float) -> DataFrame:
+    """True-Jaccard verification of candidate (id_a, id_b) pairs against a
+    (id, shingles) map — the shared verify step of every LSH-candidate
+    pipeline (batch and streaming): re-attach shingles per side, compute
+    exact set Jaccard, keep pairs >= threshold."""
     verified = (
         candidates
         .join(shingle_map.select(F.col("id").alias("id_a"),
@@ -260,6 +258,28 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
+                      num_hashes: int = 16, bands: int = 4, k: int = 5,
+                      threshold: float = 0.2) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs: band the signature, bucket-join on
+    (band index, band hash), then verify true Jaccard on the candidate pairs
+    only. Candidate generation is an equi-join shuffle on the band hash —
+    the classic shingle->minhash->band->bucket-join pipeline."""
+    signed = minhash_signature(df, text_col, id_col, num_hashes, k).cache()
+    buckets = minhash_band_buckets(signed, num_hashes, bands)
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    candidates = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bh") == F.col("b.bh"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return verify_jaccard_pairs(candidates, signed.select("id", "shingles"),
+                                threshold)
 
 
 # -- SimHash --------------------------------------------------------------
@@ -553,3 +573,104 @@ def containment_pairs(df: DataFrame, text_col: str, id_col: str,
                 F.when(F.col("sz_a") <= F.col("sz_b"), F.lit("a_in_b"))
                 .otherwise(F.lit("b_in_a")).alias("contained"))
     )
+
+
+# -- sorted-neighborhood method (blocked SNM entity-resolution dedup) ------
+
+
+def sorted_neighborhood_pairs(df: DataFrame, text_col: str, id_col: str,
+                              block_chars: int = 8, key_chars: int = 40,
+                              window: int = 8, k: int = 5,
+                              threshold: float = 0.2) -> DataFrame:
+    """Sorted-neighborhood near-dup pairs (Hernandez & Stolfo 1995): sort
+    records by a blocking key (text prefix), compare each record only to
+    its ``window`` successors in sort order, verify true shingle Jaccard
+    on those candidates. The classic ER blocking method — candidates are
+    O(n·window) by construction, no posting-list or signature machinery,
+    which makes it the cheap first pass when near-dups share prefixes
+    (boilerplate headers, templated docs).
+
+    Scale shape: the sort is NOT global — records are blocked by the
+    first ``block_chars`` of the key (production SNM always runs inside
+    blocking partitions) and ranked per block, so the window shuffle is
+    a per-block hash exchange. Neighbor pairing is an EQUI-join: each
+    record explodes into ``window`` (block, rank+offset) probes joined
+    back on (block, rank) — never a rank-range theta join. least/greatest
+    normalize pair ids (sort order need not follow id order).
+
+    Recall contract: a near-dup pair is found iff the two records land
+    within ``window`` ranks inside one block — prefix-divergent dups
+    (edits in the first ``block_chars``) are missed; that is the method's
+    documented trade (run multiple passes with different keys, or use
+    minhash-LSH, when prefixes are unstable)."""
+    base = df.select(F.col(id_col).alias("id"),
+                     F.col(text_col).alias("_txt"))
+    from pyspark.sql import Window as W
+
+    keyed = base.select(
+        "id",
+        F.substring("_txt", 1, block_chars).alias("blk"),
+        F.substring("_txt", 1, key_chars).alias("key"))
+    # NULLS LAST pinned on both sort keys (Spark defaults nulls first,
+    # DuckDB last — a null text would shift every rank in its block)
+    rk_w = W.partitionBy("blk").orderBy(F.asc_nulls_last("key"),
+                                        F.asc_nulls_last("id"))
+    ranked = (keyed.withColumn("rk", F.row_number().over(rk_w))
+              .select("id", "blk", "rk"))
+    probes = (ranked.select(
+        "id", "blk", "rk",
+        F.explode(F.sequence(F.lit(1), F.lit(window))).alias("off"))
+        .select("id", "blk", (F.col("rk") + F.col("off")).alias("rk2")))
+    cand = (probes.alias("a")
+            .join(ranked.alias("b"),
+                  (F.col("a.blk") == F.col("b.blk"))
+                  & (F.col("a.rk2") == F.col("b.rk")))
+            .select(F.least("a.id", "b.id").alias("id_a"),
+                    F.greatest("a.id", "b.id").alias("id_b")))
+    shingle_map = _with_shingles(df, text_col, id_col, k)
+    return verify_jaccard_pairs(cand, shingle_map, threshold)
+
+
+def sorted_neighborhood_pairs_sql(source_sql: str, posts_cte_name: str,
+                                  text_col: str, id_col: str,
+                                  block_chars: int = 8, key_chars: int = 40,
+                                  window: int = 8,
+                                  threshold: float = 0.2) -> str:
+    """DuckDB mirror of :func:`sorted_neighborhood_pairs` as a CTE tail:
+    the caller provides the doc source and the name of an existing
+    (id, sh) posting-list CTE over the SAME source (harness/_posts_cte),
+    so the shingle derivation is shared with the other jaccard oracles.
+    Returns the full text AFTER the caller's WITH-list."""
+    return f"""
+    snm_ranked AS (
+        SELECT {id_col} AS id,
+               substring({text_col}, 1, {block_chars}) AS blk,
+               row_number() OVER (
+                   PARTITION BY substring({text_col}, 1, {block_chars})
+                   ORDER BY substring({text_col}, 1, {key_chars}) NULLS LAST,
+                            {id_col} NULLS LAST) AS rk
+        FROM {source_sql}
+    ),
+    snm_cand AS (
+        SELECT least(a.id, b.id) AS id_a, greatest(a.id, b.id) AS id_b
+        FROM snm_ranked a
+        JOIN snm_ranked b
+          ON a.blk = b.blk AND b.rk > a.rk AND b.rk <= a.rk + {window}
+    ),
+    snm_sizes AS (
+        SELECT id, count(*) AS sz FROM {posts_cte_name} GROUP BY id
+    ),
+    snm_inter AS (
+        SELECT c.id_a, c.id_b, count(*) AS n_inter
+        FROM snm_cand c
+        JOIN {posts_cte_name} pa ON pa.id = c.id_a
+        JOIN {posts_cte_name} pb ON pb.id = c.id_b AND pb.sh = pa.sh
+        GROUP BY c.id_a, c.id_b
+    )
+    SELECT i.id_a, i.id_b,
+           round(n_inter / (sa.sz + sb.sz - n_inter), 6) AS jaccard
+    FROM snm_inter i
+    JOIN snm_sizes sa ON sa.id = i.id_a
+    JOIN snm_sizes sb ON sb.id = i.id_b
+    WHERE round(n_inter / (sa.sz + sb.sz - n_inter), 6) >= {threshold}
+    """

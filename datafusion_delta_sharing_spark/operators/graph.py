@@ -253,6 +253,158 @@ def bfs_hop_counts(edges: DataFrame, seeds: DataFrame,
             .agg(F.count(F.lit(1)).cast("long").alias("n_vertices")))
 
 
+def bellman_ford_dists(edges: DataFrame, seeds: DataFrame,
+                       max_hops: int) -> DataFrame:
+    """Bounded Bellman-Ford over a weighted, ordered (a < b, cost)
+    undirected edge list: ``(v, dist)`` — the minimum path cost from the
+    seed set over paths of at most ``max_hops`` edges (VERDICT r7 #7).
+
+    The distributed shape extends :func:`bfs_hop_counts` from reachability
+    to weighted cost: each round equi-joins the FRONTIER (vertices whose
+    distance improved last round — relaxing from settled vertices again
+    can only rediscover known costs) with the bidirectional adjacency
+    list, min-merges the candidate costs into the distance table, and
+    takes the improved rows as the next frontier. One hash shuffle per
+    round, never a path enumeration. Costs are INTEGER so every round is
+    bit-exact on any engine (the pagerank_int discipline — float path
+    sums would drift with combination order and be un-oracle-able).
+
+    The merged distance table is ``localCheckpoint``-ed per round via the
+    connected_components pattern: checkpoint the merged frame FIRST, then
+    derive both the next distances and the improved-frontier from the
+    materialized result — a lazy loop re-derives every earlier round's
+    join once per reference and the plan grows multiplicatively.
+    """
+    if max_hops < 0:
+        raise ValueError(f"max_hops must be >= 0, got {max_hops}")
+    adj = (edges.select(F.col("a").alias("src"), F.col("b").alias("dst"),
+                        F.col("cost"))
+           .unionAll(edges.select(F.col("b").alias("src"),
+                                  F.col("a").alias("dst"), F.col("cost"))))
+    dist = (seeds.select("v").distinct()
+            .withColumn("d", F.lit(0).cast("long"))
+            .localCheckpoint(eager=True))
+    frontier = dist
+    for _ in range(max_hops):
+        cand = (frontier.join(adj, frontier.v == adj.src)
+                .select(F.col("dst").alias("v"),
+                        (F.col("d") + F.col("cost")).alias("nd")))
+        best = cand.groupBy("v").agg(F.min("nd").alias("nd"))
+        merged = (dist.join(best, "v", "full_outer")
+                  .select("v", F.col("d").alias("od"),
+                          F.least(F.coalesce("d", "nd"),
+                                  F.coalesce("nd", "d")).alias("d"))
+                  .localCheckpoint(eager=True))
+        dist = merged.select("v", "d")
+        frontier = (merged.filter(F.col("od").isNull()
+                                  | (F.col("d") < F.col("od")))
+                    .select("v", "d"))
+    return dist.select("v", F.col("d").cast("long").alias("dist"))
+
+
+def bellman_ford_dists_sql(edges_sql: str, seeds_sql: str,
+                           max_hops: int) -> str:
+    """DuckDB mirror of :func:`bellman_ford_dists`: the round loop
+    unrolled into chained CTEs, each one min-merge over (previous dists ∪
+    one-edge relaxations). The mirror relaxes from ALL current vertices
+    each round where the Spark side relaxes only from the frontier — the
+    results are identical by the Bellman-Ford invariant (a cost that
+    improves at round i extends a cost that improved at round i-1), so
+    hash equality also proves the frontier optimization lossless."""
+    ctes = [f"""adj AS (
+        SELECT a AS src, b AS dst, cost FROM ({edges_sql})
+        UNION ALL SELECT b AS src, a AS dst, cost FROM ({edges_sql})
+    ), d0 AS (
+        SELECT DISTINCT v, CAST(0 AS BIGINT) AS d FROM ({seeds_sql})
+    )"""]
+    for i in range(1, max_hops + 1):
+        ctes.append(f"""
+    d{i} AS (
+        SELECT v, min(d) AS d FROM (
+            SELECT v, d FROM d{i - 1}
+            UNION ALL
+            SELECT adj.dst AS v, d{i - 1}.d + adj.cost AS d
+            FROM adj JOIN d{i - 1} ON adj.src = d{i - 1}.v
+        ) GROUP BY v
+    )""")
+    return ("WITH " + ",".join(ctes)
+            + f"\n    SELECT v, CAST(d AS BIGINT) AS dist"
+            f" FROM d{max_hops}")
+
+
+def label_propagation(edges: DataFrame, rounds: int) -> DataFrame:
+    """Synchronous majority-label propagation over an ordered (a < b)
+    undirected edge list: ``(v, label)`` after ``rounds`` rounds —
+    the classic community-detection heuristic (Raghavan et al. 2007),
+    made deterministic by the (count DESC, label ASC) tie-break (the
+    original's random tie-break is un-oracle-able).
+
+    Each round: one equi-join of the labels with the bidirectional
+    adjacency list, one (vertex, label) count aggregate, one per-vertex
+    window pick — all shuffles on the vertex key, state bounded by the
+    edge list. Labels are vertex ids (integers), so rounds are exact on
+    any engine. Fixed round count, synchronous updates: every vertex
+    adopts the round-(i-1) majority of its neighbors simultaneously
+    (per-round localCheckpoint — the connected_components discipline).
+
+    Differs from :func:`..dedup.connected_components` (min-label, runs to
+    convergence, labels = components) — majority vote can settle DENSE
+    subcommunities inside one connected component, which min-label by
+    construction cannot."""
+    from pyspark.sql import Window as W
+
+    if rounds < 0:
+        raise ValueError(f"rounds must be >= 0, got {rounds}")
+    adj = (edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+           .unionAll(edges.select(F.col("b").alias("src"),
+                                  F.col("a").alias("dst"))))
+    verts = adj.select(F.col("src").alias("v")).distinct()
+    labels = (verts.withColumn("label", F.col("v"))
+              .localCheckpoint(eager=True))
+    pick_w = W.partitionBy("v").orderBy(F.desc("cnt"), F.asc("label"))
+    for _ in range(rounds):
+        nb = (adj.join(labels.withColumnRenamed("v", "src"), "src")
+              .groupBy(F.col("dst").alias("v"), "label")
+              .agg(F.count(F.lit(1)).alias("cnt")))
+        top = (nb.withColumn("rn", F.row_number().over(pick_w))
+               .filter(F.col("rn") == 1).select("v", "label"))
+        # left join + coalesce: an isolated vertex keeps its own label
+        labels = (verts.join(top, "v", "left")
+                  .select("v", F.coalesce("label", "v").alias("label"))
+                  .localCheckpoint(eager=True))
+    return labels
+
+
+def label_propagation_sql(edges_sql: str, rounds: int) -> str:
+    """DuckDB mirror of :func:`label_propagation` with the round loop
+    unrolled into chained CTEs (same majority + tie-break per round)."""
+    ctes = [f"""adj AS (
+        SELECT a AS src, b AS dst FROM ({edges_sql})
+        UNION ALL SELECT b AS src, a AS dst FROM ({edges_sql})
+    ), verts AS (SELECT DISTINCT src AS v FROM adj),
+    l0 AS (SELECT v, v AS label FROM verts)"""]
+    for i in range(1, rounds + 1):
+        ctes.append(f"""
+    l{i} AS (
+        SELECT verts.v, coalesce(t.label, verts.v) AS label
+        FROM verts LEFT JOIN (
+            SELECT v, label FROM (
+                SELECT adj.dst AS v, l{i - 1}.label,
+                       count(*) AS cnt,
+                       row_number() OVER (
+                           PARTITION BY adj.dst
+                           ORDER BY count(*) DESC, l{i - 1}.label
+                       ) AS rn
+                FROM adj JOIN l{i - 1} ON adj.src = l{i - 1}.v
+                GROUP BY adj.dst, l{i - 1}.label
+            ) WHERE rn = 1
+        ) t ON verts.v = t.v
+    )""")
+    return ("WITH " + ",".join(ctes)
+            + f"\n    SELECT v, CAST(label AS BIGINT) AS label"
+            f" FROM l{rounds}")
+
+
 def bfs_hop_counts_sql(edges_sql: str, seeds_sql: str,
                        max_hops: int) -> str:
     """DuckDB mirror of :func:`bfs_hop_counts`: level-synchronous

@@ -68,17 +68,59 @@ def test_connector_catalog_sql_join(spark):
     assert all(r.revenue > 0 for r in rows)
 
 
+def test_bearer_expiry_mid_session(spark):
+    """VERDICT r7 #8: a bearer whose expirationTime passes BETWEEN two
+    requests of the same reader session must serve the first and reject
+    the second with the documented ProfileError — expiry is checked at
+    every authorize, not once at construction (reference
+    src/profile.rs:317-356)."""
+    import datetime
+    import json
+    import time
+
+    from datafusion_delta_sharing_spark.client import DeltaSharingClient
+    from datafusion_delta_sharing_spark.errors import ProfileError
+    from datafusion_delta_sharing_spark.profile import Profile
+    from datafusion_delta_sharing_spark.sources.reader import (
+        DeltaSharingReader,
+    )
+
+    state = C._ensure_served(spark, SF_DIR)
+    doc = json.loads(state["profile_json"])
+    expiry = (datetime.datetime.now(datetime.timezone.utc)
+              + datetime.timedelta(seconds=2.0))
+    profile = Profile.from_json(json.dumps(
+        {**doc, "expirationTime": expiry.isoformat()}))
+    reader = DeltaSharingReader(spark, DeltaSharingClient(profile))
+    name = "bench.tpch.customer"
+    # first request inside the validity window succeeds (listing only —
+    # no collect, so no executor fetch racing the expiry)
+    assert reader.table(name, columns=["c_custkey"]) is not None
+    time.sleep(2.2)
+    with pytest.raises(ProfileError, match="expired"):
+        reader.table(name, columns=["c_custkey"])
+
+
+def test_bearer_expiry_registry_row(spark):
+    rows = C.q_connector_bearer_expiry(spark, SF_DIR).collect()
+    assert len(rows) == 1
+    assert rows[0].n_customers > 0
+    assert rows[0].expired_rejected and rows[0].error_mentions_expiry
+
+
 def test_window_plan_covers_registry():
     """VERDICT r4 #6: the driver-window rotation must be self-checking.
 
     Invariants: (a) every _WINDOW name resolves in the registry, (b) the
     window has exactly the driver's 50 slots with no duplicates, (c) the
-    r7 window contains every mandatory slot — all 13 new r7 capabilities
-    (WINDOW_PLAN.json r7_new; a new query must get a driver row the
-    round it ships) — and (d) every registry query either already has a
-    driver provenance pass row in WINDOW_PLAN.json or sits in the r7
-    window, so adding a registry query without a rotation plan fails the
-    build instead of silently re-opening the attestation gap.
+    r8 window contains every mandatory slot — all 7 new r8 capabilities
+    (WINDOW_PLAN.json r8_new; a new query must get a driver row the
+    round it ships; the r7 equivalent was the 28 r7_new entries — the
+    "13" this docstring used to claim was stale bookkeeping, VERDICT r7
+    #3) — and (d) every registry query either already has a driver
+    provenance pass row in WINDOW_PLAN.json or sits in the r8 window, so
+    adding a registry query without a rotation plan fails the build
+    instead of silently re-opening the attestation gap.
     """
     import json
     import pathlib
@@ -100,11 +142,11 @@ def test_window_plan_covers_registry():
     assert len(set(window)) == len(window), "duplicate window entries"
     missing = [q for q in window if q not in registry]
     assert not missing, f"window names not in registry: {missing}"
-    mandatory = set(plan["r7_new"]["queries"])
+    mandatory = set(plan["r8_new"]["queries"])
     dropped = mandatory - set(window)
-    assert not dropped, f"mandatory r7 slots missing from window: {dropped}"
-    assert window == plan["r7_window"], (
-        "_WINDOW and WINDOW_PLAN.json r7_window diverged")
+    assert not dropped, f"mandatory r8 slots missing from window: {dropped}"
+    assert window == plan["r8_window"], (
+        "_WINDOW and WINDOW_PLAN.json r8_window diverged")
 
     assert len(registry) == plan["registry_size"], (
         f"registry grew to {len(registry)} without a WINDOW_PLAN update "
@@ -116,13 +158,26 @@ def test_window_plan_covers_registry():
         f"registry queries with no driver provenance and no window slot: "
         f"{sorted(unplanned)}")
 
-    # provenance hygiene: the folded r5/r6 rows must cover their windows
-    # (r5: 49 pass + the join_salted fail its r6 row superseded; r6:
-    # 50/50 pass)
+    # provenance hygiene: the folded r5/r6/r7 rows must cover their
+    # windows (r5: 49 pass + the join_salted fail its r6 row superseded;
+    # r6 and r7: 50/50 pass)
     r5_rows = {q for q, rounds in plan["provenance"].items() if "r5" in rounds}
     assert set(plan["r5_window"]) <= r5_rows, "r5 driver rows not folded"
     r6_rows = {q for q, rounds in plan["provenance"].items() if "r6" in rounds}
     assert set(plan["r6_window"]) <= r6_rows, "r6 driver rows not folded"
+    r7_rows = {q for q, rounds in plan["provenance"].items() if "r7" in rounds}
+    assert set(plan["r7_window"]) <= r7_rows, "r7 driver rows not folded"
+    # the r8 rotation's reason to exist: with the window's 43 refresh
+    # slots all spent on r3-latest rows, nothing older than r3 may
+    # remain anywhere, and everything r3-latest must sit in the window
+    order = ["r1", "r2", "r3", "r4", "r5", "r6", "r7"]
+    stale = {q for q, rounds in plan["provenance"].items()
+             if max(rounds, key=order.index) in ("r1", "r2")}
+    assert not stale, f"pre-r3 driver rows left unrefreshed: {stale}"
+    r3_latest = {q for q, rounds in plan["provenance"].items()
+                 if max(rounds, key=order.index) == "r3"}
+    assert r3_latest <= set(window), (
+        f"r3-latest rows missing a refresh slot: {r3_latest - set(window)}")
 
     # forward plan hygiene: every r*_planned entry must resolve — a
     # typo'd name would silently drop a query from its future re-check

@@ -80,6 +80,25 @@ SHOWCASE = [
      "eager build (localCheckpoint leaves); the visible plan is the "
      "corpus token explode equi-joined to the per-word cache + one "
      "doc-keyed aggregate"),
+    ("scd2_lookup",
+     "point-in-time lookup: hash join on the user equi-key with the "
+     "[valid_from, valid_to) range as residual — never a "
+     "BroadcastNestedLoopJoin; the non-overlap invariant caps output "
+     "at one row per probe"),
+    ("shortest_paths",
+     "bounded Bellman-Ford: k=4 relaxation rounds ran eagerly during "
+     "build (per-round localCheckpoint — the visible plan reads the "
+     "final materialized distance leaf; without the checkpoints round "
+     "N re-derives every earlier round per reference)"),
+    ("percentile_rollup",
+     "mergeable percentiles: one raw scan builds (group, cents) "
+     "frequency partials; the '__all__' row merges the PARTIALS (sum "
+     "by value) and every percentile/cum-rank pass runs over the "
+     "frequency table, never the raw rows again"),
+    ("sorted_neighborhood",
+     "blocked SNM: per-block rank window (hash Exchange on the block "
+     "key, no global sort), neighbor candidates via an EQUI-join on "
+     "(block, rank+offset), exact-Jaccard verify on candidates only"),
 ]
 
 

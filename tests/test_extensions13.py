@@ -206,3 +206,25 @@ def test_stream_minhash_dedup_matches_batch_and_ignores_order(spark, sf_dir):
             num_hashes=16, bands=4, k=5, threshold=0.15).collect()}
         assert streamed == batch, n_slices
     assert batch, "corpus with planted copies must have duplicates"
+
+
+def test_stream_minhash_dedup_no_dups_and_tiny_corpus(spark):
+    """Edge cases: a corpus with no near-dups flags nothing; a single
+    doc (fewer docs than slices -> empty micro-batches hit the
+    empty-batch guard) flags nothing and does not crash."""
+    from datafusion_delta_sharing_spark.streaming.minhash_dedup import (
+        stream_minhash_dedup_flags)
+
+    distinct = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "one two three four five six seven"),
+         (3, "red orange yellow green blue indigo")],
+        "doc_id long, text string")
+    assert stream_minhash_dedup_flags(
+        spark, distinct, "text", "doc_id", n_slices=2).count() == 0
+
+    single = spark.createDataFrame(
+        [(7, "just one lonely document here")],
+        "doc_id long, text string")
+    assert stream_minhash_dedup_flags(
+        spark, single, "text", "doc_id", n_slices=3).count() == 0

@@ -73,10 +73,15 @@ def test_bearer_expiry_mid_session(spark):
     requests of the same reader session must serve the first and reject
     the second with the documented ProfileError — expiry is checked at
     every authorize, not once at construction (reference
-    src/profile.rs:317-356)."""
+    src/profile.rs:317-356).
+
+    Time passes DETERMINISTICALLY: the profile is frozen, so 'the clock
+    crossing the expiry' is simulated by swinging the same reader's
+    profile.expiration_time from future to past via object.__setattr__
+    between the two requests — no sleep racing a wall-clock window (a
+    loaded box could make a real 2 s validity window flake)."""
     import datetime
     import json
-    import time
 
     from datafusion_delta_sharing_spark.client import DeltaSharingClient
     from datafusion_delta_sharing_spark.errors import ProfileError
@@ -87,16 +92,17 @@ def test_bearer_expiry_mid_session(spark):
 
     state = C._ensure_served(spark, SF_DIR)
     doc = json.loads(state["profile_json"])
-    expiry = (datetime.datetime.now(datetime.timezone.utc)
-              + datetime.timedelta(seconds=2.0))
+    future = (datetime.datetime.now(datetime.timezone.utc)
+              + datetime.timedelta(hours=1))
     profile = Profile.from_json(json.dumps(
-        {**doc, "expirationTime": expiry.isoformat()}))
+        {**doc, "expirationTime": future.isoformat()}))
     reader = DeltaSharingReader(spark, DeltaSharingClient(profile))
     name = "bench.tpch.customer"
-    # first request inside the validity window succeeds (listing only —
-    # no collect, so no executor fetch racing the expiry)
+    # first request inside the validity window succeeds
     assert reader.table(name, columns=["c_custkey"]) is not None
-    time.sleep(2.2)
+    past = (datetime.datetime.now(datetime.timezone.utc)
+            - datetime.timedelta(seconds=1))
+    object.__setattr__(profile, "expiration_time", past)
     with pytest.raises(ProfileError, match="expired"):
         reader.table(name, columns=["c_custkey"])
 

@@ -94,11 +94,14 @@ def minhash_dedup_sink(spark: SparkSession, state_dir: str,
         os.makedirs(d, exist_ok=True)
 
     def _merge(batch_df: DataFrame, _batch_id: int) -> None:
+        # emptiness guard on the RAW batch — before the signature job,
+        # so an empty micro-batch (more slices than rows) costs one
+        # cheap take, not a full shingle/minhash pass
+        if not batch_df.take(1):
+            return
         signed = minhash_signature(
             batch_df, text_col, id_col, num_hashes, k
         ).localCheckpoint(eager=True)  # reused for buckets AND shingles
-        if not signed.take(1):
-            return
         buckets = minhash_band_buckets(signed, num_hashes, bands)
         batch_sh = signed.select("id", "shingles")
         idx_bands = spark.read.schema(_BANDS_SCHEMA).parquet(bands_dir)

@@ -41,7 +41,7 @@ label propagation, sorted-neighborhood dedup).
 
 from __future__ import annotations
 
-from pyspark.sql import Window, functions as F
+from pyspark.sql import functions as F
 
 from datafusion_delta_sharing_spark.functions.money import (
     cents, cents_sql)
@@ -153,9 +153,12 @@ _PCT_ACCURACY = 100  # percentile_approx rank error <= n/accuracy
 # ONE spelling for both engines: value-frequency partials per group, the
 # '__all__' row MERGED from the partials (never from raw rows), discrete
 # inverse-CDF percentiles (smallest value with cumulative count >=
-# ceil(p*n) — integer-exact, no interpolation to drift cross-engine)
-_PCT_CORE = f"""
-    WITH vals AS (
+# ceil(p*n) — integer-exact, no interpolation to drift cross-engine).
+# The freq derivation and the percentile tail are separate fragments so
+# the Spark side can materialize freq ONCE and reuse it for both the
+# percentiles and the approx check (r8 review: the check used to rebuild
+# the identical frequency table from a second derivation)
+_PCT_FREQ_CTES = f"""vals AS (
         SELECT event_type AS g, {cents_sql('value')} AS v
         FROM events WHERE value IS NOT NULL
     ),
@@ -164,12 +167,17 @@ _PCT_CORE = f"""
         SELECT g, v, cnt FROM freq_g
         UNION ALL
         SELECT '__all__' AS g, v, sum(cnt) AS cnt FROM freq_g GROUP BY v
-    ),
-    cum AS (
+    )"""
+
+
+def _pct_tail(freq_src: str) -> str:
+    """The percentile computation over a (g, v, cnt) frequency source —
+    appended after a WITH list (starts with the cum CTE)."""
+    return f"""cum AS (
         SELECT g, v,
                sum(cnt) OVER (PARTITION BY g ORDER BY v) AS cum,
                sum(cnt) OVER (PARTITION BY g) AS n
-        FROM freq
+        FROM {freq_src}
     )
     SELECT g AS event_type, CAST(max(n) AS BIGINT) AS n,
            CAST(min(CASE WHEN cum >= ceil({_PCT_PS[0]!r} * n) THEN v END)
@@ -182,13 +190,28 @@ _PCT_CORE = f"""
 """
 
 
-def _pct_approx_ok(spark, sf_dir, corrupt_cents: int = 0):
+_PCT_CORE = f"WITH {_PCT_FREQ_CTES},\n    {_pct_tail('freq')}"
+
+
+def _pct_freq_df(spark, sf_dir):
+    """The (g, v, cnt) frequency partials + '__all__' merge, from the
+    SAME SQL fragment the oracle runs — one derivation, materialized so
+    the percentile tail and the approx check share it without a second
+    aggregation pass."""
+    register_views(spark, sf_dir, ["events"])
+    return spark.sql(
+        f"WITH {_PCT_FREQ_CTES} SELECT g, v, cnt FROM freq"
+    ).localCheckpoint(eager=True)
+
+
+def _pct_approx_ok(spark, sf_dir, corrupt_cents: int = 0, freq=None):
     """(event_type, approx_ok): does ``percentile_approx`` agree with the
     frequency-table distribution within its rank-error guarantee
     (n/accuracy, +2 slack for rank-convention differences)? Checked per
     group AND for the merged '__all__' row. ``corrupt_cents`` shifts the
     sketch output before the check — the non-vacuousness knob the test
-    uses to prove the bound can fail."""
+    uses to prove the bound can fail. ``freq`` is the
+    :func:`_pct_freq_df` frame (built here if absent)."""
     ev = (load_table(spark, sf_dir, "events")
           .filter(F.col("value").isNotNull())
           .select(F.col("event_type").alias("g"),
@@ -203,10 +226,7 @@ def _pct_approx_ok(spark, sf_dir, corrupt_cents: int = 0):
     if corrupt_cents:
         apx = apx.withColumn(
             "apx", F.transform("apx", lambda x: x + F.lit(corrupt_cents)))
-    freq_g = ev.groupBy("g", "v").agg(F.count(F.lit(1)).alias("cnt"))
-    freq = freq_g.unionByName(
-        freq_g.groupBy("v").agg(F.sum("cnt").alias("cnt"))
-        .withColumn("g", F.lit("__all__")))
+    freq = _pct_freq_df(spark, sf_dir) if freq is None else freq
     aggs = [F.sum("cnt").alias("n")]
     for i in range(len(ps)):
         aggs.append(F.sum(F.when(F.col("v") <= F.col("apx")[i],
@@ -235,9 +255,11 @@ def q_percentile_rollup(spark, sf_dir):
     percentile_approx sketch against the same distribution within its
     rank-error guarantee — corrupting the sketch by one bin flips it
     (tests/test_extensions13.py)."""
-    register_views(spark, sf_dir, ["events"])
-    pct = spark.sql(_PCT_CORE)
-    return (pct.join(_pct_approx_ok(spark, sf_dir), "event_type")
+    freq = _pct_freq_df(spark, sf_dir)
+    freq.createOrReplaceTempView("_pct_freq")
+    pct = spark.sql(f"WITH {_pct_tail('_pct_freq')}")
+    return (pct.join(_pct_approx_ok(spark, sf_dir, freq=freq),
+                     "event_type")
             .select("event_type", "n", "p50_cents", "p90_cents",
                     "p99_cents", "approx_ok"))
 
@@ -255,23 +277,19 @@ def q_scd2_lookup(spark, sf_dir):
     join carries the user_id equi-key, so Spark plans a SortMergeJoin
     with the range as residual (never a BNLJ — plan-linted), and the
     interval non-overlap invariant makes the fan-out exactly one row per
-    probe. The oracle embeds scd2_build's own interval SQL (_SCD2_SQL),
-    so the two halves of the SCD2 workflow share one definition."""
-    ev = (load_table(spark, sf_dir, "events")
-          .filter(F.col("user_id") < 100)
-          .select("user_id", "event_type", "ts", "event_id"))
-    w = Window.partitionBy("user_id").orderBy(
-        F.asc_nulls_last("ts"), F.asc_nulls_last("event_id"))
-    dim = (ev.withColumn("valid_to", F.lead("ts").over(w))
-           .withColumn("version", F.row_number().over(w))
-           .select(F.col("user_id").alias("d_user"),
-                   F.col("event_type").alias("state"),
-                   F.col("ts").alias("valid_from"), "valid_to",
-                   "version"))
-    facts = ev.select(
-        "event_id", "user_id",
-        (F.col("ts") + F.expr(f"INTERVAL {_SCD2_PROBE_SHIFT}"))
-        .alias("probe_ts"))
+    probe. Both halves of the workflow share ONE interval definition per
+    engine: Spark-side :func:`..extensions7.scd2_intervals` (the build's
+    own recipe) and oracle-side the build's _SCD2_SQL."""
+    from datafusion_delta_sharing_spark.harness.extensions7 import (
+        scd2_intervals)
+
+    dim = scd2_intervals(spark, sf_dir).withColumnRenamed(
+        "user_id", "d_user")
+    facts = (load_table(spark, sf_dir, "events")
+             .filter(F.col("user_id") < 100)
+             .select("event_id", "user_id",
+                     (F.col("ts") + F.expr(f"INTERVAL {_SCD2_PROBE_SHIFT}"))
+                     .alias("probe_ts")))
     joined = facts.join(
         dim,
         (facts.user_id == dim.d_user)

@@ -19,26 +19,39 @@ _BASKET_ORDERS = 15000  # wider than the graph subset: pair support needs mass
 _MIN_SUPPORT = 2        # sf0.01 baskets are sparse; 3k+ pairs clear this bar
 
 
-def q_scd2_build(spark, sf_dir):
-    """Slowly-changing-dimension type 2: each user's event stream becomes
-    validity intervals [valid_from, valid_to) per observed event_type
-    state, closed by the next state change (open interval = current). The
-    window is per-user ordered by (ts, event_id) — total order, so the
-    intervals are deterministic. NULLS LAST pinned explicitly: Spark
-    defaults nulls first, DuckDB last, so a null ts/event_id (schema
-    allows them) would otherwise land at opposite ends and shift every
-    version for that user."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_type", "ts", "event_id")
+def scd2_intervals(spark, sf_dir, user_bound: int = 100):
+    """THE Spark-side SCD2 interval recipe — one definition for both
+    halves of the workflow (q_scd2_build constructs, extensions13's
+    q_scd2_lookup probes; r8 review: a second hand-rolled copy of the
+    window spec could drift tie-break/null-ordering between them while
+    each side's own oracle still passed). Each user's event stream
+    becomes validity intervals [valid_from, valid_to) per observed
+    event_type state, closed by the next state change (open interval =
+    current). The window is per-user ordered by (ts, event_id) — total
+    order, so the intervals are deterministic. NULLS LAST pinned
+    explicitly: Spark defaults nulls first, DuckDB last, so a null
+    ts/event_id (schema allows them) would otherwise land at opposite
+    ends and shift every version for that user. The user_bound filter
+    sits BELOW the window — equivalent (the window partitions by
+    user_id) and it prunes before the shuffle."""
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("user_id") < user_bound)
+          .select("user_id", "event_type", "ts", "event_id"))
     w = Window.partitionBy("user_id").orderBy(
         F.asc_nulls_last("ts"), F.asc_nulls_last("event_id"))
-    hist = (ev.withColumn("valid_to", F.lead("ts").over(w))
-            .withColumn("version", F.row_number().over(w)))
-    return (hist.filter(F.col("user_id") < 100)
+    return (ev.withColumn("valid_to", F.lead("ts").over(w))
+            .withColumn("version", F.row_number().over(w))
             .select("user_id", "version",
                     F.col("event_type").alias("state"),
-                    F.col("ts").alias("valid_from"), "valid_to",
-                    F.col("valid_to").isNull().alias("is_current")))
+                    F.col("ts").alias("valid_from"), "valid_to"))
+
+
+def q_scd2_build(spark, sf_dir):
+    """Slowly-changing-dimension type 2 build: see
+    :func:`scd2_intervals` (the shared recipe) for the semantics."""
+    return scd2_intervals(spark, sf_dir).select(
+        "user_id", "version", "state", "valid_from", "valid_to",
+        F.col("valid_to").isNull().alias("is_current"))
 
 
 _SCD2_SQL = """

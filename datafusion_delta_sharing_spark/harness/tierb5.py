@@ -90,7 +90,7 @@ def q_stream_sliding(spark, sf_dir):
         .select(F.col("window.start").cast("timestamp_ntz").alias("window_start"),
                 "event_type", "n")
     )
-    return materialize_stream(agg, "complete", "sliding")
+    return materialize_stream(agg, "complete", "stream_sliding")
 
 
 def q_approx_percentile(spark, sf_dir):

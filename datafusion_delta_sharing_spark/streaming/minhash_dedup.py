@@ -143,6 +143,9 @@ def stream_minhash_dedup_flags(spark: SparkSession, corpus: DataFrame,
     stream = (spark.readStream
               .schema(corpus.select(id_col, text_col).schema)
               .option("maxFilesPerTrigger", "1").parquet(src))
+    import time
+
+    t0 = time.perf_counter()
     query = (stream.writeStream.outputMode("update")
              .foreachBatch(minhash_dedup_sink(
                  spark, state_dir, text_col, id_col,
@@ -152,7 +155,8 @@ def stream_minhash_dedup_flags(spark: SparkSession, corpus: DataFrame,
              .start())
     try:
         query.processAllAvailable()
-        _PROGRESS.note("stream_minhash_dedup", query)
+        _PROGRESS.note("stream_minhash_dedup", query,
+                       wall_s=time.perf_counter() - t0)
     finally:
         query.stop()
     return (spark.read.schema(_FLAGS_SCHEMA)

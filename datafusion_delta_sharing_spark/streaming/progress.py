@@ -18,24 +18,34 @@ reflects the plan.
 
 from __future__ import annotations
 
-# tag -> compute seconds per completed run, in run order
-RECORDED: dict[str, list[float]] = {}
+# tag -> one {"compute": s, "stream_wall": s} per completed run, in order
+RECORDED: dict[str, list[dict]] = {}
 
 
-def note(tag: str, query) -> None:
+def note(tag: str, query, wall_s: float | None = None) -> None:
     """Record the summed triggerExecution time of ``query`` under ``tag``
-    (the registry query name). Call after processAllAvailable(), before
-    stop() — recentProgress is retained on the query handle, capped by
+    (the registry query name), plus ``wall_s`` — the wall seconds of the
+    STREAM SEGMENT alone (start → processAllAvailable), which the caller
+    times. Call after processAllAvailable(), before stop() —
+    recentProgress is retained on the query handle, capped by
     spark.sql.streaming.numRecentProgressUpdates (default 100, far above
-    the handful of micro-batches any harness stream runs)."""
+    the handful of micro-batches any harness stream runs).
+
+    The segment wall matters for HYBRID queries (a stream run followed
+    by batch aggregates, e.g. stream_minhash_dedup's parity check):
+    substituting compute for the query's TOTAL wall would silently
+    reclassify the batch work as 'trigger wait' — only the stream
+    segment may be swapped for its compute time (r8 review)."""
     ms = 0
     for p in query.recentProgress:
         duration = p["durationMs"] if "durationMs" in p else {}
         ms += int(duration.get("triggerExecution", 0) or 0)
-    RECORDED.setdefault(tag, []).append(round(ms / 1000.0, 3))
+    RECORDED.setdefault(tag, []).append(
+        {"compute": round(ms / 1000.0, 3),
+         "stream_wall": round(wall_s, 3) if wall_s is not None else None})
 
 
-def take(tag: str) -> list[float]:
-    """Drain and return the compute-seconds runs recorded under ``tag``
-    (empty list when ``tag`` never ran a stream — i.e. a batch query)."""
+def take(tag: str) -> list[dict]:
+    """Drain and return the runs recorded under ``tag`` (empty list when
+    ``tag`` never ran a stream — i.e. a batch query)."""
     return RECORDED.pop(tag, [])

@@ -60,4 +60,4 @@ def stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
-    return materialize_stream(stated, "append", "stateful")
+    return materialize_stream(stated, "append", "stateful_stream")

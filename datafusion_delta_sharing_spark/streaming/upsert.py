@@ -223,6 +223,9 @@ def stream_upsert_totals(spark: SparkSession, sf_dir: str,
     ckpt = tempfile.mkdtemp(prefix="upsert_ckpt_")
     events = stream_events(spark, src, glob="*.parquet",
                            maxFilesPerTrigger="1")
+    import time
+
+    t0 = time.perf_counter()
     query = (
         events.select("user_id", "value")
         .writeStream.outputMode("update")
@@ -236,7 +239,8 @@ def stream_upsert_totals(spark: SparkSession, sf_dir: str,
     )
     try:
         query.processAllAvailable()
-        _PROGRESS.note("stream_upsert", query)
+        _PROGRESS.note("stream_upsert", query,
+                       wall_s=time.perf_counter() - t0)
     finally:
         query.stop()
     return state_totals(spark, state_dir)

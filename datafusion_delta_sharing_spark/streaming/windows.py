@@ -38,10 +38,13 @@ def materialize_stream(stream_df: DataFrame, mode: str,
 
         writer = (stream_df.writeStream.outputMode(mode)
                   .foreachBatch(_overwrite))
+    import time
+
+    t0 = time.perf_counter()
     query = writer.option("checkpointLocation", ckpt).start()
     try:
         query.processAllAvailable()
-        _PROGRESS.note(name, query)
+        _PROGRESS.note(name, query, wall_s=time.perf_counter() - t0)
     finally:
         query.stop()
     # explicit schema + pre-created dir: a zero-batch run writes nothing
@@ -328,12 +331,16 @@ def stream_hourly_topk(spark: SparkSession, sf_dir: str,
          .filter(F.col("rank") <= k)
          .write.mode("overwrite").parquet(data_dir))
 
+    import time
+
+    t0 = time.perf_counter()
     query = (agg.writeStream.outputMode("complete")
              .foreachBatch(_rank_and_overwrite)
              .option("checkpointLocation", ckpt).start())
     try:
         query.processAllAvailable()
-        _PROGRESS.note("stream_topk", query)
+        _PROGRESS.note("stream_topk", query,
+                       wall_s=time.perf_counter() - t0)
     finally:
         query.stop()
     import os

@@ -35,9 +35,11 @@ def test_percentile_rollup_all_row_merges_partials(spark, sf_dir):
     assert "__all__" in out
     from datafusion_delta_sharing_spark.harness import load_table
 
+    from datafusion_delta_sharing_spark.functions.money import cents
+
     ev = (load_table(spark, sf_dir, "events")
           .filter(F.col("value").isNotNull())
-          .select(F.round(F.col("value") * 100).cast("bigint").alias("v")))
+          .select(cents(F.col("value")).alias("v")))
     n = ev.count()
     import math
 

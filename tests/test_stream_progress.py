@@ -1,5 +1,6 @@
 """streaming/progress.py: the compute-vs-wait recorder bench.py drains
-(VERDICT r7 #2)."""
+(VERDICT r7 #2; r8 review added the stream-segment wall so hybrid
+queries' batch work cannot be reclassified as wait)."""
 
 from __future__ import annotations
 
@@ -19,9 +20,12 @@ class _FakeQuery:
 
 def test_note_sums_trigger_execution_and_take_drains():
     P.RECORDED.pop("t1", None)
-    P.note("t1", _FakeQuery([1500, 250, 250]))
+    P.note("t1", _FakeQuery([1500, 250, 250]), wall_s=3.456)
     P.note("t1", _FakeQuery([1000]))
-    assert P.take("t1") == [2.0, 1.0]
+    assert P.take("t1") == [
+        {"compute": 2.0, "stream_wall": 3.456},
+        {"compute": 1.0, "stream_wall": None},
+    ]
     assert P.take("t1") == []  # drained
 
 
@@ -36,8 +40,8 @@ def test_note_tolerates_missing_duration_fields():
             {"batchId": 3, "durationMs": {"triggerExecution": 500}},
         ]
 
-    P.note("t2", _Sparse())
-    assert P.take("t2") == [0.5]
+    P.note("t2", _Sparse(), wall_s=1.0)
+    assert P.take("t2") == [{"compute": 0.5, "stream_wall": 1.0}]
 
 
 def test_take_unknown_tag_is_empty_not_keyerror():
@@ -45,8 +49,9 @@ def test_take_unknown_tag_is_empty_not_keyerror():
 
 
 def test_real_stream_records_under_its_registry_tag(spark, sf_dir):
-    """End-to-end: a harness stream run leaves one drainable compute
-    sample under its registry query name, bounded by wall time."""
+    """End-to-end: a harness stream run leaves one drainable record
+    under its registry query name, with compute <= stream segment wall
+    <= total wall."""
     import time
 
     from datafusion_delta_sharing_spark.streaming.windows import (
@@ -58,4 +63,4 @@ def test_real_stream_records_under_its_registry_tag(spark, sf_dir):
     wall = time.perf_counter() - t0
     runs = P.take("stream_session")
     assert len(runs) == 1
-    assert 0.0 < runs[0] <= wall
+    assert 0.0 < runs[0]["compute"] <= runs[0]["stream_wall"] <= wall

@@ -194,3 +194,124 @@ def corpus_overlap_sql(shingles_a_sql: str, shingles_b_sql: str) -> str:
                 - i.n_inter AS BIGINT) AS n_union
     FROM i
     """
+
+
+# -- mutual information feature selection --------------------------------------
+
+def mutual_info_terms(docs: DataFrame, text_col: str, id_col: str,
+                      label_col: str, top_m: int = 40,
+                      ) -> DataFrame:
+    """Mutual information between term PRESENCE and a document label —
+    the information-theoretic complement of the chi-square
+    `distinctive_terms` ranking (both are standard feature-selection
+    scores; Manning/Schütze IR ch.13 formulation).
+
+    For each of the ``top_m`` highest-document-frequency terms t
+    (ties broken by term text, so the selection is deterministic), with
+    X = [t present in doc] and Y = label::
+
+        MI(t) = Σ_{x∈{0,1}, y}  n_xy/N · ln( N·n_xy / (n_x·n_y) )
+
+    computed over all four cell families per label, zero cells skipped
+    (lim p→0 of p·ln p = 0). All cell counts are exact integers from two
+    hash aggregates; only the final ln/ratio arithmetic is double,
+    rounded to 6 (cross-engine double-sum order over the ~2·|labels|
+    cells is absorbed by the rounding, the unigram_logprob precedent).
+
+    Scale posture: one (id, token) distinct pass, one df aggregate, the
+    term×label grid is top_m × |labels| (broadcastable), and the joint
+    counts come from one aggregate over the selected terms' postings —
+    no per-document state, no all-pairs anything. The top_m rank is a
+    window over the AGGREGATED vocabulary, not raw rows.
+
+    Returns (token, df, mi).
+    """
+    labeled = docs.filter(F.col(label_col).isNotNull())
+    presence = (token_rows(labeled, text_col, id_col)
+                .join(labeled.select(id_col, label_col), id_col)
+                .select(id_col, "token", label_col).distinct())
+    df_counts = presence.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df"))
+    sel = (df_counts
+           .withColumn("__r", F.row_number().over(
+               Window.orderBy(F.col("df").desc(), F.col("token"))))
+           .filter(F.col("__r") <= top_m).drop("__r"))
+    lab_counts = labeled.groupBy(label_col).agg(
+        F.count(F.lit(1)).alias("n_y"))
+    n_total = labeled.agg(F.count(F.lit(1)).alias("n"))
+    joint = (presence.join(F.broadcast(sel.select("token")), "token")
+             .groupBy("token", label_col)
+             .agg(F.count(F.lit(1)).alias("n_ty")))
+    grid = (sel.crossJoin(F.broadcast(lab_counts))
+            .join(joint, ["token", label_col], "left")
+            .withColumn("n_ty", F.coalesce("n_ty", F.lit(0)))
+            .crossJoin(F.broadcast(n_total)))
+    n = F.col("n").cast("double")
+    n_t, n_y, n_ty = (F.col(c).cast("double")
+                      for c in ("df", "n_y", "n_ty"))
+    n_ay = n_y - n_ty          # label docs without the term
+    cell1 = F.when(F.col("n_ty") > 0,
+                   n_ty / n * F.log(n * n_ty / (n_t * n_y)))
+    cell0 = F.when(n_ay > 0,
+                   n_ay / n * F.log(n * n_ay / ((n - n_t) * n_y)))
+    contrib = F.coalesce(cell1, F.lit(0.0)) + F.coalesce(cell0, F.lit(0.0))
+    return (grid.groupBy("token")
+            .agg(F.max("df").alias("df"),
+                 F.round(F.sum(contrib), 6).alias("mi"))
+            .select("token", "df", "mi"))
+
+
+def mutual_info_terms_sql(source_sql: str, text_col: str, id_col: str,
+                          label_col: str, top_m: int = 40) -> str:
+    """DuckDB mirror of :func:`mutual_info_terms` — same two exact
+    aggregates, same cell formula, same round."""
+    labeled = f"(SELECT * FROM ({source_sql}) WHERE {label_col} IS NOT NULL)"
+    return f"""
+        WITH labeled AS (SELECT * FROM {labeled}),
+        presence AS (
+            SELECT DISTINCT t.{id_col}, t.token, d.{label_col}
+            FROM ({token_rows_sql('labeled', text_col, id_col)}) t
+            JOIN labeled d USING ({id_col})
+        ),
+        df_counts AS (
+            SELECT token, count(*) AS df FROM presence GROUP BY token
+        ),
+        sel AS (
+            SELECT token, df FROM (
+                SELECT token, df, row_number()
+                       OVER (ORDER BY df DESC, token) AS r
+                FROM df_counts
+            ) WHERE r <= {top_m}
+        ),
+        lab_counts AS (
+            SELECT {label_col}, count(*) AS n_y FROM labeled
+            GROUP BY {label_col}
+        ),
+        n_total AS (SELECT count(*) AS n FROM labeled),
+        joint AS (
+            SELECT token, {label_col}, count(*) AS n_ty
+            FROM presence JOIN sel USING (token)
+            GROUP BY token, {label_col}
+        ),
+        grid AS (
+            SELECT s.token, s.df, l.{label_col}, l.n_y,
+                   coalesce(j.n_ty, 0) AS n_ty, t.n
+            FROM sel s
+            CROSS JOIN lab_counts l
+            LEFT JOIN joint j
+              ON j.token = s.token AND j.{label_col} = l.{label_col}
+            CROSS JOIN n_total t
+        )
+        SELECT token, max(df) AS df,
+               round(sum(
+                 coalesce(CASE WHEN n_ty > 0 THEN
+                   CAST(n_ty AS DOUBLE) / n
+                   * ln(n * CAST(n_ty AS DOUBLE)
+                        / (CAST(df AS DOUBLE) * n_y)) END, 0.0)
+                 + coalesce(CASE WHEN n_y - n_ty > 0 THEN
+                   CAST(n_y - n_ty AS DOUBLE) / n
+                   * ln(n * CAST(n_y - n_ty AS DOUBLE)
+                        / ((CAST(n AS DOUBLE) - df) * n_y)) END, 0.0)
+               ), 6) AS mi
+        FROM grid GROUP BY token
+    """

@@ -17,7 +17,7 @@ lexicographic == numeric — a bare %020d would order "-99" before "-100".
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 _SIGN_OFFSET = 1 << 62  # added before %020d rendering; see module docstring
 
@@ -288,4 +288,80 @@ def gap_fill_interpolate_sql(source_sql: str, ts_col: str, key_col: str,
                 // ((bf).t - (ff).t)
       END / 100.0 AS filled
     FROM marked
+    """
+
+
+# -- exponentially weighted moving average -------------------------------------
+
+def _ewma_weights(alpha: float, window: int) -> list[float]:
+    """w_j = (1-alpha)^j for lag j. With a dyadic alpha (0.25, 0.5) every
+    weight is an exact double AND an exact short decimal literal, so the
+    generated SQL is bit-identical arithmetic on both engines."""
+    return [(1.0 - alpha) ** j for j in range(window)]
+
+
+def ewma(df: DataFrame, ts_col: str, key_col: str, val_int: F.Column,
+         id_col: str, alpha: float = 0.25, window: int = 8) -> DataFrame:
+    """Exponentially weighted moving average over the last ``window``
+    observations per key (finite-window EWMA — the streaming-friendly
+    truncation; the tail weight beyond lag 7 at alpha=.25 is 0.75^8 ≈
+    0.1 relative and the truncated form is a DEFINED estimator, not an
+    approximation of the infinite one).
+
+    ``val_int`` must be an exact integer expression (cents): each
+    ``lag_j * w_j`` product is then exact in double (integer * dyadic
+    weight), the left-to-right sum of ``window`` exact terms is exact,
+    and the single normalizing division is the only rounded op — both
+    engines compute identical bits. Rows with fewer than ``window``
+    predecessors normalize by the weights actually present.
+
+    One shuffle on ``key_col``; per-key in-partition window of fixed
+    width — bounded state, no skew risk beyond key cardinality (100 TB:
+    repartition on key; per-row state stays O(window)).
+
+    Returns (key, id, ts, n_obs, ewma) with ewma rounded to 6.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    weights = _ewma_weights(alpha, window)
+    lags = [F.lag(val_int, j).over(w) for j in range(window)]
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for j in range(window):
+        num = num + F.coalesce(lags[j].cast("double") * F.lit(weights[j]),
+                               F.lit(0.0))
+        den = den + F.when(lags[j].isNotNull(),
+                           F.lit(weights[j])).otherwise(F.lit(0.0))
+    n_obs = sum((F.when(lags[j].isNotNull(), 1).otherwise(0)
+                 for j in range(window)), F.lit(0))
+    return df.select(
+        F.col(key_col), F.col(id_col), F.col(ts_col),
+        n_obs.cast("int").alias("n_obs"),
+        F.round(num / den, 6).alias("ewma"))
+
+
+def ewma_sql(source_sql: str, ts_col: str, key_col: str,
+             val_int_sql: str, id_col: str, alpha: float = 0.25,
+             window: int = 8) -> str:
+    """DuckDB mirror of :func:`ewma`: the same lag/weight/coalesce
+    derivation in the same left-to-right order (repr() of dyadic weights
+    round-trips exactly)."""
+    weights = _ewma_weights(alpha, window)
+    over = (f"OVER (PARTITION BY {key_col} "
+            f"ORDER BY {ts_col}, {id_col})")
+    num = " + ".join(
+        f"coalesce(CAST(lag(v, {j}) {over} AS DOUBLE) * {weights[j]!r}, "
+        f"0.0)" for j in range(window))
+    den = " + ".join(
+        f"(CASE WHEN lag(v, {j}) {over} IS NOT NULL "
+        f"THEN {weights[j]!r} ELSE 0.0 END)" for j in range(window))
+    n_obs = " + ".join(
+        f"(CASE WHEN lag(v, {j}) {over} IS NOT NULL THEN 1 ELSE 0 END)"
+        for j in range(window))
+    return f"""
+        SELECT {key_col}, {id_col}, {ts_col},
+               CAST({n_obs} AS INTEGER) AS n_obs,
+               round(({num}) / ({den}), 6) AS ewma
+        FROM (SELECT {key_col}, {id_col}, {ts_col},
+                     {val_int_sql} AS v
+              FROM {source_sql})
     """

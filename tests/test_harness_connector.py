@@ -159,10 +159,15 @@ def test_window_plan_covers_registry():
         f"(recorded {plan['registry_size']}); add a rotation plan first")
     attested = {q for q, rounds in plan["provenance"].items()
                 if any(v == "pass" for v in rounds.values())}
-    unplanned = registry - attested - set(window)
+    # queries added after this round's window froze are legal ONLY if
+    # they hold a mandatory slot in the NEXT round's plan (r9_new) — a
+    # registry query with neither a driver row, nor a current slot, nor
+    # a committed future slot still fails the build
+    next_new = set(plan.get("r9_new", {}).get("queries", []))
+    unplanned = registry - attested - set(window) - next_new
     assert not unplanned, (
-        f"registry queries with no driver provenance and no window slot: "
-        f"{sorted(unplanned)}")
+        f"registry queries with no driver provenance and no rotation "
+        f"slot (current window or r9_new): {sorted(unplanned)}")
 
     # provenance hygiene: the folded r5/r6/r7 rows must cover their
     # windows (r5: 49 pass + the join_salted fail its r6 row superseded;

@@ -26,7 +26,11 @@ _ALLOWS: dict[str, frozenset] = {
         "distinctive_terms", "corpus_overlap",
         "unigram_logprob", "bigram_logprob", "heavy_hitters",
         "bm25_topk", "dsir_select", "sparse_cosine_topk", "hll_rollup",
-        "approx_topk", "bm25_join_topk")},
+        "approx_topk", "bm25_join_topk",
+        # r8 session: global-mean scalar (target_encode), corpus-size
+        # scalar + top_m×labels grid (mutual_info_terms) — one-row /
+        # vocab-bounded broadcasts by construction
+        "target_encode", "mutual_info_terms")},
     # bpe_merge_steps needs NO allow: its per-round 1-row argmax
     # crossJoins run eagerly inside localCheckpoints during build — the
     # returned merge table's plan reads materialized leaves only

@@ -118,3 +118,61 @@ def write_zordered(df: DataFrame, path: str, x_col: str, y_col: str,
      .sortWithinPartitions("_zcode")
      .drop("_zcode")
      .write.mode(mode).parquet(path))
+
+
+# -- small-file compaction planning --------------------------------------------
+
+def compaction_bins(files: DataFrame, part_col: str, id_col: str,
+                    size_col: str, target_bytes: int) -> DataFrame:
+    """Greedy sequential bin-packing of a file inventory into compaction
+    groups of ~``target_bytes`` — the planning half of the small-file
+    problem (OPTIMIZE/compact in lakehouse engines; the reference's
+    protocol serves whatever file layout exists, src/datasource/scan.rs,
+    so layout hygiene lives with the writer).
+
+    Semantics: within each partition, files in ``id_col`` order are
+    assigned ``bin = floor(bytes_before / target)`` where bytes_before is
+    the running size EXCLUDING the current file — the streaming
+    formulation (each bin fills to >= target, overshooting by at most one
+    file; a single window pass, no driver loop). Files larger than
+    target occupy their bins alone, exactly as a real compactor leaves
+    already-large files in place.
+
+    One shuffle on ``part_col``; window state is O(1) per row. Output:
+    (part, bin_id, n_files, total_bytes, first_id, last_id).
+    """
+    from pyspark.sql import Window
+
+    w = (Window.partitionBy(part_col).orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    assigned = files.withColumn(
+        "__bin",
+        F.floor((F.sum(size_col).over(w) - F.col(size_col))
+                / F.lit(target_bytes)).cast("bigint"))
+    return (assigned.groupBy(F.col(part_col).alias("part"),
+                             F.col("__bin").alias("bin_id"))
+            .agg(F.count(F.lit(1)).alias("n_files"),
+                 F.sum(size_col).alias("total_bytes"),
+                 F.min(id_col).alias("first_id"),
+                 F.max(id_col).alias("last_id")))
+
+
+def compaction_bins_sql(files_sql: str, part_col: str, id_col: str,
+                        size_col: str, target_bytes: int) -> str:
+    """DuckDB mirror of :func:`compaction_bins`."""
+    return f"""
+        SELECT {part_col} AS part, bin AS bin_id,
+               count(*) AS n_files,
+               CAST(sum({size_col}) AS BIGINT) AS total_bytes,
+               min({id_col}) AS first_id, max({id_col}) AS last_id
+        FROM (
+            SELECT *,
+                   CAST(floor((sum({size_col}) OVER (
+                            PARTITION BY {part_col} ORDER BY {id_col}
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW)
+                        - {size_col}) / {target_bytes}) AS BIGINT) AS bin
+            FROM ({files_sql})
+        )
+        GROUP BY 1, 2
+    """

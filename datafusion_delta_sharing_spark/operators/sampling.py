@@ -326,3 +326,62 @@ def token_budget_select_sql(source_sql: str, group_col: str, id_col: str,
                    <= {budget}) AS kept
         FROM {source_sql}
     """
+
+
+# -- deterministic weighted sampling without replacement ------------------------
+
+_WS_HEX = 15  # 60-bit uniforms: conv()/CAST('0x..') stay inside int64
+
+
+def weighted_sample(df: DataFrame, stratum_col: str, id_col: str,
+                    weight_col: str, n_per_stratum: int,
+                    salt: str = "ws1") -> DataFrame:
+    """Deterministic weighted sampling without replacement, n per
+    stratum: rows with zero/NULL weight are excluded; each remaining row
+    draws the content-hash uniform ``u = md5_60bit(id:salt) / 2^60`` and
+    the ``n`` rows with the SMALLEST ``u / w`` keys win.
+
+    This is the division-keyed variant of the Efraimidis–Spirakis
+    exponential race (their key is ``-ln(u)/w``; both make heavier rows
+    win more often and are without-replacement by construction). The
+    division form is chosen deliberately: ``/`` of exact integers is
+    IEEE-exact-rounded and therefore bit-identical across engines, while
+    ``ln`` carries no such guarantee — reproducibility of the SAMPLE SET
+    across engines/runs/partitionings beats matching the textbook
+    first-order inclusion probabilities.
+
+    One shuffle on the stratum, one rank window per stratum. Returns
+    (stratum, id, weight) — the key stays internal so the output
+    contract has no floats at all.
+    """
+    w = Window.partitionBy(stratum_col).orderBy("__key", id_col)
+    u = F.conv(F.substring(_hash_key(id_col, salt), 1, _WS_HEX),
+               16, 10).cast("bigint")
+    return (df.filter(F.col(weight_col).isNotNull()
+                      & (F.col(weight_col) > 0))
+            .withColumn("__key",
+                        u.cast("double") / F.col(weight_col))
+            .withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= n_per_stratum)
+            .select(F.col(stratum_col), F.col(id_col),
+                    F.col(weight_col)))
+
+
+def weighted_sample_sql(source_sql: str, stratum_col: str, id_col: str,
+                        weight_col: str, n_per_stratum: int,
+                        salt: str = "ws1") -> str:
+    """DuckDB mirror of :func:`weighted_sample`."""
+    u = (f"CAST(CAST('0x' || substr({_hash_key_sql(id_col, salt)}, 1, "
+         f"{_WS_HEX}) AS BIGINT) AS BIGINT)")
+    return f"""
+        SELECT {stratum_col}, {id_col}, {weight_col}
+        FROM (
+            SELECT {stratum_col}, {id_col}, {weight_col},
+                   row_number() OVER (
+                       PARTITION BY {stratum_col}
+                       ORDER BY CAST({u} AS DOUBLE) / {weight_col},
+                                {id_col}) AS r
+            FROM ({source_sql})
+            WHERE {weight_col} IS NOT NULL AND {weight_col} > 0
+        ) WHERE r <= {n_per_stratum}
+    """

@@ -267,3 +267,112 @@ def freq_moments_sql(source_sql: str, key_col: str) -> str:
             FROM {source_sql} GROUP BY {key_col}
         )
     """
+
+
+# -- KMV (k-minimum-values) distinct sketch ------------------------------------
+
+# 60-bit hash space: 15 hex chars keep conv()/CAST('0x..') inside int64
+# on both engines (the full 16-char md5 prefix can exceed 2^63-1), and a
+# FIXED-width hex string orders lexicographically == numerically, so the
+# k-minimum selection itself never converts to int.
+_KMV_HEX = 15
+_KMV_SPACE = float(1 << 60)
+
+
+def _kmv_hash(value: F.Column, salt: str) -> F.Column:
+    return F.substring(
+        F.md5(F.concat(value.cast("string"), F.lit(f":{salt}"))),
+        1, _KMV_HEX)
+
+
+def _kmv_hash_sql(value_sql: str, salt: str) -> str:
+    return (f"substr(md5(CAST({value_sql} AS VARCHAR) || ':{salt}'), "
+            f"1, {_KMV_HEX})")
+
+
+def kmv_partials(df: DataFrame, group_col: str, value_col: str,
+                 k: int, salt: str = "kmv1") -> DataFrame:
+    """(group, h) — the k smallest DISTINCT value hashes per group: the
+    MERGEABLE state of the Beyer et al. (2007) KMV distinct sketch.
+    Bounded per-group state (k hex strings); partials from different
+    groups / days / partitions merge by union + re-taking the k minima,
+    never rescanning raw rows. One hash aggregate (distinct) + one
+    vocabulary-sized rank per group."""
+    from pyspark.sql import Window
+
+    hashed = (df.select(F.col(group_col).alias("g"),
+                        _kmv_hash(F.col(value_col), salt).alias("h"))
+              .distinct())
+    w = Window.partitionBy("g").orderBy("h")
+    return (hashed.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= k).drop("__r"))
+
+
+def kmv_merge(partials: DataFrame, k: int) -> DataFrame:
+    """Merge ALL groups' partials into the '__all__' union sketch —
+    distinct hashes across groups, k smallest kept. The union-estimate
+    path that never touches raw rows."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("g").orderBy("h")
+    return (partials.select(F.lit("__all__").alias("g"), "h").distinct()
+            .withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= k).drop("__r"))
+
+
+def kmv_estimate(partials: DataFrame, k: int) -> DataFrame:
+    """(g, n_est) from a (g, h) sketch: if the sketch holds fewer than k
+    hashes the group's distinct count is EXACT (= sketch size); else the
+    Beyer et al. estimator ``(k-1) / h_k`` with h_k the k-th minimum
+    normalized into [0,1). The only doubles are one multiply + divide of
+    exact integers — identical bits on both engines, so ``n_est`` is
+    deliberately NOT rounded (rounding is where the engines' impls
+    diverge, see mlprep.target_encode_loo)."""
+    agg = partials.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_h"),
+        # fixed-width hex: lexicographic max == numeric max == h_k (the
+        # k-th minimum is the largest hash the sketch kept)
+        F.conv(F.max("h"), 16, 10).cast("bigint").alias("h_k"))
+    est = F.when(
+        F.col("n_h") < k, F.col("n_h").cast("double")).otherwise(
+        F.lit(float(k - 1)) * F.lit(_KMV_SPACE)
+        / F.col("h_k").cast("double"))
+    return agg.select("g", est.alias("n_est"))
+
+
+def kmv_sql(source_sql: str, group_col: str, value_col: str, k: int,
+            salt: str = "kmv1") -> str:
+    """DuckDB mirror of the whole partials → merge → estimate pipeline,
+    emitting (g, n_est) for every group AND the merged '__all__' row —
+    the same CTE derivation shape the Spark side composes."""
+    return f"""
+        WITH hashed AS (
+            SELECT DISTINCT {group_col} AS g,
+                   {_kmv_hash_sql(value_col, salt)} AS h
+            FROM {source_sql}
+        ),
+        partials AS (
+            SELECT g, h FROM (
+                SELECT g, h,
+                       row_number() OVER (PARTITION BY g ORDER BY h) AS r
+                FROM hashed
+            ) WHERE r <= {k}
+        ),
+        merged AS (
+            SELECT g, h FROM (
+                SELECT '__all__' AS g, h,
+                       row_number() OVER (ORDER BY h) AS r
+                FROM (SELECT DISTINCT h FROM partials)
+            ) WHERE r <= {k}
+        ),
+        sketches AS (
+            SELECT * FROM partials UNION ALL SELECT * FROM merged
+        )
+        SELECT g,
+               CASE WHEN count(*) < {k}
+                    THEN CAST(count(*) AS DOUBLE)
+                    ELSE {float(k - 1)!r} * {_KMV_SPACE!r}
+                         / CAST(CAST('0x' || max(h) AS BIGINT)
+                                AS DOUBLE) END AS n_est
+        FROM sketches GROUP BY g
+    """

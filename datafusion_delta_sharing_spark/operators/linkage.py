@@ -1,0 +1,81 @@
+"""Probabilistic record linkage — Fellegi–Sunter match scoring.
+
+Reference parity: the reference's relational surface (delegated to
+DataFusion, src/lib.rs:16-21) supplies the join/aggregate machinery;
+the linkage model itself is the classic Fellegi & Sunter (1969)
+decision rule, the standard probabilistic complement of the repo's
+blocking generators (``sorted_neighborhood_pairs`` in operators/dedup
+and the phone-prefix equi-blocking the registry query uses):
+
+* each candidate pair carries a boolean agreement vector over k fields;
+* field i contributes ``log2(m_i/u_i)`` when it agrees and
+  ``log2((1-m_i)/(1-u_i))`` when it disagrees, where ``m_i`` /``u_i``
+  are the published match / unmatch agreement probabilities;
+* the summed score classifies the pair: ``>= upper`` → match,
+  ``<= lower`` → nonmatch, else review (the clerical band).
+
+Determinism contract: the weights are double LITERALS baked into one
+SQL tail both engines parse, and the score is a fixed-shape k-term sum
+(CASE-selected literals added left-to-right) — never an
+order-dependent aggregate of doubles. The decision thresholds compare
+bit-identical doubles, so the classification is engine-exact.
+
+Scale posture: scoring is a per-row projection over the candidate-pair
+relation — the cost driver is the BLOCKING join that produced the
+pairs (equi-join on a bounded block key), not this operator. One hash
+aggregate for the decision summary.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+
+
+def _fs_tail_sql(src: str, agree_cols: Sequence[str],
+                 m: Sequence[float], u: Sequence[float],
+                 lower: float, upper: float) -> str:
+    """Shared Fellegi–Sunter tail over a candidate-pair relation with
+    boolean columns ``agree_cols`` and an ``is_true`` ground-truth
+    flag: emits the decision × ground-truth confusion summary
+    (decision, is_true, n). Disagreement weights apply on NULL
+    agreements too (a missing field is evidence against)."""
+    terms = " + ".join(
+        f"(CASE WHEN {c} THEN {math.log2(mi / ui)!r}e0"
+        f" ELSE {math.log2((1 - mi) / (1 - ui))!r}e0 END)"
+        for c, mi, ui in zip(agree_cols, m, u))
+    return f"""
+        SELECT decision, is_true, CAST(count(*) AS BIGINT) AS n
+        FROM (
+            SELECT CASE WHEN score >= {upper!r}e0 THEN 'match'
+                        WHEN score <= {lower!r}e0 THEN 'nonmatch'
+                        ELSE 'review' END AS decision,
+                   is_true
+            FROM (
+                SELECT {terms} AS score, is_true
+                FROM {src}
+            )
+        )
+        GROUP BY decision, is_true
+    """
+
+
+def fs_decisions(spark, pairs: DataFrame, agree_cols: Sequence[str],
+                 m: Sequence[float], u: Sequence[float],
+                 lower: float, upper: float) -> DataFrame:
+    """Fellegi–Sunter decision summary of a candidate-pair frame with
+    boolean agreement columns and an ``is_true`` flag. Returns
+    (decision, is_true, n)."""
+    pairs.createOrReplaceTempView("_fs_pairs")
+    return spark.sql(
+        _fs_tail_sql("_fs_pairs", agree_cols, m, u, lower, upper))
+
+
+def fs_decisions_sql(pairs_sql: str, agree_cols: Sequence[str],
+                     m: Sequence[float], u: Sequence[float],
+                     lower: float, upper: float) -> str:
+    """DuckDB mirror of :func:`fs_decisions` — the IDENTICAL tail."""
+    return _fs_tail_sql(f"({pairs_sql})", agree_cols, m, u, lower,
+                        upper)

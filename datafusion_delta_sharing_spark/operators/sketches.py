@@ -30,7 +30,7 @@ output contract — approximation only bounds intermediate state).
 from __future__ import annotations
 
 import math
-from collections.abc import Iterator
+from collections.abc import Iterator, Sequence
 from functools import reduce
 
 import pandas as pd
@@ -375,4 +375,125 @@ def kmv_sql(source_sql: str, group_col: str, value_col: str, k: int,
                          / CAST(CAST('0x' || max(h) AS BIGINT)
                                 AS DOUBLE) END AS n_est
         FROM sketches GROUP BY g
+    """
+
+
+# -- count-min sketch ---------------------------------------------------------
+
+# Cormode & Muthukrishnan (2005): depth d hash rows of width w counters;
+# point estimate = min over rows; overcount <= e*N/w with prob 1-e^-d.
+# The registry attestation uses the looser integer bound 3*N/w (3 > e)
+# so the check is engine-exact: (est - true) * w <= 3 * N, all BIGINT.
+
+
+def _cm_bucket(key: F.Column, d: F.Column | int, width: int) -> F.Column:
+    """Row-d counter index of a key: first 8 md5 hex chars of
+    ``key:cm:d`` mod width — the engine-portable hash family the repo
+    uses everywhere (md5 is identical across engines; xxhash64 is not
+    in DuckDB)."""
+    dcol = F.lit(d) if isinstance(d, int) else d
+    return (F.conv(F.substring(
+        F.md5(F.concat(key.cast("string"), F.lit(":cm:"),
+                       dcol.cast("string"))), 1, 8), 16, 10)
+        .cast("bigint") % width)
+
+
+def _cm_bucket_sql(key_sql: str, d_sql: str, width: int) -> str:
+    return (f"(CAST(('0x' || substr(md5(CAST({key_sql} AS VARCHAR) "
+            f"|| ':cm:' || CAST({d_sql} AS VARCHAR)), 1, 8)) AS BIGINT)"
+            f" % {width})")
+
+
+def cm_sketch(df: DataFrame, key_col: str, depth: int,
+              width: int) -> DataFrame:
+    """Build the count-min sketch of a key column: (d, bucket, c) —
+    ``depth * width`` bounded counters regardless of input size.
+    Sketches MERGE by summing counters on (d, bucket), so per-partition
+    / per-day partials roll up without rescanning raw rows (Spark's
+    partial aggregation does exactly this map-side). The depth fan-out
+    is an explode of ``depth`` literals, not a join."""
+    d = F.explode(F.array([F.lit(i) for i in range(depth)])).alias("d")
+    return (df.select(F.col(key_col).alias("k"), d)
+            .select("d", _cm_bucket(F.col("k"), F.col("d"),
+                                    width).alias("bucket"))
+            .groupBy("d", "bucket")
+            .agg(F.count(F.lit(1)).alias("c")))
+
+
+def cm_probe(spark, sketch: DataFrame, raw: DataFrame, key_col: str,
+             probe_keys: Sequence[int], depth: int,
+             width: int) -> DataFrame:
+    """Point-frequency estimates for ``probe_keys`` against the sketch,
+    with the exact counts alongside and two engine-exact attestations:
+    ``ge_ok`` (CM never undercounts) and ``bound_ok``
+    ((est − true)·w ≤ 3·N, the 3/w·N overcount bound). Returns
+    (key, n_true, n_est, ge_ok, bound_ok). The probe side is
+    literal-sized; its sketch join touches depth·|probes| counter rows.
+    N rides in on a one-row broadcast (the usual scalar crossJoin)."""
+    probes = spark.createDataFrame(
+        [(int(k),) for k in probe_keys], f"{key_col} bigint")
+    d = F.explode(F.array([F.lit(i) for i in range(depth)])).alias("d")
+    lookups = (probes.select(F.col(key_col).alias("k"), d)
+               .withColumn("bucket",
+                           _cm_bucket(F.col("k"), F.col("d"), width)))
+    ests = (lookups.join(sketch, ["d", "bucket"], "left")
+            .groupBy("k")
+            .agg(F.min(F.coalesce(F.col("c"), F.lit(0)))
+                 .alias("n_est")))
+    truth = (raw.filter(F.col(key_col).isin([int(k) for k in
+                                             probe_keys]))
+             .groupBy(F.col(key_col).alias("k"))
+             .agg(F.count(F.lit(1)).alias("n_true")))
+    total = raw.agg(F.count(F.lit(1)).alias("n_total"))
+    out = (ests.join(truth, "k", "left")
+           .withColumn("n_true", F.coalesce(F.col("n_true"),
+                                            F.lit(0)))
+           .crossJoin(F.broadcast(total)))
+    return out.select(
+        F.col("k").alias(key_col), "n_true", "n_est",
+        (F.col("n_est") >= F.col("n_true")).alias("ge_ok"),
+        ((F.col("n_est") - F.col("n_true")) * width
+         <= 3 * F.col("n_total")).alias("bound_ok"))
+
+
+def cm_probe_sql(source_sql: str, key_col: str,
+                 probe_keys: Sequence[int], depth: int,
+                 width: int) -> str:
+    """DuckDB mirror of :func:`cm_sketch` + :func:`cm_probe`: the same
+    md5 hash family, counters, min-over-rows estimate, and integer
+    attestations. All columns integer/boolean — no doubles anywhere, so
+    no shared-tail machinery is needed for bit-exactness."""
+    keys_list = ", ".join(str(int(k)) for k in probe_keys)
+    return f"""
+        WITH src AS ({source_sql}),
+        sketch AS (
+            SELECT d, {_cm_bucket_sql(key_col, 'd', width)} AS bucket,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM src CROSS JOIN (SELECT UNNEST(range({depth})) AS d)
+            GROUP BY 1, 2
+        ),
+        probes AS (SELECT CAST(UNNEST(ARRAY[{keys_list}]) AS BIGINT)
+                          AS k),
+        lookups AS (
+            SELECT k, d,
+                   {_cm_bucket_sql('k', 'd', width)} AS bucket
+            FROM probes CROSS JOIN (SELECT UNNEST(range({depth})) AS d)
+        ),
+        ests AS (
+            SELECT k, CAST(min(coalesce(s.c, 0)) AS BIGINT) AS n_est
+            FROM lookups l LEFT JOIN sketch s USING (d, bucket)
+            GROUP BY k
+        ),
+        truth AS (
+            SELECT {key_col} AS k, CAST(count(*) AS BIGINT) AS n_true
+            FROM src WHERE {key_col} IN ({keys_list})
+            GROUP BY 1
+        ),
+        total AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM src)
+        SELECT e.k AS {key_col},
+               CAST(coalesce(t.n_true, 0) AS BIGINT) AS n_true, e.n_est,
+               e.n_est >= coalesce(t.n_true, 0) AS ge_ok,
+               (e.n_est - coalesce(t.n_true, 0)) * {width}
+                   <= 3 * n_total AS bound_ok
+        FROM ests e LEFT JOIN truth t USING (k) CROSS JOIN total
     """

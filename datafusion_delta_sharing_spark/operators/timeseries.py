@@ -365,3 +365,96 @@ def ewma_sql(source_sql: str, ts_col: str, key_col: str,
                      {val_int_sql} AS v
               FROM {source_sql})
     """
+
+
+# -- autocorrelation ----------------------------------------------------------
+
+def _acf_tail_sql(perlag: str, scalars: str) -> str:
+    """Shared ACF tail over a per-lag sums relation
+    (l, m_pairs, p, a, b) and a one-row scalars relation (n, s, sxx):
+    the n²-scaled centered formula keeps EVERYTHING integer until one
+    final division —
+
+        num·n² = n²·Σx_t·x_{t+l} − n·S·(A_l + B_l) + m_l·S²
+        den·n² = n²·Σx²          − n·S²
+
+    so both engines divide the same two exact integers (lag 0
+    reproduces num = den, i.e. acf = 1, exactly — the built-in
+    attestation). Integer headroom: den·n² ≈ n²·Σx² must stay inside
+    the engines' wide-sum types (BIGINT products here; at the tested
+    SFs the margin is >10², see the registry docstring — beyond that,
+    CAST the sums to DECIMAL(38,0) on both sides)."""
+    return f"""
+        SELECT CAST(l AS BIGINT) AS lag,
+               CAST(m_pairs AS BIGINT) AS m_pairs,
+               CASE WHEN den = 0 THEN NULL
+                    ELSE CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+               END AS acf
+        FROM (
+            SELECT l, m_pairs,
+                   n * n * p - n * s * (a + b) + m_pairs * s * s
+                       AS num,
+                   n * n * sxx - n * s * s AS den
+            FROM {perlag} CROSS JOIN {scalars}
+        )
+    """
+
+
+def acf(spark, series: DataFrame, day_col: str, x_col: str,
+        max_lag: int) -> DataFrame:
+    """Sample autocorrelation of an integer-valued daily series at lags
+    0..max_lag, pairing on DAY ARITHMETIC (day+lag equi-join), not row
+    offsets — calendar gaps simply contribute no pair (the
+    pairs-available estimator); the mean/variance come from the full
+    series. Returns (lag, m_pairs, acf); lag 0 is exactly 1.0 whenever
+    the series is non-constant.
+
+    Scale: the series is already aggregated (one row per day); the lag
+    fan-out is an explode of max_lag+1 literals followed by ONE
+    equi-join on the day key and one hash aggregate on the lag —
+    day-count-sized work however large the raw table was. The one-row
+    scalars frame broadcasts (the usual scalar crossJoin)."""
+    lags = F.explode(
+        F.array([F.lit(i) for i in range(max_lag + 1)])).alias("l")
+    left = series.select(F.col(day_col).alias("d0"),
+                         F.col(x_col).alias("x0"), lags)
+    right = series.select(F.col(day_col).alias("d1"),
+                          F.col(x_col).alias("x1"))
+    pairs = (left.withColumn("d1", F.col("d0") + F.col("l"))
+             .join(right, "d1"))
+    perlag = pairs.groupBy("l").agg(
+        F.sum(F.col("x0") * F.col("x1")).alias("p"),
+        F.sum("x0").alias("a"), F.sum("x1").alias("b"),
+        F.count(F.lit(1)).alias("m_pairs"))
+    scalars = series.agg(
+        F.count(F.lit(1)).alias("n"), F.sum(x_col).alias("s"),
+        F.sum(F.col(x_col) * F.col(x_col)).alias("sxx"))
+    perlag.createOrReplaceTempView("_acf_perlag")
+    scalars.createOrReplaceTempView("_acf_scalars")
+    return spark.sql(_acf_tail_sql("_acf_perlag", "_acf_scalars"))
+
+
+def acf_sql(series_sql: str, day_col: str, x_col: str,
+            max_lag: int) -> str:
+    """DuckDB mirror of :func:`acf` — same pairing, same integer sums,
+    and the IDENTICAL shared tail text."""
+    return f"""
+        WITH srs AS ({series_sql}),
+        pairs AS (
+            SELECT lg.l, a.{x_col} AS x0, b.{x_col} AS x1
+            FROM srs a
+            CROSS JOIN (SELECT UNNEST(range({max_lag + 1})) AS l) lg
+            JOIN srs b ON b.{day_col} = a.{day_col} + lg.l
+        ),
+        perlag AS (
+            SELECT l, sum(x0 * x1) AS p, sum(x0) AS a, sum(x1) AS b,
+                   count(*) AS m_pairs
+            FROM pairs GROUP BY l
+        ),
+        scalars AS (
+            SELECT count(*) AS n, sum({x_col}) AS s,
+                   sum({x_col} * {x_col}) AS sxx
+            FROM srs
+        )
+        {_acf_tail_sql('perlag', 'scalars')}
+    """

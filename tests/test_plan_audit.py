@@ -30,7 +30,11 @@ _ALLOWS: dict[str, frozenset] = {
         # r8 session: global-mean scalar (target_encode), corpus-size
         # scalar + top_m×labels grid (mutual_info_terms) — one-row /
         # vocab-bounded broadcasts by construction
-        "target_encode", "mutual_info_terms")},
+        "target_encode", "mutual_info_terms",
+        # r8 session batch 17: total-N scalar for the count-min
+        # overcount bound; full-series (n, S, Σx²) scalars for the ACF
+        # denominators — one-row broadcasts by construction
+        "count_min", "acf_lags")},
     # bpe_merge_steps needs NO allow: its per-round 1-row argmax
     # crossJoins run eagerly inside localCheckpoints during build — the
     # returned merge table's plan reads materialized leaves only

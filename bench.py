@@ -105,6 +105,13 @@ HEADLINE = [
     "stream_minhash_dedup", "percentile_rollup", "scd2_lookup",
     "shortest_paths", "label_propagation", "sorted_neighborhood",
     "connector_bearer_expiry",
+    # r8 session batches 14-15: tabular-ML feature prep + lakehouse ops
+    "target_encode", "ols_fit", "ewma_smooth", "mutual_info_terms",
+    "kmv_rollup", "table_diff", "compaction_plan", "weighted_sample",
+    # r8 session batches 16-17: offline eval metrics (rank-sum AUC,
+    # calibration, NDCG@10, RRF), record linkage, count-min, ACF
+    "auc_roc", "calibration_bins", "ndcg_eval", "rrf_fusion",
+    "fellegi_sunter", "count_min", "acf_lags",
 ]
 
 

@@ -429,7 +429,14 @@ def cm_probe(spark, sketch: DataFrame, raw: DataFrame, key_col: str,
     ((est − true)·w ≤ 3·N, the 3/w·N overcount bound). Returns
     (key, n_true, n_est, ge_ok, bound_ok). The probe side is
     literal-sized; its sketch join touches depth·|probes| counter rows.
-    N rides in on a one-row broadcast (the usual scalar crossJoin)."""
+    N comes from summing the sketch's own d=0 counters (no extra raw
+    scan) and rides in on a one-row broadcast (the usual scalar
+    crossJoin); the only raw-table passes are the sketch build and the
+    predicate-pruned exact recount of the probe keys."""
+    # the sketch is depth*width-bounded by construction; materializing
+    # it once serves both the lookup join and the N derivation below
+    # without re-running the sketch aggregate (and its raw scan) twice
+    sketch = sketch.localCheckpoint(eager=True)
     probes = spark.createDataFrame(
         [(int(k),) for k in probe_keys], f"{key_col} bigint")
     d = F.explode(F.array([F.lit(i) for i in range(depth)])).alias("d")
@@ -444,7 +451,10 @@ def cm_probe(spark, sketch: DataFrame, raw: DataFrame, key_col: str,
                                              probe_keys]))
              .groupBy(F.col(key_col).alias("k"))
              .agg(F.count(F.lit(1)).alias("n_true")))
-    total = raw.agg(F.count(F.lit(1)).alias("n_total"))
+    # N = the sum of any one hash row's counters — read it from the
+    # materialized sketch instead of a third scan of the raw table
+    total = (sketch.filter(F.col("d") == 0)
+             .agg(F.coalesce(F.sum("c"), F.lit(0)).alias("n_total")))
     out = (ests.join(truth, "k", "left")
            .withColumn("n_true", F.coalesce(F.col("n_true"),
                                             F.lit(0)))

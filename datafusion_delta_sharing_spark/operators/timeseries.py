@@ -414,6 +414,11 @@ def acf(spark, series: DataFrame, day_col: str, x_col: str,
     equi-join on the day key and one hash aggregate on the lag —
     day-count-sized work however large the raw table was. The one-row
     scalars frame broadcasts (the usual scalar crossJoin)."""
+    # the series is day-count-sized after the caller's aggregate;
+    # materializing it once stops Spark re-deriving the raw-table
+    # aggregate for the three consumers below (pair left/right sides
+    # and the scalars row) — 1 raw scan instead of 3
+    series = series.localCheckpoint(eager=True)
     lags = F.explode(
         F.array([F.lit(i) for i in range(max_lag + 1)])).alias("l")
     left = series.select(F.col(day_col).alias("d0"),

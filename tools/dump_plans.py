@@ -99,6 +99,29 @@ SHOWCASE = [
      "blocked SNM: per-block rank window (hash Exchange on the block "
      "key, no global sort), neighbor candidates via an EQUI-join on "
      "(block, rank+offset), exact-Jaccard verify on candidates only"),
+    ("auc_roc",
+     "rank-sum AUC: ONE hash Exchange on the group carries both the "
+     "RANK and tie-COUNT windows and the final aggregate — ranks stay "
+     "integral (2*rank+ties-1), one double division per group"),
+    ("ndcg_eval",
+     "NDCG@10: both ROW_NUMBER windows (predicted + ideal order) run "
+     "inside the single query-id Exchange; gains pivot to k BIGINT "
+     "columns so DCG/IDCG are fixed-shape expressions, never an "
+     "order-dependent SUM of doubles"),
+    ("count_min",
+     "count-min probe: the depth*width sketch aggregate is "
+     "localCheckpoint-ed ONCE and serves the lookup join and the N "
+     "scalar (no third raw scan); the exact recount scan is "
+     "predicate-pruned to the 20 probe keys"),
+    ("fellegi_sunter",
+     "Fellegi-Sunter: equi-join on the bounded block key, per-row "
+     "fixed 4-term literal-weight score, one small hash aggregate — "
+     "scoring adds no shuffle beyond the blocking join"),
+    ("acf_lags",
+     "pairs-available ACF: the day-level series aggregate is "
+     "localCheckpoint-ed (1 raw scan, 3 consumers); lag fan-out is an "
+     "explode of 8 literals + ONE day-keyed equi-join; scalars ride a "
+     "one-row broadcast"),
 ]
 
 

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from datafusion_delta_sharing_spark.functions.money import cents_sql
 from datafusion_delta_sharing_spark.harness import (
     load_table, register_views)
 from datafusion_delta_sharing_spark.operators import linkage as LK
@@ -46,11 +47,11 @@ from datafusion_delta_sharing_spark.operators import timeseries as TS
 # multiples of the modulus, so impostors land in their target's
 # block); in a real deployment the block key is a quasi-identifier,
 # e.g. the repo's sorted_neighborhood windows.
-_FS_PAIRS_SQL = """
+_FS_PAIRS_SQL = f"""
     WITH a AS (
         SELECT c_custkey AS k, c_custkey % 100000 AS blk,
                c_nationkey AS nat, c_name AS name,
-               CAST(round(c_acctbal * 100) AS BIGINT) AS bal,
+               {cents_sql('c_acctbal')} AS bal,
                c_mktsegment AS seg
         FROM customer
     ),
@@ -144,8 +145,13 @@ def q_acf_lags(spark, sf_dir):
     """ACF of the weekly-modulated daily order count at lags 0..7:
     lag 0 must be exactly 1.0 (the formula's self-attestation) and the
     injected weekly cycle puts lag 7 far above lags 1..6. Integer
-    headroom for the n²-scaled sums at the tested SFs is >10² (x ≤
-    ~1e4·16 at sf1, n = 2406 days; see operators/timeseries.acf)."""
+    headroom of the n²-scaled sums for THIS series: the dominant term
+    n·S·(A+B) ≈ 2.8e18 at sf1 (n = 2406 days, S ≈ 2.4e7) — a measured
+    ~3× margin against int64, overflowing around sf≈3–10 (r8 review
+    corrected an earlier >10² claim). Beyond that, requantize: ACF is
+    scale-invariant, so dividing x by c before integerizing restores
+    headroom by c² without changing any result — see
+    operators/timeseries._acf_tail_sql."""
     day = F.datediff(F.col("o_orderdate"), F.lit(_ACF_EPOCH))
     series = (load_table(spark, sf_dir, "orders")
               .groupBy(day.cast("bigint").alias("day"))

@@ -386,21 +386,26 @@ def kmv_sql(source_sql: str, group_col: str, value_col: str, k: int,
 # so the check is engine-exact: (est - true) * w <= 3 * N, all BIGINT.
 
 
-def _cm_bucket(key: F.Column, d: F.Column | int, width: int) -> F.Column:
-    """Row-d counter index of a key: first 8 md5 hex chars of
-    ``key:cm:d`` mod width — the engine-portable hash family the repo
-    uses everywhere (md5 is identical across engines; xxhash64 is not
-    in DuckDB)."""
-    dcol = F.lit(d) if isinstance(d, int) else d
-    return (F.conv(F.substring(
-        F.md5(F.concat(key.cast("string"), F.lit(":cm:"),
-                       dcol.cast("string"))), 1, 8), 16, 10)
-        .cast("bigint") % width)
+_CM_MAX_DEPTH = 4  # 32 md5 hex chars / 8-char slices
+
+
+def _cm_hash(key: F.Column) -> F.Column:
+    """ONE md5 per row; the d-th hash row slices hex chars
+    [8d+1, 8d+8] of the same digest (depth <= 4) — the engine-portable
+    family the repo uses everywhere (md5 is identical across engines;
+    xxhash64 is not in DuckDB), at 1/depth the hashing cost of a
+    per-(row, d) salt on the dominant raw scan (r8 review)."""
+    return F.md5(F.concat(key.cast("string"), F.lit(":cm")))
+
+
+def _cm_bucket(hash_col: str, d_col: str, width: int) -> F.Column:
+    return (F.conv(F.expr(f"substring({hash_col}, {d_col} * 8 + 1, 8)"),
+                   16, 10).cast("bigint") % width)
 
 
 def _cm_bucket_sql(key_sql: str, d_sql: str, width: int) -> str:
     return (f"(CAST(('0x' || substr(md5(CAST({key_sql} AS VARCHAR) "
-            f"|| ':cm:' || CAST({d_sql} AS VARCHAR)), 1, 8)) AS BIGINT)"
+            f"|| ':cm'), {d_sql} * 8 + 1, 8)) AS BIGINT)"
             f" % {width})")
 
 
@@ -411,11 +416,14 @@ def cm_sketch(df: DataFrame, key_col: str, depth: int,
     Sketches MERGE by summing counters on (d, bucket), so per-partition
     / per-day partials roll up without rescanning raw rows (Spark's
     partial aggregation does exactly this map-side). The depth fan-out
-    is an explode of ``depth`` literals, not a join."""
+    is an explode of ``depth`` literals AFTER the one-per-row md5, not
+    a join and not depth hashes."""
+    if not 1 <= depth <= _CM_MAX_DEPTH:
+        raise ValueError(f"depth must be 1..{_CM_MAX_DEPTH} "
+                         f"(8-hex slices of one md5), got {depth}")
     d = F.explode(F.array([F.lit(i) for i in range(depth)])).alias("d")
-    return (df.select(F.col(key_col).alias("k"), d)
-            .select("d", _cm_bucket(F.col("k"), F.col("d"),
-                                    width).alias("bucket"))
+    return (df.select(_cm_hash(F.col(key_col)).alias("__h"), d)
+            .select("d", _cm_bucket("__h", "d", width).alias("bucket"))
             .groupBy("d", "bucket")
             .agg(F.count(F.lit(1)).alias("c")))
 
@@ -439,10 +447,13 @@ def cm_probe(spark, sketch: DataFrame, raw: DataFrame, key_col: str,
     sketch = sketch.localCheckpoint(eager=True)
     probes = spark.createDataFrame(
         [(int(k),) for k in probe_keys], f"{key_col} bigint")
+    if not 1 <= depth <= _CM_MAX_DEPTH:
+        raise ValueError(f"depth must be 1..{_CM_MAX_DEPTH} "
+                         f"(8-hex slices of one md5), got {depth}")
     d = F.explode(F.array([F.lit(i) for i in range(depth)])).alias("d")
-    lookups = (probes.select(F.col(key_col).alias("k"), d)
-               .withColumn("bucket",
-                           _cm_bucket(F.col("k"), F.col("d"), width)))
+    lookups = (probes.select(F.col(key_col).alias("k"),
+                             _cm_hash(F.col(key_col)).alias("__h"), d)
+               .withColumn("bucket", _cm_bucket("__h", "d", width)))
     ests = (lookups.join(sketch, ["d", "bucket"], "left")
             .groupBy("k")
             .agg(F.min(F.coalesce(F.col("c"), F.lit(0)))

@@ -369,10 +369,14 @@ def ewma_sql(source_sql: str, ts_col: str, key_col: str,
 
 # -- autocorrelation ----------------------------------------------------------
 
-def _acf_tail_sql(perlag: str, scalars: str) -> str:
-    """Shared ACF tail over a per-lag sums relation
-    (l, m_pairs, p, a, b) and a one-row scalars relation (n, s, sxx):
-    the n²-scaled centered formula keeps EVERYTHING integer until one
+def _acf_tail_sql(spine: str, perlag: str, scalars: str) -> str:
+    """Shared ACF tail over a lag spine (l = 0..max_lag, every lag
+    present), a per-lag sums relation (l, m_pairs, p, a, b) that may
+    MISS lags with zero pairs (the pair join produced no rows), and a
+    one-row scalars relation (n, s, sxx). The spine LEFT JOIN restores
+    the missing lags as (lag, 0, NULL) — the operator's contract is one
+    row per lag, and an ACF over zero pairs is undefined, not absent.
+    The n²-scaled centered formula keeps EVERYTHING integer until one
     final division —
 
         num·n² = n²·Σx_t·x_{t+l} − n·S·(A_l + B_l) + m_l·S²
@@ -380,22 +384,31 @@ def _acf_tail_sql(perlag: str, scalars: str) -> str:
 
     so both engines divide the same two exact integers (lag 0
     reproduces num = den, i.e. acf = 1, exactly — the built-in
-    attestation). Integer headroom: den·n² ≈ n²·Σx² must stay inside
-    the engines' wide-sum types (BIGINT products here; at the tested
-    SFs the margin is >10², see the registry docstring — beyond that,
-    CAST the sums to DECIMAL(38,0) on both sides)."""
+    attestation).
+
+    Integer headroom: the largest intermediate is n·S·(A_l+B_l) ≈
+    2·n·S² — with the registry's weekly-modulated order-count series
+    that is ~2.8e18 at sf1, a measured ~3× margin against int64 (the
+    r8 review corrected an earlier ">10²" claim), overflowing around
+    sf≈3–10. ACF is SCALE-INVARIANT, so the right move at larger SFs
+    is to requantize the series (divide x by c before integerizing:
+    num and den both shrink by c², the ratio is unchanged) — that
+    preserves the exact-integer contract at any SF. DuckDB's HUGEINT
+    sums make IT safe regardless; Spark BIGINT is the binding side."""
     return f"""
         SELECT CAST(l AS BIGINT) AS lag,
-               CAST(m_pairs AS BIGINT) AS m_pairs,
-               CASE WHEN den = 0 THEN NULL
+               CAST(coalesce(m_pairs, 0) AS BIGINT) AS m_pairs,
+               CASE WHEN den = 0 OR coalesce(m_pairs, 0) = 0 THEN NULL
                     ELSE CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
                END AS acf
         FROM (
             SELECT l, m_pairs,
-                   n * n * p - n * s * (a + b) + m_pairs * s * s
-                       AS num,
+                   n * n * coalesce(p, 0)
+                       - n * s * (coalesce(a, 0) + coalesce(b, 0))
+                       + coalesce(m_pairs, 0) * s * s AS num,
                    n * n * sxx - n * s * s AS den
-            FROM {perlag} CROSS JOIN {scalars}
+            FROM {spine} LEFT JOIN {perlag} USING (l)
+            CROSS JOIN {scalars}
         )
     """
 
@@ -413,7 +426,10 @@ def acf(spark, series: DataFrame, day_col: str, x_col: str,
     fan-out is an explode of max_lag+1 literals followed by ONE
     equi-join on the day key and one hash aggregate on the lag —
     day-count-sized work however large the raw table was. The one-row
-    scalars frame broadcasts (the usual scalar crossJoin)."""
+    scalars frame broadcasts (the usual scalar crossJoin). Lags whose
+    pair join is empty (every day+lag lands in a calendar gap) still
+    emit a (lag, 0, NULL) row via the spine left-join. Integer
+    headroom and the requantization rule live in _acf_tail_sql."""
     # the series is day-count-sized after the caller's aggregate;
     # materializing it once stops Spark re-deriving the raw-table
     # aggregate for the three consumers below (pair left/right sides
@@ -434,9 +450,13 @@ def acf(spark, series: DataFrame, day_col: str, x_col: str,
     scalars = series.agg(
         F.count(F.lit(1)).alias("n"), F.sum(x_col).alias("s"),
         F.sum(F.col(x_col) * F.col(x_col)).alias("sxx"))
+    spine = spark.range(max_lag + 1).select(
+        F.col("id").cast("int").alias("l"))
+    spine.createOrReplaceTempView("_acf_spine")
     perlag.createOrReplaceTempView("_acf_perlag")
     scalars.createOrReplaceTempView("_acf_scalars")
-    return spark.sql(_acf_tail_sql("_acf_perlag", "_acf_scalars"))
+    return spark.sql(
+        _acf_tail_sql("_acf_spine", "_acf_perlag", "_acf_scalars"))
 
 
 def acf_sql(series_sql: str, day_col: str, x_col: str,
@@ -456,10 +476,11 @@ def acf_sql(series_sql: str, day_col: str, x_col: str,
                    count(*) AS m_pairs
             FROM pairs GROUP BY l
         ),
+        spine AS (SELECT UNNEST(range({max_lag + 1})) AS l),
         scalars AS (
             SELECT count(*) AS n, sum({x_col}) AS s,
                    sum({x_col} * {x_col}) AS sxx
             FROM srs
         )
-        {_acf_tail_sql('perlag', 'scalars')}
+        {_acf_tail_sql('spine', 'perlag', 'scalars')}
     """

@@ -149,6 +149,25 @@ def test_acf_calendar_gaps_drop_pairs_only(spark):
     assert out[1]["m_pairs"] == 1
 
 
+def test_acf_zero_pair_lag_emits_null_row(spark):
+    """A lag no day-pair spans still emits its row — (lag, 0, NULL) —
+    instead of silently vanishing from the output (r8 review): days
+    (0, 5) at max_lag 2 have no pairs at lags 1 or 2."""
+    out = {r["lag"]: r for r in
+           TS.acf(spark, _series(spark, [4, 6], days=[0, 5]),
+                  "day", "x", 2).collect()}
+    assert sorted(out) == [0, 1, 2]
+    for lag in (1, 2):
+        assert out[lag]["m_pairs"] == 0 and out[lag]["acf"] is None
+
+
+def test_cm_depth_bounded_by_digest(spark):
+    """depth > 4 cannot slice one 32-hex md5 — rejected loudly."""
+    raw = _keys(spark, {1: 2})
+    with pytest.raises(ValueError, match="depth"):
+        SK.cm_sketch(raw, "k", depth=5, width=8)
+
+
 def test_acf_constant_series_is_null(spark):
     """Zero variance → NULL (0/0 guarded), not an error."""
     out = TS.acf(spark, _series(spark, [5, 5, 5]), "day", "x",

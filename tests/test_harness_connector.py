@@ -196,11 +196,18 @@ def test_window_plan_covers_registry():
         f"r3-latest rows missing a refresh slot: {r3_latest - set(window)}")
 
     # forward plan hygiene: every r*_planned entry must resolve — a
-    # typo'd name would silently drop a query from its future re-check
+    # typo'd name would silently drop a query from its future re-check.
+    # EVERY list-valued field of a planned dict is checked (r8 review:
+    # the original 'queries'-only check left r9_planned's spill list —
+    # the rows deferred to r10 — unvalidated, exactly the silent-drop
+    # hole this exists to close).
     for key, val in plan.items():
         if key.endswith("_planned") and isinstance(val, dict):
-            bad = [q for q in val.get("queries", []) if q not in registry]
-            assert not bad, f"{key} names not in registry: {bad}"
+            for field, names in val.items():
+                if not isinstance(names, list):
+                    continue
+                bad = [q for q in names if q not in registry]
+                assert not bad, f"{key}.{field} names not in registry: {bad}"
 
 
 def test_bench_headline_resolves_in_registry():

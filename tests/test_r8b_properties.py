@@ -182,7 +182,7 @@ _dims = st.tuples(st.integers(1, 4), st.sampled_from([2, 8, 64]))
 
 
 def _cm_bucket_py(k: int, d: int, width: int) -> int:
-    h = hashlib.md5(f"{k}:cm:{d}".encode()).hexdigest()[:8]
+    h = hashlib.md5(f"{k}:cm".encode()).hexdigest()[8 * d:8 * d + 8]
     return int(h, 16) % width
 
 
@@ -226,10 +226,13 @@ _series = st.lists(
 def test_acf_oracle_matches_python_reference(series, max_lag):
     """The n²-scaled integer formula equals a direct pairs-available
     Python computation, bit-exactly (one int→double division on both
-    sides); lag 0 is exactly 1.0 whenever the series is non-constant."""
+    sides); lag 0 is exactly 1.0 whenever the series is non-constant;
+    EVERY lag 0..max_lag emits a row, zero-pair lags as
+    (lag, 0, NULL) via the spine left-join (r8 review)."""
     views = {"t": pd.DataFrame(series, columns=["day", "x"])}
     got = _duck(views, acf_sql("SELECT day, x FROM t", "day", "x",
                                max_lag))
+    assert sorted(got["lag"]) == list(range(max_lag + 1))
     by_day = dict(series)
     n = len(series)
     s = sum(x for _, x in series)
@@ -244,7 +247,7 @@ def test_acf_oracle_matches_python_reference(series, max_lag):
                - n * s * (sum(a for a, _ in pairs)
                           + sum(b for _, b in pairs))
                + len(pairs) * s * s)
-        if den == 0:
+        if den == 0 or not pairs:
             assert pd.isna(r["acf"])
         else:
             assert r["acf"] == float(num) / float(den)

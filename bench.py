@@ -112,6 +112,9 @@ HEADLINE = [
     # calibration, NDCG@10, RRF), record linkage, count-min, ACF
     "auc_roc", "calibration_bins", "ndcg_eval", "rrf_fusion",
     "fellegi_sunter", "count_min", "acf_lags",
+    # r8 session batch 18 (r10 slots): bounded Lloyd k-means, k-core
+    # peeling, classical seasonal decomposition, CUSUM changepoint
+    "kmeans_fit", "kcore", "seasonal_decompose", "cusum_changepoint",
 ]
 
 

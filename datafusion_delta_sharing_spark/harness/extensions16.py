@@ -4,10 +4,10 @@ pipeline runs over model outputs and retrieval rankings.
 
 * ``auc_roc`` — exact per-group ROC AUC via the Mann-Whitney rank-sum
   identity with tie-average ranks (:func:`..operators.evalmetrics
-  .auc_roc`). The recency score genuinely predicts order status
-  (an old order is almost surely finalized), so the driver row
-  exercises a non-trivial AUC (~0.9), heavy score ties (dates), and
-  the degenerate-group NULL guard is covered by tests.
+  .auc_roc`). The price score predicts a high-value label carrying
+  deterministic 20% label noise, so the driver row exercises a
+  non-trivial AUC (~0.77, not a coin flip and not 1.0); the tie-average
+  path and the degenerate-group NULL guard are covered by tests.
 * ``calibration_bins`` — reliability-diagram aggregation over ten
   equal-width score bins (:func:`..operators.evalmetrics
   .calibration_bins`): observed positive rate vs mean predicted score
@@ -39,37 +39,40 @@ from datafusion_delta_sharing_spark.operators import evalmetrics as EM
 
 # -- ROC AUC ---------------------------------------------------------------------
 
-# score = days from o_orderdate to the dataset horizon (recency
-# inverted): old orders are near-surely finalized ('F'), recent ones
-# open — a real signal, so AUC lands ~0.9, not a coin flip. Integer
-# days; each engine spells the date arithmetic natively (exact ints),
-# only the shared tail makes doubles.
-_AUC_EPOCH = "1992-01-01"
+# score = the order's total price (exact cents); label = "high-value
+# order" (price above the fixed 150k$ line) with DETERMINISTIC 20%
+# label noise (flip where o_orderkey % 5 = 0). The score genuinely
+# predicts the label, the noise keeps AUC off 1.0 — measured ≈ 0.77 at
+# sf0.01, and identical logic at any SF (the driver testdata's status/
+# date columns are mutually independent, so the r8 session moved the
+# demo off the recency-vs-status pairing whose AUC was a coin flip).
+_AUC_PRICE_LINE = 15_000_000  # cents
+_AUC_NOISE_MOD = 5
 
 
 def _auc_spark_src(spark, sf_dir):
+    tc = cents(F.col("o_totalprice"))
+    flip = F.col("o_orderkey") % _AUC_NOISE_MOD == 0
     return (load_table(spark, sf_dir, "orders")
             .select(F.col("o_orderpriority").alias("g"),
-                    F.when(F.col("o_orderstatus") == "F", 1)
+                    F.when((tc > _AUC_PRICE_LINE) != flip, 1)
                     .otherwise(0).alias("label"),
-                    (F.lit(2500) - F.datediff(
-                        F.col("o_orderdate"), F.lit(_AUC_EPOCH)))
-                    .alias("s")))
+                    tc.alias("s")))
 
 
-_DAYS = (f"CAST(date_diff('day', DATE '{_AUC_EPOCH}', "
-         f"CAST(o_orderdate AS DATE)) AS BIGINT)")
+_AUC_LABEL_SQL = (
+    f"CASE WHEN ({cents_sql('o_totalprice')} > {_AUC_PRICE_LINE}) "
+    f"!= (o_orderkey % {_AUC_NOISE_MOD} = 0) THEN 1 ELSE 0 END")
 
 _AUC_SRC_SQL = (f"SELECT o_orderpriority AS g, "
-                f"CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END "
-                f"AS label, "
-                f"2500 - {_DAYS} AS s "
+                f"{_AUC_LABEL_SQL} AS label, "
+                f"{cents_sql('o_totalprice')} AS s "
                 f"FROM orders")
 
 
 def q_auc_roc(spark, sf_dir):
-    """Per-orderpriority ROC AUC of the recency score against the
-    is-finalized label: one rank window on the group shuffle, one hash
+    """Per-orderpriority ROC AUC of the price score against the noisy
+    high-value label: one rank window on the group shuffle, one hash
     aggregate, one double division (see operators/evalmetrics). Group
     cardinality (5 priorities) bounds the window parallelism — at
     100 TB a single global AUC should instead use the binned
@@ -81,36 +84,46 @@ def q_auc_roc(spark, sf_dir):
 
 # -- calibration -----------------------------------------------------------------
 
-# predicted probability proxy = orderdate days / horizon (0..2405)/2406;
-# label as above. Bin = decile of the integer score: exact int ops.
-_CAL_SCALE = 2406
-_CAL_BINW = 241  # ceil(2406 / 10)
+# predicted probability proxy = capped price percentile-ish score
+# s = min(cents/5000, 9999) over scale 10000 (monotone in price, in
+# [0, 1) after normalization); label as in the AUC demo. Bin = decile
+# of the integer score: exact int ops, nonnegative by construction.
+_CAL_SCALE = 10_000
+_CAL_DIV = 5_000
+_CAL_BINW = 1_000
 
 
 def _cal_spark_src(spark, sf_dir):
+    tc = cents(F.col("o_totalprice"))
+    flip = F.col("o_orderkey") % _AUC_NOISE_MOD == 0
+    # `div` (integer division), NOT `/`: Spark's `/` is true division
+    # whose double rounding could flip a boundary row vs DuckDB's `//`
     return (load_table(spark, sf_dir, "orders")
-            .select(F.when(F.col("o_orderstatus") == "F", 1)
+            .select(F.when((tc > _AUC_PRICE_LINE) != flip, 1)
                     .otherwise(0).alias("label"),
-                    (F.lit(_CAL_SCALE - 1) - F.datediff(
-                        F.col("o_orderdate"), F.lit(_AUC_EPOCH)))
-                    .alias("s"))
-            .withColumn("bin", F.expr(f"least(s div {_CAL_BINW}, 9)")))
+                    F.least(F.expr(f"{cents_sql('o_totalprice')} "
+                                   f"div {_CAL_DIV}"),
+                            F.lit(_CAL_SCALE - 1)).alias("s"))
+            .withColumn("bin", F.expr(f"s div {_CAL_BINW}")))
 
 
 _CAL_SRC_SQL = f"""
-    SELECT least(s // {_CAL_BINW}, 9) AS bin, label, s FROM (
-        SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS label,
-               {_CAL_SCALE - 1} - {_DAYS} AS s
+    SELECT s // {_CAL_BINW} AS bin, label, s FROM (
+        SELECT {_AUC_LABEL_SQL} AS label,
+               least({cents_sql('o_totalprice')} // {_CAL_DIV},
+                     {_CAL_SCALE - 1}) AS s
         FROM orders
     )
 """
 
 
 def q_calibration_bins(spark, sf_dir):
-    """Reliability diagram of the recency score vs the is-finalized
+    """Reliability diagram of the price score vs the noisy high-value
     label over ten equal-width bins: a pure hash aggregate (partial +
     final) — THE shape that survives 100 TB, and the scalable global
-    substitute for the exact rank-based AUC."""
+    substitute for the exact rank-based AUC. The monotone score makes
+    frac_pos climb from ~0.2 to ~0.8 across the bins (the 20% noise
+    floor/ceiling), so the gap column is non-degenerate."""
     return EM.calibration_bins(
         spark, _cal_spark_src(spark, sf_dir), _CAL_SCALE)
 

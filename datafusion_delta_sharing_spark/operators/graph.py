@@ -433,3 +433,76 @@ def bfs_hop_counts_sql(edges_sql: str, seeds_sql: str,
            CAST(n_vertices AS BIGINT) AS n_vertices
     FROM ({union}) WHERE n_vertices > 0
     """
+
+
+def kcore(edges: DataFrame, k: int, max_rounds: int) -> DataFrame:
+    """Bounded k-core peeling (Seidman 1983 / Batagelj-Zaversnik) over
+    an ordered (a < b) undirected edge list: repeatedly drop vertices of
+    degree < k (synchronous rounds, per-round localCheckpoint) for
+    ``max_rounds`` rounds, then report ONE summary row
+    (n_core_vertices, n_core_edges, fixpoint_reached) — the stable flag
+    compares the last two rounds' edge counts IN-PLAN, so a round
+    budget too small to converge is visible in the result, never
+    silent.
+
+    Scale shape: each round is one degree aggregate (union of the two
+    endpoint projections) + two semi-join-shaped equi-joins back onto
+    the edge list — all shuffles on the vertex key, state bounded by
+    the surviving edge list; the peeled frontier shrinks
+    monotonically. The summary crossJoins are one-row scalars."""
+    if k < 1 or max_rounds < 1:
+        raise ValueError(f"k and max_rounds must be >= 1, got "
+                         f"{k}/{max_rounds}")
+    cur = edges.localCheckpoint(eager=True)
+    prev = cur
+    for _ in range(max_rounds):
+        keep = (vertex_degrees(cur).filter(F.col("d") >= k)
+                .select("v"))
+        prev = cur
+        cur = (cur.join(keep.withColumnRenamed("v", "a"), "a")
+               .join(keep.withColumnRenamed("v", "b"), "b")
+               .select("a", "b").localCheckpoint(eager=True))
+    verts = (cur.select(F.col("a").alias("v"))
+             .unionAll(cur.select(F.col("b").alias("v")))
+             .distinct().agg(F.count(F.lit(1)).alias("n_core_vertices")))
+    n_cur = cur.agg(F.count(F.lit(1)).alias("n_core_edges"))
+    n_prev = prev.agg(F.count(F.lit(1)).alias("_n_prev"))
+    return (verts.crossJoin(n_cur).crossJoin(n_prev)
+            .select("n_core_vertices", "n_core_edges",
+                    (F.col("n_core_edges") == F.col("_n_prev"))
+                    .alias("fixpoint_reached")))
+
+
+def kcore_sql(edges_sql: str, k: int, max_rounds: int) -> str:
+    """DuckDB mirror of :func:`kcore` with the peel loop unrolled into
+    chained CTEs (same degree threshold and synchronous drop per
+    round)."""
+    ctes = [f"e0 AS (SELECT a, b FROM ({edges_sql}))"]
+    for i in range(1, max_rounds + 1):
+        ctes.append(f"""
+    d{i} AS (
+        SELECT v, count(*) AS d FROM (
+            SELECT a AS v FROM e{i - 1}
+            UNION ALL SELECT b AS v FROM e{i - 1}
+        ) GROUP BY v
+    ),
+    k{i} AS (SELECT v FROM d{i} WHERE d >= {k}),
+    e{i} AS (
+        SELECT ee.a, ee.b FROM e{i - 1} ee
+        JOIN k{i} ka ON ee.a = ka.v
+        JOIN k{i} kb ON ee.b = kb.v
+    )""")
+    last, prev = f"e{max_rounds}", f"e{max_rounds - 1}"
+    return f"""
+        WITH {','.join(ctes)}
+        SELECT
+            (SELECT CAST(count(*) AS BIGINT) FROM (
+                SELECT DISTINCT v FROM (
+                    SELECT a AS v FROM {last}
+                    UNION ALL SELECT b AS v FROM {last})))
+                AS n_core_vertices,
+            (SELECT CAST(count(*) AS BIGINT) FROM {last})
+                AS n_core_edges,
+            (SELECT count(*) FROM {last})
+                = (SELECT count(*) FROM {prev}) AS fixpoint_reached
+    """

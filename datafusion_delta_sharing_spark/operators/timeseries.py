@@ -484,3 +484,169 @@ def acf_sql(series_sql: str, day_col: str, x_col: str,
         )
         {_acf_tail_sql('spine', 'perlag', 'scalars')}
     """
+
+
+# -- seasonal decomposition ----------------------------------------------------
+
+def _seasonal_tail_sql(series: str, period: int) -> str:
+    """Shared classical-decomposition tail over an integer daily series
+    (day, x), additive model, RANGE-framed so calendar gaps shrink the
+    window instead of misaligning it:
+
+    * trend  = centered ``period``-day moving average (NULL at the
+      edges / around gaps where fewer than ``period`` days exist — the
+      classical estimator is undefined there, standard practice drops
+      edges);
+    * seasonal = per-(day % period) mean of the detrended series,
+      estimated ONLY over full windows. Exactness trick: the detrended
+      value x − S/p is scaled by p (``p·x − S``, an exact integer), so
+      the seasonal mean is ONE division of exact integers —
+      engine-bit-exact. Indexes are dow means of the detrended series,
+      NOT re-centered to sum 0 (documented; subtract their mean
+      downstream if a zero-sum convention is needed);
+    * resid = x − trend − seasonal as a fixed-shape expression of the
+      same two divisions.
+    """
+    half = period // 2
+    return f"""
+        SELECT day, x,
+               CASE WHEN c = {period}
+                    THEN CAST(s AS DOUBLE) / {period}e0 END AS trend,
+               CAST(sd AS DOUBLE) / (nd * {period}e0) AS seasonal,
+               CASE WHEN c = {period}
+                    THEN CAST(x AS DOUBLE)
+                         - CAST(s AS DOUBLE) / {period}e0
+                         - CAST(sd AS DOUBLE) / (nd * {period}e0)
+               END AS resid
+        FROM (
+            SELECT day, x,
+                   CAST(sum(x) OVER win AS BIGINT) AS s,
+                   CAST(count(x) OVER win AS BIGINT) AS c,
+                   day % {period} AS dow
+            FROM {series}
+            WINDOW win AS (ORDER BY day
+                           RANGE BETWEEN {half} PRECEDING
+                           AND {half} FOLLOWING)
+        ) w
+        JOIN (
+            SELECT dow, CAST(sum(det) AS BIGINT) AS sd,
+                   CAST(count(*) AS BIGINT) AS nd
+            FROM (
+                SELECT day % {period} AS dow, {period} * x - s AS det
+                FROM (
+                    SELECT day, x,
+                           CAST(sum(x) OVER win AS BIGINT) AS s,
+                           CAST(count(x) OVER win AS BIGINT) AS c
+                    FROM {series}
+                    WINDOW win AS (ORDER BY day
+                                   RANGE BETWEEN {half} PRECEDING
+                                   AND {half} FOLLOWING)
+                ) WHERE c = {period}
+            ) GROUP BY dow
+        ) se USING (dow)
+    """
+
+
+def seasonal_decompose(spark, series: DataFrame, day_col: str,
+                       x_col: str, period: int) -> DataFrame:
+    """Additive classical decomposition of an integer daily series into
+    trend / seasonal / residual (period must be odd so the moving
+    average centers exactly). Returns (day, x, trend, seasonal, resid).
+
+    Scale: the series is one row per day (caller pre-aggregates); both
+    window passes and the per-dow aggregate are day-count-sized. The
+    unpartitioned RANGE window is a deliberate day-level global sort —
+    its input is the caller's aggregate, thousands of rows at any SF."""
+    if period % 2 != 1 or period < 3:
+        raise ValueError(f"period must be odd and >= 3, got {period}")
+    # day-count-sized after the caller's aggregate; materialize once so
+    # the tail's two window passes don't re-derive the raw-table scan
+    (series.select(F.col(day_col).alias("day"),
+                   F.col(x_col).alias("x"))
+     .localCheckpoint(eager=True)
+     .createOrReplaceTempView("_seas_series"))
+    return spark.sql(_seasonal_tail_sql("_seas_series", period))
+
+
+def seasonal_decompose_sql(series_sql: str, day_col: str, x_col: str,
+                           period: int) -> str:
+    """DuckDB mirror of :func:`seasonal_decompose` — the IDENTICAL
+    shared tail."""
+    return _seasonal_tail_sql(
+        f"(SELECT {day_col} AS day, {x_col} AS x FROM ({series_sql}))",
+        period)
+
+
+# -- CUSUM changepoint ---------------------------------------------------------
+
+def _cusum_tail_sql(series: str, scalars: str) -> str:
+    """Shared CUSUM tail: the n-scaled cumulative deviation
+    ``n·S_t = n·Σ_{i<=t} x_i − t·Σx`` (Page 1954 cumulative-sum chart;
+    the argmax-|S_t| changepoint statistic) — EXACT integers
+    throughout, no doubles anywhere; the peak flag compares against the
+    max via a one-row scalar."""
+    return f"""
+        SELECT day, x, ns_t,
+               abs(ns_t) = mx AS is_peak
+        FROM (
+            SELECT day, x, n * cum - t * sx AS ns_t
+            FROM {series} CROSS JOIN {scalars}
+        )
+        CROSS JOIN (
+            SELECT max(abs(n * cum - t * sx)) AS mx
+            FROM {series} CROSS JOIN {scalars}
+        )
+    """
+
+
+def cusum_deviation(spark, series: DataFrame, day_col: str,
+                    x_col: str) -> DataFrame:
+    """n-scaled CUSUM deviation per day over an integer daily series,
+    with the argmax-|S_t| changepoint(s) flagged: returns
+    (day, x, ns_t, is_peak). A mean level shift at day D makes |ns_t|
+    peak at D — the classic offline changepoint locator.
+
+    Scale: runs entirely over the caller's day-level aggregate (the
+    cumulative window's global sort is day-count-sized); the (n, Σx)
+    scalars and the max ride one-row broadcasts. Integer headroom:
+    |ns_t| <= n·Σx ~ 1e11 at sf1 here — 10⁷ under int64."""
+    # materialized once: the tail references the series four times
+    (series.select(F.col(day_col).alias("day"),
+                   F.col(x_col).alias("x"))
+     .localCheckpoint(eager=True)
+     .createOrReplaceTempView("_cusum_series"))
+    spark.sql("""
+        SELECT day, x,
+               CAST(sum(x) OVER (ORDER BY day
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS BIGINT) AS cum,
+               CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t
+        FROM _cusum_series
+    """).createOrReplaceTempView("_cusum_cum")
+    spark.sql("""
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx
+        FROM _cusum_series
+    """).createOrReplaceTempView("_cusum_scalars")
+    return spark.sql(_cusum_tail_sql("_cusum_cum", "_cusum_scalars"))
+
+
+def cusum_deviation_sql(series_sql: str, day_col: str,
+                        x_col: str) -> str:
+    """DuckDB mirror of :func:`cusum_deviation` — same cumulative
+    window and the IDENTICAL shared tail."""
+    src = f"(SELECT {day_col} AS day, {x_col} AS x FROM ({series_sql}))"
+    cum = f"""(
+        SELECT day, x,
+               CAST(sum(x) OVER (ORDER BY day
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS BIGINT) AS cum,
+               CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t
+        FROM {src}
+    )"""
+    scalars = f"""(
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx
+        FROM {src}
+    )"""
+    return _cusum_tail_sql(cum, scalars)

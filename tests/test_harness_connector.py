@@ -160,10 +160,18 @@ def test_window_plan_covers_registry():
     attested = {q for q, rounds in plan["provenance"].items()
                 if any(v == "pass" for v in rounds.values())}
     # queries added after this round's window froze are legal ONLY if
-    # they hold a mandatory slot in the NEXT round's plan (r9_new) — a
-    # registry query with neither a driver row, nor a current slot, nor
-    # a committed future slot still fails the build
-    next_new = set(plan.get("r9_new", {}).get("queries", []))
+    # they hold a mandatory slot in a FUTURE round's plan (r9_new,
+    # r10_new, ... — parsed numerically so later sessions can queue a
+    # capability wave beyond the next round without weakening the
+    # gate) — a registry query with neither a driver row, nor a
+    # current slot, nor a committed future slot still fails the build
+    import re as _re
+
+    next_new = set()
+    for key, val in plan.items():
+        mm = _re.fullmatch(r"r(\d+)_new", key)
+        if mm and int(mm.group(1)) >= 9 and isinstance(val, dict):
+            next_new |= set(val.get("queries", []))
     unplanned = registry - attested - set(window) - next_new
     assert not unplanned, (
         f"registry queries with no driver provenance and no rotation "

@@ -34,7 +34,13 @@ _ALLOWS: dict[str, frozenset] = {
         # r8 session batch 17: total-N scalar for the count-min
         # overcount bound; full-series (n, S, Σx²) scalars for the ACF
         # denominators — one-row broadcasts by construction
-        "count_min", "acf_lags")},
+        "count_min", "acf_lags",
+        # r8 session batch 18: kcore's three one-row summary counts
+        "kcore")},
+    # cusum's (n, Σx) and max-|nS| one-row scalar crossJoins (its
+    # day-level global window sorts a localCheckpoint leaf the lint
+    # already credits — no global_sort allow needed, verified)
+    "cusum_changepoint": frozenset({"bnl_join"}),
     # bpe_merge_steps needs NO allow: its per-round 1-row argmax
     # crossJoins run eagerly inside localCheckpoints during build — the
     # returned merge table's plan reads materialized leaves only

@@ -18,7 +18,7 @@ and time-series autocorrelation.
   (:func:`..operators.timeseries.acf`) of the weekly-modulated daily
   order count: the n²-scaled centered formula keeps every sum an exact
   integer, lag 0 self-attests at exactly 1.0, and the injected
-  (10 + day%7) weekly pattern makes lag 7 visibly dominate lags 1..6.
+  (1 + day%7) weekly pattern makes lag 7 visibly dominate lags 1..6.
 """
 
 from __future__ import annotations
@@ -125,12 +125,15 @@ def q_count_min(spark, sf_dir):
 _ACF_EPOCH = "1992-01-01"
 _ACF_MAX_LAG = 7
 
-# weekly-modulated daily order count: the (10 + day%7) factor injects an
-# exact 7-day cycle, so acf(7) >> acf(1..6) — a real signal, not noise.
-# day%7 from the integer day number is engine-portable (dayofweek
-# builtins disagree on their 0/1 origin across engines).
+# weekly-modulated daily order count: the (1 + day%7) factor injects an
+# exact 7-day cycle strong enough to beat the Poisson count noise at
+# every SF (measured acf(7) ≈ 0.57 at sf0.01 vs |acf(1..6)| ≤ 0.28; the
+# earlier (10 + day%7) spelling left acf(7) at 0.14 — modulation sigma
+# must exceed the count-noise sigma, r8 session). day%7 from the
+# integer day number is engine-portable (dayofweek builtins disagree
+# on their 0/1 origin across engines).
 _ACF_SERIES_SQL = f"""
-    SELECT day, CAST(cnt * (10 + day % 7) AS BIGINT) AS x
+    SELECT day, CAST(cnt * (1 + day % 7) AS BIGINT) AS x
     FROM (
         SELECT CAST(date_diff('day', DATE '{_ACF_EPOCH}',
                               CAST(o_orderdate AS DATE)) AS BIGINT)
@@ -144,20 +147,21 @@ _ACF_SERIES_SQL = f"""
 def q_acf_lags(spark, sf_dir):
     """ACF of the weekly-modulated daily order count at lags 0..7:
     lag 0 must be exactly 1.0 (the formula's self-attestation) and the
-    injected weekly cycle puts lag 7 far above lags 1..6. Integer
-    headroom of the n²-scaled sums for THIS series: the dominant term
-    n·S·(A+B) ≈ 2.8e18 at sf1 (n = 2406 days, S ≈ 2.4e7) — a measured
-    ~3× margin against int64, overflowing around sf≈3–10 (r8 review
-    corrected an earlier >10² claim). Beyond that, requantize: ACF is
-    scale-invariant, so dividing x by c before integerizing restores
-    headroom by c² without changing any result — see
+    injected weekly cycle puts lag 7 far above lags 1..6 (measured
+    0.57 vs |others| ≤ 0.28 at sf0.01 — the sawtooth's own harmonics
+    fill the middle lags). Integer headroom of the n²-scaled sums
+    for THIS series: the dominant term n·S·(A+B) ≈ 1.7e17 at sf1
+    (n ≈ 2400 days, S ≈ 6e6) — a ~50× margin against int64; the term
+    grows ~sf², so exact through roughly sf7. Beyond that, requantize:
+    ACF is scale-invariant, so dividing x by c before integerizing
+    restores headroom by c² without changing any result — see
     operators/timeseries._acf_tail_sql."""
     day = F.datediff(F.col("o_orderdate"), F.lit(_ACF_EPOCH))
     series = (load_table(spark, sf_dir, "orders")
               .groupBy(day.cast("bigint").alias("day"))
               .agg(F.count(F.lit(1)).alias("cnt"))
               .select("day",
-                      (F.col("cnt") * (10 + F.col("day") % 7))
+                      (F.col("cnt") * (1 + F.col("day") % 7))
                       .cast("bigint").alias("x")))
     return TS.acf(spark, series, "day", "x", _ACF_MAX_LAG)
 

@@ -94,9 +94,10 @@ _SD_EPOCH = "1992-01-01"
 _SD_PERIOD = 7
 
 # the acf_lags series: weekly-modulated daily order count (exact
-# integers, engine-portable day numbers)
+# integers, engine-portable day numbers; (1 + day%7) so the cycle
+# dominates the count noise — the acf_lags calibration note)
 _SD_SERIES_SQL = f"""
-    SELECT day, CAST(cnt * (10 + day % 7) AS BIGINT) AS x
+    SELECT day, CAST(cnt * (1 + day % 7) AS BIGINT) AS x
     FROM (
         SELECT CAST(date_diff('day', DATE '{_SD_EPOCH}',
                               CAST(o_orderdate AS DATE)) AS BIGINT)
@@ -113,13 +114,13 @@ def _order_series(spark, sf_dir):
             .groupBy(day.cast("bigint").alias("day"))
             .agg(F.count(F.lit(1)).alias("cnt"))
             .select("day",
-                    (F.col("cnt") * (10 + F.col("day") % 7))
+                    (F.col("cnt") * (1 + F.col("day") % 7))
                     .cast("bigint").alias("x")))
 
 
 def q_seasonal_decompose(spark, sf_dir):
     """Classical additive decomposition (period 7) of the weekly-
-    modulated daily order count: the injected (10 + day%7) cycle must
+    modulated daily order count: the injected (1 + day%7) cycle must
     land in the seasonal component, leaving the residual small. Edge
     days (incomplete centered window) carry NULL trend/resid by the
     classical definition."""

@@ -122,6 +122,24 @@ SHOWCASE = [
      "localCheckpoint-ed (1 raw scan, 3 consumers); lag fan-out is an "
      "explode of 8 literals + ONE day-keyed equi-join; scalars ride a "
      "one-row broadcast"),
+    ("kmeans_fit",
+     "Lloyd k-means, final round: the argmin assignment is a pure "
+     "per-row CASE over centroid LITERALS (zero-shuffle), then one "
+     "partial+final k-row aggregate — the earlier rounds' k-row "
+     "collects never appear in the returned plan"),
+    ("kcore",
+     "k-core peeling: 4 eager rounds (degree aggregate + two "
+     "vertex-keyed equi-joins each, per-round localCheckpoint); the "
+     "returned plan reads materialized edge leaves and crossJoins "
+     "three one-row summary counts incl. the in-plan fixpoint flag"),
+    ("seasonal_decompose",
+     "classical decomposition: the checkpointed day-level series feeds "
+     "two RANGE-framed window passes and a per-dow aggregate joined "
+     "back on dow — day-count-sized work after the one raw groupBy"),
+    ("cusum_changepoint",
+     "CUSUM: one cumulative ROWS window over the checkpointed "
+     "day-level series; (n, Σx) and the max-|nS| ride one-row "
+     "broadcasts; exact integers end-to-end, no doubles in the plan"),
 ]
 
 

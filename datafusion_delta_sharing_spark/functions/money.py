@@ -26,7 +26,10 @@ def cents(col: Column) -> Column:
 
 
 def cents_sql(expr: str) -> str:
-    """DuckDB mirror of :func:`cents`."""
+    """SQL-text form of :func:`cents` — ONE spelling BOTH engines
+    parse (round() is half-away-from-zero in Spark SQL and DuckDB
+    alike), so it is safe inside engine-SHARED fragments and in
+    ``F.expr`` on the Spark side, not only in DuckDB oracles."""
     return f"CAST(round(({expr}) * 100) AS BIGINT)"
 
 

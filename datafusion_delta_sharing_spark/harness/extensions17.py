@@ -144,6 +144,20 @@ _ACF_SERIES_SQL = f"""
 """
 
 
+def weekly_order_series(spark, sf_dir):
+    """THE weekly-modulated daily order-count series (shared with
+    extensions18's seasonal_decompose so the modulation calibration
+    lives in exactly one place — r8 review: four copies had already
+    drifted through one recalibration)."""
+    day = F.datediff(F.col("o_orderdate"), F.lit(_ACF_EPOCH))
+    return (load_table(spark, sf_dir, "orders")
+            .groupBy(day.cast("bigint").alias("day"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select("day",
+                    (F.col("cnt") * (1 + F.col("day") % 7))
+                    .cast("bigint").alias("x")))
+
+
 def q_acf_lags(spark, sf_dir):
     """ACF of the weekly-modulated daily order count at lags 0..7:
     lag 0 must be exactly 1.0 (the formula's self-attestation) and the
@@ -156,14 +170,8 @@ def q_acf_lags(spark, sf_dir):
     ACF is scale-invariant, so dividing x by c before integerizing
     restores headroom by c² without changing any result — see
     operators/timeseries._acf_tail_sql."""
-    day = F.datediff(F.col("o_orderdate"), F.lit(_ACF_EPOCH))
-    series = (load_table(spark, sf_dir, "orders")
-              .groupBy(day.cast("bigint").alias("day"))
-              .agg(F.count(F.lit(1)).alias("cnt"))
-              .select("day",
-                      (F.col("cnt") * (1 + F.col("day") % 7))
-                      .cast("bigint").alias("x")))
-    return TS.acf(spark, series, "day", "x", _ACF_MAX_LAG)
+    return TS.acf(spark, weekly_order_series(spark, sf_dir), "day",
+                  "x", _ACF_MAX_LAG)
 
 
 QUERIES = {

@@ -24,7 +24,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from datafusion_delta_sharing_spark.harness import load_table
+from datafusion_delta_sharing_spark.harness import (
+    extensions17 as E17, load_table)
 from datafusion_delta_sharing_spark.operators import clustering as CL
 from datafusion_delta_sharing_spark.operators import graph as G
 from datafusion_delta_sharing_spark.operators import timeseries as TS
@@ -90,32 +91,7 @@ def q_kcore(spark, sf_dir):
 
 # -- seasonal decomposition ---------------------------------------------------------
 
-_SD_EPOCH = "1992-01-01"
 _SD_PERIOD = 7
-
-# the acf_lags series: weekly-modulated daily order count (exact
-# integers, engine-portable day numbers; (1 + day%7) so the cycle
-# dominates the count noise — the acf_lags calibration note)
-_SD_SERIES_SQL = f"""
-    SELECT day, CAST(cnt * (1 + day % 7) AS BIGINT) AS x
-    FROM (
-        SELECT CAST(date_diff('day', DATE '{_SD_EPOCH}',
-                              CAST(o_orderdate AS DATE)) AS BIGINT)
-                   AS day,
-               count(*) AS cnt
-        FROM orders GROUP BY 1
-    )
-"""
-
-
-def _order_series(spark, sf_dir):
-    day = F.datediff(F.col("o_orderdate"), F.lit(_SD_EPOCH))
-    return (load_table(spark, sf_dir, "orders")
-            .groupBy(day.cast("bigint").alias("day"))
-            .agg(F.count(F.lit(1)).alias("cnt"))
-            .select("day",
-                    (F.col("cnt") * (1 + F.col("day") % 7))
-                    .cast("bigint").alias("x")))
 
 
 def q_seasonal_decompose(spark, sf_dir):
@@ -124,12 +100,14 @@ def q_seasonal_decompose(spark, sf_dir):
     land in the seasonal component, leaving the residual small. Edge
     days (incomplete centered window) carry NULL trend/resid by the
     classical definition."""
-    return TS.seasonal_decompose(spark, _order_series(spark, sf_dir),
-                                 "day", "x", _SD_PERIOD)
+    return TS.seasonal_decompose(
+        spark, E17.weekly_order_series(spark, sf_dir), "day", "x",
+        _SD_PERIOD)
 
 
 # -- CUSUM changepoint ---------------------------------------------------------------
 
+_SD_EPOCH = E17._ACF_EPOCH
 _CU_SHIFT_DAY, _CU_SHIFT = 1200, 200
 
 
@@ -177,7 +155,7 @@ ORACLES = {
                                     _KM_ROUNDS),
     "kcore": G.kcore_sql(_KC_EDGES_SQL, _KC_K, _KC_ROUNDS),
     "seasonal_decompose": TS.seasonal_decompose_sql(
-        _SD_SERIES_SQL, "day", "x", _SD_PERIOD),
+        E17._ACF_SERIES_SQL, "day", "x", _SD_PERIOD),
     "cusum_changepoint": TS.cusum_deviation_sql(_CU_SERIES_SQL, "day",
                                                 "x"),
 }

@@ -89,6 +89,8 @@ def _assign_case_sql(k: int, c: str) -> str:
     """The oracle's argmin CASE over centroid columns ``{c}{j}1/{c}{j}2``
     of a one-row pivot — the same distance tree and first-index-wins
     chain as :func:`_assign`."""
+    if k == 1:
+        return "0"  # a WHEN-less CASE does not parse
     ds = [f"((x1 - {c}{j}1) * (x1 - {c}{j}1) "
           f"+ (x2 - {c}{j}2) * (x2 - {c}{j}2))" for j in range(k)]
     lines = []
@@ -106,7 +108,12 @@ def kmeans_fit_sql(points_sql: str, init: list[tuple[float, float]],
     re-assigns against the previous one-row centroid pivot (a one-row
     CROSS JOIN — what the Spark side does with driver literals) and
     re-aggregates; an empty cluster coalesces to its previous
-    centroid."""
+    centroid. Validates like the Spark twin: rounds < 1 (or an empty
+    init) would otherwise emit SQL referencing a nonexistent CTE."""
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    if not init:
+        raise ValueError("init must name at least one centroid")
     k = len(init)
     m0 = ", ".join(
         f"CAST('{float(a)!r}' AS DOUBLE) AS c{j}1, "

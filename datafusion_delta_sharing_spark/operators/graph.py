@@ -476,7 +476,11 @@ def kcore(edges: DataFrame, k: int, max_rounds: int) -> DataFrame:
 def kcore_sql(edges_sql: str, k: int, max_rounds: int) -> str:
     """DuckDB mirror of :func:`kcore` with the peel loop unrolled into
     chained CTEs (same degree threshold and synchronous drop per
-    round)."""
+    round). Validates like the Spark twin — max_rounds < 1 would emit
+    a reference to the nonexistent CTE e-1."""
+    if k < 1 or max_rounds < 1:
+        raise ValueError(f"k and max_rounds must be >= 1, got "
+                         f"{k}/{max_rounds}")
     ctes = [f"e0 AS (SELECT a, b FROM ({edges_sql}))"]
     for i in range(1, max_rounds + 1):
         ctes.append(f"""

@@ -498,17 +498,40 @@ def _seasonal_tail_sql(series: str, period: int) -> str:
       classical estimator is undefined there, standard practice drops
       edges);
     * seasonal = per-(day % period) mean of the detrended series,
-      estimated ONLY over full windows. Exactness trick: the detrended
-      value x − S/p is scaled by p (``p·x − S``, an exact integer), so
-      the seasonal mean is ONE division of exact integers —
-      engine-bit-exact. Indexes are dow means of the detrended series,
-      NOT re-centered to sum 0 (documented; subtract their mean
-      downstream if a zero-sum convention is needed);
+      estimated ONLY over full windows; NULL for a day whose day%period
+      class has no full-window representative (LEFT join — every input
+      day emits a row, r8 review: the earlier inner join silently
+      dropped such days). Exactness trick: the detrended value x − S/p
+      is scaled by p (``p·x − S``, an exact integer), so the seasonal
+      mean is ONE division of exact integers — engine-bit-exact.
+      Indexes are dow means of the detrended series, NOT re-centered to
+      sum 0 (documented; subtract their mean downstream if a zero-sum
+      convention is needed);
     * resid = x − trend − seasonal as a fixed-shape expression of the
-      same two divisions.
+      same two divisions (NULL whenever either part is).
+
+    The windowed pass is computed ONCE in a CTE shared by the output
+    rows and the seasonal estimation (r8 review: the earlier tail
+    duplicated the window subquery, paying the day-level sort twice).
     """
     half = period // 2
     return f"""
+        WITH win_pass AS (
+            SELECT day, x,
+                   CAST(sum(x) OVER win AS BIGINT) AS s,
+                   CAST(count(x) OVER win AS BIGINT) AS c,
+                   day % {period} AS dow
+            FROM {series}
+            WINDOW win AS (ORDER BY day
+                           RANGE BETWEEN {half} PRECEDING
+                           AND {half} FOLLOWING)
+        ),
+        seas AS (
+            SELECT dow, CAST(sum({period} * x - s) AS BIGINT) AS sd,
+                   CAST(count(*) AS BIGINT) AS nd
+            FROM win_pass WHERE c = {period}
+            GROUP BY dow
+        )
         SELECT day, x,
                CASE WHEN c = {period}
                     THEN CAST(s AS DOUBLE) / {period}e0 END AS trend,
@@ -518,32 +541,7 @@ def _seasonal_tail_sql(series: str, period: int) -> str:
                          - CAST(s AS DOUBLE) / {period}e0
                          - CAST(sd AS DOUBLE) / (nd * {period}e0)
                END AS resid
-        FROM (
-            SELECT day, x,
-                   CAST(sum(x) OVER win AS BIGINT) AS s,
-                   CAST(count(x) OVER win AS BIGINT) AS c,
-                   day % {period} AS dow
-            FROM {series}
-            WINDOW win AS (ORDER BY day
-                           RANGE BETWEEN {half} PRECEDING
-                           AND {half} FOLLOWING)
-        ) w
-        JOIN (
-            SELECT dow, CAST(sum(det) AS BIGINT) AS sd,
-                   CAST(count(*) AS BIGINT) AS nd
-            FROM (
-                SELECT day % {period} AS dow, {period} * x - s AS det
-                FROM (
-                    SELECT day, x,
-                           CAST(sum(x) OVER win AS BIGINT) AS s,
-                           CAST(count(x) OVER win AS BIGINT) AS c
-                    FROM {series}
-                    WINDOW win AS (ORDER BY day
-                                   RANGE BETWEEN {half} PRECEDING
-                                   AND {half} FOLLOWING)
-                ) WHERE c = {period}
-            ) GROUP BY dow
-        ) se USING (dow)
+        FROM win_pass LEFT JOIN seas USING (dow)
     """
 
 
@@ -556,9 +554,11 @@ def seasonal_decompose(spark, series: DataFrame, day_col: str,
     Scale: the series is one row per day (caller pre-aggregates); both
     window passes and the per-dow aggregate are day-count-sized. The
     unpartitioned RANGE window is a deliberate day-level global sort —
-    its input is the caller's aggregate, thousands of rows at any SF."""
-    if period % 2 != 1 or period < 3:
-        raise ValueError(f"period must be odd and >= 3, got {period}")
+    its input is the caller's aggregate, thousands of rows at any SF.
+    Every input day emits a row: trend/resid NULL where the centered
+    window is incomplete, seasonal NULL where the day's day%period
+    class has no full-window representative."""
+    _check_period(period)
     # day-count-sized after the caller's aggregate; materialize once so
     # the tail's two window passes don't re-derive the raw-table scan
     (series.select(F.col(day_col).alias("day"),
@@ -568,10 +568,20 @@ def seasonal_decompose(spark, series: DataFrame, day_col: str,
     return spark.sql(_seasonal_tail_sql("_seas_series", period))
 
 
+def _check_period(period: int) -> None:
+    """Odd >= 3 — an even period's 'centered' RANGE window is actually
+    off-center, and its c = period completeness test then ACCEPTS
+    windows missing one edge day (r8 review caught the SQL mirror
+    lacking this guard while the Spark twin had it)."""
+    if period % 2 != 1 or period < 3:
+        raise ValueError(f"period must be odd and >= 3, got {period}")
+
+
 def seasonal_decompose_sql(series_sql: str, day_col: str, x_col: str,
                            period: int) -> str:
     """DuckDB mirror of :func:`seasonal_decompose` — the IDENTICAL
-    shared tail."""
+    shared tail and the same odd-period validation."""
+    _check_period(period)
     return _seasonal_tail_sql(
         f"(SELECT {day_col} AS day, {x_col} AS x FROM ({series_sql}))",
         period)

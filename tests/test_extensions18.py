@@ -51,8 +51,15 @@ def test_kmeans_empty_cluster_keeps_centroid(spark):
 
 
 def test_kmeans_rejects_zero_rounds(spark):
+    """Both twins validate (r8 review: the SQL mirror used to emit a
+    reference to the nonexistent CTE m-1, and k=1 a WHEN-less CASE)."""
     with pytest.raises(ValueError, match="rounds"):
         CL.kmeans_fit(_pts(spark, [(0, 0)]), [(0.0, 0.0)], rounds=0)
+    with pytest.raises(ValueError, match="rounds"):
+        CL.kmeans_fit_sql("SELECT 1 AS x1, 1 AS x2", [(0.0, 0.0)], 0)
+    import duckdb
+    one = CL.kmeans_fit_sql("SELECT 1 AS x1, 2 AS x2", [(0.0, 0.0)], 1)
+    assert duckdb.sql(one).fetchall() == [(0, 1, 1.0, 2.0)]  # k=1 parses
 
 
 # -- k-core --------------------------------------------------------------------
@@ -72,6 +79,13 @@ def test_kcore_peels_tail_and_reaches_fixpoint(spark):
                   max_rounds=3).collect()[0]
     assert (out["n_core_vertices"], out["n_core_edges"]) == (4, 6)
     assert out["fixpoint_reached"]
+
+
+def test_kcore_sql_rejects_zero_rounds(spark):
+    """The SQL mirror validates like the Spark twin (r8 review: it
+    used to emit a reference to the nonexistent CTE e-1)."""
+    with pytest.raises(ValueError, match="rounds"):
+        G.kcore_sql("SELECT 1 AS a, 2 AS b", 2, 0)
 
 
 def test_kcore_insufficient_rounds_is_visible(spark):
@@ -128,6 +142,23 @@ def test_seasonal_rejects_even_period(spark):
     with pytest.raises(ValueError, match="odd"):
         TS.seasonal_decompose(spark, _series(spark, [1, 2]), "day",
                               "x", period=4)
+    with pytest.raises(ValueError, match="odd"):
+        TS.seasonal_decompose_sql("SELECT 1 AS day, 1 AS x", "day",
+                                  "x", 4)
+
+
+def test_seasonal_unestimable_dow_class_stays_null(spark):
+    """A day whose day%period class has NO full-window representative
+    still emits its row, with NULL seasonal (r8 review: the earlier
+    inner join dropped it): 4 days, period 3 — dow 0 (days 0 and 3)
+    never owns a full centered window."""
+    out = {r["day"]: r for r in
+           TS.seasonal_decompose(spark, _series(spark, [5, 8, 2, 9]),
+                                 "day", "x", period=3).collect()}
+    assert sorted(out) == [0, 1, 2, 3]
+    for d in (0, 3):
+        assert out[d]["seasonal"] is None and out[d]["trend"] is None
+    assert out[1]["seasonal"] is not None
 
 
 # -- CUSUM ------------------------------------------------------------------------

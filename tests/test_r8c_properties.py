@@ -133,13 +133,19 @@ def test_seasonal_oracle_matches_python_reference(series):
     sd: dict = {}
     for d, v in det.items():
         sd.setdefault(d % period, []).append(v)
-    assert len(got) == len([d for d, _ in series if d % period in sd])
+    # EVERY input day emits a row (r8 review: the earlier inner join
+    # dropped days whose dow class had no full-window representative)
+    assert len(got) == len(series)
     for _, r in got.iterrows():
         d = int(r["day"])
-        vals = sd[d % period]
-        seasonal = sum(vals) / (len(vals) * float(period))
-        assert r["seasonal"] == seasonal
-        if d in det:
+        if d % period in sd:
+            vals = sd[d % period]
+            seasonal = sum(vals) / (len(vals) * float(period))
+            assert r["seasonal"] == seasonal
+        else:
+            seasonal = None
+            assert pd.isna(r["seasonal"])
+        if d in det and seasonal is not None:
             s7 = sum(by_day[dd] for dd in range(d - half, d + half + 1))
             trend = s7 / float(period)
             assert r["trend"] == trend

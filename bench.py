@@ -115,6 +115,8 @@ HEADLINE = [
     # r8 session batch 18 (r10 slots): bounded Lloyd k-means, k-core
     # peeling, classical seasonal decomposition, CUSUM changepoint
     "kmeans_fit", "kcore", "seasonal_decompose", "cusum_changepoint",
+    # r8 session batch 19 (r10 slots): A/B statistics, gains/lift
+    "ab_test", "gains_lift",
 ]
 
 

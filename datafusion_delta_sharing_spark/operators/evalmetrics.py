@@ -211,3 +211,55 @@ def rrf_fuse_sql(src_sql: str, qid_col: str, kconst: int = 60,
                  topn: int = 10) -> str:
     """DuckDB mirror of :func:`rrf_fuse` — identical tail."""
     return _rrf_tail_sql(f"({src_sql})", qid_col, kconst, topn)
+
+
+def _gains_tail_sql(src: str) -> str:
+    """Shared cumulative-gains/lift tail over a (bin, label) relation
+    with integer score bins (higher bin = higher predicted score):
+    per-bin counts aggregate first (bin-count-sized), then cumulative
+    sums DESCEND from the top bin and every output double is one fixed
+    division of exact integers — gain = cumulative share of positives
+    captured, lift = gain over the random-targeting baseline. The
+    cumulative/total windows run over the post-aggregate bin table
+    (tens of rows), never the raw data."""
+    return f"""
+        SELECT bin, n, n_pos, cum_n, cum_pos,
+               CASE WHEN tot_pos = 0 THEN NULL
+                    ELSE CAST(cum_pos AS DOUBLE) / tot_pos END AS gain,
+               CASE WHEN tot_pos = 0 THEN NULL
+                    ELSE (CAST(cum_pos AS DOUBLE) / tot_pos)
+                         / (CAST(cum_n AS DOUBLE) / tot_n) END AS lift
+        FROM (
+            SELECT bin, n, n_pos,
+                   CAST(sum(n) OVER (ORDER BY bin DESC
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS BIGINT)
+                       AS cum_n,
+                   CAST(sum(n_pos) OVER (ORDER BY bin DESC
+                                         ROWS BETWEEN UNBOUNDED
+                                         PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS cum_pos,
+                   CAST(sum(n) OVER () AS BIGINT) AS tot_n,
+                   CAST(sum(n_pos) OVER () AS BIGINT) AS tot_pos
+            FROM (
+                SELECT bin, CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(label) AS BIGINT) AS n_pos
+                FROM {src} GROUP BY bin
+            )
+        )
+    """
+
+
+def gains_lift(spark, binned: DataFrame) -> DataFrame:
+    """Cumulative gains / lift table of a frame with columns
+    (bin, label): descending from the highest score bin, the share of
+    all positives captured (gain) and its ratio to the random baseline
+    (lift) — the targeting-model eval beside AUC and calibration.
+    Returns (bin, n, n_pos, cum_n, cum_pos, gain, lift)."""
+    binned.createOrReplaceTempView("_gains_src")
+    return spark.sql(_gains_tail_sql("_gains_src"))
+
+
+def gains_lift_sql(src_sql: str) -> str:
+    """DuckDB mirror of :func:`gains_lift` — identical tail."""
+    return _gains_tail_sql(f"({src_sql})")

@@ -117,6 +117,9 @@ HEADLINE = [
     "kmeans_fit", "kcore", "seasonal_decompose", "cusum_changepoint",
     # r8 session batch 19 (r10 slots): A/B statistics, gains/lift
     "ab_test", "gains_lift",
+    # r8 session batch 20 (r10 slots): multi-touch attribution, MDM
+    # survivorship golden records
+    "attribution", "survivorship",
 ]
 
 

@@ -79,3 +79,46 @@ def fs_decisions_sql(pairs_sql: str, agree_cols: Sequence[str],
     """DuckDB mirror of :func:`fs_decisions` — the IDENTICAL tail."""
     return _fs_tail_sql(f"({pairs_sql})", agree_cols, m, u, lower,
                         upper)
+
+
+def _surv_tail_sql(records: str, entity_col: str,
+                   rules_order_sql: str, out_cols_sql: str) -> str:
+    """Shared survivorship tail over a resolved-entity records relation:
+    ONE rank window per entity under the caller's deterministic rule
+    ORDER BY (must end in a unique tiebreak), golden record = rank 1,
+    candidate count carried alongside. All integer/string ops — nothing
+    engine-divergent. The output column list is explicit because the
+    column-pruning star syntax differs across engines (Spark EXCEPT vs
+    DuckDB EXCLUDE)."""
+    return f"""
+        SELECT {out_cols_sql}, n_candidates FROM (
+            SELECT *,
+                   ROW_NUMBER() OVER (PARTITION BY {entity_col}
+                                      ORDER BY {rules_order_sql}) AS rn,
+                   CAST(COUNT(*) OVER (PARTITION BY {entity_col})
+                        AS BIGINT) AS n_candidates
+            FROM {records}
+        ) WHERE rn = 1
+    """
+
+
+def survivorship(spark, records, entity_col: str,
+                 rules_order_sql: str, out_cols_sql: str):
+    """Golden-record selection (MDM survivorship) over records already
+    resolved to entities (the step after blocking + Fellegi-Sunter
+    scoring + clustering): per entity, the record winning the caller's
+    rule cascade survives; returns it with ``n_candidates``. The rule
+    cascade is an ORDER BY text (completeness first, then freshness,
+    then a value rule, ending in a unique key tiebreak) shared verbatim
+    with the oracle. One entity-keyed rank window — one shuffle at any
+    scale."""
+    records.createOrReplaceTempView("_surv_records")
+    return spark.sql(_surv_tail_sql("_surv_records", entity_col,
+                                    rules_order_sql, out_cols_sql))
+
+
+def survivorship_sql(records_sql: str, entity_col: str,
+                     rules_order_sql: str, out_cols_sql: str) -> str:
+    """DuckDB mirror of :func:`survivorship` — the IDENTICAL tail."""
+    return _surv_tail_sql(f"({records_sql})", entity_col,
+                          rules_order_sql, out_cols_sql)

@@ -33,9 +33,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # r8 window: the 7 NEW r8 capabilities (WINDOW_PLAN.json r8_new — batch
 # deliberately capped per VERDICT r7 #1 so refreshes dominate) + ALL 43
 # r3-latest refreshes; after a green r8 no driver row predates r4.
-# The 21 OTHER capabilities this session added (extensions14-19) were
+# The 23 OTHER capabilities this session added (extensions14-20) were
 # registered AFTER this window froze and hold mandatory FUTURE slots
-# instead: 15 in r9_new (the ~15/round cap) and 6 in r10_new — enforced
+# instead: 15 in r9_new (the ~15/round cap) and 8 in r10_new — enforced
 # by the same freeze test, which accepts any rN_new (N >= 9) as a
 # committed slot. Registry growth without a rotation slot stays
 # IMPOSSIBLE - enforced by

@@ -56,7 +56,10 @@ _AT_CONV_SQL = ("SELECT user_id, ts, event_id FROM events "
 
 # records = the Fellegi-Sunter demo's A snapshot, its perturbed
 # successor B, and the impostor families, all resolved to entities by
-# stripping the impostor key shifts (stand-in for the clustering step).
+# stripping the impostor key shifts (stand-in for the clustering step —
+# valid while c_custkey < 20M, i.e. through ~sf130; in a real pipeline
+# the entity id comes FROM the clustering output, e.g.
+# dedup_components' labels, and has no such aliasing bound).
 # Rule cascade: 1) completeness (placeholder segment loses), 2)
 # freshness (snapshot B outranks A), 3) higher balance, 4) key — a
 # total order, so the survivor is deterministic.

@@ -16,7 +16,11 @@ moments are then formed in DOUBLE inside a FIXED-shape shared SQL tail
 rounding of identical inputs is identical on both engines), and sqrt is
 IEEE-754 correctly rounded everywhere, so every output double is
 engine-bit-exact. Callers quantize the value metric so Σx² itself stays
-inside int64 (dollars, not cents — the ols_fit note).
+inside int64 (dollars, not cents — the ols_fit note). Past that
+margin the failure is ASYMMETRIC: DuckDB widens to HUGEINT and errors
+on the BIGINT cast, while Spark's non-ANSI sum wraps silently — run
+with ``spark.sql.ansi.enabled`` (overflow then errors loudly on both
+sides) or quantize coarser before trusting large-SF output.
 
 Scale posture: one partial+final hash aggregate over the experiment
 table emitting one row per arm, then a two-row pivot — the whole

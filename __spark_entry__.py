@@ -25,20 +25,22 @@ def entry(spark: SparkSession) -> DataFrame:
 # Window management (VERDICT r2 structural note): entries named in _WINDOW
 # are pulled to the front, in order; everything else follows in module
 # order. Rotation state lives in WINDOW_PLAN.json (per-query driver-row
-# provenance r1-r7; every registry query has at least one driver row, and
-# the r6/r7 windows went 50/50 green). History note (VERDICT r7 #3): the
-# r7 window was 28 new capabilities + 22 r2-latest refreshes — the
-# "13 new + 37" wording that used to sit here was stale bookkeeping; the
-# enforced plan (WINDOW_PLAN.json r7_window) was always the 28/22 split.
-# r8 window: the 7 NEW r8 capabilities (WINDOW_PLAN.json r8_new — batch
-# deliberately capped per VERDICT r7 #1 so refreshes dominate) + ALL 43
-# r3-latest refreshes; after a green r8 no driver row predates r4.
-# The 23 OTHER capabilities this session added (extensions14-20) were
-# registered AFTER this window froze and hold mandatory FUTURE slots
-# instead: 15 in r9_new (the ~15/round cap) and 8 in r10_new — enforced
-# by the same freeze test, which accepts any rN_new (N >= 9) as a
-# committed slot. Registry growth without a rotation slot stays
-# IMPOSSIBLE - enforced by
+# provenance r1-r8; every pre-r9 registry query has at least one driver
+# row — distribution after folding the 50/50-green r8 rows:
+# r4x45 r5x46 r6x50 r7x50 r8x50 — and the r6/r7/r8 windows each went
+# 50/50 green).
+# r9 window (VERDICT r8 #1 — executed exactly as pre-committed in the r8
+# session's WINDOW_PLAN.json r9_planned): the 15 mandatory r9_new
+# capabilities (extensions14-18, registered last session AFTER the r8
+# window froze) + the alphabetical 35 of the 45 r4-latest refreshes.
+# After a green r9 only the 10 r4-latest rows in r9_planned.r9_spill
+# (+ the 46 r5-latest rows) predate r5; the spill set leads r10_planned.
+# New r9-session capabilities are capped at ~8 (VERDICT r8 #2) and hold
+# mandatory r10_new slots — enforced by the same freeze test, which
+# accepts an rN_new slot only for the next two rounds (N in {10, 11},
+# ADVICE r8: an unbounded N let new queries defer their oracle-window
+# obligation indefinitely). Registry growth without a rotation slot
+# stays IMPOSSIBLE - enforced by
 # tests/test_harness_connector.py::test_window_plan_covers_registry.
 _MODULE_ORDER = ("connector", "extensions", "extensions2", "extensions3",
                  "extensions4", "extensions5", "extensions6", "extensions7",
@@ -50,38 +52,31 @@ _MODULE_ORDER = ("connector", "extensions", "extensions2", "extensions3",
                  "tierb7", "tierb8", "tierb9", "tierb")
 
 _WINDOW = (
-    # --- 7 NEW r8 capabilities (each enters the registry WITH a window
-    # slot so it gets a driver row the round it ships; WINDOW_PLAN.json
-    # r8_new is the freeze-test mandatory set). The five VERDICT r7
-    # prescriptions — #4 stream_minhash_dedup (incremental LSH near-dup
-    # over an ingest stream, batch-parity-checked), #5 percentile_rollup
-    # (mergeable value-frequency percentiles + percentile_approx
-    # rank-error attestation), #6 scd2_lookup (point-in-time lookup
-    # against scd2_build's intervals), #7 shortest_paths (bounded
-    # Bellman-Ford), #8 connector_bearer_expiry (expirationTime
-    # rejection end-to-end) — plus two family completions:
-    # label_propagation (majority-vote communities) and
-    # sorted_neighborhood (Hernandez-Stolfo SNM blocking dedup).
-    "stream_minhash_dedup", "percentile_rollup", "scd2_lookup",
-    "shortest_paths", "label_propagation", "sorted_neighborhood",
-    "connector_bearer_expiry",
-    # --- 43 oldest-provenance refreshes: ALL r3-latest rows after
-    # folding the r7 driver rows (the new-capability batch was capped at
-    # 7 per VERDICT r7 #1 precisely so the whole stale set fits). After
-    # a green r8 window no registry query's latest driver row predates
-    # r4 (the Done bar was <= 10); the 45 r4-latest rows lead
-    # r9_planned.
-    "ann_topk", "approx_percentile", "bool_aggs", "collect_agg",
-    "cross_join", "date_funcs2", "dedup_components", "dedup_exact",
-    "dedup_exact_subset", "doc_fingerprint", "except_all", "lang_id",
-    "min_max_by", "multimodal_features", "ngram_jaccard",
-    "ngram_jaccard_dfcut", "null_safe_eq", "python_udtf", "regexp_funcs",
-    "session_window_batch", "stateful_stream", "stream_hourly",
-    "stream_sliding", "string_distance", "string_funcs2", "text_metrics",
-    "tpch_q10", "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q15",
-    "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q21", "tpch_q3",
-    "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7", "tpch_q8", "tpch_q9",
-    "unpivot",
+    # --- 15 mandatory NEW r9 capabilities (WINDOW_PLAN.json r9_new): the
+    # r8-session extensions14-18 batch, registered after the r8 window
+    # froze, each now taking the driver row the freeze test reserved:
+    # ML-prep (target_encode, ols_fit, ewma_smooth, mutual_info_terms),
+    # lakehouse ops (kmv_rollup, table_diff, compaction_plan,
+    # weighted_sample), eval metrics (auc_roc, calibration_bins,
+    # ndcg_eval, rrf_fusion), and linkage/sketch/timeseries
+    # (fellegi_sunter, count_min, acf_lags).
+    "target_encode", "ols_fit", "ewma_smooth", "mutual_info_terms",
+    "kmv_rollup", "table_diff", "compaction_plan", "weighted_sample",
+    "auc_roc", "calibration_bins", "ndcg_eval", "rrf_fusion",
+    "fellegi_sunter", "count_min", "acf_lags",
+    # --- 35 oldest-provenance refreshes: the alphabetical head of the 45
+    # r4-latest rows after folding the r8 driver rows (CORRECTNESS_r08
+    # 50/50 green). The 10 that do not fit (r9_planned.r9_spill:
+    # table_profile tfidf_top tpch_q16 tpch_q20 train_split triangles
+    # twap vocab_topk weighted_mixture winsorize) lead r10_planned.
+    "basket_rules", "contingency", "corpus_overlap", "csv_scan",
+    "decontaminate", "distinctive_terms", "doc_chunks", "dq_checks",
+    "dup_spans", "embed_normalize", "embed_quantize", "event_transitions",
+    "funnel", "gap_fill", "grouped_quantiles", "json_scan", "label_index",
+    "ohlc_rollup", "orc_scan", "pagerank", "pii_redact", "pmi_collocations",
+    "quality_filter", "quantile_bin", "repetition_metrics", "retention",
+    "rolling_wau", "scd2_build", "semantic_dedup", "seq_pack", "skew_report",
+    "stratified_sample", "stream_dedup", "stream_enrich", "stream_join",
 )
 
 

@@ -119,14 +119,14 @@ def test_window_plan_covers_registry():
 
     Invariants: (a) every _WINDOW name resolves in the registry, (b) the
     window has exactly the driver's 50 slots with no duplicates, (c) the
-    r8 window contains every mandatory slot — all 7 new r8 capabilities
-    (WINDOW_PLAN.json r8_new; a new query must get a driver row the
-    round it ships; the r7 equivalent was the 28 r7_new entries — the
-    "13" this docstring used to claim was stale bookkeeping, VERDICT r7
-    #3) — and (d) every registry query either already has a driver
-    provenance pass row in WINDOW_PLAN.json or sits in the r8 window, so
-    adding a registry query without a rotation plan fails the build
-    instead of silently re-opening the attestation gap.
+    r9 window contains every mandatory slot — all 15 r9_new capabilities
+    (WINDOW_PLAN.json r9_new; a query registered after its round's
+    window froze must take a driver row the round its committed slot
+    comes up) — and (d) every registry query either already has a driver
+    provenance pass row in WINDOW_PLAN.json, sits in the r9 window, or
+    holds a near-term committed future slot, so adding a registry query
+    without a rotation plan fails the build instead of silently
+    re-opening the attestation gap.
     """
     import json
     import pathlib
@@ -148,11 +148,11 @@ def test_window_plan_covers_registry():
     assert len(set(window)) == len(window), "duplicate window entries"
     missing = [q for q in window if q not in registry]
     assert not missing, f"window names not in registry: {missing}"
-    mandatory = set(plan["r8_new"]["queries"])
+    mandatory = set(plan["r9_new"]["queries"])
     dropped = mandatory - set(window)
-    assert not dropped, f"mandatory r8 slots missing from window: {dropped}"
-    assert window == plan["r8_window"], (
-        "_WINDOW and WINDOW_PLAN.json r8_window diverged")
+    assert not dropped, f"mandatory r9 slots missing from window: {dropped}"
+    assert window == plan["r9_window"], (
+        "_WINDOW and WINDOW_PLAN.json r9_window diverged")
 
     assert len(registry) == plan["registry_size"], (
         f"registry grew to {len(registry)} without a WINDOW_PLAN update "
@@ -160,22 +160,40 @@ def test_window_plan_covers_registry():
     attested = {q for q, rounds in plan["provenance"].items()
                 if any(v == "pass" for v in rounds.values())}
     # queries added after this round's window froze are legal ONLY if
-    # they hold a mandatory slot in a FUTURE round's plan (r9_new,
-    # r10_new, ... — parsed numerically so later sessions can queue a
-    # capability wave beyond the next round without weakening the
-    # gate) — a registry query with neither a driver row, nor a
-    # current slot, nor a committed future slot still fails the build
+    # they hold a mandatory slot in a NEAR-TERM future round's plan.
+    # ADVICE r8 closed the deferral hole here: "any rN_new with N >= 9"
+    # let a session park new queries in an arbitrarily distant round
+    # (r99_new) and defer the oracle-window obligation forever while the
+    # gate stayed green. Two bounds now hold: (1) only the next two
+    # rounds count (N in {current+1, current+2} = {10, 11}), and (2) an
+    # rN_new query must ALSO appear in the matching rN_planned list when
+    # that plan exists, so the deferral stays concretely scheduled.
     import re as _re
 
+    _CURRENT_ROUND = 9
     next_new = set()
     for key, val in plan.items():
         mm = _re.fullmatch(r"r(\d+)_new", key)
-        if mm and int(mm.group(1)) >= 9 and isinstance(val, dict):
-            next_new |= set(val.get("queries", []))
+        if not (mm and isinstance(val, dict)):
+            continue
+        n = int(mm.group(1))
+        if n <= _CURRENT_ROUND:
+            continue
+        assert n <= _CURRENT_ROUND + 2, (
+            f"{key} defers new queries beyond the next two rounds "
+            f"(ADVICE r8: bound the deferral horizon)")
+        slot_queries = set(val.get("queries", []))
+        planned = plan.get(f"r{n}_planned")
+        if isinstance(planned, dict):
+            unscheduled = slot_queries - set(planned.get("queries", []))
+            assert not unscheduled, (
+                f"{key} queries missing from r{n}_planned (the slot must "
+                f"stay scheduled, ADVICE r8): {sorted(unscheduled)}")
+        next_new |= slot_queries
     unplanned = registry - attested - set(window) - next_new
     assert not unplanned, (
         f"registry queries with no driver provenance and no rotation "
-        f"slot (current window or r9_new): {sorted(unplanned)}")
+        f"slot (current window or a bounded rN_new): {sorted(unplanned)}")
 
     # provenance hygiene: the folded r5/r6/r7 rows must cover their
     # windows (r5: 49 pass + the join_salted fail its r6 row superseded;
@@ -186,22 +204,28 @@ def test_window_plan_covers_registry():
     assert set(plan["r6_window"]) <= r6_rows, "r6 driver rows not folded"
     r7_rows = {q for q, rounds in plan["provenance"].items() if "r7" in rounds}
     assert set(plan["r7_window"]) <= r7_rows, "r7 driver rows not folded"
-    # the r8 rotation's reason to exist: with the window's 43 refresh
-    # slots all spent on r3-latest rows, nothing older than r3 may
-    # remain anywhere, and everything r3-latest must sit in the window.
-    # Round keys are parsed numerically, not looked up in a hardcoded
-    # list — folding the r8 (or any later) driver rows into provenance
-    # must not crash the freeze test itself (r8 review)
+    r8_rows = {q for q, rounds in plan["provenance"].items() if "r8" in rounds}
+    assert set(plan["r8_window"]) <= r8_rows, "r8 driver rows not folded"
+    # the r9 rotation's reason to exist: after folding the 50/50-green r8
+    # rows nothing r3-or-older may remain anywhere, and every r4-latest
+    # row must either sit in this window (the alphabetical 35) or in the
+    # pre-committed spill set that leads r10 (the other 10). Round keys
+    # are parsed numerically, not looked up in a hardcoded list —
+    # folding the r9 (or any later) driver rows into provenance must not
+    # crash the freeze test itself (r8 review)
     def _latest(rounds: dict) -> int:
         return max(int(r[1:]) for r in rounds)
 
     stale = {q for q, rounds in plan["provenance"].items()
-             if _latest(rounds) <= 2}
-    assert not stale, f"pre-r3 driver rows left unrefreshed: {stale}"
-    r3_latest = {q for q, rounds in plan["provenance"].items()
-                 if _latest(rounds) == 3}
-    assert r3_latest <= set(window), (
-        f"r3-latest rows missing a refresh slot: {r3_latest - set(window)}")
+             if _latest(rounds) <= 3}
+    assert not stale, f"pre-r4 driver rows left unrefreshed: {stale}"
+    r4_latest = {q for q, rounds in plan["provenance"].items()
+                 if _latest(rounds) == 4}
+    spill = set(plan["r9_planned"]["r9_spill"])
+    unseated = r4_latest - set(window) - spill
+    assert not unseated, (
+        f"r4-latest rows missing both a refresh slot and a spill "
+        f"commitment: {unseated}")
 
     # forward plan hygiene: every r*_planned entry must resolve — a
     # typo'd name would silently drop a query from its future re-check.

@@ -47,13 +47,19 @@ def _ab_tail_sql(arm_sums: str) -> str:
     picks = ", ".join(
         f"MAX(CASE WHEN arm = '{a}' THEN {c} END) AS {c}_{a.lower()}"
         for a in ("A", "B") for c in ("n", "sc", "sv", "svv"))
+    # ADVICE r8: the two-arm pivot must not silently drop a third or
+    # mislabeled arm — surface the violation as an explicit count
+    # instead of producing a plausible-looking partial summary.
+    picks += (", CAST(coalesce(SUM(CASE WHEN arm NOT IN ('A', 'B') "
+              "THEN n END), 0) AS BIGINT) AS n_other")
     var = ("((CAST(n_{a} AS DOUBLE) * svv_{a} "
            "- CAST(sv_{a} AS DOUBLE) * sv_{a}) "
            "/ (CAST(n_{a} AS DOUBLE) * (n_{a} - 1)))")
     va, vb = var.format(a="a"), var.format(a="b")
     se2 = f"({va} / n_a + {vb} / n_b)"
     return f"""
-        SELECT n_a, n_b, sc_a AS conv_a, sc_b AS conv_b,
+        SELECT n_a, n_b, n_other AS n_other_arms,
+               sc_a AS conv_a, sc_b AS conv_b,
                rate_a, rate_b, mean_a, mean_b,
                CASE WHEN pooled = 0e0 OR pooled = 1e0 THEN NULL
                     ELSE (rate_a - rate_b)
@@ -69,7 +75,8 @@ def _ab_tail_sql(arm_sums: str) -> str:
                             + ({vb} / n_b) * ({vb} / n_b) / (n_b - 1))
                END AS df_welch
         FROM (
-            SELECT n_a, n_b, sc_a, sc_b, sv_a, sv_b, svv_a, svv_b,
+            SELECT n_a, n_b, n_other,
+                   sc_a, sc_b, sv_a, sv_b, svv_a, svv_b,
                    CAST(sc_a AS DOUBLE) / n_a AS rate_a,
                    CAST(sc_b AS DOUBLE) / n_b AS rate_b,
                    CAST(sc_a + sc_b AS DOUBLE) / (n_a + n_b) AS pooled,
@@ -83,8 +90,11 @@ def _ab_tail_sql(arm_sums: str) -> str:
 def ab_summary(spark, rows: DataFrame) -> DataFrame:
     """One-row A/B summary of an experiment frame with columns
     (arm in ('A','B'), conv in {0,1}, v exact-integer value metric):
-    (n_a, n_b, conv_a, conv_b, rate_a, rate_b, mean_a, mean_b, z_prop,
-    t_welch, df_welch)."""
+    (n_a, n_b, n_other_arms, conv_a, conv_b, rate_a, rate_b, mean_a,
+    mean_b, z_prop, t_welch, df_welch). ``n_other_arms`` counts rows
+    whose arm is OUTSIDE {'A','B'} — 0 under the contract; a nonzero
+    value means the two-arm statistics describe only a subset of the
+    experiment (ADVICE r8: surface the violation, never drop it)."""
     rows.createOrReplaceTempView("_ab_rows")
     spark.sql(f"SELECT arm, {_SUMS} FROM _ab_rows GROUP BY arm"
               ).createOrReplaceTempView("_ab_sums")

@@ -42,6 +42,22 @@ def _fs_tail_sql(src: str, agree_cols: Sequence[str],
     flag: emits the decision × ground-truth confusion summary
     (decision, is_true, n). Disagreement weights apply on NULL
     agreements too (a missing field is evidence against)."""
+    # ADVICE r8: log2(m/u) and log2((1-m)/(1-u)) blow up with a raw
+    # ZeroDivisionError/ValueError on degenerate probabilities — guard
+    # explicitly like the sibling operators (max_touches, depth, rounds)
+    # so a bad calibration fails loudly at build time with the culprit
+    # named. m > u is also required: an agreement that is LESS likely
+    # among true matches inverts the weight's sign and the thresholds'
+    # meaning with it.
+    if len(m) != len(agree_cols) or len(u) != len(agree_cols):
+        raise ValueError(
+            f"m/u need one probability per agreement column: "
+            f"{len(agree_cols)} columns, {len(m)} m, {len(u)} u")
+    for c, mi, ui in zip(agree_cols, m, u):
+        if not (0.0 < ui < mi < 1.0):
+            raise ValueError(
+                f"Fellegi-Sunter weights for {c!r} need "
+                f"0 < u < m < 1, got m={mi!r}, u={ui!r}")
     terms = " + ".join(
         f"(CASE WHEN {c} THEN {math.log2(mi / ui)!r}e0"
         f" ELSE {math.log2((1 - mi) / (1 - ui))!r}e0 END)"

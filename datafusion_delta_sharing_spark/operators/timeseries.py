@@ -388,9 +388,12 @@ def _acf_tail_sql(spine: str, perlag: str, scalars: str) -> str:
 
     Integer headroom: the largest intermediate is n·S·(A_l+B_l) ≈
     2·n·S² — with the registry's weekly-modulated order-count series
-    that is ~2.8e18 at sf1, a measured ~3× margin against int64 (the
-    r8 review corrected an earlier ">10²" claim), overflowing around
-    sf≈3–10. ACF is SCALE-INVARIANT, so the right move at larger SFs
+    (n ≈ 2400 days, S ≈ 6e6 at sf1) that is 2·2400·(6e6)² ≈ 1.7e17, a
+    ~50× margin against int64 (ADVICE r8 reconciled an earlier stale
+    ~2.8e18/~3× claim here to extensions17's measured figure). The
+    term grows ~sf² (S scales with sf, n is the fixed day span), so
+    exact through roughly sf7, overflowing beyond that.
+    ACF is SCALE-INVARIANT, so the right move at larger SFs
     is to requantize the series (divide x by c before integerizing:
     num and den both shrink by c², the ratio is unchanged) — that
     preserves the exact-integer contract at any SF. DuckDB's HUGEINT

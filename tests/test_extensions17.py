@@ -44,6 +44,23 @@ def test_fs_null_agreement_counts_against(spark):
     assert got == {("nonmatch", False): 1}
 
 
+def test_fs_degenerate_probabilities_fail_loudly(spark):
+    """ADVICE r8: u=0, m=1, u>=m, or a length mismatch must raise an
+    explicit ValueError naming the culprit column at SQL-build time,
+    not a bare ZeroDivisionError from log2."""
+    pairs = _pairs(spark, [(True, True, True)])
+    for m, u in (((0.9, 0.8), (0.0, 0.2)),   # u = 0 → log2(m/0)
+                 ((1.0, 0.8), (0.1, 0.2)),   # m = 1 → log2(0/(1-u))
+                 ((0.9, 0.8), (0.1, 1.0)),   # u = 1
+                 ((0.2, 0.8), (0.3, 0.2))):  # u > m inverts the weight
+        with pytest.raises(ValueError, match="0 < u < m < 1"):
+            LK.fs_decisions(spark, pairs, ("ag_a", "ag_b"),
+                            m, u, -1.0, 4.0)
+    with pytest.raises(ValueError, match="one probability per"):
+        LK.fs_decisions(spark, pairs, ("ag_a", "ag_b"),
+                        (0.9,), (0.1, 0.2), -1.0, 4.0)
+
+
 def test_fs_boundary_is_inclusive(spark):
     """score == upper classifies as match (>=), score == lower as
     nonmatch (<=): with thresholds set exactly at the two-field scores

@@ -51,6 +51,22 @@ def test_ab_degenerate_arms_are_null(spark):
     assert out["df_welch"] is None
 
 
+def test_ab_third_arm_surfaces_not_drops(spark):
+    """ADVICE r8: an arm outside {'A','B'} must not vanish into a
+    plausible two-arm summary — n_other_arms reports exactly how many
+    rows the pivot excluded, and 0 on contract-clean input."""
+    out = AB.ab_summary(spark, _rows(spark, [
+        ("A", 1, 10), ("A", 0, 20), ("B", 1, 10), ("B", 1, 30),
+        ("C", 1, 99), ("c", 0, 99), ("", 0, 99),
+    ])).collect()[0]
+    assert out["n_other_arms"] == 3
+    assert (out["n_a"], out["n_b"]) == (2, 2)
+    clean = AB.ab_summary(spark, _rows(spark, [
+        ("A", 1, 10), ("B", 1, 30),
+    ])).collect()[0]
+    assert clean["n_other_arms"] == 0
+
+
 def test_ab_zero_variance_is_null(spark):
     """Constant value metric on both arms → se² = 0 → NULL t/df."""
     out = AB.ab_summary(spark, _rows(spark, [

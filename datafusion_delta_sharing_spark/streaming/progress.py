@@ -22,7 +22,8 @@ from __future__ import annotations
 RECORDED: dict[str, list[dict]] = {}
 
 
-def note(tag: str, query, wall_s: float | None = None) -> None:
+def note(tag: str, query, wall_s: float | None = None,
+         extra: dict | None = None) -> None:
     """Record the summed triggerExecution time of ``query`` under ``tag``
     (the registry query name), plus ``wall_s`` — the wall seconds of the
     STREAM SEGMENT alone (start → processAllAvailable), which the caller
@@ -35,14 +36,23 @@ def note(tag: str, query, wall_s: float | None = None) -> None:
     by batch aggregates, e.g. stream_minhash_dedup's parity check):
     substituting compute for the query's TOTAL wall would silently
     reclassify the batch work as 'trigger wait' — only the stream
-    segment may be swapped for its compute time (r8 review)."""
+    segment may be swapped for its compute time (r8 review).
+
+    ``extra`` (optional) carries helper-specific size counters into the
+    bench artifact alongside the timing split — e.g. stream_upsert's
+    per-run stamp-row / rewrite-bytes accounting (VERDICT r8 #3: a
+    cross-round compute delta on that query must be readable against
+    how much state each MERGE actually rewrote).
+    """
     ms = 0
     for p in query.recentProgress:
         duration = p["durationMs"] if "durationMs" in p else {}
         ms += int(duration.get("triggerExecution", 0) or 0)
-    RECORDED.setdefault(tag, []).append(
-        {"compute": round(ms / 1000.0, 3),
-         "stream_wall": round(wall_s, 3) if wall_s is not None else None})
+    rec = {"compute": round(ms / 1000.0, 3),
+           "stream_wall": round(wall_s, 3) if wall_s is not None else None}
+    if extra:
+        rec.update(extra)
+    RECORDED.setdefault(tag, []).append(rec)
 
 
 def take(tag: str) -> list[dict]:

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import os
 import tempfile
+from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -84,7 +85,8 @@ def _check_bucket_marker(state_dir: str, n_buckets: int) -> None:
 
 
 def upsert_totals_sink(spark: SparkSession, state_dir: str,
-                       n_buckets: int = 8, run_id: str = ""):
+                       n_buckets: int = 8, run_id: str = "",
+                       stats: list | None = None):
     """writeStream foreachBatch callback merging per-user (total_cents,
     n_events) into ``state_dir``, rewriting only touched, not-yet-stamped
     buckets.
@@ -105,7 +107,17 @@ def upsert_totals_sink(spark: SparkSession, state_dir: str,
     directory (the Spark committer's unit) — a torn write INSIDE one
     bucket's commit is the residual window a real table format closes
     transactionally; at that granularity this merge is exactly-once per
-    (bucket, batch)."""
+    (bucket, batch).
+
+    ``stats`` (optional, VERDICT r8 #3): a list the sink appends one dict
+    per applied batch to — (batch_id, buckets, data_rows, stamp_rows,
+    rewrite_bytes) — so a cross-round compute delta can be read against
+    how much state each MERGE actually rewrote. Stamp growth is bounded
+    at one row per (bucket, run that ever wrote the bucket); a fresh
+    state dir (the bench shape) therefore carries exactly one stamp per
+    touched bucket and CANNOT accumulate across bench runs. Long-lived
+    state attached by many sequential runs does grow — see
+    :func:`compact_stamps` for the maintenance path."""
     if not run_id:
         raise ValueError(
             "upsert_totals_sink needs a non-empty run_id (use the "
@@ -182,8 +194,56 @@ def upsert_totals_sink(spark: SparkSession, state_dir: str,
         (merged.write.mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")
          .partitionBy("bucket").parquet(state_dir))
+        if stats is not None:
+            # one tiny job over the already-checkpointed merge output,
+            # plus a driver-side walk of the rewritten bucket dirs —
+            # negligible next to the write it measures
+            kinds = {bool(r["is_stamp"]): r["count"] for r in
+                     merged.groupBy(F.col("user_id").isNull()
+                                    .alias("is_stamp")).count().collect()}
+            rewrite_bytes = 0
+            for b in todo:
+                bdir = os.path.join(state_dir, f"bucket={b}")
+                for root, _dirs, files in os.walk(bdir):
+                    rewrite_bytes += sum(
+                        os.path.getsize(os.path.join(root, f))
+                        for f in files if f.endswith(".parquet"))
+            stats.append({"batch_id": int(batch_id),
+                          "buckets": len(todo),
+                          "data_rows": int(kinds.get(False, 0)),
+                          "stamp_rows": int(kinds.get(True, 0)),
+                          "rewrite_bytes": int(rewrite_bytes)})
 
     return _merge
+
+
+def compact_stamps(spark: SparkSession, state_dir: str,
+                   live_runs: Sequence[str] = ()) -> int:
+    """Maintenance: drop stamp rows of runs NOT in ``live_runs`` from
+    every bucket, returning how many stamps were removed.
+
+    Stamps accumulate one row per (bucket, run that ever wrote the
+    bucket) — bounded per run, unbounded across a long-lived state dir's
+    lifetime (VERDICT r8 #3). A dead run's stamp serves exactly one
+    purpose: blocking a double-merge if THAT run replays its last batch.
+    Once a run is permanently retired (its checkpoint deleted, or the
+    query decommissioned), its stamps are dead weight in every future
+    bucket rewrite. ONLY call this when no run outside ``live_runs`` can
+    ever restart from its checkpoint against this state — compacting a
+    stamp whose run later replays re-opens the double-merge window the
+    stamp existed to close.
+
+    Full-state rewrite (all buckets), so schedule it like any table
+    maintenance job, not per batch."""
+    state = _state_df(spark, state_dir).localCheckpoint()
+    dead = (F.col("user_id").isNull()
+            & ~F.col("last_run").isin(list(live_runs)))
+    removed = state.filter(dead).count()
+    if removed:
+        (state.filter(~dead).write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("bucket").parquet(state_dir))
+    return int(removed)
 
 
 def stage_event_slices(spark: SparkSession, sf_dir: str,
@@ -226,6 +286,7 @@ def stream_upsert_totals(spark: SparkSession, sf_dir: str,
     import time
 
     t0 = time.perf_counter()
+    merge_stats: list[dict] = []
     query = (
         events.select("user_id", "value")
         .writeStream.outputMode("update")
@@ -233,14 +294,26 @@ def stream_upsert_totals(spark: SparkSession, sf_dir: str,
         # restarts of THIS query (same batch-id lineage), different for
         # any new query pointed at the same state
         .foreachBatch(upsert_totals_sink(spark, state_dir,
-                                         n_buckets=n_buckets, run_id=ckpt))
+                                         n_buckets=n_buckets, run_id=ckpt,
+                                         stats=merge_stats))
         .option("checkpointLocation", ckpt)
         .start()
     )
     try:
         query.processAllAvailable()
-        _PROGRESS.note("stream_upsert", query,
-                       wall_s=time.perf_counter() - t0)
+        # per-run MERGE size accounting (VERDICT r8 #3): lands in the
+        # bench artifact's stream_seconds runs so a compute delta is
+        # readable against rewrite volume. The bench shape uses a fresh
+        # state dir, so stamp_rows is bounded at one per touched bucket
+        # per batch — constant across rounds by construction.
+        _PROGRESS.note(
+            "stream_upsert", query, wall_s=time.perf_counter() - t0,
+            extra={"merge": {
+                "batches": len(merge_stats),
+                "stamp_rows": sum(s["stamp_rows"] for s in merge_stats),
+                "data_rows": sum(s["data_rows"] for s in merge_stats),
+                "rewrite_bytes": sum(s["rewrite_bytes"]
+                                     for s in merge_stats)}})
     finally:
         query.stop()
     return state_totals(spark, state_dir)

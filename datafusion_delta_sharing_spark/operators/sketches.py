@@ -378,6 +378,105 @@ def kmv_sql(source_sql: str, group_col: str, value_col: str, k: int,
     """
 
 
+def kmv_overlap(partials: DataFrame, k: int,
+                g_a: str, g_b: str) -> DataFrame:
+    """Sketch-level set algebra (Beyer et al. 2007 §5): estimate the
+    Jaccard similarity and intersection size of two sets from their
+    2×k-hash KMV sketches alone — no join of raw rows.
+
+    Given ``partials`` (g, h) holding the sketches of groups ``g_a`` and
+    ``g_b``, form the combined sketch L = the k smallest distinct hashes
+    of L_A ∪ L_B. For h ∈ L, membership is decidable FROM THE SKETCHES:
+    h ∈ A ⟺ h ∈ L_A (if h ∈ A were missing from L_A, at least k hashes
+    of A alone would precede h, so h could not be among the union's k
+    smallest). With K∩ = |{h ∈ L : h ∈ L_A ∧ h ∈ L_B}|:
+
+        jaccard_est = K∩ / k_eff              (unbiased for |A∩B|/|A∪B|)
+        union_est   = (k-1)·2⁶⁰ / h_k          (the KMV union estimate)
+        inter_est   = jaccard_est · union_est
+
+    When the combined sketch holds FEWER than k hashes it contains every
+    union hash, so all three outputs are exact (union_est = |L|,
+    jaccard's denominator k_eff = |L|). The only doubles are divisions /
+    one product of exact integers in a fixed shape — engine-bit-exact
+    (the kmv_estimate contract). One row:
+    (k_eff, k_inter, union_est, jaccard_est, inter_est).
+
+    Scale posture: the input is two k-row sketches, so this runs on 2×k
+    hex strings regardless of corpus size — the sketch-level sibling of
+    ``corpusstats.corpus_overlap``'s exact distinct-shingle equi-join.
+    Sketches of BOTH sets must be built with the same k and salt;
+    mixing salts silently estimates the overlap of unrelated hash sets.
+    """
+    from pyspark.sql import Window
+
+    flags = (partials.filter(F.col("g").isin([g_a, g_b]))
+             .groupBy("h")
+             .agg(F.max(F.when(F.col("g") == g_a, 1).otherwise(0))
+                  .alias("in_a"),
+                  F.max(F.when(F.col("g") == g_b, 1).otherwise(0))
+                  .alias("in_b")))
+    w = Window.orderBy("h")  # 2k rows max — single-partition sort is fine
+    combined = (flags.withColumn("__r", F.row_number().over(w))
+                .filter(F.col("__r") <= k).drop("__r"))
+    agg = combined.agg(
+        F.count(F.lit(1)).alias("k_eff"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("k_inter"),
+        F.conv(F.max("h"), 16, 10).cast("bigint").alias("h_k"))
+    exact = F.col("k_eff") < k
+    union_est = F.when(exact, F.col("k_eff").cast("double")).otherwise(
+        F.lit(float(k - 1)) * F.lit(_KMV_SPACE)
+        / F.col("h_k").cast("double"))
+    jac = (F.col("k_inter").cast("double")
+           / F.col("k_eff").cast("double"))
+    return (agg
+            .withColumn("union_est", union_est)
+            .withColumn("jaccard_est", jac)
+            .withColumn("inter_est", F.col("jaccard_est")
+                        * F.col("union_est"))
+            .select("k_eff", "k_inter", "union_est", "jaccard_est",
+                    "inter_est"))
+
+
+def kmv_overlap_sql(partials_sql: str, k: int, g_a: str, g_b: str) -> str:
+    """DuckDB mirror of :func:`kmv_overlap` over the same (g, h)
+    partials relation — identical estimator shapes, so every double is
+    bit-equal (hex→int spelled per engine, the kmv_sql convention)."""
+    return f"""
+        WITH flags AS (
+            SELECT h,
+                   MAX(CASE WHEN g = '{g_a}' THEN 1 ELSE 0 END) AS in_a,
+                   MAX(CASE WHEN g = '{g_b}' THEN 1 ELSE 0 END) AS in_b
+            FROM ({partials_sql}) WHERE g IN ('{g_a}', '{g_b}')
+            GROUP BY h
+        ),
+        combined AS (
+            SELECT h, in_a, in_b FROM (
+                SELECT h, in_a, in_b,
+                       row_number() OVER (ORDER BY h) AS r
+                FROM flags
+            ) WHERE r <= {k}
+        ),
+        agg AS (
+            SELECT count(*) AS k_eff,
+                   CAST(sum(in_a * in_b) AS BIGINT) AS k_inter,
+                   CAST(CAST('0x' || max(h) AS BIGINT) AS BIGINT) AS h_k
+            FROM combined
+        )
+        SELECT k_eff, k_inter, union_est, jaccard_est,
+               jaccard_est * union_est AS inter_est
+        FROM (
+            SELECT k_eff, k_inter,
+                   CASE WHEN k_eff < {k} THEN CAST(k_eff AS DOUBLE)
+                        ELSE {float(k - 1)!r} * {_KMV_SPACE!r}
+                             / CAST(h_k AS DOUBLE) END AS union_est,
+                   CAST(k_inter AS DOUBLE) / CAST(k_eff AS DOUBLE)
+                       AS jaccard_est
+            FROM agg
+        )
+    """
+
+
 # -- count-min sketch ---------------------------------------------------------
 
 # Cormode & Muthukrishnan (2005): depth d hash rows of width w counters;

@@ -36,7 +36,11 @@ _ALLOWS: dict[str, frozenset] = {
         # denominators — one-row broadcasts by construction
         "count_min", "acf_lags",
         # r8 session batch 18: kcore's three one-row summary counts
-        "kcore")},
+        "kcore",
+        # r9 session batch 21: kmv_overlap joins the one-row exact
+        # corpus_overlap attestation to the one-row sketch estimate
+        # (plus corpus_overlap's own scalar-count crossJoins)
+        "kmv_overlap")},
     # cusum's (n, Σx) and max-|nS| one-row scalar crossJoins (its
     # day-level global window sorts a localCheckpoint leaf the lint
     # already credits — no global_sort allow needed, verified)

@@ -127,10 +127,39 @@ def _kmv_overlap_oracle() -> str:
     """
 
 
+# -- streaming SCD2 maintenance ---------------------------------------------------
+
+
+def q_stream_scd2_upsert(spark, sf_dir):
+    """Incremental SCD2 maintenance (VERDICT r8 #5): the change log
+    replays as 3 time-ordered micro-batches; each foreachBatch MERGE
+    closes the touched entities' open intervals and inserts the new
+    versions into bucket-partitioned parquet state (the streaming-
+    upsert stamp recipe makes replays exactly-once per (bucket,
+    batch)). The returned final dimension must equal the batch
+    ``scd2_build`` bit-for-bit — the oracle IS the batch interval SQL,
+    so the driver's hash compare is the CDC→dimension parity check."""
+    from datafusion_delta_sharing_spark.streaming.scd2 import (
+        stream_scd2_upsert)
+
+    return stream_scd2_upsert(spark, sf_dir)
+
+
 QUERIES = {
     "kmv_overlap": q_kmv_overlap,
+    "stream_scd2_upsert": q_stream_scd2_upsert,
 }
+
+
+def _scd2_oracle() -> str:
+    # the batch build's SQL verbatim — final streamed state == batch build
+    from datafusion_delta_sharing_spark.harness.extensions7 import (
+        _SCD2_SQL)
+
+    return _SCD2_SQL
+
 
 ORACLES = {
     "kmv_overlap": _kmv_overlap_oracle(),
+    "stream_scd2_upsert": _scd2_oracle(),
 }

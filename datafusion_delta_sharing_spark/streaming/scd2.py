@@ -1,0 +1,246 @@
+"""Streaming SCD2 dimension maintenance: foreachBatch MERGE of CDC
+events into a persisted interval table (VERDICT r8 #5).
+
+Batch ``scd2_build`` (harness/extensions7.scd2_intervals) turns a
+COMPLETE change log into validity intervals in one window pass. A real
+lakehouse ingests the log incrementally: each micro-batch must CLOSE the
+affected entities' open intervals (valid_to := the first new event's
+ts) and INSERT the new versions, with the final table equal to the
+batch build over the same events bit-for-bit, no matter how the stream
+was micro-batched. That equality is this module's contract and the
+registry oracle (``stream_scd2_upsert``'s DuckDB side IS the batch
+interval SQL).
+
+Layout and idempotency reuse the streaming-upsert recipe
+(streaming/upsert.py): state partitioned by a hash bucket of the entity
+key, per-batch dynamic partition overwrite of ONLY the touched buckets,
+and one stamp row per (bucket, run) making at-least-once foreachBatch
+replays exactly-once per (bucket, batch). Each interval row also
+carries ``event_id`` — the id of the event that OPENED the version — so
+the cross-batch tie-break is exactly the batch window's
+(ts, event_id) total order, not ts alone.
+
+Order contract: per entity, events must arrive in (ts, event_id) order
+ACROSS batches (the CDC log order — within a batch any order is fine,
+the merge sorts). An out-of-order event would silently corrupt version
+history, so the merge REFUSES loudly instead (ValueError naming the
+count); a production pipeline would route such rows to a late-data
+repair path (the batch rebuild of the affected entities).
+
+Scale posture: per batch the merge rewrites only the touched buckets
+(cost = touched fraction × state size — pick n_buckets so one bucket ≈
+one task) and the window runs over the touched entities' NEW events
+plus one open row each, never over history. History growth is the
+dimension table's own size; compaction is the same maintenance story as
+any parquet MERGE sink.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from datafusion_delta_sharing_spark.streaming import progress as _PROGRESS
+from datafusion_delta_sharing_spark.streaming.windows import (
+    resolve_table_glob,
+    set_stream_decode_confs,
+    stream_events,
+)
+
+_DIM_SCHEMA = ("bucket bigint, user_id bigint, version bigint, "
+               "state string, valid_from timestamp, valid_to timestamp, "
+               "event_id bigint, last_batch bigint, last_run string")
+
+
+def _dim_df(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Raw state: interval rows (user_id NOT NULL) + per-(bucket, run)
+    stamp rows (user_id NULL)."""
+    return spark.read.schema(_DIM_SCHEMA).parquet(state_dir)
+
+
+def scd2_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The maintained dimension, in the batch build's column contract:
+    (user_id, version, state, valid_from, valid_to, is_current)."""
+    return (_dim_df(spark, state_dir)
+            .filter(F.col("user_id").isNotNull())
+            .select("user_id", "version", "state", "valid_from",
+                    "valid_to", F.col("valid_to").isNull()
+                    .alias("is_current")))
+
+
+def scd2_upsert_sink(spark: SparkSession, state_dir: str,
+                     n_buckets: int = 8, run_id: str = ""):
+    """foreachBatch callback: MERGE a micro-batch of change events
+    (user_id, event_type, ts, event_id) into the interval table.
+
+    Per touched, not-yet-stamped bucket: untouched entities' rows carry
+    forward verbatim; each touched entity's OPEN interval closes at its
+    first new event's ts; the new events become versions
+    max(version)+1.. ordered by (ts, event_id), the last one open.
+    Stamp bookkeeping is the upsert sink's exactly-once-per-
+    (bucket, batch) recipe — see streaming/upsert.py for the full
+    at-least-once analysis."""
+    if not run_id:
+        raise ValueError(
+            "scd2_upsert_sink needs a non-empty run_id (use the query's "
+            "checkpoint location) — see upsert_totals_sink")
+    os.makedirs(state_dir, exist_ok=True)
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        events = (batch_df
+                  .select("user_id", "event_type", "ts", "event_id")
+                  .withColumn("bucket",
+                              F.pmod("user_id", F.lit(n_buckets))
+                              .cast("bigint"))
+                  ).localCheckpoint()
+        touched = [r.bucket for r in
+                   events.select("bucket").distinct().collect()]
+        if not touched:
+            return
+        current = _dim_df(spark, state_dir).filter(
+            F.col("bucket").isin(touched))
+        done = {r.bucket for r in current
+                .filter(F.col("user_id").isNull()
+                        & (F.col("last_run") == run_id)
+                        & (F.col("last_batch") >= batch_id))
+                .select("bucket").distinct().collect()}
+        todo = [b for b in touched if b not in done]
+        if not todo:
+            return
+        in_todo = F.col("bucket").isin(todo)
+        new_ev = events.filter(in_todo)
+        existing = current.filter(in_todo & F.col("user_id").isNotNull())
+        affected = new_ev.select("user_id").distinct()
+
+        # the affected entities' first new event, in the batch window's
+        # (ts, event_id) total order — the close point for open rows
+        wu = Window.partitionBy("user_id").orderBy(
+            F.asc_nulls_last("ts"), F.asc_nulls_last("event_id"))
+        firsts = (new_ev.withColumn("__r", F.row_number().over(wu))
+                  .filter(F.col("__r") == 1)
+                  .select("user_id", F.col("ts").alias("first_ts"),
+                          F.col("event_id").alias("first_eid")))
+        open_rows = (existing.filter(F.col("valid_to").isNull())
+                     .join(firsts, "user_id", "inner"))
+        # order guard: the CDC contract is per-entity (ts, event_id)
+        # order across batches; a violation would silently rewrite
+        # history, so refuse loudly instead
+        late = open_rows.filter(
+            (F.col("first_ts") < F.col("valid_from"))
+            | ((F.col("first_ts") == F.col("valid_from"))
+               & (F.col("first_eid") <= F.col("event_id")))).count()
+        if late:
+            raise ValueError(
+                f"batch {batch_id}: {late} entity(ies) received events "
+                "at or before their open interval's start — out-of-order "
+                "CDC input; rebuild the affected entities from the log")
+        closed_now = open_rows.select(
+            "bucket", "user_id", "version", "state", "valid_from",
+            F.col("first_ts").alias("valid_to"), "event_id")
+
+        base = (existing.groupBy("user_id")
+                .agg(F.max("version").alias("base_version")))
+        new_rows = (
+            new_ev
+            .join(base, "user_id", "left")
+            .withColumn("version",
+                        F.coalesce(F.col("base_version"), F.lit(0))
+                        + F.row_number().over(wu))
+            .withColumn("valid_to", F.lead("ts").over(wu))
+            .select("bucket", "user_id", "version",
+                    F.col("event_type").alias("state"),
+                    F.col("ts").alias("valid_from"), "valid_to",
+                    "event_id"))
+
+        untouched_entities = (
+            existing.join(affected, "user_id", "left_anti")
+            .select("bucket", "user_id", "version", "state",
+                    "valid_from", "valid_to", "event_id"))
+        closed_before = (
+            existing.filter(F.col("valid_to").isNotNull())
+            .join(affected, "user_id", "semi")
+            .select("bucket", "user_id", "version", "state",
+                    "valid_from", "valid_to", "event_id"))
+        data = (untouched_entities
+                .unionByName(closed_before)
+                .unionByName(closed_now)
+                .unionByName(new_rows)
+                .withColumn("last_batch", F.lit(None).cast("bigint"))
+                .withColumn("last_run", F.lit(None).cast("string")))
+
+        other_stamps = (
+            current.filter(in_todo & F.col("user_id").isNull()
+                           & (F.col("last_run") != run_id))
+            .select(*[f.split(" ")[0] for f in _DIM_SCHEMA.split(", ")]))
+        my_stamps = spark.createDataFrame(
+            [(b, None, None, None, None, None, None, batch_id, run_id)
+             for b in todo], _DIM_SCHEMA)
+        merged = (data.select(*my_stamps.columns)
+                  .unionByName(other_stamps).unionByName(my_stamps))
+        merged = merged.localCheckpoint()  # sever lineage to state_dir
+        (merged.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("bucket").parquet(state_dir))
+
+    return _merge
+
+
+def stage_time_slices(spark: SparkSession, sf_dir: str,
+                      n_slices: int = 3, user_bound: int = 100) -> str:
+    """Split the (user_id < user_bound) events into ``n_slices`` files
+    along the GLOBAL (ts, event_id) order — ntile over the total order,
+    so every entity's events land in batch order (the CDC log shape the
+    order contract requires; the upsert staging's event_id % n split
+    would interleave time arbitrarily). Files are written sequentially,
+    so FileStreamSource (maxFilesPerTrigger=1) replays them oldest
+    first."""
+    set_stream_decode_confs(spark)
+    out = tempfile.mkdtemp(prefix="scd2_src_")
+    src_path, src_glob = resolve_table_glob(sf_dir, "events.parquet")
+    events = (spark.read.option("pathGlobFilter", src_glob)
+              .parquet(src_path)
+              .filter(F.col("user_id") < user_bound)
+              .withColumn("__slice",
+                          F.ntile(n_slices).over(
+                              Window.orderBy(
+                                  F.asc_nulls_last("ts"),
+                                  F.asc_nulls_last("event_id"))))
+              ).localCheckpoint()  # bounded by user_bound; reused n times
+    for i in range(1, n_slices + 1):
+        (events.filter(F.col("__slice") == i).drop("__slice")
+         .coalesce(1).write.mode("append").parquet(out))
+    return out
+
+
+def stream_scd2_upsert(spark: SparkSession, sf_dir: str,
+                       n_buckets: int = 8, n_slices: int = 3,
+                       user_bound: int = 100) -> DataFrame:
+    """Run the incremental SCD2 pipeline to completion over ``n_slices``
+    time-ordered micro-batches and return the final dimension —
+    contractually equal to the batch ``scd2_build`` over the same
+    events, which is exactly what the registry oracle checks."""
+    src = stage_time_slices(spark, sf_dir, n_slices, user_bound)
+    state_dir = tempfile.mkdtemp(prefix="scd2_state_")
+    ckpt = tempfile.mkdtemp(prefix="scd2_ckpt_")
+    events = stream_events(spark, src, glob="*.parquet",
+                           maxFilesPerTrigger="1")
+    import time
+
+    t0 = time.perf_counter()
+    query = (
+        events.select("user_id", "event_type", "ts", "event_id")
+        .writeStream.outputMode("update")
+        .foreachBatch(scd2_upsert_sink(spark, state_dir,
+                                       n_buckets=n_buckets, run_id=ckpt))
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+        _PROGRESS.note("stream_scd2_upsert", query,
+                       wall_s=time.perf_counter() - t0)
+    finally:
+        query.stop()
+    return scd2_state(spark, state_dir)

@@ -102,6 +102,84 @@ def test_kmv_overlap_sql_mirror_is_bit_exact(spark):
         assert float(ora[col]) == got[col]  # bit-exact, no approx
 
 
+# -- streaming SCD2 upsert ----------------------------------------------------
+
+
+def _cdc(spark, rows):
+    return spark.createDataFrame(
+        [Row(user_id=u, event_type=s, ts=ts, event_id=e)
+         for u, s, ts, e in rows],
+        "user_id bigint, event_type string, ts timestamp, "
+        "event_id bigint").localCheckpoint()
+
+
+def _dim(spark, state):
+    from datafusion_delta_sharing_spark.streaming import scd2 as S2
+
+    return {(r.user_id, r.version): (r.state, r.valid_from, r.valid_to,
+                                     r.is_current)
+            for r in S2.scd2_state(spark, state).collect()}
+
+
+def test_scd2_sink_closes_and_versions(spark, tmp_path):
+    import datetime as dt
+
+    from datafusion_delta_sharing_spark.streaming import scd2 as S2
+
+    t = [dt.datetime(2024, 1, 1, h) for h in range(6)]
+    state = str(tmp_path / "dim")
+    merge = S2.scd2_upsert_sink(spark, state, n_buckets=2, run_id="ck-a")
+    merge(_cdc(spark, [(1, "new", t[0], 10), (1, "active", t[1], 11),
+                       (2, "new", t[2], 12)]), 0)
+    d1 = _dim(spark, state)
+    assert d1[(1, 1)] == ("new", t[0], t[1], False)
+    assert d1[(1, 2)] == ("active", t[1], None, True)
+    assert d1[(2, 1)] == ("new", t[2], None, True)
+
+    # batch 1: user 1 churns (closes its open v2), user 3 appears
+    merge(_cdc(spark, [(1, "churned", t[3], 13),
+                       (3, "new", t[4], 14)]), 1)
+    d2 = _dim(spark, state)
+    assert d2[(1, 2)] == ("active", t[1], t[3], False)
+    assert d2[(1, 3)] == ("churned", t[3], None, True)
+    assert d2[(2, 1)] == ("new", t[2], None, True)  # untouched entity
+    assert d2[(3, 1)] == ("new", t[4], None, True)
+
+    # crash-replay of batch 1: stamped buckets skip — state unchanged
+    merge(_cdc(spark, [(1, "churned", t[3], 13),
+                       (3, "new", t[4], 14)]), 1)
+    assert _dim(spark, state) == d2
+
+
+def test_scd2_sink_refuses_out_of_order(spark, tmp_path):
+    import datetime as dt
+
+    from datafusion_delta_sharing_spark.streaming import scd2 as S2
+
+    t0, t1 = dt.datetime(2024, 1, 2), dt.datetime(2024, 1, 3)
+    state = str(tmp_path / "dim")
+    merge = S2.scd2_upsert_sink(spark, state, n_buckets=2, run_id="ck-a")
+    merge(_cdc(spark, [(7, "new", t1, 20)]), 0)
+    # an event BEFORE the open interval's start would rewrite history
+    with pytest.raises(ValueError, match="out-of-order"):
+        merge(_cdc(spark, [(7, "late", t0, 21)]), 1)
+    # and so would the SAME (ts, event_id) replayed under a new batch id
+    with pytest.raises(ValueError, match="out-of-order"):
+        merge(_cdc(spark, [(7, "dup", t1, 20)]), 2)
+    # equal ts with a LATER event_id is legal (the batch tie-break)
+    merge(_cdc(spark, [(7, "tie", t1, 22)]), 3)
+    d = _dim(spark, state)
+    assert d[(7, 1)] == ("new", t1, t1, False)
+    assert d[(7, 2)] == ("tie", t1, None, True)
+
+
+def test_scd2_sink_requires_run_id(spark, tmp_path):
+    from datafusion_delta_sharing_spark.streaming import scd2 as S2
+
+    with pytest.raises(ValueError, match="run_id"):
+        S2.scd2_upsert_sink(spark, str(tmp_path / "dim"), n_buckets=2)
+
+
 def test_kmv_overlap_registry_row_flags_hold(spark, sf_dir):
     from datafusion_delta_sharing_spark.harness import extensions21 as E21
 

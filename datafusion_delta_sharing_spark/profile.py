@@ -273,3 +273,93 @@ class OAuthClientCredentialsProfile:
                 f"client_id={self.client_id!r}, secret='<redacted>')")
 
     __repr__ = __str__
+
+
+class RotatingFileProfile:
+    """A v1 bearer profile BOUND to its ``.share`` file, with opt-in
+    on-expired reload (VERDICT r8 #7 — the rotation pattern ops teams
+    run: a credential manager atomically replaces the profile file with
+    a fresh token ahead of / at expiry).
+
+    The reference stops at reject-at-authorize
+    (src/profile.rs:317-356), and that stays the DEFAULT everywhere
+    (``Profile.from_path``, connection strings, the DataSource). This
+    wrapper is the documented recovery path behind it: when the
+    in-memory token's ``expirationTime`` has passed, the next authorize
+    re-reads the file ONCE; if the rotated token is valid the session
+    continues, otherwise the standard expired ``ProfileError`` raises.
+    A rotation that changes the ENDPOINT is refused — silently
+    re-pointing a live session at a different server is a misconfig,
+    not a refresh.
+
+    Duck-type compatible with :class:`Profile` (``endpoint`` /
+    ``share_credentials_version`` / ``authorization_header()`` /
+    ``is_expired()`` / ``to_doc()``). ``to_doc`` ships the CURRENT
+    snapshot — executors reconstructing from ``profile_json`` do not
+    reload (they may not share the driver's filesystem); a snapshot
+    expiring mid-task fails that task, and the retried task gets the
+    rotated snapshot from the driver.
+    """
+
+    def __init__(self, path: str | os.PathLike):
+        self._path = os.fspath(path)
+        self._current = self._read()
+
+    def _read(self) -> Profile:
+        loaded = Profile.from_path(self._path)
+        if not isinstance(loaded, Profile):
+            raise ProfileError(
+                "on_expired='reload' applies to bearer (v1) profiles; "
+                "OAuth client-credentials profiles already self-refresh")
+        return loaded
+
+    @property
+    def endpoint(self) -> str:
+        return self._current.endpoint
+
+    @property
+    def share_credentials_version(self) -> int:
+        return self._current.share_credentials_version
+
+    @property
+    def expiration_time(self):
+        return self._current.expiration_time
+
+    def is_expired(self, now: datetime | None = None) -> bool:
+        return self._current.is_expired(now)
+
+    def authorization_header(self, now: datetime | None = None
+                             ) -> dict[str, str]:
+        if self._current.is_expired(now):
+            rotated = self._read()
+            if rotated.endpoint != self._current.endpoint:
+                raise ProfileError(
+                    "rotated profile changed the endpoint "
+                    f"({self._current.endpoint!r} -> {rotated.endpoint!r});"
+                    " refusing to re-point a live session")
+            self._current = rotated
+        # still-expired (no rotation happened): the standard rejection
+        return self._current.authorization_header(now)
+
+    def to_doc(self) -> dict:
+        return self._current.to_doc()
+
+    def __str__(self) -> str:  # never leak the token
+        return (f"RotatingFileProfile(path={self._path!r}, "
+                f"current={self._current})")
+
+    __repr__ = __str__
+
+
+def load_profile(path: str | os.PathLike, on_expired: str = "reject"):
+    """Load a ``.share`` profile file. ``on_expired='reject'`` (default,
+    reference behavior): expired tokens raise at every authorize.
+    ``on_expired='reload'``: wrap in :class:`RotatingFileProfile` so an
+    expired token triggers one re-read of the (rotated) file before
+    rejecting."""
+    if on_expired == "reject":
+        return Profile.from_path(path)
+    if on_expired == "reload":
+        return RotatingFileProfile(path)
+    raise ProfileError(
+        f"on_expired must be 'reject' or 'reload', got {on_expired!r}")

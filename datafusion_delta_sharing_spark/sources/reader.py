@@ -467,15 +467,22 @@ class DeltaSharingReader:
 
     @classmethod
     def from_connection_string(cls, spark: SparkSession, conn: str,
+                               on_expired: str = "reject",
                                **kwargs) -> tuple["DeltaSharingReader", Table]:
         """``"/path/to/profile.share#share.schema.table"`` -> (reader, table)
-        (src/datasource/table.rs:93-103)."""
+        (src/datasource/table.rs:93-103). ``on_expired='reject'``
+        (default) keeps the reference's expired-bearer rejection;
+        ``'reload'`` re-reads the profile file once at expiry so a
+        rotated credential lets the session continue (VERDICT r8 #7 —
+        see profile.RotatingFileProfile)."""
         if "#" not in conn:
             raise DeltaSharingError(
                 "connection string must look like 'profile.share#share.schema.table'"
             )
+        from datafusion_delta_sharing_spark.profile import load_profile
+
         profile_path, _, fqn = conn.partition("#")
-        profile = Profile.from_path(profile_path)
+        profile = load_profile(profile_path, on_expired=on_expired)
         client = DeltaSharingClient(profile)
         return cls(spark, client, **kwargs), Table.from_str(fqn)
 

@@ -107,6 +107,87 @@ def test_bearer_expiry_mid_session(spark):
         reader.table(name, columns=["c_custkey"])
 
 
+def test_bearer_rotation_recovers_mid_session(spark, tmp_path):
+    """VERDICT r8 #7: the opt-in on_expired='reload' recovery path. A
+    reader built from a connection string with on_expired='reload'
+    serves a query, its token then EXPIRES mid-session; because a
+    credential manager rotated the profile FILE in the meantime, the
+    next query re-reads the file and succeeds. Without a rotation the
+    reload path must still end in the standard expired rejection
+    (default semantics unchanged — the sibling test above pins those),
+    and a rotation that changes the endpoint is refused."""
+    import datetime
+    import json
+
+    from datafusion_delta_sharing_spark.errors import ProfileError
+    from datafusion_delta_sharing_spark.sources.reader import (
+        DeltaSharingReader,
+    )
+
+    state = C._ensure_served(spark, SF_DIR)
+    doc = json.loads(state["profile_json"])
+    now = datetime.datetime.now(datetime.timezone.utc)
+    future = (now + datetime.timedelta(hours=1)).isoformat()
+    past = (now - datetime.timedelta(hours=1)).isoformat()
+
+    share = tmp_path / "rotated.share"
+    share.write_text(json.dumps({**doc, "expirationTime": future}))
+    reader, _ = DeltaSharingReader.from_connection_string(
+        spark, f"{share}#bench.tpch.customer", on_expired="reload")
+    profile = reader.client.profile
+    name = "bench.tpch.customer"
+    assert reader.table(name, columns=["c_custkey"]) is not None
+
+    # the in-memory token crosses its expiry (deterministically — the
+    # mid-session sibling test's clock-swing pattern)…
+    expired_at = now - datetime.timedelta(seconds=1)
+    object.__setattr__(profile._current, "expiration_time", expired_at)
+    # …but the file was NOT rotated yet: reload re-reads, finds the same
+    # expired doc, and the standard rejection still fires
+    share.write_text(json.dumps({**doc, "expirationTime": past}))
+    with pytest.raises(ProfileError, match="expired"):
+        reader.table(name, columns=["c_custkey"])
+
+    # ops rotates the file -> the very next query succeeds
+    share.write_text(json.dumps({**doc, "expirationTime": future}))
+    assert reader.table(name, columns=["c_custkey"]) is not None
+
+    # a rotation that re-points the endpoint is a misconfig, not a refresh
+    object.__setattr__(profile._current, "expiration_time", expired_at)
+    share.write_text(json.dumps({**doc, "expirationTime": future,
+                                 "endpoint": "http://other.invalid:1"}))
+    with pytest.raises(ProfileError, match="endpoint"):
+        reader.table(name, columns=["c_custkey"])
+
+
+def test_load_profile_dispatch(tmp_path):
+    """load_profile: 'reject' returns the plain Profile, 'reload' the
+    rotating wrapper, anything else is a loud ProfileError; OAuth (v2)
+    profiles refuse the reload wrapper (they self-refresh)."""
+    import json
+
+    from datafusion_delta_sharing_spark.errors import ProfileError
+    from datafusion_delta_sharing_spark.profile import (
+        Profile, RotatingFileProfile, load_profile)
+
+    share = tmp_path / "p.share"
+    share.write_text(json.dumps({
+        "shareCredentialsVersion": 1, "endpoint": "http://h:1",
+        "bearerToken": "t"}))
+    assert type(load_profile(share)) is Profile
+    assert type(load_profile(share, on_expired="reload")) \
+        is RotatingFileProfile
+    with pytest.raises(ProfileError, match="on_expired"):
+        load_profile(share, on_expired="retry")
+    share.write_text(json.dumps({
+        "shareCredentialsVersion": 2, "endpoint": "http://h:1",
+        "type": "oauth_client_credentials",
+        "tokenEndpoint": "http://h:1/t", "clientId": "c",
+        "clientSecret": "s"}))
+    with pytest.raises(ProfileError, match="self-refresh"):
+        load_profile(share, on_expired="reload")
+
+
 def test_bearer_expiry_registry_row(spark):
     rows = C.q_connector_bearer_expiry(spark, SF_DIR).collect()
     assert len(rows) == 1

@@ -120,6 +120,9 @@ HEADLINE = [
     # r8 session batch 20 (r10 slots): multi-touch attribution, MDM
     # survivorship golden records
     "attribution", "survivorship",
+    # r9 session batch 21 (r10 slots): KMV sketch set-algebra, streaming
+    # CDC->SCD2 dimension maintenance
+    "kmv_overlap", "stream_scd2_upsert",
 ]
 
 

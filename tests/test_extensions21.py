@@ -173,6 +173,32 @@ def test_scd2_sink_refuses_out_of_order(spark, tmp_path):
     assert d[(7, 2)] == ("tie", t1, None, True)
 
 
+def test_scd2_batch_boundaries_are_invisible(spark, sf_dir):
+    """The module contract: the final dimension equals the batch build
+    REGARDLESS of micro-batching. Same log, 1 vs 4 slices — identical
+    state (1 slice = the whole-log degenerate case; 4 exercises three
+    cross-batch open-interval closes)."""
+    from datafusion_delta_sharing_spark.harness.extensions7 import (
+        q_scd2_build,
+    )
+    from datafusion_delta_sharing_spark.streaming import scd2 as S2
+
+    want = {(r.user_id, r.version): (r.state, r.valid_from, r.valid_to,
+                                     r.is_current)
+            for r in q_scd2_build(spark, sf_dir).collect()}
+
+    def _norm(ts):
+        # stream ts is LTZ (UTC-pinned session); batch is NTZ — same wall
+        return ts.replace(tzinfo=None) if ts is not None else None
+
+    for n_slices in (1, 4):
+        got = {(r.user_id, r.version): (r.state, _norm(r.valid_from),
+                                        _norm(r.valid_to), r.is_current)
+               for r in S2.stream_scd2_upsert(
+                   spark, sf_dir, n_slices=n_slices).collect()}
+        assert got == want, f"n_slices={n_slices} diverged from batch"
+
+
 def test_scd2_sink_requires_run_id(spark, tmp_path):
     from datafusion_delta_sharing_spark.streaming import scd2 as S2
 

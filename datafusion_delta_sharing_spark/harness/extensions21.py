@@ -55,16 +55,34 @@ def q_kmv_overlap(spark, sf_dir):
     bound the Jaccard absolute error and the union / intersection
     relative errors; every double is a fixed-shape expression over
     exact integers, so both engines hash-match."""
+    # ONE shingle explode serves everything: each doc's (corpus-label,
+    # shingle) rows carry the doc's memberships (a doc in the planted
+    # overlap fifth emits both labels), one distinct gives the labeled
+    # vocabularies, and ONE groupBy(sh) membership-flag pass yields the
+    # exact n_a / n_b / n_inter / n_union WITHOUT the corpus-vs-corpus
+    # equi-join — the r9-session profile showed per-corpus re-explodes
+    # (and eager checkpoints serializing them) each cost more than this
+    # whole derivation. Everything stays one lazy DAG.
     docs = load_table(spark, sf_dir, "documents")
-    a = docs.filter(F.expr(_KO_A_PRED))
-    b = docs.filter(F.expr(_KO_B_PRED))
-    sh = (DD.shingle_sets(a, "text", "doc_id").select(
-              F.lit("a").alias("g"), "sh")
-          .unionByName(DD.shingle_sets(b, "text", "doc_id").select(
-              F.lit("b").alias("g"), "sh")))
-    partials = SK.kmv_partials(sh, "g", "sh", _KO_K)
+    # _with_shingles renames the id column to `id`; the labels are pure
+    # doc_id arithmetic, so derive them from it post-shingle
+    labels = F.array_compact(F.array(
+        F.when(F.expr(_KO_A_PRED.replace("doc_id", "id")), F.lit("a")),
+        F.when(F.expr(_KO_B_PRED.replace("doc_id", "id")), F.lit("b"))))
+    pairs = (DD._with_shingles(docs, "text", "doc_id", 5)
+             .select(F.explode(labels).alias("g"), "shingles")
+             .select("g", F.explode("shingles").alias("sh"))
+             .distinct())
+    partials = SK.kmv_partials(pairs, "g", "sh", _KO_K)
     est = SK.kmv_overlap(partials, _KO_K, "a", "b")
-    exact = CS.corpus_overlap(a, b, "text", "doc_id", k=5)
+    flags = (pairs.groupBy("sh")
+             .agg(F.max(F.when(F.col("g") == "a", 1).otherwise(0))
+                  .alias("in_a"),
+                  F.max(F.when(F.col("g") == "b", 1).otherwise(0))
+                  .alias("in_b")))
+    exact = flags.agg(
+        F.sum(F.col("in_a") * F.col("in_b")).alias("n_inter"),
+        F.count(F.lit(1)).alias("n_union"))
     jac_exact = (F.col("n_inter").cast("double")
                  / F.col("n_union").cast("double"))
     return (exact.crossJoin(est)  # 1-row x 1-row

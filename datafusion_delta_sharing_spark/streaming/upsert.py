@@ -218,7 +218,8 @@ def upsert_totals_sink(spark: SparkSession, state_dir: str,
 
 
 def compact_stamps(spark: SparkSession, state_dir: str,
-                   live_runs: Sequence[str] = ()) -> int:
+                   live_runs: Sequence[str] = (),
+                   schema: str | None = None) -> int:
     """Maintenance: drop stamp rows of runs NOT in ``live_runs`` from
     every bucket, returning how many stamps were removed.
 
@@ -234,8 +235,15 @@ def compact_stamps(spark: SparkSession, state_dir: str,
     stamp existed to close.
 
     Full-state rewrite (all buckets), so schedule it like any table
-    maintenance job, not per batch."""
-    state = _state_df(spark, state_dir).localCheckpoint()
+    maintenance job, not per batch.
+
+    ``schema`` (optional): the state-file schema string, for OTHER sinks
+    built on the same stamp recipe — any bucket-partitioned state whose
+    stamp rows are (user_id NULL, last_run) works; streaming/scd2.py's
+    dimension state passes its own ``_DIM_SCHEMA``. Default: the totals
+    sink's ``_STATE_SCHEMA``."""
+    state = (spark.read.schema(schema or _STATE_SCHEMA)
+             .parquet(state_dir).localCheckpoint())
     dead = (F.col("user_id").isNull()
             & ~F.col("last_run").isin(list(live_runs)))
     removed = state.filter(dead).count()

@@ -199,6 +199,33 @@ def test_scd2_batch_boundaries_are_invisible(spark, sf_dir):
         assert got == want, f"n_slices={n_slices} diverged from batch"
 
 
+def test_scd2_state_compaction_shares_the_stamp_recipe(spark, tmp_path):
+    """compact_stamps is schema-parameterized: the SCD2 dimension state
+    uses the same (user_id NULL, last_run) stamp rows, so retiring a
+    dead run's stamps works there too, leaving the dimension intact."""
+    import datetime as dt
+
+    from datafusion_delta_sharing_spark.streaming import scd2 as S2
+    from datafusion_delta_sharing_spark.streaming.upsert import (
+        compact_stamps,
+    )
+
+    t0, t1 = dt.datetime(2024, 2, 1), dt.datetime(2024, 2, 2)
+    state = str(tmp_path / "dim")
+    S2.scd2_upsert_sink(spark, state, n_buckets=2,
+                        run_id="ck-a")(_cdc(spark, [(1, "new", t0, 1)]), 0)
+    S2.scd2_upsert_sink(spark, state, n_buckets=2,
+                        run_id="ck-b")(_cdc(spark, [(1, "up", t1, 2)]), 0)
+    before = _dim(spark, state)
+    removed = compact_stamps(spark, state, live_runs=("ck-b",),
+                             schema=S2._DIM_SCHEMA)
+    assert removed == 1  # run a stamped exactly user 1's bucket
+    assert _dim(spark, state) == before
+    stamps = (S2._dim_df(spark, state)
+              .filter("user_id IS NULL").collect())
+    assert {r.last_run for r in stamps} == {"ck-b"}
+
+
 def test_scd2_sink_requires_run_id(spark, tmp_path):
     from datafusion_delta_sharing_spark.streaming import scd2 as S2
 

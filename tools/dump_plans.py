@@ -140,6 +140,12 @@ SHOWCASE = [
      "CUSUM: one cumulative ROWS window over the checkpointed "
      "day-level series; (n, Σx) and the max-|nS| ride one-row "
      "broadcasts; exact integers end-to-end, no doubles in the plan"),
+    ("kmv_overlap",
+     "KMV set algebra: ONE shingle explode emits (corpus-label, sh) "
+     "rows, one distinct feeds both the per-corpus k-minimum rank "
+     "windows (the sketches) and the groupBy(sh) membership flags "
+     "(the exact attestation) — no corpus-vs-corpus equi-join; the "
+     "estimate itself is a 2x256-row combine"),
 ]
 
 

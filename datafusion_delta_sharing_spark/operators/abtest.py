@@ -49,9 +49,13 @@ def _ab_tail_sql(arm_sums: str) -> str:
         for a in ("A", "B") for c in ("n", "sc", "sv", "svv"))
     # ADVICE r8: the two-arm pivot must not silently drop a third or
     # mislabeled arm — surface the violation as an explicit count
-    # instead of producing a plausible-looking partial summary.
-    picks += (", CAST(coalesce(SUM(CASE WHEN arm NOT IN ('A', 'B') "
-              "THEN n END), 0) AS BIGINT) AS n_other")
+    # instead of producing a plausible-looking partial summary. The
+    # NULL arm needs its own predicate arm: `NULL NOT IN (..)` is NULL,
+    # not true, so without it unassigned-arm rows would still vanish
+    # (r9 review, reproduced).
+    picks += (", CAST(coalesce(SUM(CASE WHEN arm IS NULL "
+              "OR arm NOT IN ('A', 'B') THEN n END), 0) AS BIGINT) "
+              "AS n_other")
     var = ("((CAST(n_{a} AS DOUBLE) * svv_{a} "
            "- CAST(sv_{a} AS DOUBLE) * sv_{a}) "
            "/ (CAST(n_{a} AS DOUBLE) * (n_{a} - 1)))")

@@ -460,7 +460,7 @@ def kmv_overlap_sql(partials_sql: str, k: int, g_a: str, g_b: str) -> str:
         agg AS (
             SELECT count(*) AS k_eff,
                    CAST(sum(in_a * in_b) AS BIGINT) AS k_inter,
-                   CAST(CAST('0x' || max(h) AS BIGINT) AS BIGINT) AS h_k
+                   CAST('0x' || max(h) AS BIGINT) AS h_k
             FROM combined
         )
         SELECT k_eff, k_inter, union_est, jaccard_est,

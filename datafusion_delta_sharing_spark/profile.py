@@ -326,6 +326,20 @@ class RotatingFileProfile:
         return self._current.expiration_time
 
     def is_expired(self, now: datetime | None = None) -> bool:
+        """Consults the same one-shot re-read as authorization_header
+        (r9 review): a caller that fail-fast-gates on is_expired() must
+        see the rotated credential too, or the recovery never engages
+        for that pattern. An unreadable or endpoint-changing rotation
+        just reports expired here — the loud error stays with
+        authorization_header, where the request is actually refused."""
+        if self._current.is_expired(now):
+            try:
+                rotated = self._read()
+            except ProfileError:
+                return True
+            if (rotated.endpoint == self._current.endpoint
+                    and not rotated.is_expired(now)):
+                self._current = rotated
         return self._current.is_expired(now)
 
     def authorization_header(self, now: datetime | None = None

@@ -59,7 +59,6 @@ from datafusion_delta_sharing_spark.plans.pruning import (
     partition_value_stats,
     prune_for_limit,
 )
-from datafusion_delta_sharing_spark.profile import Profile
 from datafusion_delta_sharing_spark.securable import Table
 from datafusion_delta_sharing_spark.sources.dv import (
     dv_positions,

@@ -126,11 +126,22 @@ def scd2_upsert_sink(spark: SparkSession, state_dir: str,
                      .join(firsts, "user_id", "inner"))
         # order guard: the CDC contract is per-entity (ts, event_id)
         # order across batches; a violation would silently rewrite
-        # history, so refuse loudly instead
+        # history, so refuse loudly instead. NULL-safe on purpose (r9
+        # review): the schema allows NULL ts/event_id and the window
+        # order pins NULLS LAST, so compare under that total order by
+        # mapping NULL to a +infinity sentinel — a plain `<` would go
+        # NULL against a NULL-opened interval and silently merge the
+        # exact violation this refuses.
+        _TS_INF = "9999-12-31 23:59:59"
+        _ID_INF = (1 << 63) - 1
+        f_ts = F.coalesce(F.col("first_ts"),
+                          F.lit(_TS_INF).cast("timestamp"))
+        o_ts = F.coalesce(F.col("valid_from"),
+                          F.lit(_TS_INF).cast("timestamp"))
+        f_id = F.coalesce(F.col("first_eid"), F.lit(_ID_INF))
+        o_id = F.coalesce(F.col("event_id"), F.lit(_ID_INF))
         late = open_rows.filter(
-            (F.col("first_ts") < F.col("valid_from"))
-            | ((F.col("first_ts") == F.col("valid_from"))
-               & (F.col("first_eid") <= F.col("event_id")))).count()
+            (f_ts < o_ts) | ((f_ts == o_ts) & (f_id <= o_id))).count()
         if late:
             raise ValueError(
                 f"batch {batch_id}: {late} entity(ies) received events "

@@ -58,8 +58,10 @@ def test_ab_third_arm_surfaces_not_drops(spark):
     out = AB.ab_summary(spark, _rows(spark, [
         ("A", 1, 10), ("A", 0, 20), ("B", 1, 10), ("B", 1, 30),
         ("C", 1, 99), ("c", 0, 99), ("", 0, 99),
+        (None, 1, 99),  # NULL NOT IN (..) is NULL, not true — the
+        (None, 0, 99),  # unassigned-arm rows need their own predicate
     ])).collect()[0]
-    assert out["n_other_arms"] == 3
+    assert out["n_other_arms"] == 5
     assert (out["n_a"], out["n_b"]) == (2, 2)
     clean = AB.ab_summary(spark, _rows(spark, [
         ("A", 1, 10), ("B", 1, 30),

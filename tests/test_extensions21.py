@@ -173,6 +173,31 @@ def test_scd2_sink_refuses_out_of_order(spark, tmp_path):
     assert d[(7, 2)] == ("tie", t1, None, True)
 
 
+def test_scd2_sink_order_guard_is_null_safe(spark, tmp_path):
+    """r9 review: a NULL ts sorts LAST in the batch total order, so a
+    NULL-ts-opened interval followed by ANY non-NULL-ts event is
+    out-of-order — a plain `<` goes NULL there and would silently merge
+    the violation; the sentinel-mapped guard must refuse it."""
+    import datetime as dt
+
+    from datafusion_delta_sharing_spark.streaming import scd2 as S2
+
+    t1 = dt.datetime(2024, 1, 3)
+    state = str(tmp_path / "dim")
+    merge = S2.scd2_upsert_sink(spark, state, n_buckets=2, run_id="ck-a")
+    merge(_cdc(spark, [(9, "nullts", None, 30)]), 0)
+    with pytest.raises(ValueError, match="out-of-order"):
+        merge(_cdc(spark, [(9, "after", t1, 31)]), 1)
+    # a LATER NULL-ts event (ts tie at the null sentinel, higher id) is
+    # legal and must close the open interval with a NULL valid_to...
+    # which stays "open" by the is_current contract — so instead assert
+    # the version chain advanced and the guard did not fire
+    merge(_cdc(spark, [(9, "nullts2", None, 32)]), 2)
+    d = _dim(spark, state)
+    assert d[(9, 1)] == ("nullts", None, None, True)
+    assert d[(9, 2)] == ("nullts2", None, None, True)
+
+
 def test_scd2_batch_boundaries_are_invisible(spark, sf_dir):
     """The module contract: the final dimension equals the batch build
     REGARDLESS of micro-batching. Same log, 1 vs 4 slices — identical

@@ -160,6 +160,35 @@ def test_bearer_rotation_recovers_mid_session(spark, tmp_path):
         reader.table(name, columns=["c_custkey"])
 
 
+def test_rotating_profile_is_expired_consults_the_file(tmp_path):
+    """r9 review: a fail-fast caller gating on is_expired() must see a
+    rotated credential too — the one-shot re-read runs there, not only
+    in authorization_header()."""
+    import datetime
+    import json
+
+    from datafusion_delta_sharing_spark.profile import RotatingFileProfile
+
+    now = datetime.datetime.now(datetime.timezone.utc)
+    past = (now - datetime.timedelta(hours=1)).isoformat()
+    future = (now + datetime.timedelta(hours=1)).isoformat()
+    share = tmp_path / "p.share"
+    doc = {"shareCredentialsVersion": 1, "endpoint": "http://h:1",
+           "bearerToken": "t"}
+    share.write_text(json.dumps({**doc, "expirationTime": past}))
+    prof = RotatingFileProfile(share)
+    assert prof.is_expired()          # un-rotated file: still expired
+    share.write_text(json.dumps({**doc, "expirationTime": future}))
+    assert not prof.is_expired()      # rotation adopted by the check
+    assert prof.authorization_header()["Authorization"] == "Bearer t"
+    # endpoint-changing rotation: is_expired reports expired (no adopt)
+    expired_at = now - datetime.timedelta(seconds=1)
+    object.__setattr__(prof._current, "expiration_time", expired_at)
+    share.write_text(json.dumps({**doc, "expirationTime": future,
+                                 "endpoint": "http://other:2"}))
+    assert prof.is_expired()
+
+
 def test_load_profile_dispatch(tmp_path):
     """load_profile: 'reject' returns the plain Profile, 'reload' the
     rotating wrapper, anything else is a loud ProfileError; OAuth (v2)

@@ -1,11 +1,14 @@
 """Unit tests for the batch-21 operators: KMV sketch set-algebra
 (Beyer et al. 2007 §5 — intersection/Jaccard from two sketches, no raw
 join) and the streaming SCD2 upsert. Exact-below-k paths, disjoint and
-identical sets, corrupt-by-one non-vacuousness, and the Spark↔DuckDB
-bit-exactness of every estimator double."""
+identical sets, corrupt-by-one non-vacuousness, the Spark↔DuckDB
+bit-exactness of every estimator double, and a pure-Python property
+reference the SQL mirror must match on arbitrary inputs."""
 
 import duckdb
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import Row
 
 from datafusion_delta_sharing_spark.operators import sketches as SK
@@ -100,6 +103,60 @@ def test_kmv_overlap_sql_mirror_is_bit_exact(spark):
         assert int(ora[col]) == got[col]
     for col in ("union_est", "jaccard_est", "inter_est"):
         assert float(ora[col]) == got[col]  # bit-exact, no approx
+
+
+def _py_kmv_overlap(a_vals, b_vals, k):
+    """Independent pure-Python reference of the whole pipeline: md5 is
+    the same digest everywhere, the expressions mirror the SQL shapes
+    term-for-term (left-assoc products, one final division), so every
+    double must be BIT-equal to both engines."""
+    import hashlib
+
+    def h(v):
+        return hashlib.md5(f"{v}:kmv1".encode()).hexdigest()[:15]
+
+    la = sorted({h(v) for v in set(a_vals)})[:k]
+    lb = sorted({h(v) for v in set(b_vals)})[:k]
+    combined = sorted(set(la) | set(lb))[:k]
+    sa, sb = set(la), set(lb)
+    k_eff = len(combined)
+    k_inter = sum(1 for x in combined if x in sa and x in sb)
+    if k_eff < k:
+        union_est = float(k_eff)
+    else:
+        union_est = (float(k - 1) * float(1 << 60)
+                     / float(int(combined[-1], 16)))
+    jac = float(k_inter) / float(k_eff)
+    return k_eff, k_inter, union_est, jac, jac * union_est
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.sets(st.integers(0, 500), min_size=1, max_size=120),
+       st.sets(st.integers(0, 500), min_size=1, max_size=120),
+       st.sampled_from([4, 16, 64]))
+def test_kmv_overlap_sql_matches_python_reference(a_vals, b_vals, k):
+    """Property (no Spark): the DuckDB mirror reproduces the pure-Python
+    KMV pipeline bit-for-bit on arbitrary sets and sketch sizes —
+    exact-below-k and estimator regimes both land here."""
+    want = _py_kmv_overlap(a_vals, b_vals, k)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE raw (g VARCHAR, v VARCHAR)")
+    con.executemany("INSERT INTO raw VALUES (?, ?)",
+                    [("a", str(v)) for v in a_vals]
+                    + [("b", str(v)) for v in b_vals])
+    partials = f"""
+        SELECT g, h FROM (
+            SELECT g, h,
+                   row_number() OVER (PARTITION BY g ORDER BY h) AS r
+            FROM (SELECT DISTINCT g,
+                         {SK._kmv_hash_sql('v', 'kmv1')} AS h
+                  FROM raw)
+        ) WHERE r <= {k}
+    """
+    got = con.execute(
+        SK.kmv_overlap_sql(partials, k, "a", "b")).fetchone()
+    assert (int(got[0]), int(got[1])) == want[:2]
+    assert (float(got[2]), float(got[3]), float(got[4])) == want[2:]
 
 
 # -- streaming SCD2 upsert ----------------------------------------------------

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from datafusion_delta_sharing_spark.functions.money import cents_sql
 from datafusion_delta_sharing_spark.operators import tfidf as TF
 from datafusion_delta_sharing_spark.harness import load_table
 from datafusion_delta_sharing_spark.operators import corpus as CO
@@ -285,32 +286,41 @@ def q_incremental_agg(spark, sf_dir):
     the difference between touching one day's data and touching the
     archive — same pattern as the bucketed dedup index, applied to
     aggregates."""
+    from datafusion_delta_sharing_spark.functions import money as MONEY
+
     ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "ts", "event_type", "value",
+        "event_id", "event_type",
+        # integer cents BEFORE the partials (r9 review): the merged
+        # double sum's 6-dp rounding could land on an accumulation-
+        # order-sensitive ulp boundary — partials must merge EXACTLY
+        MONEY.cents(F.col("value")).alias("cents"),
         F.date_format("ts", "yyyy-MM-dd").alias("day"))
 
     def partial(df):
         return df.groupBy("day", "event_type").agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum("value").alias("total"))
+            F.sum("cents").alias("total_cents"))
 
     state = partial(ev.filter(F.col("event_id") < _INCR_CUTOVER))
     batch = partial(ev.filter(F.col("event_id") >= _INCR_CUTOVER))
     merged = (state.unionByName(batch)
               .groupBy("day", "event_type")
               .agg(F.sum("n").cast("bigint").alias("n"),
-                   F.sum("total").alias("total")))
+                   F.sum("total_cents").cast("bigint")
+                   .alias("total_cents")))
     return merged.select(
-        "day", "event_type", "n",
-        F.round("total", 6).alias("total"),
-        F.round(F.col("total") / F.col("n"), 6).alias("avg_value"))
+        "day", "event_type", "n", "total_cents",
+        # one division of exact integers — engine-bit-identical
+        (F.col("total_cents").cast("double") / F.col("n"))
+        .alias("avg_cents"))
 
 
-_INCREMENTAL_AGG_SQL = """
+_INCREMENTAL_AGG_SQL = f"""
     SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
            count(*) AS n,
-           round(sum(value), 6) AS total,
-           round(sum(value) / count(*), 6) AS avg_value
+           CAST(sum({cents_sql('value')}) AS BIGINT) AS total_cents,
+           CAST(sum({cents_sql('value')}) AS DOUBLE) / count(*)
+               AS avg_cents
     FROM events
     GROUP BY strftime(ts, '%Y-%m-%d'), event_type
 """

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from datafusion_delta_sharing_spark.functions.money import cents_sql
 from datafusion_delta_sharing_spark.harness import load_table
 from datafusion_delta_sharing_spark.streaming.windows import (
     materialize_stream, stream_events)
@@ -60,15 +61,23 @@ def q_bool_aggs(spark, sf_dir):
 
 def q_session_window_batch(spark, sf_dir):
     """Batch session_window: gap-merged sessions per user (native Spark
-    operator; oracle reconstructs sessions via lag/cumsum)."""
+    operator; oracle reconstructs sessions via lag/cumsum). The session
+    value is summed as INTEGER CENTS (functions/money, quantized per
+    row before aggregation): round(sum(double), 2) was the repo's one
+    remaining accumulation-order-sensitive output — a session landing
+    within one ulp of a half-cent could round differently per engine
+    (the r5 stream_enrich fix, applied here by the r9 review)."""
+    from datafusion_delta_sharing_spark.functions import money as MONEY
+
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
         .agg(F.count(F.lit(1)).alias("n_events"),
-             F.round(F.sum("value"), 2).alias("session_value"))
+             F.sum(MONEY.cents(F.col("value"))).cast("bigint")
+             .alias("session_cents"))
         .select("user_id",
                 F.col("session_window.start").alias("session_start"),
-                "n_events", "session_value")
+                "n_events", "session_cents")
     )
 
 
@@ -163,10 +172,11 @@ ORACLES = {
         )
         GROUP BY l_returnflag
     """,
-    "session_window_batch": """
+    "session_window_batch": f"""
         SELECT user_id, min(ts) AS session_start,
                count(*) AS n_events,
-               round(sum(value), 2) AS session_value
+               CAST(sum({cents_sql('value')}) AS BIGINT)
+                   AS session_cents
         FROM (
             SELECT user_id, ts, value,
                    sum(new_session) OVER (PARTITION BY user_id

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from datafusion_delta_sharing_spark.functions.money import cents_sql
 from datafusion_delta_sharing_spark.harness import load_table
 from datafusion_delta_sharing_spark.operators.skew import salted_join
 
@@ -122,14 +123,21 @@ def q_time_spine(spark, sf_dir):
     spine = bounds.select(
         F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR")))
         .alias("hour"))
+    # integer cents before summation (r9 review): round(sum(double), 4)
+    # was the accumulation-order-sensitive output class the repo retired
+    # everywhere else (functions/money)
+    from datafusion_delta_sharing_spark.functions import money as MONEY
+
     hourly = (events.filter(F.col("event_type") == "purchase")
               .groupBy(F.date_trunc("hour", "ts").alias("hour"))
               .agg(F.count("*").alias("n_purchases"),
-                   F.round(F.sum("value"), 4).alias("revenue")))
+                   F.sum(MONEY.cents(F.col("value"))).cast("bigint")
+                   .alias("revenue_cents")))
     return (spine.join(hourly, "hour", "left")
             .select(F.col("hour").cast("timestamp_ntz").alias("hour"),
                     F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
-                    F.coalesce("revenue", F.lit(0.0)).alias("revenue")))
+                    F.coalesce("revenue_cents", F.lit(0))
+                    .cast("bigint").alias("revenue_cents")))
 
 
 QUERIES = {
@@ -153,7 +161,7 @@ ORACLES = {
           ON e.event_type = d.event_type
         GROUP BY e.event_type
     """,
-    "time_spine": """
+    "time_spine": f"""
         WITH bounds AS (
             SELECT date_trunc('hour', min(ts)) AS lo,
                    date_trunc('hour', max(ts)) AS hi
@@ -165,12 +173,14 @@ ORACLES = {
         ),
         hourly AS (
             SELECT date_trunc('hour', ts) AS hour, count(*) AS n_purchases,
-                   round(sum(value), 4) AS revenue
+                   CAST(sum({cents_sql('value')}) AS BIGINT)
+                       AS revenue_cents
             FROM events WHERE event_type = 'purchase'
             GROUP BY 1
         )
         SELECT s.hour, coalesce(h.n_purchases, 0) AS n_purchases,
-               coalesce(h.revenue, 0.0) AS revenue
+               CAST(coalesce(h.revenue_cents, 0) AS BIGINT)
+                   AS revenue_cents
         FROM spine s LEFT JOIN hourly h ON s.hour = h.hour
     """,
     "array_hof": """

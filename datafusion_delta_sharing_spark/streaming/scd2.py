@@ -43,6 +43,9 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from datafusion_delta_sharing_spark.streaming import progress as _PROGRESS
+from datafusion_delta_sharing_spark.streaming.upsert import (
+    _check_bucket_marker,
+)
 from datafusion_delta_sharing_spark.streaming.windows import (
     resolve_table_glob,
     set_stream_decode_confs,
@@ -95,6 +98,11 @@ def scd2_upsert_sink(spark: SparkSession, state_dir: str,
             "scd2_upsert_sink needs a non-empty run_id (use the query's "
             "checkpoint location) — see upsert_totals_sink")
     os.makedirs(state_dir, exist_ok=True)
+    # same reattach hazard as the totals sink (r5 there, r9 review
+    # here): a different n_buckets re-routes entities to other buckets,
+    # so `existing` misses their history — versions restart at 1 and
+    # the old open interval never closes, silently
+    _check_bucket_marker(state_dir, n_buckets)
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         events = (batch_df
@@ -105,6 +113,14 @@ def scd2_upsert_sink(spark: SparkSession, state_dir: str,
                   ).localCheckpoint()
         touched = [r.bucket for r in
                    events.select("bucket").distinct().collect()]
+        # NULL entity keys: user_id NULL is the stamp encoding here too,
+        # and pmod(NULL) rows would vanish from every isin() below —
+        # refuse loudly (the NULL bucket rides the collect above)
+        if any(b is None for b in touched):
+            raise ValueError(
+                f"batch {batch_id} contains NULL user_id rows; the "
+                "state encoding reserves user_id NULL for stamp rows — "
+                "route NULL-keyed events to a repair path upstream")
         if not touched:
             return
         current = _dim_df(spark, state_dir).filter(
@@ -228,9 +244,12 @@ def stage_time_slices(spark: SparkSession, sf_dir: str,
     along the GLOBAL (ts, event_id) order — ntile over the total order,
     so every entity's events land in batch order (the CDC log shape the
     order contract requires; the upsert staging's event_id % n split
-    would interleave time arbitrarily). Files are written sequentially,
-    so FileStreamSource (maxFilesPerTrigger=1) replays them oldest
-    first."""
+    would interleave time arbitrarily). FileStreamSource
+    (maxFilesPerTrigger=1) replays files oldest-mtime-first, and
+    same-millisecond mtimes tie-break on the RANDOM part-file names
+    (r9 review — two fast sequential writes can tie), so each slice's
+    files get an explicit, strictly increasing mtime stamped after its
+    write; the replay order is then deterministic, not a race."""
     set_stream_decode_confs(spark)
     out = tempfile.mkdtemp(prefix="scd2_src_")
     src_path, src_glob = resolve_table_glob(sf_dir, "events.parquet")
@@ -243,9 +262,17 @@ def stage_time_slices(spark: SparkSession, sf_dir: str,
                                   F.asc_nulls_last("ts"),
                                   F.asc_nulls_last("event_id"))))
               ).localCheckpoint()  # bounded by user_bound; reused n times
+    import glob as _glob
+
+    stamped: set[str] = set()
+    base = os.stat(out).st_mtime
     for i in range(1, n_slices + 1):
         (events.filter(F.col("__slice") == i).drop("__slice")
          .coalesce(1).write.mode("append").parquet(out))
+        for path in _glob.glob(os.path.join(out, "*.parquet")):
+            if path not in stamped:
+                os.utime(path, (base + 10 * i, base + 10 * i))
+                stamped.add(path)
     return out
 
 

@@ -24,7 +24,10 @@ from typing import Any, Iterator
 
 import pandas as pd
 
-from datafusion_delta_sharing_spark.functions.money import cents_sum_np
+from datafusion_delta_sharing_spark.functions.money import (
+    cents_sql,
+    cents_sum_np,
+)
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming.stateful_processor import (
     StatefulProcessor,
@@ -140,7 +143,7 @@ def tws_user_totals_sql(events_sql: str = "events") -> str:
     equal regardless of slicing."""
     return f"""
     SELECT user_id, count(*) AS n_events,
-           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           CAST(sum({cents_sql('value')}) AS BIGINT)
                AS total_cents
     FROM {events_sql} GROUP BY user_id
     """

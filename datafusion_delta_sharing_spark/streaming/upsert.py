@@ -140,6 +140,16 @@ def upsert_totals_sink(spark: SparkSession, state_dir: str,
         ).localCheckpoint()  # reused 3×; bounded by distinct users in batch
         touched = [r.bucket for r in
                    updates.select("bucket").distinct().collect()]
+        # NULL entity keys cannot be merged: user_id NULL IS the stamp
+        # row encoding, and pmod(NULL) → bucket NULL would silently
+        # drop the rows from every isin() filter below (r9 review). The
+        # NULL bucket surfaces in the collect we already ran — refuse
+        # loudly, zero extra jobs.
+        if any(b is None for b in touched):
+            raise ValueError(
+                f"batch {batch_id} contains NULL user_id rows; the "
+                "state encoding reserves user_id NULL for stamp rows — "
+                "route NULL-keyed events to a repair path upstream")
         if not touched:
             return
         current = _state_df(spark, state_dir).filter(
@@ -332,7 +342,7 @@ def stream_upsert_totals_sql(events_sql: str = "events") -> str:
     merge must reproduce exactly, regardless of microbatch boundaries."""
     return f"""
     SELECT user_id,
-           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           CAST(sum({MONEY.cents_sql('value')}) AS BIGINT)
                AS total_cents,
            count(*) AS n_events
     FROM {events_sql} GROUP BY user_id

@@ -282,17 +282,25 @@ def stream_session_counts(spark: SparkSession, sf_dir: str,
     passes the tail events — complete mode emits every session.
 
     The output mirrors ``session_window_batch`` exactly (same oracle):
-    (user_id, session_start NTZ, n_events, session_value rounded-cents).
+    (user_id, session_start NTZ, n_events, session_cents) — the value
+    summed as integer cents, quantized per row BEFORE aggregation
+    (functions/money; the r9 review retired the last
+    round(sum(double), 2) output, whose rounding could sit on an
+    accumulation-order-sensitive ulp boundary — the r5 stream_enrich
+    class).
     """
+    from datafusion_delta_sharing_spark.functions import money as MONEY
+
     events = stream_events(spark, sf_dir)
     agg = (
         events.groupBy("user_id", F.session_window("ts", gap))
         .agg(F.count(F.lit(1)).alias("n_events"),
-             F.round(F.sum("value"), 2).alias("session_value"))
+             F.sum(MONEY.cents(F.col("value"))).cast("bigint")
+             .alias("session_cents"))
         .select("user_id",
                 F.col("session_window.start").cast("timestamp_ntz")
                 .alias("session_start"),
-                "n_events", "session_value")
+                "n_events", "session_cents")
     )
     return materialize_stream(agg, "complete", "stream_session")
 

@@ -49,7 +49,7 @@ def test_kmv_overlap_disjoint_and_identical(spark):
 def test_kmv_overlap_estimator_within_sigma(spark):
     """Above-k regime: 4000 ∪ 4000 with 2000 shared (J = 1/3). The
     estimate must land within 4 sigma of truth — and k=64's sigma is
-    wide enough that this is a real statistical check, not slack."""
+    wide enough that this is a real statistical check, not padding."""
     out = _overlap(spark, range(6000), range(4000, 10000), k=64)
     j = 2000.0 / 8000.0
     sig_j = (j * (1 - j) / 64) ** 0.5

@@ -45,6 +45,11 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from datafusion_delta_sharing_spark.streaming import progress as _PROGRESS
 from datafusion_delta_sharing_spark.streaming.upsert import (
     _check_bucket_marker,
+    carry_other_stamps,
+    new_stamp_rows,
+    record_merge_stats,
+    refuse_null_buckets,
+    stamped_buckets,
 )
 from datafusion_delta_sharing_spark.streaming.windows import (
     resolve_table_glob,
@@ -113,23 +118,12 @@ def scd2_upsert_sink(spark: SparkSession, state_dir: str,
                   ).localCheckpoint()
         touched = [r.bucket for r in
                    events.select("bucket").distinct().collect()]
-        # NULL entity keys: user_id NULL is the stamp encoding here too,
-        # and pmod(NULL) rows would vanish from every isin() below —
-        # refuse loudly (the NULL bucket rides the collect above)
-        if any(b is None for b in touched):
-            raise ValueError(
-                f"batch {batch_id} contains NULL user_id rows; the "
-                "state encoding reserves user_id NULL for stamp rows — "
-                "route NULL-keyed events to a repair path upstream")
+        refuse_null_buckets(touched, batch_id)
         if not touched:
             return
         current = _dim_df(spark, state_dir).filter(
             F.col("bucket").isin(touched))
-        done = {r.bucket for r in current
-                .filter(F.col("user_id").isNull()
-                        & (F.col("last_run") == run_id)
-                        & (F.col("last_batch") >= batch_id))
-                .select("bucket").distinct().collect()}
+        done = stamped_buckets(current, run_id, batch_id)
         todo = [b for b in touched if b not in done]
         if not todo:
             return
@@ -205,13 +199,9 @@ def scd2_upsert_sink(spark: SparkSession, state_dir: str,
                 .withColumn("last_batch", F.lit(None).cast("bigint"))
                 .withColumn("last_run", F.lit(None).cast("string")))
 
-        other_stamps = (
-            current.filter(in_todo & F.col("user_id").isNull()
-                           & (F.col("last_run") != run_id))
-            .select(*[f.split(" ")[0] for f in _DIM_SCHEMA.split(", ")]))
-        my_stamps = spark.createDataFrame(
-            [(b, None, None, None, None, None, None, batch_id, run_id)
-             for b in todo], _DIM_SCHEMA)
+        other_stamps = carry_other_stamps(current, in_todo, run_id)
+        my_stamps = new_stamp_rows(spark, _DIM_SCHEMA, todo,
+                                   batch_id, run_id)
         merged = (data.select(*my_stamps.columns)
                   .unionByName(other_stamps).unionByName(my_stamps))
         merged = merged.localCheckpoint()  # sever lineage to state_dir
@@ -219,21 +209,7 @@ def scd2_upsert_sink(spark: SparkSession, state_dir: str,
          .option("partitionOverwriteMode", "dynamic")
          .partitionBy("bucket").parquet(state_dir))
         if stats is not None:
-            kinds = {bool(r["is_stamp"]): r["count"] for r in
-                     merged.groupBy(F.col("user_id").isNull()
-                                    .alias("is_stamp")).count().collect()}
-            rewrite_bytes = 0
-            for b in todo:
-                bdir = os.path.join(state_dir, f"bucket={b}")
-                for root, _dirs, files in os.walk(bdir):
-                    rewrite_bytes += sum(
-                        os.path.getsize(os.path.join(root, f))
-                        for f in files if f.endswith(".parquet"))
-            stats.append({"batch_id": int(batch_id),
-                          "buckets": len(todo),
-                          "data_rows": int(kinds.get(False, 0)),
-                          "stamp_rows": int(kinds.get(True, 0)),
-                          "rewrite_bytes": int(rewrite_bytes)})
+            record_merge_stats(merged, todo, state_dir, batch_id, stats)
 
     return _merge
 

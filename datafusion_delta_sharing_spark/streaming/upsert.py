@@ -84,6 +84,81 @@ def _check_bucket_marker(state_dir: str, n_buckets: int) -> None:
             json.dump({"n_buckets": n_buckets}, fh)
 
 
+# -- the stamp recipe, shared by every sink built on it ------------------------
+# (totals here; the SCD2 dimension sink in streaming/scd2.py — r9 review
+# extracted these so the exactly-once bookkeeping cannot drift between
+# hand-maintained copies, the scd2_intervals unification argument)
+
+
+def refuse_null_buckets(touched: list, batch_id: int) -> None:
+    """NULL entity keys cannot be merged: user_id NULL IS the stamp-row
+    encoding, and pmod(NULL) → bucket NULL rows silently vanish from
+    every isin() filter. The NULL bucket rides the touched-collect the
+    sink already ran — refuse loudly, zero extra jobs."""
+    if any(b is None for b in touched):
+        raise ValueError(
+            f"batch {batch_id} contains NULL user_id rows; the "
+            "state encoding reserves user_id NULL for stamp rows — "
+            "route NULL-keyed events to a repair path upstream")
+
+
+def stamped_buckets(current: DataFrame, run_id: str,
+                    batch_id: int) -> set:
+    """Buckets already stamped by (this run, >= this batch): committed
+    before a crash — skip, don't double-merge. Stamps from OTHER runs
+    never count: a new query's batch ids restart at 0 and its data is
+    real, not a replay."""
+    return {r.bucket for r in current
+            .filter(F.col("user_id").isNull()
+                    & (F.col("last_run") == run_id)
+                    & (F.col("last_batch") >= batch_id))
+            .select("bucket").distinct().collect()}
+
+
+def carry_other_stamps(current: DataFrame, in_todo,
+                       run_id: str) -> DataFrame:
+    """Every OTHER run's stamps carry forward untouched: if the stamp
+    were erased by this run's rewrite, a later replay of that run would
+    double-merge (the r5 standalone-stamp-row analysis)."""
+    return (current.filter(in_todo & F.col("user_id").isNull()
+                           & (F.col("last_run") != run_id))
+            .select(*current.columns))
+
+
+def new_stamp_rows(spark: SparkSession, schema: str, todo: list,
+                   batch_id: int, run_id: str) -> DataFrame:
+    """This run's stamp for each todo bucket, advanced to batch_id —
+    every non-(bucket, last_batch, last_run) field NULL."""
+    names = [field.split(" ")[0] for field in schema.split(", ")]
+    fill = {"bucket": None, "last_batch": batch_id, "last_run": run_id}
+    rows = [tuple(b if n == "bucket" else fill.get(n)
+                  for n in names) for b in todo]
+    return spark.createDataFrame(rows, schema)
+
+
+def record_merge_stats(merged: DataFrame, todo: list, state_dir: str,
+                       batch_id: int, stats: list) -> None:
+    """Per-batch MERGE-volume accounting (VERDICT r8 #3): one tiny job
+    over the already-checkpointed merge output plus a driver-side walk
+    of the rewritten bucket dirs — negligible next to the write it
+    measures."""
+    kinds = {bool(r["is_stamp"]): r["count"] for r in
+             merged.groupBy(F.col("user_id").isNull()
+                            .alias("is_stamp")).count().collect()}
+    rewrite_bytes = 0
+    for b in todo:
+        bdir = os.path.join(state_dir, f"bucket={b}")
+        for root, _dirs, files in os.walk(bdir):
+            rewrite_bytes += sum(
+                os.path.getsize(os.path.join(root, f))
+                for f in files if f.endswith(".parquet"))
+    stats.append({"batch_id": int(batch_id),
+                  "buckets": len(todo),
+                  "data_rows": int(kinds.get(False, 0)),
+                  "stamp_rows": int(kinds.get(True, 0)),
+                  "rewrite_bytes": int(rewrite_bytes)})
+
+
 def upsert_totals_sink(spark: SparkSession, state_dir: str,
                        n_buckets: int = 8, run_id: str = "",
                        stats: list | None = None):
@@ -140,29 +215,12 @@ def upsert_totals_sink(spark: SparkSession, state_dir: str,
         ).localCheckpoint()  # reused 3×; bounded by distinct users in batch
         touched = [r.bucket for r in
                    updates.select("bucket").distinct().collect()]
-        # NULL entity keys cannot be merged: user_id NULL IS the stamp
-        # row encoding, and pmod(NULL) → bucket NULL would silently
-        # drop the rows from every isin() filter below (r9 review). The
-        # NULL bucket surfaces in the collect we already ran — refuse
-        # loudly, zero extra jobs.
-        if any(b is None for b in touched):
-            raise ValueError(
-                f"batch {batch_id} contains NULL user_id rows; the "
-                "state encoding reserves user_id NULL for stamp rows — "
-                "route NULL-keyed events to a repair path upstream")
+        refuse_null_buckets(touched, batch_id)
         if not touched:
             return
         current = _state_df(spark, state_dir).filter(
             F.col("bucket").isin(touched))
-        # replay guard: a bucket already stamped with (this run, >= this
-        # batch_id) committed before a crash — skip it, don't double-merge.
-        # Stamps from OTHER runs never count for skipping: a new query's
-        # batch ids restart at 0 and its data is real, not a replay
-        done = {r.bucket for r in current
-                .filter(F.col("user_id").isNull()
-                        & (F.col("last_run") == run_id)
-                        & (F.col("last_batch") >= batch_id))
-                .select("bucket").distinct().collect()}
+        done = stamped_buckets(current, run_id, batch_id)
         todo = [b for b in touched if b not in done]
         if not todo:
             return
@@ -181,14 +239,9 @@ def upsert_totals_sink(spark: SparkSession, state_dir: str,
         )
         # stamp rows: every OTHER run's stamps carry forward untouched;
         # this run's stamp for the bucket advances to batch_id
-        other_stamps = (
-            current.filter(in_todo & F.col("user_id").isNull()
-                           & (F.col("last_run") != run_id))
-            .select("bucket", "user_id", "total_cents", "n_events",
-                    "last_batch", "last_run"))
-        my_stamps = spark.createDataFrame(
-            [(b, None, None, None, batch_id, run_id) for b in todo],
-            _STATE_SCHEMA)
+        other_stamps = carry_other_stamps(current, in_todo, run_id)
+        my_stamps = new_stamp_rows(spark, _STATE_SCHEMA, todo,
+                                   batch_id, run_id)
         merged = data.select(*my_stamps.columns).unionByName(
             other_stamps).unionByName(my_stamps)
         # materialize BEFORE overwriting: `merged` still reads state_dir
@@ -205,24 +258,7 @@ def upsert_totals_sink(spark: SparkSession, state_dir: str,
          .option("partitionOverwriteMode", "dynamic")
          .partitionBy("bucket").parquet(state_dir))
         if stats is not None:
-            # one tiny job over the already-checkpointed merge output,
-            # plus a driver-side walk of the rewritten bucket dirs —
-            # negligible next to the write it measures
-            kinds = {bool(r["is_stamp"]): r["count"] for r in
-                     merged.groupBy(F.col("user_id").isNull()
-                                    .alias("is_stamp")).count().collect()}
-            rewrite_bytes = 0
-            for b in todo:
-                bdir = os.path.join(state_dir, f"bucket={b}")
-                for root, _dirs, files in os.walk(bdir):
-                    rewrite_bytes += sum(
-                        os.path.getsize(os.path.join(root, f))
-                        for f in files if f.endswith(".parquet"))
-            stats.append({"batch_id": int(batch_id),
-                          "buckets": len(todo),
-                          "data_rows": int(kinds.get(False, 0)),
-                          "stamp_rows": int(kinds.get(True, 0)),
-                          "rewrite_bytes": int(rewrite_bytes)})
+            record_merge_stats(merged, todo, state_dir, batch_id, stats)
 
     return _merge
 

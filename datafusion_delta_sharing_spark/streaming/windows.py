@@ -17,27 +17,41 @@ from datafusion_delta_sharing_spark.functions import money as MONEY
 from datafusion_delta_sharing_spark.streaming import progress as _PROGRESS
 
 
-def materialize_stream(stream_df: DataFrame, mode: str,
-                       name: str) -> DataFrame:
+def materialize_stream(stream_df: DataFrame, mode: str, name: str,
+                       batch_transform=None,
+                       out_schema: T.StructType | None = None) -> DataFrame:
     """Run a streaming query to completion and return its result as a
     batch DataFrame via a parquet sink + re-read (VERDICT r3 #8: the old
     memory-sink + collect()/createDataFrame round-trip materialized every
     result twice in driver memory). Append-mode streams write parquet
     directly; complete-mode aggregates land through a foreachBatch
     overwrite (parquet sinks are append-only) — either way the write is
-    executor-side and the driver never holds the rows."""
+    executor-side and the driver never holds the rows.
+
+    ``batch_transform`` (optional): a batch-DataFrame function applied
+    inside the foreachBatch sink on every refresh — the idiomatic home
+    for post-aggregate logic Structured Streaming forbids in the
+    streaming plan itself (e.g. a window-function ranking over a
+    streaming aggregate, stream_hourly_topk). A transform that changes
+    the schema must pass the matching ``out_schema`` for the zero-batch-
+    safe re-read. (r9 review: stream_hourly_topk had duplicated this
+    whole lifecycle inline for the sake of its ranking lambda.)"""
     spark = stream_df.sparkSession
     root = tempfile.mkdtemp(prefix=f"{name}_")
     data_dir, ckpt = f"{root}/data", f"{root}/ckpt"
-    if mode == "append":
+    if mode == "append" and batch_transform is None:
         writer = (stream_df.writeStream.outputMode("append")
                   .format("parquet").option("path", data_dir))
     else:
-        def _overwrite(batch_df, _batch_id):
-            batch_df.write.mode("overwrite").parquet(data_dir)
+        write_mode = "append" if mode == "append" else "overwrite"
+
+        def _sink(batch_df, _batch_id):
+            if batch_transform is not None:
+                batch_df = batch_transform(batch_df)
+            batch_df.write.mode(write_mode).parquet(data_dir)
 
         writer = (stream_df.writeStream.outputMode(mode)
-                  .foreachBatch(_overwrite))
+                  .foreachBatch(_sink))
     import time
 
     t0 = time.perf_counter()
@@ -51,7 +65,8 @@ def materialize_stream(stream_df: DataFrame, mode: str,
     import os
 
     os.makedirs(data_dir, exist_ok=True)
-    return spark.read.schema(stream_df.schema).parquet(data_dir)
+    return spark.read.schema(out_schema or stream_df.schema
+                             ).parquet(data_dir)
 
 def _events_schema(ts_type: T.DataType) -> T.StructType:
     return T.StructType([
@@ -326,34 +341,16 @@ def stream_hourly_topk(spark: SparkSession, sf_dir: str,
            .agg(F.count(F.lit(1)).alias("n"))
            .select(F.col("window.start").cast("timestamp_ntz")
                    .alias("window_start"), "event_type", "n"))
-
-    import tempfile
-
-    root = tempfile.mkdtemp(prefix="stream_topk_")
-    data_dir, ckpt = f"{root}/data", f"{root}/ckpt"
     rank_w = (W.partitionBy("window_start")
               .orderBy(F.desc("n"), "event_type"))
 
-    def _rank_and_overwrite(batch_df, _batch_id):
-        (batch_df.withColumn("rank", F.row_number().over(rank_w))
-         .filter(F.col("rank") <= k)
-         .write.mode("overwrite").parquet(data_dir))
+    def _rank(batch_df):
+        return (batch_df.withColumn("rank",
+                                    F.row_number().over(rank_w))
+                .filter(F.col("rank") <= k))
 
-    import time
-
-    t0 = time.perf_counter()
-    query = (agg.writeStream.outputMode("complete")
-             .foreachBatch(_rank_and_overwrite)
-             .option("checkpointLocation", ckpt).start())
-    try:
-        query.processAllAvailable()
-        _PROGRESS.note("stream_topk", query,
-                       wall_s=time.perf_counter() - t0)
-    finally:
-        query.stop()
-    import os
-
-    os.makedirs(data_dir, exist_ok=True)
     out_schema = T.StructType(agg.schema.fields
                               + [T.StructField("rank", T.IntegerType())])
-    return spark.read.schema(out_schema).parquet(data_dir)
+    return materialize_stream(agg, "complete", "stream_topk",
+                              batch_transform=_rank,
+                              out_schema=out_schema)

@@ -226,9 +226,37 @@ class DeltaSharingBatchReader(DataSourceReader):
                 "table has VARIANT columns, which format('deltasharing') "
                 "cannot decode (pyarrow footer parse); use "
                 "DeltaSharingReader over a local (file://) share")
+        if data.metadata.format_provider.lower() != "parquet":
+            # refuse at PLAN time like the DeltaSharingReader path does
+            # (r9 review): without this, every executor task fails deep
+            # inside the parquet footer parse after downloading bytes
+            raise DeltaSharingError(
+                f"unsupported file format "
+                f"{data.metadata.format_provider!r}; only parquet-backed "
+                "shares are supported")
         mapping = _column_mapping_of(data.metadata, self.full_schema)
+        # rename-swap guard (r9 review, mirrors the reader scan path):
+        # when one column's logical name is another's physical name, a
+        # spelling-agnostic stats lookup can read the WRONG column's
+        # range and a get(k, k) key normalization can misroute a
+        # partition value — disable stats pruning and refuse ambiguous
+        # partition keys instead
+        from datafusion_delta_sharing_spark.sources.schema import (
+            ambiguous_mapping_names,
+        )
+
+        ambiguous = ambiguous_mapping_names(mapping) if mapping else set()
         files = list(data.files)
-        if self.hints_op is not None:
+        if ambiguous:
+            clash = sorted({k for f in files if f.partition_values
+                            for k in f.partition_values if k in ambiguous})
+            if clash:
+                raise DeltaSharingError(
+                    "column-mapping renames make partition-value key(s) "
+                    f"{clash} ambiguous (one column's logical name is "
+                    "another's physical name); ask the provider for a "
+                    "parquet-format share")
+        if self.hints_op is not None and not ambiguous:
             # two exact stat sources per file — the server's stats JSON
             # and synthetic stats from the partition values (a server
             # that ignores jsonPredicateHints returns every partition).
@@ -236,7 +264,8 @@ class DeltaSharingBatchReader(DataSourceReader):
             # format actions) or logical (parquet-format, server-
             # translated): prune under both spellings — the wrong one
             # finds no stats and cannot exclude, so the conjunction
-            # stays sound
+            # stays sound (ambiguous rename-swap tables skip pruning;
+            # Spark re-applies every filter, so results stay exact)
             from datafusion_delta_sharing_spark.plans.pruning import (
                 partition_value_stats,
             )
@@ -296,30 +325,13 @@ def _check_reader_features(protocol) -> None:
 
 
 def _column_mapping_of(metadata, full_schema: T.StructType) -> dict | None:
-    """Logical->physical map when delta.columnMapping.mode is active
-    (name/id), else None. Validates the same invariants as the
-    DeltaSharingReader path: supported mode, physicalName metadata
-    present, no nested renames."""
-    from datafusion_delta_sharing_spark.errors import SchemaError
-    from datafusion_delta_sharing_spark.sources.schema import column_mapping
+    """One validated entry point shared with the reader paths — see
+    sources/schema.column_mapping_of (r9 review unification)."""
+    from datafusion_delta_sharing_spark.sources.schema import (
+        column_mapping_of,
+    )
 
-    cm_mode = metadata.configuration.get("delta.columnMapping.mode")
-    if not cm_mode or cm_mode == "none":
-        return None
-    if cm_mode not in ("name", "id"):
-        raise DeltaSharingError(
-            f"unsupported delta.columnMapping.mode={cm_mode!r}; "
-            "supported: 'name', 'id'")
-    try:
-        mapping = column_mapping(full_schema)
-    except SchemaError as exc:
-        raise DeltaSharingError(str(exc)) from exc
-    if not mapping:
-        raise DeltaSharingError(
-            f"delta.columnMapping.mode={cm_mode!r} but the schema carries "
-            "no delta.columnMapping.physicalName metadata; the physical "
-            "parquet columns cannot be resolved")
-    return mapping
+    return column_mapping_of(metadata, full_schema)
 
 
 def _read_file_partition(options, full_schema: T.StructType,
@@ -540,6 +552,18 @@ class DeltaSharingStreamReader(DataSourceStreamReader):
         import os
         import tempfile
 
+        # snapshot pins contradict a snapshot-DIFF stream (r9 review):
+        # latestOffset polls the LIVE table, so a versionAsOf would be
+        # silently ignored for data while the expired-URL refresh path
+        # honored it — replays of post-pin files would then fail with
+        # 'no longer listed'. Refuse up front; pin a snapshot with the
+        # batch reader instead.
+        version, timestamp = _snapshot_pins(options)
+        if version is not None or timestamp is not None:
+            raise DeltaSharingError(
+                "versionAsOf/timestampAsOf are not supported on the "
+                "streaming source (a snapshot-diff stream follows the "
+                "live table); use spark.read for a pinned snapshot")
         self.options = options
         self.full_schema = schema
         log_dir = options.get("stream_log_dir") or tempfile.mkdtemp(

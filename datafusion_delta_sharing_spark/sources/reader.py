@@ -66,7 +66,6 @@ from datafusion_delta_sharing_spark.sources.dv import (
     validate_descriptor as validate_dv_descriptor,
 )
 from datafusion_delta_sharing_spark.sources.schema import (
-    column_mapping,
     decode_partition_values,
     schema_from_string,
     to_physical_schema,
@@ -250,7 +249,6 @@ def _open_parquet_source(url: str, size: int, session=None):
 
 def _fetch_batches_task(
     descriptor_batches: Iterable["pyarrow.RecordBatch"],  # noqa: F821
-    data_schema_json: str,
     full_schema_json: str,
     partition_columns: Sequence[str],
     columns: Sequence[str] | None,
@@ -284,7 +282,6 @@ def _fetch_batches_task(
         _spark_struct_to_arrow_schema,
     )
 
-    data_schema = ST.StructType.fromJson(json.loads(data_schema_json))
     full_schema = ST.StructType.fromJson(json.loads(full_schema_json))
     out_names = list(columns) if columns else [f.name for f in full_schema.fields]
     out_fields = {f.name: f for f in full_schema.fields}
@@ -388,6 +385,36 @@ def _fetch_batches_task(
 
             decoded = _decode(partition_values, full_schema, part_cols)
             file_row = 0  # physical row position within THIS file
+            if not data_cols:
+                # projection is partition columns only (r9 review):
+                # row counts come from the row-group METADATA — the old
+                # `columns=data_cols or None` fallback read EVERY data
+                # column of every file just to learn batch lengths,
+                # turning a metadata-sized scan into a full download on
+                # a wide table. DV masks still apply per row group.
+                md = reader.metadata
+                for gi in range(md.num_row_groups):
+                    nrows = md.row_group(gi).num_rows
+                    if deleted is not None:
+                        mask = _positions_mask(deleted, file_row, nrows)
+                        file_row += nrows
+                        n = sum(mask) if mask is not None else nrows
+                    else:
+                        n = nrows
+                    if n == 0:
+                        continue
+                    arrays = []
+                    for name in out_names:
+                        arrow_type = arrow_out.field(name).type
+                        arrays.append(
+                            pa.nulls(n, arrow_type)
+                            if decoded[name] is None
+                            else pa.repeat(
+                                pa.scalar(decoded[name], type=arrow_type),
+                                n))
+                    yield pa.RecordBatch.from_arrays(arrays,
+                                                     schema=arrow_out)
+                continue
             for data in reader.iter_batches(columns=data_cols or None):
                 if deleted is not None:
                     mask = _positions_mask(deleted, file_row, data.num_rows)
@@ -650,9 +677,25 @@ class DeltaSharingReader:
             raise DeltaSharingError(
                 f"table {table!r} is unpartitioned; use count_rows()")
         files = list(data.files)
-        cm_mode = metadata.configuration.get("delta.columnMapping.mode")
-        if cm_mode and cm_mode != "none":
-            mapping = column_mapping(schema)  # logical -> physical
+        from datafusion_delta_sharing_spark.sources.schema import (
+            ambiguous_mapping_names,
+            column_mapping_of,
+        )
+
+        # the shared validated entry point (r9 review: this path used to
+        # skip the mode check and crashed with a raw AttributeError when
+        # the schema carried no physicalName metadata)
+        mapping = column_mapping_of(metadata, schema)
+        if mapping:
+            ambiguous = ambiguous_mapping_names(mapping)
+            clash = sorted({k for f in files if f.partition_values
+                            for k in f.partition_values if k in ambiguous})
+            if clash:
+                raise DeltaSharingError(
+                    "column-mapping renames make partition-value key(s) "
+                    f"{clash} ambiguous (one column's logical name is "
+                    "another's physical name); ask the provider for a "
+                    "parquet-format share")
             to_logical = {p: l for l, p in mapping.items()}
             files = [
                 _dataclasses.replace(f, partition_values={
@@ -787,19 +830,13 @@ class DeltaSharingReader:
         pruning_op = predicate_op
         rename_back: list[tuple[str, str]] | None = None
         if cm_mode and cm_mode != "none":
-            if cm_mode not in ("name", "id"):
-                raise DeltaSharingError(
-                    f"unsupported delta.columnMapping.mode={cm_mode!r}; "
-                    "supported: 'name', 'id'")
-            try:
-                mapping = column_mapping(full_schema)
-            except SchemaError as exc:
-                raise DeltaSharingError(str(exc)) from exc
-            if not mapping:
-                raise DeltaSharingError(
-                    f"delta.columnMapping.mode={cm_mode!r} but the schema "
-                    "carries no delta.columnMapping.physicalName metadata; "
-                    "the physical parquet columns cannot be resolved")
+            from datafusion_delta_sharing_spark.sources.schema import (
+                ambiguous_mapping_names,
+                column_mapping_of,
+            )
+
+            mapping = column_mapping_of(metadata, full_schema)
+            ambiguous = ambiguous_mapping_names(mapping)
             logical_fields = [f.name for f in full_schema.fields]
             if columns:
                 unknown = [c for c in columns if c not in logical_fields]
@@ -812,8 +849,23 @@ class DeltaSharingReader:
             # partition-value keys arrive LOGICAL from parquet-format
             # responses (the server translates) and PHYSICAL from raw
             # delta-format add actions — normalize both spellings to
-            # physical so the decode below needs one key space
+            # physical so the decode below needs one key space. A key in
+            # the AMBIGUOUS set (one column's logical name = another's
+            # physical, the rename-swap shape) cannot be attributed to
+            # either spelling — refuse instead of silently misrouting a
+            # partition value (r9 review)
             import dataclasses as _dc
+            if ambiguous:
+                clash = sorted({k for f in files if f.partition_values
+                                for k in f.partition_values
+                                if k in ambiguous})
+                if clash:
+                    raise DeltaSharingError(
+                        "column-mapping renames make partition-value "
+                        f"key(s) {clash} ambiguous (the name is one "
+                        "column's logical name and another's physical "
+                        "name); ask the provider for a parquet-format "
+                        "share (keys pre-translated server-side)")
             files = [
                 _dc.replace(f, partition_values={
                     mapping.get(k, k): v
@@ -827,8 +879,14 @@ class DeltaSharingReader:
             # stats keys are physical in delta-format responses and
             # logical in parquet-format ones; matching under BOTH
             # spellings is sound because the wrong spelling finds no
-            # stats and may_match degrades to "cannot exclude"
-            if predicate_op is not None:
+            # stats and may_match degrades to "cannot exclude" — UNLESS
+            # the namespaces alias (rename-swap): then the "wrong"
+            # spelling can find a DIFFERENT column's stats and wrongly
+            # exclude a file. Disable stats pruning there; the residual
+            # filter (always applied) keeps results correct (r9 review)
+            if predicate_op is not None and ambiguous:
+                pruning_op = None  # disables the stats-pruning block
+            elif predicate_op is not None:
                 pruning_op = predicate_op.rename_columns(mapping)
 
         # deletion vectors are APPLIED (soft-deleted rows anti-filtered by
@@ -840,7 +898,7 @@ class DeltaSharingReader:
             if f.deletion_vector:
                 validate_dv_descriptor(f.deletion_vector, data_url=f.url)
 
-        if self.use_stats_pruning and predicate_op is not None:
+        if self.use_stats_pruning and pruning_op is not None:
             # two exact per-file stat sources: the server's stats JSON and
             # synthetic stats from the partition values (min = max =
             # value; a server that ignores jsonPredicateHints returns
@@ -848,7 +906,10 @@ class DeltaSharingReader:
             # the predicate can never match). Under column mapping, match
             # under BOTH the logical and the physical spelling
             # (pruning_op): the wrong spelling finds no stats and cannot
-            # exclude, so the conjunction is sound in either key space.
+            # exclude, so the conjunction is sound in either key space —
+            # except rename-swap tables, where the spellings ALIAS other
+            # columns' stats; pruning_op is None there (pruning skipped
+            # entirely, the residual filter keeps results exact)
             ops = [predicate_op]
             if pruning_op is not predicate_op:
                 ops.append(pruning_op)
@@ -1048,9 +1109,6 @@ class DeltaSharingReader:
                           refresh_spec: dict | None = None) -> DataFrame:
         """The scale path: parallelize the descriptor list, fetch + decode on
         executors via mapInArrow, one task per ~bytes_per_task of parquet."""
-        data_schema = T.StructType(
-            [f for f in full_schema.fields if f.name not in partition_columns]
-        )
         out_schema = (T.StructType([full_schema[c] for c in columns])
                       if columns else full_schema)
 
@@ -1094,7 +1152,6 @@ class DeltaSharingReader:
         # credentials-v2 grant through mapInArrow
         profile_doc = json.dumps(self.client.profile.to_doc())
         fqn = table.full_name()
-        data_json = data_schema.json()
         full_json = full_schema.json()
         cols = list(columns) if columns else None
         pcols = list(partition_columns)
@@ -1104,7 +1161,7 @@ class DeltaSharingReader:
 
         def fetch(batches):
             return _fetch_batches_task(
-                batches, data_json, full_json, pcols, cols, profile_doc, fqn,
+                batches, full_json, pcols, cols, profile_doc, fqn,
                 spec_json,
             )
 

@@ -123,6 +123,12 @@ def decode_partition_value(raw: str | None, dtype: T.DataType) -> Any:
                     f"{value} out of range for {dtype.simpleString()}")
             return value
         if isinstance(dtype, (T.FloatType, T.DoubleType)):
+            # same strictness as the integer path (r9 review): Python's
+            # float() accepts '1_0' underscore syntax, silently reading
+            # a corrupt value as 10.0 — the stated invariant is corrupt
+            # values fail HERE, not re-typed downstream
+            if "_" in raw:
+                raise ValueError(f"not a float literal: {raw!r}")
             return float(raw)
         if isinstance(dtype, T.StringType):
             return raw
@@ -224,6 +230,52 @@ def column_mapping(schema: T.StructType) -> dict[str, str] | None:
                 "translate; ask the provider for a parquet-format share "
                 "(columns pre-translated server-side)")
     return mapping or None
+
+
+def column_mapping_of(metadata, full_schema: T.StructType,
+                      ) -> dict[str, str] | None:
+    """Logical->physical map when ``delta.columnMapping.mode`` is active
+    (name/id), else None — THE one validated entry point (r9 review: the
+    reader scan path, the DataSource path, and partition_row_counts each
+    hand-rolled this; partition_row_counts skipped the mode check and
+    crashed with a raw AttributeError on missing physicalName metadata).
+    Validates: supported mode, physicalName metadata present, no nested
+    renames. Raises DeltaSharingError with the operator-facing message.
+    """
+    from datafusion_delta_sharing_spark.errors import DeltaSharingError
+
+    cm_mode = metadata.configuration.get("delta.columnMapping.mode")
+    if not cm_mode or cm_mode == "none":
+        return None
+    if cm_mode not in ("name", "id"):
+        raise DeltaSharingError(
+            f"unsupported delta.columnMapping.mode={cm_mode!r}; "
+            "supported: 'name', 'id'")
+    try:
+        mapping = column_mapping(full_schema)
+    except SchemaError as exc:
+        raise DeltaSharingError(str(exc)) from exc
+    if not mapping:
+        raise DeltaSharingError(
+            f"delta.columnMapping.mode={cm_mode!r} but the schema carries "
+            "no delta.columnMapping.physicalName metadata; the physical "
+            "parquet columns cannot be resolved")
+    return mapping
+
+
+def ambiguous_mapping_names(mapping: dict[str, str]) -> set[str]:
+    """Names that are one column's LOGICAL name and a DIFFERENT column's
+    physical name (rename-swap tables, e.g. RENAME a TO c; RENAME b TO
+    a). Partition-value keys and stats keys arrive in EITHER spelling
+    (physical from raw delta-format responses, logical from parquet-
+    format ones, and the client records no format flag), so for these
+    names a spelling-agnostic ``mapping.get(k, k)`` normalization cannot
+    attribute the key and stats lookups can read a different column's
+    range — the r9 review's silent-pruning/corruption hazard. Callers
+    must refuse these keys and disable stats pruning when the set is
+    non-empty."""
+    return {n for n in mapping
+            if any(p == n and l != n for l, p in mapping.items())}
 
 
 def to_physical_schema(schema: T.StructType,

@@ -56,6 +56,35 @@ def test_connector_partitioned_reattaches_status(spark):
     assert all(r.o_totalprice > 150000.0 for r in rows)
 
 
+def test_partition_only_projection_skips_data_columns(spark):
+    """r9 review: projecting ONLY partition columns must take the
+    metadata row-count path — the old fallback read every data column
+    of every file just to learn batch lengths. Counts must match the
+    full-projection scan exactly (the partitioned orders share is the
+    file:// strategy, so assert on VALUES; the fast path itself is the
+    mapInArrow branch, exercised via the customer HTTP share below)."""
+    from collections import Counter
+
+    from datafusion_delta_sharing_spark.harness.connector import _reader
+
+    reader = C._reader(spark, SF_DIR)
+    # HTTP share (mapInArrow path), unpartitioned: projecting a single
+    # column still works and row count matches the full scan
+    full = reader.table("bench.tpch.customer").count()
+    one = reader.table("bench.tpch.customer",
+                       columns=["c_mktsegment"]).collect()
+    assert len(one) == full
+    # partitioned share: partition-only projection reproduces the exact
+    # per-status multiset of the full read
+    t = "bench.tpch.orders"
+    want = Counter(r.o_orderstatus for r in
+                   reader.table(t, columns=["o_orderstatus",
+                                            "o_orderkey"]).collect())
+    got = Counter(r.o_orderstatus for r in
+                  reader.table(t, columns=["o_orderstatus"]).collect())
+    assert got == want and sum(got.values()) > 0
+
+
 def test_connector_datasource_agg(spark):
     rows = C.q_connector_datasource(spark, SF_DIR).collect()
     assert 1 <= len(rows) <= 5  # one per mktsegment

@@ -240,6 +240,51 @@ def test_partition_int_decode_is_strict():
     assert decode_partition_value("2147483647", T.IntegerType()) == 2**31 - 1
 
 
+def test_partition_float_decode_is_strict():
+    """r9 review: float('1_0') silently reads a corrupt value as 10.0 —
+    the same underscore guard as the integer path applies."""
+    assert decode_partition_value("1.5", T.DoubleType()) == 1.5
+    assert decode_partition_value("-0.25", T.FloatType()) == -0.25
+    for raw in ("1_0", "1_0.5", "1.0_5"):
+        with pytest.raises(SchemaError, match="float literal"):
+            decode_partition_value(raw, T.DoubleType())
+
+
+def test_ambiguous_mapping_names():
+    """r9 review: rename-swap detection — a name that is one column's
+    logical name AND another's physical name; identity mappings and
+    disjoint renames are clean."""
+    from datafusion_delta_sharing_spark.sources.schema import (
+        ambiguous_mapping_names,
+    )
+
+    # RENAME a TO c; RENAME b TO a: logical a has physical b, logical c
+    # has physical a -> 'a' is ambiguous
+    assert ambiguous_mapping_names({"a": "b", "c": "a"}) == {"a"}
+    # disjoint physical names (the normal columnMapping=id shape)
+    assert ambiguous_mapping_names(
+        {"a": "col-001", "b": "col-002"}) == set()
+    # identity mapping (columnMapping=name on never-renamed columns)
+    assert ambiguous_mapping_names({"a": "a", "b": "b"}) == set()
+    # full swap: both names ambiguous
+    assert ambiguous_mapping_names({"a": "b", "b": "a"}) == {"a", "b"}
+
+
+def test_stream_reader_refuses_snapshot_pins():
+    """r9 review: versionAsOf on the snapshot-diff stream was silently
+    ignored for data but honored by the expired-URL refresh — now
+    refused up front with the batch-reader pointer."""
+    from datafusion_delta_sharing_spark.errors import DeltaSharingError
+    from datafusion_delta_sharing_spark.sources.datasource import (
+        DeltaSharingStreamReader,
+    )
+
+    schema = T.StructType([T.StructField("id", T.LongType())])
+    for opts in ({"versionAsOf": "5"}, {"timestampAsOf": "2024-01-01"}):
+        with pytest.raises(DeltaSharingError, match="not supported"):
+            DeltaSharingStreamReader(opts, schema)
+
+
 def test_timestamp_literal_rendered_utc():
     """pushFilters hands naive session-local datetimes; the wire literal
     must be the UTC instant (a wall-clock hint read as UTC prunes files

@@ -55,11 +55,16 @@ _AT_CONV_SQL = ("SELECT user_id, ts, event_id FROM events "
 # -- survivorship -----------------------------------------------------------------
 
 # records = the Fellegi-Sunter demo's A snapshot, its perturbed
-# successor B, and the impostor families, all resolved to entities by
-# stripping the impostor key shifts (stand-in for the clustering step —
-# valid while c_custkey < 20M, i.e. through ~sf130; in a real pipeline
-# the entity id comes FROM the clustering output, e.g.
-# dedup_components' labels, and has no such aliasing bound).
+# successor B, and the impostor families. Entity resolution is the
+# clustering step itself, not a key trick (VERDICT r9 #2 retired the
+# `k % 20000000` modulus, whose aliasing bound held only through
+# ~sf130): records block on the normalized name — strip the impostor
+# prefix and the perturbation tilde, exactly the derived match key
+# `fellegi_sunter` compares on — and each block's label is its MIN
+# record key, the same min-label convention dedup_components emits.
+# c_name is key-derived and unique, so blocks ARE the true entities at
+# every SF; no key-range bound, and the derivation text is shared
+# verbatim with the oracle.
 # Rule cascade: 1) completeness (placeholder segment loses), 2)
 # freshness (snapshot B outranks A), 3) higher balance, 4) key — a
 # total order, so the survivor is deterministic.
@@ -82,7 +87,11 @@ _SURV_RECORDS_SQL = f"""
                'PERTURBED'
         FROM a WHERE k % 23 = 0
     )
-    SELECT k % 20000000 AS entity, k, src, name, bal, seg
+    SELECT MIN(k) OVER (
+               PARTITION BY replace(replace(name, 'IMPOSTOR-', ''),
+                                    '~', '')
+           ) AS entity,
+           k, src, name, bal, seg
     FROM all_records
 """
 
@@ -94,11 +103,14 @@ _SURV_OUT_COLS = "entity, k, src, name, bal, seg"
 
 def q_survivorship(spark, sf_dir):
     """Golden record per resolved entity over the two customer
-    snapshots + impostors: completeness beats freshness beats balance,
-    key breaks ties — ONE entity-keyed rank window. The records text,
-    rule cascade, and output list are shared verbatim with the oracle.
-    Output thinned to every 7th entity so the driver row stays
-    result-sized (thinning AFTER selection on both engines)."""
+    snapshots + impostors: entities come from a min-label over the
+    normalized-name block (the clustering-output shape — no key-range
+    aliasing bound, VERDICT r9 #2), then completeness beats freshness
+    beats balance, key breaks ties — ONE entity-keyed rank window on
+    top of ONE block-keyed min window. The records text, rule cascade,
+    and output list are shared verbatim with the oracle. Output thinned
+    to every 7th entity so the driver row stays result-sized (thinning
+    AFTER selection on both engines)."""
     register_views(spark, sf_dir, ["customer"])
     records = spark.sql(_SURV_RECORDS_SQL)
     golden = LK.survivorship(spark, records, "entity",

@@ -70,12 +70,23 @@ def _dim_df(spark: SparkSession, state_dir: str) -> DataFrame:
 
 def scd2_state(spark: SparkSession, state_dir: str) -> DataFrame:
     """The maintained dimension, in the batch build's column contract:
-    (user_id, version, state, valid_from, valid_to, is_current)."""
+    (user_id, version, state, valid_from, valid_to, is_current).
+
+    valid_from/valid_to cast to timestamp_ntz at the read boundary: the
+    batch ``scd2_build`` (and the shared _SCD2_SQL oracle) carries NTZ
+    — the state files store session-LTZ, identical instants under the
+    harness's pinned UTC, but a driver running under a different
+    session zone would stringify them differently (ADVICE r9). Same
+    contract every sibling streaming query pins (stream_session_counts,
+    stream_hourly_topk)."""
     return (_dim_df(spark, state_dir)
             .filter(F.col("user_id").isNotNull())
-            .select("user_id", "version", "state", "valid_from",
-                    "valid_to", F.col("valid_to").isNull()
-                    .alias("is_current")))
+            .select("user_id", "version", "state",
+                    F.col("valid_from").cast("timestamp_ntz")
+                    .alias("valid_from"),
+                    F.col("valid_to").cast("timestamp_ntz")
+                    .alias("valid_to"),
+                    F.col("valid_to").isNull().alias("is_current")))
 
 
 def scd2_upsert_sink(spark: SparkSession, state_dir: str,

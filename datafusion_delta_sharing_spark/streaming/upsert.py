@@ -292,12 +292,32 @@ def compact_stamps(spark: SparkSession, state_dir: str,
              .parquet(state_dir).localCheckpoint())
     dead = (F.col("user_id").isNull()
             & ~F.col("last_run").isin(list(live_runs)))
-    removed = state.filter(dead).count()
-    if removed:
-        (state.filter(~dead).write.mode("overwrite")
-         .option("partitionOverwriteMode", "dynamic")
-         .partitionBy("bucket").parquet(state_dir))
-    return int(removed)
+    dead_count = state.filter(dead).count()
+    if not dead_count:
+        return 0
+    survivors = state.filter(~dead)
+    # dynamic overwrite only rewrites partitions the survivor set still
+    # WRITES — a bucket whose surviving row-set is empty gets no new
+    # files and its dead stamps would stay on disk while `removed`
+    # counted them gone (ADVICE r9). Clear such buckets' directories
+    # explicitly, then recount so the return value reports what
+    # actually left disk. Both distinct() collects are bucket lists —
+    # bounded by n_buckets, the same contract as the merge sinks.
+    dead_buckets = {r.bucket for r in state.filter(dead)
+                    .select("bucket").distinct().collect()}
+    live_buckets = {r.bucket for r in survivors
+                    .select("bucket").distinct().collect()}
+    (survivors.write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("bucket").parquet(state_dir))
+    import shutil
+
+    for b in sorted(dead_buckets - live_buckets):
+        shutil.rmtree(os.path.join(state_dir, f"bucket={b}"),
+                      ignore_errors=True)
+    still_dead = (spark.read.schema(schema or _STATE_SCHEMA)
+                  .parquet(state_dir).filter(dead).count())
+    return int(dead_count - still_dead)
 
 
 def stage_event_slices(spark: SparkSession, sf_dir: str,

@@ -35,20 +35,31 @@ def materialize_stream(stream_df: DataFrame, mode: str, name: str,
     streaming aggregate, stream_hourly_topk). A transform that changes
     the schema must pass the matching ``out_schema`` for the zero-batch-
     safe re-read. (r9 review: stream_hourly_topk had duplicated this
-    whole lifecycle inline for the sake of its ranking lambda.)"""
+    whole lifecycle inline for the sake of its ranking lambda.)
+
+    Sink idempotency: the direct append path rides the parquet sink's
+    own _spark_metadata commit log; the complete path overwrites, so a
+    replay converges by construction. append+transform goes through
+    foreachBatch, OUTSIDE that log — so each micro-batch overwrites its
+    own ``b{batch_id}`` subdirectory instead of appending, making an
+    at-least-once re-delivery rewrite its batch rather than duplicate
+    it (ADVICE r9; same per-(unit, batch) idempotency contract as the
+    upsert sinks' stamps)."""
     spark = stream_df.sparkSession
     root = tempfile.mkdtemp(prefix=f"{name}_")
     data_dir, ckpt = f"{root}/data", f"{root}/ckpt"
+    per_batch_dirs = mode == "append" and batch_transform is not None
     if mode == "append" and batch_transform is None:
         writer = (stream_df.writeStream.outputMode("append")
                   .format("parquet").option("path", data_dir))
     else:
-        write_mode = "append" if mode == "append" else "overwrite"
 
-        def _sink(batch_df, _batch_id):
+        def _sink(batch_df, batch_id):
             if batch_transform is not None:
                 batch_df = batch_transform(batch_df)
-            batch_df.write.mode(write_mode).parquet(data_dir)
+            target = (f"{data_dir}/b{batch_id}" if per_batch_dirs
+                      else data_dir)
+            batch_df.write.mode("overwrite").parquet(target)
 
         writer = (stream_df.writeStream.outputMode(mode)
                   .foreachBatch(_sink))
@@ -65,8 +76,11 @@ def materialize_stream(stream_df: DataFrame, mode: str, name: str,
     import os
 
     os.makedirs(data_dir, exist_ok=True)
-    return spark.read.schema(out_schema or stream_df.schema
-                             ).parquet(data_dir)
+    reader = spark.read.schema(out_schema or stream_df.schema)
+    if per_batch_dirs:
+        # the b{batch_id} subdirs are layout, not partitions
+        reader = reader.option("recursiveFileLookup", "true")
+    return reader.parquet(data_dir)
 
 def _events_schema(ts_type: T.DataType) -> T.StructType:
     return T.StructType([

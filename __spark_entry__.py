@@ -29,15 +29,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # row — distribution after folding the 50/50-green r8 rows:
 # r4x45 r5x46 r6x50 r7x50 r8x50 — and the r6/r7/r8 windows each went
 # 50/50 green).
-# r9 window (VERDICT r8 #1 — executed exactly as pre-committed in the r8
-# session's WINDOW_PLAN.json r9_planned): the 15 mandatory r9_new
-# capabilities (extensions14-18, registered last session AFTER the r8
-# window froze) + the alphabetical 35 of the 45 r4-latest refreshes.
-# After a green r9 only the 10 r4-latest rows in r9_planned.r9_spill
-# (+ the 46 r5-latest rows) predate r5; the spill set leads r10_planned.
-# New r9-session capabilities are capped at ~8 (VERDICT r8 #2) and hold
-# mandatory r10_new slots — enforced by the same freeze test, which
-# accepts an rN_new slot only for the next two rounds (N in {10, 11},
+# r10 window (VERDICT r9 #1 — executed exactly as pre-committed in the
+# r9 session's WINDOW_PLAN.json r10_planned): the 10 mandatory r10_new
+# slots (the r8-session extensions19/20 batches + the r9-session
+# kmv_overlap / stream_scd2_upsert), then the 10-row r9_spill (the last
+# r4-latest rows), then the alphabetical 30 of the 46 r5-latest
+# refreshes. After a green r10 no driver row predates r5; the 16
+# r5-latest rows that did not fit (r10_planned.r10_spill) lead
+# r11_planned, which retires the r5 tail entirely (VERDICT r9 #6).
+# New r10-session capabilities are capped at ~8 (VERDICT r9 #6) and hold
+# mandatory r11_new slots — enforced by the same freeze test, which
+# accepts an rN_new slot only for the next two rounds (N in {11, 12},
 # ADVICE r8: an unbounded N let new queries defer their oracle-window
 # obligation indefinitely). Registry growth without a rotation slot
 # stays IMPOSSIBLE - enforced by
@@ -52,31 +54,35 @@ _MODULE_ORDER = ("connector", "extensions", "extensions2", "extensions3",
                  "tierb7", "tierb8", "tierb9", "tierb")
 
 _WINDOW = (
-    # --- 15 mandatory NEW r9 capabilities (WINDOW_PLAN.json r9_new): the
-    # r8-session extensions14-18 batch, registered after the r8 window
-    # froze, each now taking the driver row the freeze test reserved:
-    # ML-prep (target_encode, ols_fit, ewma_smooth, mutual_info_terms),
-    # lakehouse ops (kmv_rollup, table_diff, compaction_plan,
-    # weighted_sample), eval metrics (auc_roc, calibration_bins,
-    # ndcg_eval, rrf_fusion), and linkage/sketch/timeseries
-    # (fellegi_sunter, count_min, acf_lags).
-    "target_encode", "ols_fit", "ewma_smooth", "mutual_info_terms",
-    "kmv_rollup", "table_diff", "compaction_plan", "weighted_sample",
-    "auc_roc", "calibration_bins", "ndcg_eval", "rrf_fusion",
-    "fellegi_sunter", "count_min", "acf_lags",
-    # --- 35 oldest-provenance refreshes: the alphabetical head of the 45
-    # r4-latest rows after folding the r8 driver rows (CORRECTNESS_r08
-    # 50/50 green). The 10 that do not fit (r9_planned.r9_spill:
-    # table_profile tfidf_top tpch_q16 tpch_q20 train_split triangles
-    # twap vocab_topk weighted_mixture winsorize) lead r10_planned.
-    "basket_rules", "contingency", "corpus_overlap", "csv_scan",
-    "decontaminate", "distinctive_terms", "doc_chunks", "dq_checks",
-    "dup_spans", "embed_normalize", "embed_quantize", "event_transitions",
-    "funnel", "gap_fill", "grouped_quantiles", "json_scan", "label_index",
-    "ohlc_rollup", "orc_scan", "pagerank", "pii_redact", "pmi_collocations",
-    "quality_filter", "quantile_bin", "repetition_metrics", "retention",
-    "rolling_wau", "scd2_build", "semantic_dedup", "seq_pack", "skew_report",
-    "stratified_sample", "stream_dedup", "stream_enrich", "stream_join",
+    # --- 10 mandatory NEW r10 capabilities (WINDOW_PLAN.json r10_new):
+    # the r8-session extensions19/20 wave (experimentation: ab_test,
+    # gains_lift; attribution + MDM survivorship) and r8-session
+    # clustering/timeseries batch (kmeans_fit, kcore,
+    # seasonal_decompose, cusum_changepoint), plus the two r9-session
+    # additions (kmv_overlap — Beyer KMV set algebra, VERDICT r8 #4;
+    # stream_scd2_upsert — incremental CDC->SCD2, VERDICT r8 #5), each
+    # now taking the driver row the freeze test reserved:
+    "kmeans_fit", "kcore", "seasonal_decompose", "cusum_changepoint",
+    "ab_test", "gains_lift", "attribution", "survivorship",
+    "kmv_overlap", "stream_scd2_upsert",
+    # --- the 10-row r9_spill: the last r4-latest rows, deferred by the
+    # r9 window and pre-committed to lead r10 (after these seat, no
+    # driver row predates r5):
+    "table_profile", "tfidf_top", "tpch_q16", "tpch_q20", "train_split",
+    "triangles", "twap", "vocab_topk", "weighted_mixture", "winsorize",
+    # --- 30 oldest-provenance refreshes: the alphabetical head of the
+    # 46 r5-latest rows. The 16 that do not fit
+    # (r10_planned.r10_spill: random_projection ... zorder_stats) lead
+    # r11_planned, which retires the r5 tail entirely.
+    "ann_ivf_topk", "ann_lsh_topk", "approx_count_distinct", "array_hof",
+    "audio_pipeline", "bigram_logprob", "bitwise_funcs", "bloom_join",
+    "connector_cdf_apply", "connector_datasource", "connector_flagship",
+    "connector_partitioned", "containment_pairs", "dedup_incremental",
+    "dedup_minhash", "dedup_simhash", "embedding_covariance",
+    "embedding_neardup", "exact_percentiles", "freq_moments",
+    "image_pipeline", "incremental_agg", "kfold_split", "line_dedup",
+    "listagg_ordered", "mad_outliers", "mask_funcs",
+    "ngram_jaccard_prefix", "pad_case_funcs", "pipeline_e2e",
 )
 
 

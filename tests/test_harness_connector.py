@@ -258,14 +258,14 @@ def test_window_plan_covers_registry():
 
     Invariants: (a) every _WINDOW name resolves in the registry, (b) the
     window has exactly the driver's 50 slots with no duplicates, (c) the
-    r9 window contains every mandatory slot — all 15 r9_new capabilities
-    (WINDOW_PLAN.json r9_new; a query registered after its round's
-    window froze must take a driver row the round its committed slot
-    comes up) — and (d) every registry query either already has a driver
-    provenance pass row in WINDOW_PLAN.json, sits in the r9 window, or
-    holds a near-term committed future slot, so adding a registry query
-    without a rotation plan fails the build instead of silently
-    re-opening the attestation gap.
+    r10 window contains every mandatory slot — all 10 r10_new
+    capabilities (WINDOW_PLAN.json r10_new; a query registered after its
+    round's window froze must take a driver row the round its committed
+    slot comes up) — and (d) every registry query either already has a
+    driver provenance pass row in WINDOW_PLAN.json, sits in the r10
+    window, or holds a near-term committed future slot, so adding a
+    registry query without a rotation plan fails the build instead of
+    silently re-opening the attestation gap.
     """
     import json
     import pathlib
@@ -287,11 +287,11 @@ def test_window_plan_covers_registry():
     assert len(set(window)) == len(window), "duplicate window entries"
     missing = [q for q in window if q not in registry]
     assert not missing, f"window names not in registry: {missing}"
-    mandatory = set(plan["r9_new"]["queries"])
+    mandatory = set(plan["r10_new"]["queries"])
     dropped = mandatory - set(window)
-    assert not dropped, f"mandatory r9 slots missing from window: {dropped}"
-    assert window == plan["r9_window"], (
-        "_WINDOW and WINDOW_PLAN.json r9_window diverged")
+    assert not dropped, f"mandatory r10 slots missing from window: {dropped}"
+    assert window == plan["r10_window"], (
+        "_WINDOW and WINDOW_PLAN.json r10_window diverged")
 
     assert len(registry) == plan["registry_size"], (
         f"registry grew to {len(registry)} without a WINDOW_PLAN update "
@@ -309,7 +309,7 @@ def test_window_plan_covers_registry():
     # that plan exists, so the deferral stays concretely scheduled.
     import re as _re
 
-    _CURRENT_ROUND = 9
+    _CURRENT_ROUND = 10
     next_new = set()
     for key, val in plan.items():
         mm = _re.fullmatch(r"r(\d+)_new", key)
@@ -345,13 +345,17 @@ def test_window_plan_covers_registry():
     assert set(plan["r7_window"]) <= r7_rows, "r7 driver rows not folded"
     r8_rows = {q for q, rounds in plan["provenance"].items() if "r8" in rounds}
     assert set(plan["r8_window"]) <= r8_rows, "r8 driver rows not folded"
-    # the r9 rotation's reason to exist: after folding the 50/50-green r8
-    # rows nothing r3-or-older may remain anywhere, and every r4-latest
-    # row must either sit in this window (the alphabetical 35) or in the
-    # pre-committed spill set that leads r10 (the other 10). Round keys
+    r9_rows = {q for q, rounds in plan["provenance"].items() if "r9" in rounds}
+    assert set(plan["r9_window"]) <= r9_rows, "r9 driver rows not folded"
+    # the r10 rotation's reason to exist: after folding the 50/50-green
+    # r9 rows nothing r3-or-older may remain anywhere, every r4-latest
+    # row (the 10-row r9_spill) must SIT IN this window (their deferral
+    # was a one-round commitment, not renewable), and every r5-latest
+    # row must either sit in this window (the alphabetical 30) or in the
+    # pre-committed spill set that leads r11 (the other 16). Round keys
     # are parsed numerically, not looked up in a hardcoded list —
-    # folding the r9 (or any later) driver rows into provenance must not
-    # crash the freeze test itself (r8 review)
+    # folding the r10 (or any later) driver rows into provenance must
+    # not crash the freeze test itself (r8 review)
     def _latest(rounds: dict) -> int:
         return max(int(r[1:]) for r in rounds)
 
@@ -360,10 +364,16 @@ def test_window_plan_covers_registry():
     assert not stale, f"pre-r4 driver rows left unrefreshed: {stale}"
     r4_latest = {q for q, rounds in plan["provenance"].items()
                  if _latest(rounds) == 4}
-    spill = set(plan["r9_planned"]["r9_spill"])
-    unseated = r4_latest - set(window) - spill
+    unseated4 = r4_latest - set(window)
+    assert not unseated4, (
+        f"r4-latest rows (the r9_spill one-round deferral) missing from "
+        f"the r10 window: {unseated4}")
+    r5_latest = {q for q, rounds in plan["provenance"].items()
+                 if _latest(rounds) == 5}
+    spill = set(plan["r10_planned"]["r10_spill"])
+    unseated = r5_latest - set(window) - spill
     assert not unseated, (
-        f"r4-latest rows missing both a refresh slot and a spill "
+        f"r5-latest rows missing both a refresh slot and a spill "
         f"commitment: {unseated}")
 
     # forward plan hygiene: every r*_planned entry must resolve — a

@@ -32,6 +32,10 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from datafusion_delta_sharing_spark.streaming import (
+    progress as _STREAM_PROGRESS,
+)
+
 _SHARE, _SCHEMA = "bench", "tpch"
 _STAGE_ROOT = os.path.join(os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__)))), ".harness_tmp")
@@ -472,6 +476,77 @@ def q_connector_cdf_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("c_custkey").cast("long").alias("sum_keys")))
 
 
+def q_connector_cdf_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full lakehouse CDC -> dimension workflow the reference stubs
+    at ``src/client/mod.rs:384-386`` (VERDICT r9 #4): an SCD2 dimension
+    seeded from the share's base snapshot and then MAINTAINED by the
+    real ``/changes`` protocol through Structured Streaming.
+
+    Composition of two already-attested pieces: the ``deltasharing``
+    CDF streaming source (``connector_cdf_stream``'s path — version
+    offsets over the mock server's commit history) feeds
+    ``streaming/scd2.scd2_upsert_sink`` via foreachBatch. Seed = the
+    base snapshot (slices 1+2) as ``insert`` events at v1 under its own
+    run_id; the v2 add commit (slice 0 inserts) and the v3 remove
+    commit (slice 2 DELETES — closing open v1 intervals cross-batch)
+    then arrive over HTTP. Event time/tie-break derive from the commit
+    version (ts = timestamp_seconds(version), event_id = version) — the
+    CDC log order, so the sink's order contract holds by construction.
+    The oracle is the batch interval build over the same event log
+    expressed directly on the customer table."""
+    import tempfile as _tmp
+
+    from datafusion_delta_sharing_spark.sources.datasource import (
+        DeltaSharingDataSource,
+    )
+    from datafusion_delta_sharing_spark.streaming.scd2 import (
+        scd2_state, scd2_upsert_sink,
+    )
+
+    state = _ensure_served(spark, sf_dir)
+    reader = _reader(spark, sf_dir)
+    state_dir = _tmp.mkdtemp(prefix="cdf_scd2_state_")
+    ckpt = _tmp.mkdtemp(prefix="cdf_scd2_ckpt_")
+
+    def _events(df: DataFrame, version_col) -> DataFrame:
+        return df.select(
+            F.col("c_custkey").cast("bigint").alias("user_id"),
+            F.col("_change_type").alias("event_type"),
+            F.timestamp_seconds(version_col).alias("ts"),
+            version_col.cast("bigint").alias("event_id"))
+
+    # initial load: the base snapshot (slices 1+2) as v1 inserts,
+    # merged under its own run_id (a one-off backfill run)
+    base = (reader.table(f"{_SHARE}.{_SCHEMA}.customer_cdf")
+            .withColumn("_change_type", F.lit("insert")))
+    scd2_upsert_sink(spark, state_dir, n_buckets=8,
+                     run_id=f"{ckpt}-seed")(
+        _events(base, F.lit(1)).localCheckpoint(), 0)
+
+    spark.dataSource.register(DeltaSharingDataSource)
+    stream = (spark.readStream.format("deltasharing")
+              .option("profile_json", state["profile_json"])
+              .option("table", f"{_SHARE}.{_SCHEMA}.customer_cdf")
+              .option("readChangeFeed", "true")
+              .option("startingVersion", "2").load())
+    import time
+
+    t0 = time.perf_counter()
+    query = (_events(stream, F.col("_commit_version"))
+             .writeStream.outputMode("update")
+             .foreachBatch(scd2_upsert_sink(spark, state_dir,
+                                            n_buckets=8, run_id=ckpt))
+             .option("checkpointLocation", ckpt)
+             .start())
+    try:
+        query.processAllAvailable()
+        _STREAM_PROGRESS.note("connector_cdf_scd2", query,
+                              wall_s=time.perf_counter() - t0)
+    finally:
+        query.stop()
+    return scd2_state(spark, state_dir)
+
+
 def q_connector_snapshot_stream(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
     """The snapshot-diff STREAMING source end-to-end: ``spark.readStream``
@@ -596,6 +671,7 @@ QUERIES = {
     "connector_datasource": q_connector_datasource,
     "connector_catalog_sql": q_connector_catalog_sql,
     "connector_cdf_apply": q_connector_cdf_apply,
+    "connector_cdf_scd2": q_connector_cdf_scd2,
 }
 
 ORACLES = {
@@ -684,5 +760,36 @@ ORACLES = {
     "connector_cdf_apply": """
         SELECT c_custkey, c_name, c_acctbal, c_mktsegment
         FROM customer WHERE c_custkey % 3 != 2
+    """,
+    # the maintained dimension == the batch SCD2 interval build over the
+    # commit-derived event log: base snapshot (mod 1, 2) inserted at v1,
+    # the v2 add commit inserts mod 0, the v3 remove commit DELETES
+    # mod 2 (closing its open v1 interval). ts/event_id derive from the
+    # commit version on both engines.
+    "connector_cdf_scd2": """
+        SELECT user_id, version, state, valid_from, valid_to,
+               valid_to IS NULL AS is_current
+        FROM (
+            SELECT user_id, state, ts AS valid_from,
+                   lead(ts) OVER w AS valid_to,
+                   CAST(row_number() OVER w AS BIGINT) AS version
+            FROM (
+                SELECT CAST(c_custkey AS BIGINT) AS user_id,
+                       'insert' AS state,
+                       make_timestamp(1 * 1000000) AS ts,
+                       CAST(1 AS BIGINT) AS event_id
+                FROM customer WHERE c_custkey % 3 != 0
+                UNION ALL
+                SELECT CAST(c_custkey AS BIGINT), 'insert',
+                       make_timestamp(2 * 1000000), CAST(2 AS BIGINT)
+                FROM customer WHERE c_custkey % 3 = 0
+                UNION ALL
+                SELECT CAST(c_custkey AS BIGINT), 'delete',
+                       make_timestamp(3 * 1000000), CAST(3 AS BIGINT)
+                FROM customer WHERE c_custkey % 3 = 2
+            )
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY ts NULLS LAST, event_id NULLS LAST)
+        )
     """,
 }

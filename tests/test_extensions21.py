@@ -326,3 +326,100 @@ def test_kmv_overlap_registry_row_flags_hold(spark, sf_dir):
     # sketch carries a healthy intersection count (not a 2-hash fluke)
     assert r["k_inter"] >= 20
     assert 0.1 < r["jaccard_exact"] < 0.4
+
+
+def test_scd2_repair_entities_recovers_late_data(spark, tmp_path):
+    """VERDICT r9 #3: the order guard refuses a late event; repair
+    rebuilds ONLY the affected entity from the full log; the final
+    state equals the batch build over the same events; other entities'
+    rows and every stamp (live runs' replay guards) survive; the
+    redelivered batch routes around its applied rows via
+    unapplied_events and the remainder merges normally."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from datafusion_delta_sharing_spark.streaming import scd2 as S2
+
+    t = [dt.datetime(2024, 3, 1, h) for h in range(6)]
+    state = str(tmp_path / "dim")
+    merge = S2.scd2_upsert_sink(spark, state, n_buckets=2, run_id="ck-a")
+    # batch 0: entities 1 and 2 (different buckets under n_buckets=2)
+    merge(_cdc(spark, [(1, "new", t[0], 10), (1, "active", t[2], 12),
+                       (2, "new", t[1], 11)]), 0)
+    # batch 1 arrives with a LATE event for entity 1 (ts between its
+    # two applied versions) alongside a fine event for entity 2
+    late_batch = [(1, "flagged", t[1], 13), (2, "active", t[3], 14)]
+    with pytest.raises(ValueError, match="repair_entities"):
+        merge(_cdc(spark, late_batch), 1)
+    before = _dim(spark, state)
+    assert before[(2, 1)] == ("new", t[1], None, True)  # batch 1 never committed
+
+    # the full CDC log = applied events + the late one, entity 1 only
+    full_log = _cdc(spark, [(1, "new", t[0], 10), (1, "flagged", t[1], 13),
+                            (1, "active", t[2], 12),
+                            (2, "new", t[1], 11)])
+    rebuilt = S2.repair_entities(spark, state, full_log, [1])
+    assert rebuilt == 3
+    d = _dim(spark, state)
+    # entity 1 = the batch window over its full log: (ts, event_id) order
+    assert d[(1, 1)] == ("new", t[0], t[1], False)
+    assert d[(1, 2)] == ("flagged", t[1], t[2], False)
+    assert d[(1, 3)] == ("active", t[2], None, True)
+    # entity 2 untouched by the repair
+    assert d[(2, 1)] == ("new", t[1], None, True)
+    # stamps carried verbatim: run a's replay guard still skips batch 0
+    merge(_cdc(spark, [(1, "new", t[0], 10), (1, "active", t[2], 12),
+                       (2, "new", t[1], 11)]), 0)
+    assert _dim(spark, state) == d
+
+    # redelivery of the refused batch: entity 1's late row is applied
+    # now, entity 2's row is not — unapplied_events splits them and the
+    # remainder merges without tripping the guard
+    redelivered = _cdc(spark, late_batch)
+    rest = S2.unapplied_events(spark, state, redelivered)
+    assert {(r.user_id, r.event_id) for r in rest.collect()} == {(2, 14)}
+    merge(rest.localCheckpoint(), 1)
+    final = _dim(spark, state)
+    assert final[(2, 1)] == ("new", t[1], t[3], False)
+    assert final[(2, 2)] == ("active", t[3], None, True)
+    for k, v in d.items():
+        if k[0] == 1:
+            assert final[k] == v
+
+    # the contract the verdict names: state hash-matches the batch
+    # build over the same events — rebuild everything independently
+    w_events = [(1, "new", t[0], 10), (1, "flagged", t[1], 13),
+                (1, "active", t[2], 12), (2, "new", t[1], 11),
+                (2, "active", t[3], 14)]
+    from pyspark.sql import Window
+
+    ev = _cdc(spark, w_events)
+    wu = Window.partitionBy("user_id").orderBy(
+        F.asc_nulls_last("ts"), F.asc_nulls_last("event_id"))
+    want = {(r.user_id, r.version): (r.state, r.valid_from, r.valid_to,
+                                     r.valid_to is None)
+            for r in (ev.withColumn("version", F.row_number().over(wu))
+                      .withColumn("valid_to", F.lead("ts").over(wu))
+                      .select("user_id", "version",
+                              F.col("event_type").alias("state"),
+                              F.col("ts").alias("valid_from"),
+                              "valid_to")).collect()}
+    assert final == want
+
+
+def test_scd2_repair_empty_and_unknown_entities(spark, tmp_path):
+    import datetime as dt
+
+    from datafusion_delta_sharing_spark.streaming import scd2 as S2
+
+    t0 = dt.datetime(2024, 3, 2)
+    state = str(tmp_path / "dim")
+    S2.scd2_upsert_sink(spark, state, n_buckets=2,
+                        run_id="ck-a")(_cdc(spark, [(1, "new", t0, 1)]), 0)
+    log = _cdc(spark, [(1, "new", t0, 1)])
+    before = _dim(spark, state)
+    assert S2.repair_entities(spark, state, log, []) == 0
+    # an entity with no log rows rebuilds to zero rows -> no buckets
+    assert S2.repair_entities(spark, state, log, [99]) == 0
+    assert _dim(spark, state) == before

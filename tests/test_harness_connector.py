@@ -416,3 +416,38 @@ def test_bench_headline_resolves_in_registry():
     assert len(set(headline)) == len(headline), "duplicate HEADLINE entries"
     missing = [q for q in headline if q not in registry]
     assert not missing, f"HEADLINE names not in registry: {missing}"
+
+
+def test_connector_cdf_scd2_maintains_intervals(spark):
+    """VERDICT r9 #4: CDC commits from the real /changes protocol
+    maintain an SCD2 dimension. The v3 remove commit must CLOSE the
+    open v1 interval of every mod-2 entity (two versions: insert then
+    delete), mod-1 entities stay single open inserts from the seed, and
+    mod-0 entities are single open inserts born from the v2 add commit
+    over HTTP."""
+    import datetime as dt
+
+    df = C.q_connector_cdf_scd2(spark, SF_DIR)
+    rows = df.collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id % 3, []).append(r)
+    t = {v: dt.datetime(1970, 1, 1, 0, 0, v) for v in (1, 2, 3)}
+    for r in by_user[1]:
+        assert (r.version, r.state, r.valid_from,
+                r.valid_to, r.is_current) == (1, "insert", t[1], None,
+                                              True)
+    for r in by_user[0]:
+        assert (r.version, r.state, r.valid_from,
+                r.valid_to, r.is_current) == (1, "insert", t[2], None,
+                                              True)
+    mod2 = {}
+    for r in by_user[2]:
+        mod2.setdefault(r.user_id, {})[r.version] = r
+    for u, versions in mod2.items():
+        assert set(versions) == {1, 2}, f"user {u} missing a version"
+        v1, v2 = versions[1], versions[2]
+        assert (v1.state, v1.valid_from, v1.valid_to,
+                v1.is_current) == ("insert", t[1], t[3], False)
+        assert (v2.state, v2.valid_from, v2.valid_to,
+                v2.is_current) == ("delete", t[3], None, True)

@@ -370,10 +370,28 @@ def main() -> None:
     # stdout-tail truncation (parsed: null). Persist the full document to
     # a file FIRST — the repo then carries the numbers regardless of what
     # happens to stdout downstream.
-    with open(Path(__file__).resolve().parent / "BENCH_LATEST.json",
-              "w") as fh:
+    root = Path(__file__).resolve().parent
+    with open(root / "BENCH_LATEST.json", "w") as fh:
         json.dump(doc, fh, indent=1)
         fh.write("\n")
+    # VERDICT r9 #5: archive the FULL per-query map per round —
+    # BENCH_r{N}.json keeps only the compact stdout summary (top-3 +
+    # worst-3), and BENCH_LATEST.json is overwritten every run, so
+    # cross-round per-query audits needed `git show`. This run's round =
+    # newest driver artifact + 1 (the driver writes BENCH_r{N} after the
+    # session closes). Only driver-shaped runs archive (the default SF),
+    # so sf0.01 iteration loops don't clobber the round's sf0.1 record.
+    if sf_val == 0.1:
+        import glob as _glob
+        import re as _re
+
+        ns = [int(m.group(1))
+              for p in _glob.glob(str(root / "BENCH_r*.json"))
+              if (m := _re.search(r"BENCH_r(\d+)\.json$", p))]
+        this_round = (max(ns) + 1) if ns else 1
+        with open(root / f"BENCH_FULL_r{this_round:02d}.json", "w") as fh:
+            json.dump(doc, fh, indent=1)
+            fh.write("\n")
     # leading newline: if anything (JVM banner, a stray progress bar) left
     # an unterminated stdout line, the JSON must still start at column 0 —
     # r4's artifact was lost to exactly this gluing

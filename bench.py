@@ -123,6 +123,9 @@ HEADLINE = [
     # r9 session batch 21 (r10 slots): KMV sketch set-algebra, streaming
     # CDC->SCD2 dimension maintenance
     "kmv_overlap", "stream_scd2_upsert",
+    # r10 session (r11 slots): SCD2 late-data repair cycle, CDC commits
+    # from the real /changes protocol maintaining the dimension
+    "scd2_repair", "connector_cdf_scd2",
 ]
 
 

@@ -346,6 +346,7 @@ def _read_file_partition(options, full_schema: T.StructType,
     import pyarrow.parquet as pq
 
     from datafusion_delta_sharing_spark.sources.dv import (
+        dv_identity_changed,
         dv_positions,
         positions_mask,
     )
@@ -397,9 +398,7 @@ def _read_file_partition(options, full_schema: T.StructType,
             if status not in (401, 403):
                 raise
             fresh_dv = refresh().deletion_vector
-            if not fresh_dv or any(
-                    fresh_dv.get(k) != descriptor.get(k)
-                    for k in ("storageType", "sizeInBytes", "cardinality")):
+            if dv_identity_changed(fresh_dv, descriptor):
                 raise DeltaSharingError(
                     f"deletion vector of file {partition.file_id!r} "
                     "changed between the logged microbatch and its "

@@ -466,6 +466,21 @@ def validate_descriptor(descriptor: dict, data_url: str | None = None) -> None:
                 "descriptor")
 
 
+def dv_identity_changed(fresh_dv: dict | None, descriptor: dict) -> bool:
+    """True if a refreshed file action's DV no longer describes the SAME
+    deletion set as the original descriptor. Identity = (storageType,
+    sizeInBytes, cardinality) — the presigned URL/path may rotate
+    freely, but a different size or cardinality means the table gained
+    or lost deletes between the two resolutions. THE shared check for
+    both expired-DV escape hatches (r9 deferral: it was duplicated
+    between reader.py's snapshot-consistency refusal and datasource.py's
+    streaming replay-reproduction refusal, and a drift in the compared
+    keys would have weakened exactly one of them silently)."""
+    return bool(not fresh_dv or any(
+        fresh_dv.get(k) != descriptor.get(k)
+        for k in ("storageType", "sizeInBytes", "cardinality")))
+
+
 def dv_positions(descriptor: dict, session=None) -> np.ndarray:
     """Deletion-vector descriptor -> sorted uint64 deleted row positions.
 

@@ -274,6 +274,7 @@ def _fetch_batches_task(
         decode_partition_values as _decode,
     )
     from datafusion_delta_sharing_spark.sources.dv import (
+        dv_identity_changed as _dv_identity_changed,
         dv_positions as _dv_positions,
         positions_mask as _positions_mask,
     )
@@ -341,9 +342,7 @@ def _fetch_batches_task(
             if fresh is None:
                 raise
             fresh_dv = fresh.deletion_vector
-            if not fresh_dv or any(
-                    fresh_dv.get(k) != descriptor.get(k)
-                    for k in ("storageType", "sizeInBytes", "cardinality")):
+            if _dv_identity_changed(fresh_dv, descriptor):
                 # only possible on an UNPINNED refresh: the table's DV
                 # changed between listing and scan — silently using the
                 # new one would tear the snapshot (other files already

@@ -61,6 +61,16 @@ def q_scd2_repair(spark, sf_dir):
                                & (F.col("__n") >= 3)))
                .drop("__rn", "__n"))
 
+    # precondition, checked FIRST (r10 review): an sf_dir where no
+    # entity has >= 3 events makes the holdout empty and the sink would
+    # return without refusing — the else-branch below would then blame
+    # a removed order guard when the real cause is a vacuous data shape
+    if not held_out.limit(1).count():
+        raise RuntimeError(
+            "scd2_repair: no entity with >= 3 events at this sf_dir — "
+            "the holdout stripe is empty and the refuse->repair cycle "
+            "cannot be exercised")
+
     state_dir = tempfile.mkdtemp(prefix="scd2_repair_state_")
     sink = scd2_upsert_sink(spark, state_dir, n_buckets=8,
                             run_id=f"{state_dir}-run")

@@ -277,6 +277,21 @@ def repair_entities(spark: SparkSession, state_dir: str,
     ent_col = F.col("user_id").isin(entities)
     ev = (log_df.select("user_id", "event_type", "ts", "event_id")
           .filter(ent_col))
+    # the log must COVER every affected entity: an entity with zero log
+    # rows has no rebuild target, and what would happen to its existing
+    # state rows would otherwise depend on bucket collision with the
+    # rebuilt entities (r10 review) — deleted if it shares a touched
+    # bucket (the keep filter excises it, nothing replaces it), silently
+    # kept otherwise. A retention-trimmed log cannot repair; refuse.
+    covered = {r.user_id for r in ev.select("user_id").distinct()
+               .collect()}  # bounded by the affected-entity list
+    uncovered = sorted(set(entities) - covered)
+    if uncovered:
+        raise ValueError(
+            f"repair_entities: {len(uncovered)} affected entity(ies) "
+            f"have no rows in the supplied log ({uncovered[:10]}...); "
+            "the repair log must contain each affected entity's FULL "
+            "history — a retention-trimmed log cannot rebuild it")
     wu = Window.partitionBy("user_id").orderBy(
         F.asc_nulls_last("ts"), F.asc_nulls_last("event_id"))
     rebuilt = (ev
@@ -317,11 +332,21 @@ def unapplied_events(spark: SparkSession, state_dir: str,
     so an anti-join on (user_id, event_id) is a complete applied-set
     test. This is the route-around for the micro-batch the order guard
     refused before :func:`repair_entities` folded its rows in — filter,
-    then merge the remainder (usually empty) normally."""
+    then merge the remainder (usually empty) normally.
+
+    event_id compares NULL-SAFELY (r10 review): the schema allows NULL
+    event_id (the order guard maps it to a +inf sentinel), so a plain
+    equi-join would never recognize an applied NULL-id event — the
+    redelivered batch would keep it, the re-merge would re-trip the
+    guard, and the refuse→repair→redeliver cycle would never terminate
+    for that entity."""
     applied = (_dim_df(spark, state_dir)
                .filter(F.col("user_id").isNotNull())
-               .select("user_id", "event_id"))
-    return events.join(applied, ["user_id", "event_id"], "left_anti")
+               .select(F.col("user_id").alias("__au"),
+                       F.col("event_id").alias("__ae")))
+    cond = ((events["user_id"] == applied["__au"])
+            & events["event_id"].eqNullSafe(applied["__ae"]))
+    return events.join(applied, cond, "left_anti")
 
 
 def stage_time_slices(spark: SparkSession, sf_dir: str,

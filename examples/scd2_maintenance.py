@@ -33,7 +33,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from pyspark.sql import Row, functions as F  # noqa: E402
+from pyspark.sql import Row  # noqa: E402
 
 from datafusion_delta_sharing_spark.harness.extensions7 import (  # noqa: E402
     q_scd2_build,

@@ -408,7 +408,12 @@ def test_scd2_repair_entities_recovers_late_data(spark, tmp_path):
     assert final == want
 
 
-def test_scd2_repair_empty_and_unknown_entities(spark, tmp_path):
+def test_scd2_repair_empty_and_uncovered_entities(spark, tmp_path):
+    """r10 review: an affected entity with NO rows in the supplied log
+    has no rebuild target — what happened to its state rows used to
+    depend on whether it shared a bucket with a rebuilt entity (deleted
+    on collision, silently kept otherwise). Now it refuses loudly; an
+    empty affected list stays a no-op."""
     import datetime as dt
 
     from datafusion_delta_sharing_spark.streaming import scd2 as S2
@@ -420,6 +425,30 @@ def test_scd2_repair_empty_and_unknown_entities(spark, tmp_path):
     log = _cdc(spark, [(1, "new", t0, 1)])
     before = _dim(spark, state)
     assert S2.repair_entities(spark, state, log, []) == 0
-    # an entity with no log rows rebuilds to zero rows -> no buckets
-    assert S2.repair_entities(spark, state, log, [99]) == 0
+    with pytest.raises(ValueError, match="no rows in the supplied log"):
+        S2.repair_entities(spark, state, log, [99])
+    # ...and a mixed list refuses too, regardless of bucket collision
+    # (user 3 collides with 1 under n_buckets=2, user 2 does not)
+    for ghost in (2, 3):
+        with pytest.raises(ValueError, match="FULL history"):
+            S2.repair_entities(spark, state, log, [1, ghost])
     assert _dim(spark, state) == before
+
+
+def test_scd2_unapplied_events_is_null_safe(spark, tmp_path):
+    """r10 review: an applied event with NULL event_id must be
+    recognized as applied — a null-unsafe equi-join would keep it in
+    the redelivered batch forever and the re-merge would re-trip the
+    order guard (an unrecoverable refuse loop)."""
+    import datetime as dt
+
+    from datafusion_delta_sharing_spark.streaming import scd2 as S2
+
+    t0 = dt.datetime(2024, 3, 3)
+    state = str(tmp_path / "dim")
+    S2.scd2_upsert_sink(spark, state, n_buckets=2, run_id="ck-a")(
+        _cdc(spark, [(5, "new", t0, None), (6, "new", t0, 60)]), 0)
+    redelivered = _cdc(spark, [(5, "new", t0, None), (6, "new", t0, 60),
+                               (7, "fresh", t0, 70)])
+    rest = S2.unapplied_events(spark, state, redelivered).collect()
+    assert {(r.user_id, r.event_id) for r in rest} == {(7, 70)}

@@ -39,7 +39,7 @@ def test_scd2_repair_oracle_text_is_the_batch_sql(spark, sf_dir):
     assert n_oracle == E22.q_scd2_repair(spark, sf_dir).count()
 
 
-def test_scd2_repair_raises_when_guard_cannot_fire(spark, tmp_path,
+def test_scd2_repair_raises_when_guard_cannot_fire(spark, sf_dir,
                                                    monkeypatch):
     """Non-vacuousness: if the sink accepted the held-out stripe (e.g.
     a regression removed the order guard), the query must raise rather
@@ -63,4 +63,4 @@ def test_scd2_repair_raises_when_guard_cannot_fire(spark, tmp_path,
         "datafusion_delta_sharing_spark.streaming.scd2.scd2_upsert_sink",
         tolerant_sink)
     with pytest.raises(RuntimeError, match="order guard"):
-        E22.q_scd2_repair(spark, "/root/testdata/sf0.001")
+        E22.q_scd2_repair(spark, sf_dir)

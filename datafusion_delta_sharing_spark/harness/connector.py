@@ -98,6 +98,29 @@ def _stage_cdf_customer(spark: SparkSession, sf_dir: str) -> dict:
     return paths
 
 
+def _stage_cdf_update(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the v4 ``cdc`` commit for the full-CDC share: pre/post
+    update images for the base-snapshot keys ``c_custkey % 3 == 1 AND
+    % 5 == 0`` — the preimage carries the old row, the postimage the new
+    ``c_mktsegment = 'UPDATED'``, both in ONE file whose own
+    ``_change_type`` column travels with the data (the protocol's
+    ``cdc`` action shape, which add/remove actions cannot express)."""
+    src = os.path.abspath(os.path.join(sf_dir, "customer.parquet"))
+    key = _stage_key(src, salt="cdfu")
+    out = os.path.join(_STAGE_ROOT, key, "customer_cdf_update")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        upd = (spark.read.parquet(src)
+               .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+               .filter((F.col("c_custkey") % 3 == 1)
+                       & (F.col("c_custkey") % 5 == 0)))
+        pre = upd.withColumn("_change_type", F.lit("update_preimage"))
+        post = (upd.withColumn("c_mktsegment", F.lit("UPDATED"))
+                .withColumn("_change_type", F.lit("update_postimage")))
+        (pre.unionByName(post).coalesce(1)
+         .write.mode("overwrite").parquet(out))
+    return sorted(glob.glob(os.path.join(out, "*.parquet")))[0]
+
+
 def _stage_dv_customer(sf_dir: str) -> tuple[dict, list]:
     """Split customer (projected to 3 columns) into two parquet blobs and
     build deletion vectors marking the positions of rows with
@@ -229,6 +252,25 @@ def _ensure_served(spark: SparkSession, sf_dir: str) -> dict:
          **_cdf_file(2)},
     ])
 
+    # the FULL three-kind CDC history (connector_cdf_scd2): the same
+    # base snapshot and add/remove commits, plus a v4 ``cdc`` commit
+    # whose file carries its own _change_type column (update pre/post
+    # images for the % 3 == 1 AND % 5 == 0 keys)
+    update_path = _stage_cdf_update(spark, sf_dir)
+    cdf_full = MockTable(share=_SHARE, schema=_SCHEMA,
+                         name="customer_cdf_full",
+                         schema_string=cdf_schema,
+                         files=[_cdf_file(1), _cdf_file(2)])
+    cdf_full.changes.extend([
+        {"kind": "add", "version": 2, "timestamp": 1_700_000_000_000,
+         **_cdf_file(0)},
+        {"kind": "remove", "version": 3, "timestamp": 1_700_000_060_000,
+         **_cdf_file(2)},
+        {"kind": "cdf", "version": 4, "timestamp": 1_700_000_120_000,
+         "id": "cdf-update4", "url": f"file://{update_path}",
+         "size": os.path.getsize(update_path), "partition_values": {}},
+    ])
+
     dv_blobs, dv_files = _stage_dv_customer(sf_dir)
     dv_schema = spark.read.parquet(customer_path).select(
         "c_custkey", "c_name", "c_acctbal").schema.json()
@@ -251,6 +293,7 @@ def _ensure_served(spark: SparkSession, sf_dir: str) -> dict:
                       partition_columns=["o_orderstatus"],
                       files=order_files),
             cdf_table,
+            cdf_full,
             MockTable(share=_SHARE, schema=_SCHEMA, name="customer_dv",
                       schema_string=dv_schema, files=dv_files),
             tt_table,
@@ -258,11 +301,14 @@ def _ensure_served(spark: SparkSession, sf_dir: str) -> dict:
         parquet_bytes={**customer_blobs, **dv_blobs},
     )
     server.__enter__()  # stays up for the process lifetime (daemon thread)
-    for i, f in enumerate(server.tables[0].files):
+    # resolve tables by NAME, not list position (r10 review: inserting
+    # cdf_full silently shifted the old hard-coded [3] off customer_dv)
+    by_name = {t.name: t for t in server.tables}
+    for i, f in enumerate(by_name["customer"].files):
         f["url"] = f"{server.base_url}/customer-{i}.parquet"
-    for i, f in enumerate(server.tables[3].files):
+    for i, f in enumerate(by_name["customer_dv"].files):
         f["url"] = f"{server.base_url}/customer-dv-{i}.parquet"
-    server.tables[3].files[1]["deletion_vector"]["pathOrInlineDv"] = (
+    by_name["customer_dv"].files[1]["deletion_vector"]["pathOrInlineDv"] = (
         f"{server.base_url}/customer-dv.bin")
     # additive: the mock accepts the static bearer token AND any token
     # it issued via /oauth/token, so enabling OAuth never breaks the
@@ -479,21 +525,26 @@ def q_connector_cdf_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_connector_cdf_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full lakehouse CDC -> dimension workflow the reference stubs
     at ``src/client/mod.rs:384-386`` (VERDICT r9 #4): an SCD2 dimension
-    seeded from the share's base snapshot and then MAINTAINED by the
-    real ``/changes`` protocol through Structured Streaming.
+    tracking ``c_mktsegment``, seeded from the share's base snapshot
+    and then MAINTAINED by ALL THREE change kinds of the real
+    ``/changes`` protocol through Structured Streaming.
 
     Composition of two already-attested pieces: the ``deltasharing``
     CDF streaming source (``connector_cdf_stream``'s path — version
     offsets over the mock server's commit history) feeds
     ``streaming/scd2.scd2_upsert_sink`` via foreachBatch. Seed = the
-    base snapshot (slices 1+2) as ``insert`` events at v1 under its own
-    run_id; the v2 add commit (slice 0 inserts) and the v3 remove
-    commit (slice 2 DELETES — closing open v1 intervals cross-batch)
-    then arrive over HTTP. Event time/tie-break derive from the commit
-    version (ts = timestamp_seconds(version), event_id = version) — the
-    CDC log order, so the sink's order contract holds by construction.
-    The oracle is the batch interval build over the same event log
-    expressed directly on the customer table."""
+    base snapshot (slices 1+2) as v1 segment states under its own
+    run_id; then over HTTP arrive the v2 ``add`` commit (slice 0
+    inserts), the v3 ``remove`` commit (slice 2 -> '<deleted>' versions
+    closing open v1 intervals cross-batch), and the v4 ``cdc`` commit —
+    a file carrying its own ``_change_type`` column with update
+    pre/post images (% 3 == 1 AND % 5 == 0 keys -> segment 'UPDATED');
+    preimages are dropped, postimages open new versions. Event
+    time/tie-break derive from the commit version
+    (ts = timestamp_seconds(version), event_id = version) — the CDC log
+    order, so the sink's order contract holds by construction. The
+    oracle is the batch interval build over the same commit-derived
+    event log expressed directly on the customer table."""
     import tempfile as _tmp
 
     from datafusion_delta_sharing_spark.sources.datasource import (
@@ -509,15 +560,22 @@ def q_connector_cdf_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = _tmp.mkdtemp(prefix="cdf_scd2_ckpt_")
 
     def _events(df: DataFrame, version_col) -> DataFrame:
-        return df.select(
-            F.col("c_custkey").cast("bigint").alias("user_id"),
-            F.col("_change_type").alias("event_type"),
-            F.timestamp_seconds(version_col).alias("ts"),
-            version_col.cast("bigint").alias("event_id"))
+        # the SCD2 state IS the segment; a delete closes the row into a
+        # terminal '<deleted>' version. Update preimages are the old
+        # row restated, not an event — only postimages advance history.
+        return (df.filter(F.col("_change_type") != "update_preimage")
+                .select(
+                    F.col("c_custkey").cast("bigint").alias("user_id"),
+                    F.when(F.col("_change_type") == "delete",
+                           F.lit("<deleted>"))
+                    .otherwise(F.col("c_mktsegment"))
+                    .alias("event_type"),
+                    F.timestamp_seconds(version_col).alias("ts"),
+                    version_col.cast("bigint").alias("event_id")))
 
-    # initial load: the base snapshot (slices 1+2) as v1 inserts,
-    # merged under its own run_id (a one-off backfill run)
-    base = (reader.table(f"{_SHARE}.{_SCHEMA}.customer_cdf")
+    # initial load: the base snapshot (slices 1+2) as v1 segment
+    # states, merged under its own run_id (a one-off backfill run)
+    base = (reader.table(f"{_SHARE}.{_SCHEMA}.customer_cdf_full")
             .withColumn("_change_type", F.lit("insert")))
     scd2_upsert_sink(spark, state_dir, n_buckets=8,
                      run_id=f"{ckpt}-seed")(
@@ -526,7 +584,7 @@ def q_connector_cdf_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.dataSource.register(DeltaSharingDataSource)
     stream = (spark.readStream.format("deltasharing")
               .option("profile_json", state["profile_json"])
-              .option("table", f"{_SHARE}.{_SCHEMA}.customer_cdf")
+              .option("table", f"{_SHARE}.{_SCHEMA}.customer_cdf_full")
               .option("readChangeFeed", "true")
               .option("startingVersion", "2").load())
     import time
@@ -762,10 +820,12 @@ ORACLES = {
         FROM customer WHERE c_custkey % 3 != 2
     """,
     # the maintained dimension == the batch SCD2 interval build over the
-    # commit-derived event log: base snapshot (mod 1, 2) inserted at v1,
-    # the v2 add commit inserts mod 0, the v3 remove commit DELETES
-    # mod 2 (closing its open v1 interval). ts/event_id derive from the
-    # commit version on both engines.
+    # commit-derived event log: base snapshot (mod 1, 2) carries its
+    # segment at v1, the v2 add commit inserts mod 0's segments, the v3
+    # remove commit closes mod 2 into '<deleted>' versions, and the v4
+    # cdc commit's update postimages move (mod 3 == 1 AND mod 5 == 0)
+    # keys to segment 'UPDATED'. ts/event_id derive from the commit
+    # version on both engines.
     "connector_cdf_scd2": """
         SELECT user_id, version, state, valid_from, valid_to,
                valid_to IS NULL AS is_current
@@ -775,18 +835,23 @@ ORACLES = {
                    CAST(row_number() OVER w AS BIGINT) AS version
             FROM (
                 SELECT CAST(c_custkey AS BIGINT) AS user_id,
-                       'insert' AS state,
+                       c_mktsegment AS state,
                        make_timestamp(1 * 1000000) AS ts,
                        CAST(1 AS BIGINT) AS event_id
                 FROM customer WHERE c_custkey % 3 != 0
                 UNION ALL
-                SELECT CAST(c_custkey AS BIGINT), 'insert',
+                SELECT CAST(c_custkey AS BIGINT), c_mktsegment,
                        make_timestamp(2 * 1000000), CAST(2 AS BIGINT)
                 FROM customer WHERE c_custkey % 3 = 0
                 UNION ALL
-                SELECT CAST(c_custkey AS BIGINT), 'delete',
+                SELECT CAST(c_custkey AS BIGINT), '<deleted>',
                        make_timestamp(3 * 1000000), CAST(3 AS BIGINT)
                 FROM customer WHERE c_custkey % 3 = 2
+                UNION ALL
+                SELECT CAST(c_custkey AS BIGINT), 'UPDATED',
+                       make_timestamp(4 * 1000000), CAST(4 AS BIGINT)
+                FROM customer
+                WHERE c_custkey % 3 = 1 AND c_custkey % 5 = 0
             )
             WINDOW w AS (PARTITION BY user_id
                          ORDER BY ts NULLS LAST, event_id NULLS LAST)

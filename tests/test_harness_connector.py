@@ -419,12 +419,14 @@ def test_bench_headline_resolves_in_registry():
 
 
 def test_connector_cdf_scd2_maintains_intervals(spark):
-    """VERDICT r9 #4: CDC commits from the real /changes protocol
-    maintain an SCD2 dimension. The v3 remove commit must CLOSE the
-    open v1 interval of every mod-2 entity (two versions: insert then
-    delete), mod-1 entities stay single open inserts from the seed, and
-    mod-0 entities are single open inserts born from the v2 add commit
-    over HTTP."""
+    """VERDICT r9 #4: all three CDC kinds from the real /changes
+    protocol maintain a segment-tracking SCD2 dimension. The v3 remove
+    commit must CLOSE the open v1 interval of every mod-2 entity into a
+    terminal '<deleted>' version; the v4 cdc commit's update postimages
+    must move (mod3==1 AND mod5==0) entities to an open 'UPDATED'
+    version (preimages dropped); other mod-1 entities stay single open
+    segment rows from the seed; mod-0 entities are single open rows
+    born from the v2 add commit over HTTP."""
     import datetime as dt
 
     df = C.q_connector_cdf_scd2(spark, SF_DIR)
@@ -432,22 +434,38 @@ def test_connector_cdf_scd2_maintains_intervals(spark):
     by_user = {}
     for r in rows:
         by_user.setdefault(r.user_id % 3, []).append(r)
-    t = {v: dt.datetime(1970, 1, 1, 0, 0, v) for v in (1, 2, 3)}
+    t = {v: dt.datetime(1970, 1, 1, 0, 0, v) for v in (1, 2, 3, 4)}
+    segs = {"AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
+            "MACHINERY"}
+    updated = {}
     for r in by_user[1]:
-        assert (r.version, r.state, r.valid_from,
-                r.valid_to, r.is_current) == (1, "insert", t[1], None,
-                                              True)
+        if r.user_id % 5 == 0:
+            updated.setdefault(r.user_id, {})[r.version] = r
+        else:
+            assert (r.version, r.valid_from, r.valid_to,
+                    r.is_current) == (1, t[1], None, True)
+            assert r.state in segs
+    assert updated, "no mod-15 entity reached the update arm"
+    for u, versions in updated.items():
+        assert set(versions) == {1, 2}, f"user {u} missing a version"
+        v1, v2 = versions[1], versions[2]
+        assert v1.state in segs
+        assert (v1.valid_from, v1.valid_to, v1.is_current) == (
+            t[1], t[4], False)
+        assert (v2.state, v2.valid_from, v2.valid_to,
+                v2.is_current) == ("UPDATED", t[4], None, True)
     for r in by_user[0]:
-        assert (r.version, r.state, r.valid_from,
-                r.valid_to, r.is_current) == (1, "insert", t[2], None,
-                                              True)
+        assert (r.version, r.valid_from, r.valid_to,
+                r.is_current) == (1, t[2], None, True)
+        assert r.state in segs
     mod2 = {}
     for r in by_user[2]:
         mod2.setdefault(r.user_id, {})[r.version] = r
     for u, versions in mod2.items():
         assert set(versions) == {1, 2}, f"user {u} missing a version"
         v1, v2 = versions[1], versions[2]
-        assert (v1.state, v1.valid_from, v1.valid_to,
-                v1.is_current) == ("insert", t[1], t[3], False)
+        assert v1.state in segs
+        assert (v1.valid_from, v1.valid_to, v1.is_current) == (
+            t[1], t[3], False)
         assert (v2.state, v2.valid_from, v2.valid_to,
-                v2.is_current) == ("delete", t[3], None, True)
+                v2.is_current) == ("<deleted>", t[3], None, True)

@@ -124,8 +124,9 @@ HEADLINE = [
     # CDC->SCD2 dimension maintenance
     "kmv_overlap", "stream_scd2_upsert",
     # r10 session (r11 slots): SCD2 late-data repair cycle, CDC commits
-    # from the real /changes protocol maintaining the dimension
-    "scd2_repair", "connector_cdf_scd2",
+    # from the real /changes protocol maintaining the dimension,
+    # Newton/IRLS logistic regression
+    "scd2_repair", "connector_cdf_scd2", "logreg_fit",
 ]
 
 

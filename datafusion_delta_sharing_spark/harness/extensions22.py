@@ -1,5 +1,6 @@
 """Extensions batch 22 (r10 session, r11 window slots — WINDOW_PLAN.json
-r11_new): the SCD2 late-data repair workflow, end-to-end (VERDICT r9 #3).
+r11_new): the SCD2 late-data repair workflow (VERDICT r9 #3) and
+Newton/IRLS logistic regression.
 
 * ``scd2_repair`` — the full refuse → repair → redeliver cycle of
   :mod:`..streaming.scd2`: a held-out stripe of middle-of-history CDC
@@ -11,13 +12,21 @@ r11_new): the SCD2 late-data repair workflow, end-to-end (VERDICT r9 #3).
   the oracle IS the batch interval SQL, so the driver's hash compare
   attests the repair produced bit-exact history, not merely plausible
   rows.
+* ``logreg_fit`` — per-group one-feature logistic regression
+  (:func:`..operators.mlprep.logreg_fit_1f`): bounded Newton/IRLS
+  rounds, round 1 exact from b = 0 (sigmoid ≡ 1/2, no exp()), later
+  rounds one hash aggregate each with #groups-row driver state — the
+  classifier-fitting sibling of ``ols_fit`` / ``kmeans_fit``, the
+  quality-filter training step of an LLM data pipeline.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Window, functions as F
 
-from datafusion_delta_sharing_spark.harness import load_table
+from datafusion_delta_sharing_spark.harness import (
+    load_table, register_views)
+from datafusion_delta_sharing_spark.operators import mlprep as ML
 
 _REPAIR_USER_BOUND = 100  # same entity subset as scd2_build / the stream
 
@@ -104,10 +113,42 @@ def _scd2_repair_oracle() -> str:
     return _SCD2_SQL
 
 
+# -- logistic regression -----------------------------------------------------
+
+# planted signal (the ab_test precedent — the synthetic columns are
+# mutually independent, so the label is a deterministic integer law
+# both engines compute identically): P(y=1) rises linearly with the
+# quantized value bucket and shifts per group. x in 0..15, success rate
+# 15-95 % — interior probabilities, no separation, so 3 Newton rounds
+# land within ~1e-4 of the fixpoint (measured: round 4 moves b0 by
+# <= 1e-4) and round(…, 5) is stable across engines.
+_LR_ROUNDS = 3
+_LR_XY_SQL = (
+    "SELECT user_id % 3 AS g, "
+    "CAST(least(floor(value / 25), 15) AS BIGINT) AS x, "
+    "CAST(CASE WHEN event_id % 100 < 15 + 5 * (user_id % 3) "
+    "+ 4 * least(floor(value / 25), 15) THEN 1 ELSE 0 END AS BIGINT) "
+    "AS y "
+    "FROM events")
+
+
+def q_logreg_fit(spark, sf_dir):
+    """Per-group logistic fit of the planted conversion law: the xy
+    projection is the SAME SQL fragment the oracle wraps (the ols_fit
+    no-drift discipline), round 1 is exact integer arithmetic, rounds
+    2..3 are one aggregate each over the broadcast-joined coefficients.
+    Output (g, n, b0, b1, avg_ll) rounded to 5."""
+    register_views(spark, sf_dir, ["events"])
+    return ML.logreg_fit_1f(spark, spark.sql(_LR_XY_SQL), "g",
+                            rounds=_LR_ROUNDS)
+
+
 QUERIES = {
     "scd2_repair": q_scd2_repair,
+    "logreg_fit": q_logreg_fit,
 }
 
 ORACLES = {
     "scd2_repair": _scd2_repair_oracle(),
+    "logreg_fit": ML.logreg_fit_1f_sql(_LR_XY_SQL, "g", _LR_ROUNDS),
 }

@@ -166,3 +166,119 @@ def ols_fit_2f_sql(xy_sql: str, group_col: str) -> str:
     sums = (f"(SELECT {group_col}, {_OLS_SUMS} FROM ({xy_sql}) "
             f"GROUP BY {group_col})")
     return _ols_tail_sql(sums, group_col)
+
+
+# -- Newton/IRLS logistic regression ------------------------------------------
+
+# Round 1 runs from b = (0, 0), where the sigmoid is EXACTLY 1/2 and the
+# IRLS weight exactly 1/4 — no exp() anywhere, so the first Newton step
+# is pure integer sums + one double division per coefficient and is
+# bit-identical across engines. Later rounds evaluate exp() on
+# coefficients that differ between engines only by accumulated IEEE
+# rounding (~1e-15); the final round(…, 5) absorbs both engines' libm
+# last-ulp drift (the zipf_fit ln() precedent). ONE shared SQL text per
+# stage keeps the expression shapes identical.
+_LOGREG_STEP1_SQL = (
+    "SELECT {g}, n, sx, sxx, "
+    "       4.0 * ((sy - n / 2.0) * sxx - (sxy - sx / 2.0) * sx) "
+    "           / det AS b0, "
+    "       4.0 * ((sxy - sx / 2.0) * n - (sy - n / 2.0) * sx) "
+    "           / det AS b1 "
+    "FROM (SELECT {g}, n, sx, sxx, sy, sxy, "
+    "             CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx "
+    "                 AS det "
+    "      FROM (SELECT {g}, count(*) AS n, sum(x) AS sx, "
+    "                   sum(x * x) AS sxx, sum(y) AS sy, "
+    "                   sum(x * y) AS sxy "
+    "            FROM {src} GROUP BY {g})) "
+    "WHERE det != 0")
+
+# one IRLS/Newton round from per-group (b0, b1): p = sigmoid(b0 + b1 x),
+# w = p (1 - p); step = H^-1 g with H = [[Σw, Σwx], [Σwx, Σwx²]],
+# g = [Σ(y - p), Σx(y - p)] — 2x2 Cramer, degenerate Hessian -> NULL
+_LOGREG_STEPN_SQL = (
+    "SELECT {g}, n, sx, sxx, "
+    "       b0 + (g0 * h11 - g1 * h01) / det AS b0, "
+    "       b1 + (g1 * h00 - g0 * h01) / det AS b1 "
+    "FROM (SELECT {g}, n, sx, sxx, b0, b1, g0, g1, h00, h01, h11, "
+    "             h00 * h11 - h01 * h01 AS det "
+    "      FROM (SELECT {g}, count(*) AS n, sum(x) AS sx, "
+    "                   sum(x * x) AS sxx, "
+    "                   max(b0) AS b0, max(b1) AS b1, "
+    "                   sum(y - p) AS g0, sum(x * (y - p)) AS g1, "
+    "                   sum(p * (1.0 - p)) AS h00, "
+    "                   sum(x * p * (1.0 - p)) AS h01, "
+    "                   sum(x * x * p * (1.0 - p)) AS h11 "
+    "            FROM (SELECT {g}, x, y, b0, b1, "
+    "                         1.0 / (1.0 + exp(-(b0 + b1 * x))) AS p "
+    "                  FROM {src}) "
+    "            GROUP BY {g})) "
+    "WHERE det != 0")
+
+_LOGREG_FINAL_SQL = (
+    "SELECT {g}, CAST(n AS BIGINT) AS n, "
+    "       round(b0, 5) AS b0, round(b1, 5) AS b1, "
+    "       round(ll / n, 5) AS avg_ll "
+    "FROM (SELECT {g}, count(*) AS n, max(b0) AS b0, max(b1) AS b1, "
+    "             sum(y * ln(p) + (1.0 - y) * ln(1.0 - p)) AS ll "
+    "      FROM (SELECT {g}, y, b0, b1, "
+    "                   1.0 / (1.0 + exp(-(b0 + b1 * x))) AS p "
+    "            FROM {src}) "
+    "      GROUP BY {g})")
+
+
+def logreg_fit_1f(spark, xy: DataFrame, group_col: str,
+                  rounds: int) -> DataFrame:
+    """Per-group one-feature logistic regression ``P(y=1) =
+    sigmoid(b0 + b1·x)`` via ``rounds`` Newton/IRLS steps over an
+    exact-integer (group, x, y∈{0,1}) frame, returning
+    (group, n, b0, b1, avg_ll) with coefficients and the mean
+    log-likelihood rounded to 5.
+
+    Scale shape mirrors :func:`ols_fit_2f` / kmeans: each round is ONE
+    hash aggregate over the data; the per-group coefficients re-enter
+    the next round through a broadcast join of a #groups-row frame
+    (driver state bounded by the group count, the kmeans k-row
+    contract). Degenerate groups (constant x, or a singular IRLS
+    Hessian) drop out at the round that detects them, exactly like the
+    oracle's ``det != 0`` filter."""
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    g = group_col
+    xy.createOrReplaceTempView("_lr_xy")
+    coef = spark.sql(_LOGREG_STEP1_SQL.format(g=g, src="_lr_xy"))
+    for _ in range(rounds - 1):
+        # #groups-row frame, re-entering via a broadcast equi-join —
+        # collect + literals would hardcode group VALUES in the plan
+        joined = (spark.table("_lr_xy")
+                  .join(F.broadcast(coef.select(g, "b0", "b1")), g))
+        joined.createOrReplaceTempView("_lr_joined")
+        coef = spark.sql(_LOGREG_STEPN_SQL.format(g=g, src="_lr_joined"))
+        coef = spark.createDataFrame(coef.collect(), coef.schema)
+    final = (spark.table("_lr_xy")
+             .join(F.broadcast(coef.select(g, "b0", "b1")), g))
+    final.createOrReplaceTempView("_lr_final")
+    return spark.sql(_LOGREG_FINAL_SQL.format(g=g, src="_lr_final"))
+
+
+def logreg_fit_1f_sql(xy_sql: str, group_col: str, rounds: int) -> str:
+    """DuckDB mirror of :func:`logreg_fit_1f`: the round loop unrolled
+    into chained CTEs over the SAME per-stage SQL texts, the per-group
+    coefficients re-entering each round through a USING({g}) join (what
+    the Spark side does with the broadcast frame)."""
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    g = group_col
+    ctes = [f"p0 AS ({xy_sql})",
+            "m1 AS (" + _LOGREG_STEP1_SQL.format(g=g, src="p0") + ")"]
+    for r in range(2, rounds + 1):
+        ctes.append(
+            f"j{r} AS (SELECT p0.*, m{r - 1}.b0, m{r - 1}.b1 "
+            f"FROM p0 JOIN m{r - 1} USING ({g}))")
+        ctes.append(
+            f"m{r} AS ("
+            + _LOGREG_STEPN_SQL.format(g=g, src=f"j{r}") + ")")
+    final_src = (f"(SELECT p0.*, m{rounds}.b0, m{rounds}.b1 "
+                 f"FROM p0 JOIN m{rounds} USING ({g}))")
+    return ("WITH " + ", ".join(ctes) + " "
+            + _LOGREG_FINAL_SQL.format(g=g, src=final_src))

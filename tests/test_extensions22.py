@@ -64,3 +64,87 @@ def test_scd2_repair_raises_when_guard_cannot_fire(spark, sf_dir,
         tolerant_sink)
     with pytest.raises(RuntimeError, match="order guard"):
         E22.q_scd2_repair(spark, sf_dir)
+
+
+# -- logistic regression -------------------------------------------------------
+
+
+def _py_logreg(rows, rounds):
+    """Pure-Python Newton mirror of logreg_fit_1f for one group:
+    identical round structure (round 1 exact from b=0, then IRLS)."""
+    import math
+
+    n = len(rows)
+    sx = sum(x for x, _ in rows)
+    sxx = sum(x * x for x, _ in rows)
+    sy = sum(y for _, y in rows)
+    sxy = sum(x * y for x, y in rows)
+    det = float(n) * sxx - float(sx) * sx
+    b0 = 4.0 * ((sy - n / 2.0) * sxx - (sxy - sx / 2.0) * sx) / det
+    b1 = 4.0 * ((sxy - sx / 2.0) * float(n) - (sy - n / 2.0) * sx) / det
+    for _ in range(rounds - 1):
+        g0 = g1 = h00 = h01 = h11 = 0.0
+        for x, y in rows:
+            p = 1.0 / (1.0 + math.exp(-(b0 + b1 * x)))
+            w = p * (1.0 - p)
+            g0 += y - p
+            g1 += x * (y - p)
+            h00 += w
+            h01 += x * w
+            h11 += x * x * w
+        det = h00 * h11 - h01 * h01
+        b0 += (g0 * h11 - g1 * h01) / det
+        b1 += (g1 * h00 - g0 * h01) / det
+    ll = 0.0
+    for x, y in rows:
+        p = 1.0 / (1.0 + math.exp(-(b0 + b1 * x)))
+        ll += y * math.log(p) + (1 - y) * math.log(1.0 - p)
+    return round(b0, 5), round(b1, 5), round(ll / n, 5)
+
+
+def test_logreg_matches_pure_python_newton(spark):
+    from datafusion_delta_sharing_spark.operators import mlprep as ML
+
+    rows = [(x % 11, 1 if (7 * x) % 10 < 2 + (x % 11) // 2 else 0)
+            for x in range(400)]
+    xy = spark.createDataFrame([("a", x, y) for x, y in rows],
+                               "g string, x long, y long")
+    got = ML.logreg_fit_1f(spark, xy, "g", rounds=3).collect()[0]
+    b0, b1, avg_ll = _py_logreg(rows, 3)
+    assert (got.n, got.b0, got.b1, got.avg_ll) == (400, b0, b1, avg_ll)
+    assert got.b1 > 0  # the planted law rises in x
+
+
+def test_logreg_degenerate_and_validation(spark):
+    """Constant-x groups have a singular round-1 system and must drop
+    out (the oracle's det != 0 filter), healthy siblings survive;
+    rounds < 1 refuses on both builders."""
+    import pytest as _pytest
+
+    from datafusion_delta_sharing_spark.operators import mlprep as ML
+
+    xy = spark.createDataFrame(
+        [("flat", 5, i % 2) for i in range(40)]
+        + [("ok", i % 7, 1 if i % 3 == 0 else 0) for i in range(60)],
+        "g string, x long, y long")
+    out = {r.g for r in ML.logreg_fit_1f(spark, xy, "g", 2).collect()}
+    assert out == {"ok"}
+    with _pytest.raises(ValueError, match="rounds"):
+        ML.logreg_fit_1f(spark, xy, "g", 0)
+    with _pytest.raises(ValueError, match="rounds"):
+        ML.logreg_fit_1f_sql("SELECT 1", "g", 0)
+
+
+def test_logreg_registry_row_cross_engine(spark, sf_dir):
+    from datafusion_delta_sharing_spark.harness import extensions22 as E22
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet')")
+    dk = {r[0]: tuple(r[1:])
+          for r in con.execute(E22.ORACLES["logreg_fit"]).fetchall()}
+    sp = {r.g: (r.n, r.b0, r.b1, r.avg_ll)
+          for r in E22.q_logreg_fit(spark, sf_dir).collect()}
+    assert sp == dk and len(sp) == 3
+    assert all(v[2] > 0 for v in sp.values())  # planted slope recovered

@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import duckdb
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from datafusion_delta_sharing_spark.harness import extensions22 as E22
 from datafusion_delta_sharing_spark.harness.extensions7 import q_scd2_build
@@ -148,3 +150,83 @@ def test_logreg_registry_row_cross_engine(spark, sf_dir):
           for r in E22.q_logreg_fit(spark, sf_dir).collect()}
     assert sp == dk and len(sp) == 3
     assert all(v[2] > 0 for v in sp.values())  # planted slope recovered
+
+
+# -- repair convergence property -------------------------------------------------
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.data())
+def test_scd2_repair_converges_for_any_holdout(spark, data):
+    """Property (r10 session): for ANY per-entity event log and ANY
+    held-out subset that triggers the order guard, repair_entities over
+    the full log converges the state to the batch window build — the
+    fixed-stripe registry query generalized. Entities, timestamps, and
+    the holdout choice are all hypothesis-driven; the applied prefix is
+    whatever the holdout leaves (still per-entity ordered, so the first
+    merge accepts it)."""
+    import datetime as dt
+
+    from pyspark.sql import Row, Window
+    from pyspark.sql import functions as F
+
+    from datafusion_delta_sharing_spark.streaming import scd2 as S2
+
+    n_entities = data.draw(st.integers(1, 4), label="n_entities")
+    logs = {}
+    eid = 0
+    for u in range(n_entities):
+        n_ev = data.draw(st.integers(1, 6), label=f"n_ev_{u}")
+        hours = sorted(data.draw(
+            st.lists(st.integers(0, 40), min_size=n_ev, max_size=n_ev,
+                     unique=True), label=f"hours_{u}"))
+        logs[u] = [(u, f"s{eid + i}",
+                    dt.datetime(2024, 4, 1) + dt.timedelta(hours=h),
+                    eid + i) for i, h in enumerate(hours)]
+        eid += n_ev
+    # hold out a non-final subset per entity (an event with a later
+    # sibling — guaranteed to trip the guard when merged afterwards)
+    held, applied = [], []
+    for u, evs in logs.items():
+        holdable = list(range(len(evs) - 1))  # all but the last
+        picks = data.draw(
+            st.lists(st.sampled_from(holdable), unique=True,
+                     max_size=len(holdable)),
+            label=f"holdout_{u}") if holdable else []
+        for i, ev in enumerate(evs):
+            (held if i in picks else applied).append(ev)
+
+    def cdc(rows):
+        return spark.createDataFrame(
+            [Row(user_id=u, event_type=s, ts=ts, event_id=e)
+             for u, s, ts, e in rows],
+            "user_id bigint, event_type string, ts timestamp, "
+            "event_id bigint").localCheckpoint()
+
+    import tempfile
+
+    state = tempfile.mkdtemp(prefix="scd2_prop_")
+    merge = S2.scd2_upsert_sink(spark, state, n_buckets=2,
+                                run_id=f"{state}-run")
+    merge(cdc(applied), 0)
+    if held:
+        with pytest.raises(ValueError, match="out-of-order"):
+            merge(cdc(held), 1)
+        all_rows = [e for evs in logs.values() for e in evs]
+        S2.repair_entities(spark, state, cdc(all_rows),
+                           sorted({u for u, *_ in held}))
+        assert S2.unapplied_events(spark, state, cdc(held)).count() == 0
+
+    got = {(r.user_id, r.version): (r.state, r.valid_from, r.valid_to)
+           for r in S2.scd2_state(spark, state).collect()}
+    wu = Window.partitionBy("user_id").orderBy(
+        F.asc_nulls_last("ts"), F.asc_nulls_last("event_id"))
+    ev = cdc([e for evs in logs.values() for e in evs])
+    want = {(r.user_id, r.version): (r.state, r.valid_from, r.valid_to)
+            for r in (ev.withColumn("version", F.row_number().over(wu))
+                      .withColumn("valid_to", F.lead("ts").over(wu))
+                      .select("user_id", "version",
+                              F.col("event_type").alias("state"),
+                              F.col("ts").alias("valid_from"),
+                              "valid_to")).collect()}
+    assert got == want

@@ -125,8 +125,8 @@ HEADLINE = [
     "kmv_overlap", "stream_scd2_upsert",
     # r10 session (r11 slots): SCD2 late-data repair cycle, CDC commits
     # from the real /changes protocol maintaining the dimension,
-    # Newton/IRLS logistic regression
-    "scd2_repair", "connector_cdf_scd2", "logreg_fit",
+    # Newton/IRLS logistic regression, Gini-optimal decision stump
+    "scd2_repair", "connector_cdf_scd2", "logreg_fit", "stump_fit",
 ]
 
 

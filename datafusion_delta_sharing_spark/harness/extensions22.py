@@ -18,6 +18,11 @@ Newton/IRLS logistic regression.
   rounds one hash aggregate each with #groups-row driver state — the
   classifier-fitting sibling of ``ols_fit`` / ``kmeans_fit``, the
   quality-filter training step of an LLM data pipeline.
+* ``stump_fit`` — per-group optimal depth-1 decision stump
+  (:func:`..operators.mlprep.stump_fit`): exhaustive Gini-minimizing
+  split from exact cumulative counts, one aggregate + one window over
+  the quantized buckets — the classic weak learner / feature screen
+  beside the logistic fit, over the SAME planted-law frame.
 """
 
 from __future__ import annotations
@@ -143,12 +148,25 @@ def q_logreg_fit(spark, sf_dir):
                             rounds=_LR_ROUNDS)
 
 
+def q_stump_fit(spark, sf_dir):
+    """Optimal decision stump over the SAME planted-law xy frame the
+    logistic fit consumes (one data contract, two learners): the split
+    minimizing weighted Gini, exhaustive over the 16 quantized buckets
+    via one aggregate + one cumulative window — exact integer counts,
+    fixed-shape impurity doubles, deterministic (impurity, split)
+    tie-break."""
+    register_views(spark, sf_dir, ["events"])
+    return ML.stump_fit(spark, spark.sql(_LR_XY_SQL), "g")
+
+
 QUERIES = {
     "scd2_repair": q_scd2_repair,
     "logreg_fit": q_logreg_fit,
+    "stump_fit": q_stump_fit,
 }
 
 ORACLES = {
     "scd2_repair": _scd2_repair_oracle(),
     "logreg_fit": ML.logreg_fit_1f_sql(_LR_XY_SQL, "g", _LR_ROUNDS),
+    "stump_fit": ML.stump_fit_sql(_LR_XY_SQL, "g"),
 }

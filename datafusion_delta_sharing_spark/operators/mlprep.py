@@ -282,3 +282,72 @@ def logreg_fit_1f_sql(xy_sql: str, group_col: str, rounds: int) -> str:
                  f"FROM p0 JOIN m{rounds} USING ({g}))")
     return ("WITH " + ", ".join(ctes) + " "
             + _LOGREG_FINAL_SQL.format(g=g, src=final_src))
+
+
+# -- optimal decision stump ----------------------------------------------------
+
+# All split statistics are EXACT BIGINT counts from one per-(group, x)
+# aggregate + one cumulative window over the ordered x buckets; the
+# weighted Gini impurity of each candidate split is a fixed-shape
+# double expression over those integers, so both engines compute
+# bit-identical doubles and the argmin row is the same one. Ties break
+# on the smaller threshold. The last bucket (empty right side) is not a
+# split and is filtered out.
+_STUMP_SQL = (
+    "SELECT {g}, CAST(split AS BIGINT) AS split, "
+    "       CAST(n AS BIGINT) AS n, "
+    "       round(gini_parent - gini_split, 6) AS gain, "
+    "       round(CAST(pos_l AS DOUBLE) / n_l, 6) AS rate_left, "
+    "       round(CAST(pos - pos_l AS DOUBLE) / (n - n_l), 6) "
+    "           AS rate_right "
+    "FROM ("
+    "  SELECT {g}, split, n, pos, n_l, pos_l, gini_split, gini_parent, "
+    "         row_number() OVER (PARTITION BY {g} "
+    "                            ORDER BY gini_split, split) AS rk "
+    "  FROM ("
+    "    SELECT {g}, split, n, pos, n_l, pos_l, "
+    "           (n_l - (CAST(pos_l AS DOUBLE) * pos_l "
+    "                   + CAST(n_l - pos_l AS DOUBLE) * (n_l - pos_l)) "
+    "                  / n_l "
+    "            + (n - n_l) "
+    "            - (CAST(pos - pos_l AS DOUBLE) * (pos - pos_l) "
+    "               + CAST((n - n_l) - (pos - pos_l) AS DOUBLE) "
+    "                 * ((n - n_l) - (pos - pos_l))) / (n - n_l)) / n "
+    "               AS gini_split, "
+    "           (n - (CAST(pos AS DOUBLE) * pos "
+    "                 + CAST(n - pos AS DOUBLE) * (n - pos)) / n) / n "
+    "               AS gini_parent "
+    "    FROM ("
+    "      SELECT {g}, x AS split, "
+    "             sum(cnt) OVER w AS n_l, sum(p) OVER w AS pos_l, "
+    "             sum(cnt) OVER t AS n, sum(p) OVER t AS pos "
+    "      FROM (SELECT {g}, x, count(*) AS cnt, sum(y) AS p "
+    "            FROM {src} GROUP BY {g}, x) "
+    "      WINDOW w AS (PARTITION BY {g} ORDER BY x "
+    "                   ROWS BETWEEN UNBOUNDED PRECEDING "
+    "                   AND CURRENT ROW), "
+    "             t AS (PARTITION BY {g}) "
+    "    ) WHERE n_l < n"
+    "  )"
+    ") WHERE rk = 1")
+
+
+def stump_fit(spark, xy: DataFrame, group_col: str) -> DataFrame:
+    """Per-group optimal depth-1 decision stump ``x <= split`` for a
+    binary target over an exact-integer (group, x, y∈{0,1}) frame:
+    the split minimizing weighted Gini impurity, with the impurity
+    gain and the two leaf rates (rounded to 6). Exhaustive over every
+    candidate threshold, but the scan is ONE aggregate to the
+    per-(group, x) bucket table + ONE cumulative window over the
+    ordered buckets — cost bounded by distinct x per group (the
+    caller's quantization), never by data pairs. The classic weak
+    learner / quality-filter feature screen next to
+    :func:`logreg_fit_1f`."""
+    xy.createOrReplaceTempView("_stump_xy")
+    return spark.sql(_STUMP_SQL.format(g=group_col, src="_stump_xy"))
+
+
+def stump_fit_sql(xy_sql: str, group_col: str) -> str:
+    """DuckDB mirror of :func:`stump_fit` — the IDENTICAL SQL text over
+    the wrapped source."""
+    return _STUMP_SQL.format(g=group_col, src=f"({xy_sql})")

@@ -230,3 +230,80 @@ def test_scd2_repair_converges_for_any_holdout(spark, data):
                               F.col("ts").alias("valid_from"),
                               "valid_to")).collect()}
     assert got == want
+
+
+# -- decision stump --------------------------------------------------------------
+
+
+def _py_stump(rows):
+    """Pure-Python exhaustive mirror of stump_fit for one group."""
+    from collections import Counter
+
+    cnt, pos = Counter(), Counter()
+    for x, y in rows:
+        cnt[x] += 1
+        pos[x] += y
+    xs = sorted(cnt)
+    n = sum(cnt.values())
+    p = sum(pos.values())
+
+    def gini(nn, pp):
+        return (nn - (float(pp) * pp + float(nn - pp) * (nn - pp)) / nn)
+
+    parent = gini(n, p) / n
+    best = None
+    n_l = p_l = 0
+    for s in xs[:-1]:
+        n_l += cnt[s]
+        p_l += pos[s]
+        g = (gini(n_l, p_l) + gini(n - n_l, p - p_l)) / n
+        if best is None or g < best[0]:
+            best = (g, s, n_l, p_l)
+    g, s, n_l, p_l = best
+    return (s, n, round(parent - g, 6), round(p_l / n_l, 6),
+            round((p - p_l) / (n - n_l), 6))
+
+
+def test_stump_matches_pure_python_exhaustive(spark):
+    from datafusion_delta_sharing_spark.operators import mlprep as ML
+
+    rows = [(x % 9, 1 if (3 * x + 1) % 10 < 1 + (x % 9) // 2 else 0)
+            for x in range(300)]
+    xy = spark.createDataFrame([("a", x, y) for x, y in rows],
+                               "g string, x long, y long")
+    got = ML.stump_fit(spark, xy, "g").collect()[0]
+    s, n, gain, rl, rr = _py_stump(rows)
+    assert (got.split, got.n, got.gain, got.rate_left,
+            got.rate_right) == (s, n, gain, rl, rr)
+    assert got.gain > 0 and got.rate_right > got.rate_left
+
+
+def test_stump_single_bucket_group_drops(spark):
+    """A group whose x is constant has no candidate split (the right
+    side would be empty) and must vanish, like the logistic det
+    filter; a healthy sibling survives with the exact split."""
+    from datafusion_delta_sharing_spark.operators import mlprep as ML
+
+    xy = spark.createDataFrame(
+        [("flat", 7, i % 2) for i in range(20)]
+        + [("ok", i % 2, i % 2) for i in range(40)],  # y == x: perfect
+        "g string, x long, y long")
+    out = {r.g: r for r in ML.stump_fit(spark, xy, "g").collect()}
+    assert set(out) == {"ok"}
+    r = out["ok"]
+    assert (r.split, r.rate_left, r.rate_right) == (0, 0.0, 1.0)
+
+
+def test_stump_registry_row_cross_engine(spark, sf_dir):
+    from datafusion_delta_sharing_spark.harness import extensions22 as E22
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet')")
+    dk = {r[0]: tuple(r[1:])
+          for r in con.execute(E22.ORACLES["stump_fit"]).fetchall()}
+    sp = {r.g: (r.split, r.n, r.gain, r.rate_left, r.rate_right)
+          for r in E22.q_stump_fit(spark, sf_dir).collect()}
+    assert sp == dk and len(sp) == 3
+    assert all(v[3] < v[4] for v in sp.values())  # rising planted law

@@ -50,7 +50,7 @@ _MODULE_ORDER = ("connector", "extensions", "extensions2", "extensions3",
                  "extensions12", "extensions13", "extensions14", "extensions15",
                  "extensions16", "extensions17", "extensions18",
                  "extensions19", "extensions20", "extensions21",
-                 "extensions22", "formats",
+                 "extensions22", "extensions23", "formats",
                  "tpch", "tierb5", "tierb4", "tierb3", "tierb2", "tierb6",
                  "tierb7", "tierb8", "tierb9", "tierb")
 

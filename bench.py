@@ -127,6 +127,9 @@ HEADLINE = [
     # from the real /changes protocol maintaining the dimension,
     # Newton/IRLS logistic regression, Gini-optimal decision stump
     "scd2_repair", "connector_cdf_scd2", "logreg_fit", "stump_fit",
+    # r10 continuation batch 23 (r11 slots): NB corpus classifier,
+    # split conformal prediction, cell-table AdaBoost
+    "naive_bayes_fit", "conformal_interval", "adaboost_fit",
 ]
 
 

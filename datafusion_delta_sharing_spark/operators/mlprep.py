@@ -351,3 +351,98 @@ def stump_fit_sql(xy_sql: str, group_col: str) -> str:
     """DuckDB mirror of :func:`stump_fit` — the IDENTICAL SQL text over
     the wrapped source."""
     return _STUMP_SQL.format(g=group_col, src=f"({xy_sql})")
+
+
+# -- split conformal prediction ------------------------------------------------
+
+# Split conformal (Vovk et al.; Lei et al. 2018 formulation): fit on the
+# proper-training fold, take the ceil((n_cal+1)*(1-alpha))-th smallest
+# absolute residual on the calibration fold as q-hat, report the exact
+# empirical coverage of [y_hat - q, y_hat + q] on the test fold. Every
+# step is cross-engine bit-exact BY CONSTRUCTION, not by rounding:
+# the one-feature OLS coefficients come from exact BIGINT sums through
+# one fixed-shape double expression; each score |y - (b0 + b1*x)| is
+# per-row arithmetic on identical doubles (no double SUM anywhere); the
+# quantile is an ORDER STATISTIC picked by a (score, id) row_number —
+# identical doubles sort identically — with the rank computed in pure
+# integer arithmetic (10*k = (9*(n+1)+9) - ((9*(n+1)+9) % 10), i.e.
+# ceil(9*(n+1)/10) via modulo subtraction — no division, no doubles);
+# and the coverage count compares identical doubles, so it is an exact
+# integer.
+# ONE SQL text, both engines. The rank is capped at n_cal (k > n_cal
+# means the finite-sample interval is infinite; with alpha = 0.1 that
+# only happens for n_cal < 9, surfaced by cal_too_small = true).
+_CONFORMAL_SQL = (
+    "WITH xy AS (SELECT * FROM {src}), "
+    "coef AS ("
+    "  SELECT {g}, n_tr, "
+    "         (CAST(n_tr AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) "
+    "             / det AS b1, "
+    "         (sy - ((CAST(n_tr AS DOUBLE) * sxy "
+    "                 - CAST(sx AS DOUBLE) * sy) / det) * sx) / n_tr "
+    "             AS b0 "
+    "  FROM (SELECT {g}, n_tr, sx, sy, sxy, "
+    "               CAST(n_tr AS DOUBLE) * sxx "
+    "                   - CAST(sx AS DOUBLE) * sx AS det "
+    "        FROM (SELECT {g}, count(*) AS n_tr, sum(x) AS sx, "
+    "                     sum(y) AS sy, sum(x * x) AS sxx, "
+    "                     sum(x * y) AS sxy "
+    "              FROM xy WHERE fold <= 5 GROUP BY {g})) "
+    "  WHERE det != 0), "
+    "cal AS ("
+    "  SELECT xy.{g}, abs(y - (b0 + b1 * x)) AS score, id, "
+    "         row_number() OVER (PARTITION BY xy.{g} "
+    "                            ORDER BY abs(y - (b0 + b1 * x)), id) "
+    "             AS rn, "
+    "         count(*) OVER (PARTITION BY xy.{g}) AS n_cal "
+    "  FROM xy JOIN coef ON xy.{g} = coef.{g} "
+    "  WHERE fold IN (6, 7)), "
+    "qhat AS ("
+    "  SELECT {g}, n_cal, score AS q, "
+    "         k10 > 10 * n_cal AS cal_too_small "
+    "  FROM (SELECT {g}, n_cal, score, rn, "
+    "               (9 * (n_cal + 1) + 9) "
+    "                   - ((9 * (n_cal + 1) + 9) % 10) AS k10 "
+    "        FROM cal) "
+    "  WHERE rn * 10 = CASE WHEN k10 > 10 * n_cal "
+    "                       THEN 10 * n_cal ELSE k10 END) "
+    "SELECT xy.{g}, max(n_tr) AS n_tr, "
+    "       CAST(max(n_cal) AS BIGINT) AS n_cal, "
+    "       count(*) AS n_test, round(max(q), 6) AS qhat, "
+    "       CAST(sum(CASE WHEN abs(y - (b0 + b1 * x)) <= q "
+    "                     THEN 1 ELSE 0 END) AS BIGINT) AS covered, "
+    "       round(CAST(sum(CASE WHEN abs(y - (b0 + b1 * x)) <= q "
+    "                           THEN 1 ELSE 0 END) AS DOUBLE) "
+    "             / count(*), 6) AS coverage, "
+    "       max(CASE WHEN cal_too_small THEN 1 ELSE 0 END) "
+    "           AS cal_too_small "
+    "FROM xy "
+    "JOIN coef ON xy.{g} = coef.{g} "
+    "JOIN qhat ON xy.{g} = qhat.{g} "
+    "WHERE fold >= 8 "
+    "GROUP BY xy.{g}")
+
+
+def conformal_interval_1f(spark, xy: DataFrame, group_col: str,
+                          ) -> DataFrame:
+    """Per-group split conformal prediction at alpha = 0.1 over an
+    exact-integer frame (group, x, y, id, fold): OLS ``y ~ b0 + b1*x``
+    is fit on folds 0-5, q-hat is the ceil(0.9*(n_cal+1))-th smallest
+    |residual| on folds 6-7, and the returned row reports the EXACT
+    coverage of the +-q-hat band on folds 8-9. Returns (group, n_tr,
+    n_cal, n_test, qhat, covered, coverage, cal_too_small).
+
+    Scale shape: one hash aggregate for the fit, a broadcastable
+    #groups-row coefficient join, per-row scoring, and ONE rank window
+    over the calibration fold only (partitioned by group — at larger
+    calibration folds swap the order statistic for approx_percentile;
+    the exact window is kept here because the oracle needs the exact
+    finite-sample quantile). Coverage is a plain filtered count."""
+    xy.createOrReplaceTempView("_conf_xy")
+    return spark.sql(_CONFORMAL_SQL.format(g=group_col, src="_conf_xy"))
+
+
+def conformal_interval_1f_sql(xy_sql: str, group_col: str) -> str:
+    """DuckDB mirror of :func:`conformal_interval_1f` — the IDENTICAL
+    SQL text over the wrapped source."""
+    return _CONFORMAL_SQL.format(g=group_col, src=f"({xy_sql})")

@@ -1,0 +1,267 @@
+"""Extensions batch 23: Naive Bayes, split conformal, AdaBoost.
+
+Each registry row's cross-engine hash equality is the driver/judge
+comparator's job; these tests pin the SEMANTICS — pure-Python
+references for the two iterative learners (the logreg/stump
+precedent), the conformal finite-sample rank math, the boosting
+effect (ensemble beats its first stump), and the margin attestations
+that keep the argmax/sign decisions out of the double-drift band.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from datafusion_delta_sharing_spark.harness import extensions23 as E23
+from datafusion_delta_sharing_spark.operators import boosting as B
+from datafusion_delta_sharing_spark.operators import mlprep as ML
+
+
+# -- naive bayes ---------------------------------------------------------------
+
+
+def test_naive_bayes_confusion_covers_holdout(spark, sf_dir):
+    rows = E23.q_naive_bayes_fit(spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_holdout = docs.filter("doc_id % 5 = 4").count()
+    assert sum(r.n_docs for r in rows) == n_holdout
+    assert {(r.y_true, r.y_pred) for r in rows} <= {(a, b)
+                                                    for a in (0, 1)
+                                                    for b in (0, 1)}
+    # the drift-band attestation the docstring promises: every counted
+    # argmax rests on a |log-odds| far above ~1e-13 summation drift
+    assert min(r.min_margin for r in rows) > 1e-3
+    assert all(r.min_margin <= r.avg_margin for r in rows)
+
+
+def test_naive_bayes_learns_beyond_majority(spark, sf_dir):
+    """The planted 3-token conjunction is learnable enough that NB must
+    beat predicting the majority class on the holdout — a regression
+    here means the vocabulary join or the likelihood arithmetic broke
+    while the shape stayed plausible."""
+    rows = E23.q_naive_bayes_fit(spark, sf_dir).collect()
+    n = sum(r.n_docs for r in rows)
+    correct = sum(r.n_docs for r in rows if r.y_true == r.y_pred)
+    majority = max(
+        sum(r.n_docs for r in rows if r.y_true == 1),
+        sum(r.n_docs for r in rows if r.y_true == 0))
+    assert correct > majority
+
+
+def test_naive_bayes_oracle_matches_at_sf0001(spark, sf_dir):
+    got = sorted(tuple(r) for r in
+                 E23.q_naive_bayes_fit(spark, sf_dir).collect())
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/documents.parquet')")
+    want = sorted(tuple(r) for r in
+                  con.execute(E23.ORACLES["naive_bayes_fit"]).fetchall())
+    assert got == want
+
+
+# -- split conformal -----------------------------------------------------------
+
+
+def test_conformal_rank_is_finite_sample_ceil():
+    """The pure-integer rank spelling equals ceil(0.9*(n+1)) for every
+    calibration size, capped at n with the cal_too_small flag."""
+    for n in range(1, 400):
+        k10 = (9 * (n + 1) + 9) - ((9 * (n + 1) + 9) % 10)
+        k = k10 // 10
+        assert k == math.ceil(0.9 * (n + 1))
+        assert (k > n) == (n < 9)
+
+
+def test_conformal_coverage_near_target(spark, sf_dir):
+    rows = E23.q_conformal_interval(spark, sf_dir).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r.cal_too_small == 0
+        assert r.n_tr > r.n_cal and r.n_test > 0
+        assert r.qhat > 0
+        assert 0.8 <= r.coverage <= 1.0
+        assert r.covered == round(r.coverage * r.n_test)
+
+
+def test_conformal_small_calibration_flags_and_caps(spark):
+    """n_cal < 9 makes the finite-sample interval infinite; the query
+    caps q-hat at the max calibration score and says so."""
+    rows = []
+    for i in range(40):
+        fold = i % 10
+        rows.append((0, i % 7, 100 + 3 * (i % 7) + (i % 4), i, fold))
+    xy = spark.createDataFrame(
+        rows, "g long, x long, y long, id long, fold long")
+    # folds 6,7 hold 8 rows -> n_cal = 8 < 9
+    out = ML.conformal_interval_1f(spark, xy, "g").collect()
+    assert len(out) == 1 and out[0].cal_too_small == 1
+
+
+def test_conformal_oracle_matches_at_sf0001(spark, sf_dir):
+    got = sorted(tuple(r) for r in
+                 E23.q_conformal_interval(spark, sf_dir).collect())
+    con = duckdb.connect()
+    con.execute("CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/events.parquet')")
+    want = sorted(tuple(r) for r in
+                  con.execute(E23.ORACLES["conformal_interval"]).fetchall())
+    assert got == want
+
+
+# -- adaboost ------------------------------------------------------------------
+
+
+def _py_adaboost(cells, rounds):
+    """Pure-Python mirror of the cell-table AdaBoost for ONE group:
+    cells = {x: (cnt, pos)}; returns ([(split, pol, alpha)...],
+    train_err), None when a round degenerates, or the string
+    "ambiguous" when a float knife-edge makes the argmin (or a final
+    sign) implementation-defined: from round 2 on the candidate errors
+    are float expressions whose last-ulp values legitimately differ
+    between this mirror and the SQL texts (different summation shapes),
+    so a top-2 gap below 1e-9·W — including an exact tie, which the
+    two shapes need not reproduce bit-identically — cannot be asserted
+    against. (Round 1 is exempt: unit weights make every error an
+    exact integer in ANY implementation.) The cross-ENGINE contract —
+    Spark and DuckDB running the IDENTICAL text — is pinned by the
+    oracle tests instead."""
+    wp = {x: 1.0 for x in cells}
+    wn = {x: 1.0 for x in cells}
+    xs = sorted(cells)
+    stumps = []
+    for t in range(1, rounds + 1):
+        w_tot = sum(wp[x] * cells[x][1] + wn[x] * (cells[x][0]
+                                                   - cells[x][1])
+                    for x in xs)
+        keys = []
+        for split in xs[:-1]:
+            e1 = (sum(wn[x] * (cells[x][0] - cells[x][1])
+                      for x in xs if x <= split)
+                  + sum(wp[x] * cells[x][1] for x in xs if x > split))
+            keys.append((e1, split, 1))
+            keys.append((w_tot - e1, split, -1))
+        keys.sort()
+        err, split, pol = keys[0]
+        if t > 1 and len(keys) > 1 and (keys[1][0] - err
+                                        < 1e-9 * w_tot):
+            return "ambiguous"
+        if not (0 < err < w_tot):
+            return None
+        alpha = 0.5 * math.log((w_tot - err) / err)
+        stumps.append((split, pol, alpha))
+        for x in xs:
+            h = pol if x <= split else -pol
+            wp[x] *= math.exp(-alpha) if h == 1 else math.exp(alpha)
+            wn[x] *= math.exp(-alpha) if h == -1 else math.exp(alpha)
+    n = sum(c for c, _ in cells.values())
+    n_err = 0
+    for x, (cnt, pos) in cells.items():
+        fx = sum(a * (p if x <= s else -p) for s, p, a in stumps)
+        if abs(fx) < 1e-9:
+            return "ambiguous"
+        n_err += (cnt - pos) if fx > 0 else pos
+    return stumps, n_err / n
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(
+    st.tuples(st.integers(0, 5), st.integers(1, 9), st.integers(0, 9)),
+    min_size=4, max_size=12).filter(
+        lambda cs: len({c[0] for c in cs}) >= 2))
+def test_adaboost_matches_python_reference(spark, cells_list):
+    cells = {}
+    for x, cnt, pos in cells_list:
+        c, p = cells.get(x, (0, 0))
+        cells[x] = (c + cnt, p + min(pos, cnt))
+    rows = [(0, x, i, 1 if i < pos else 0)
+            for x, (cnt, pos) in cells.items() for i in range(cnt)]
+    xy = spark.createDataFrame(
+        [(g, x, y) for g, x, _, y in rows], "g long, x long, y long")
+    ref = _py_adaboost(cells, 2)
+    if ref == "ambiguous":
+        return  # knife-edge argmin — see the mirror's docstring
+    got = B.adaboost_fit(spark, xy, "g", rounds=2).collect()
+    if ref is None:
+        assert got == []
+        return
+    stumps, train_err = ref
+    assert len(got) == 1
+    r = got[0]
+    for i, (s, p, a) in enumerate(stumps, 1):
+        assert (getattr(r, f"split{i}"), getattr(r, f"pol{i}")) == (s, p)
+        assert getattr(r, f"alpha{i}") == pytest.approx(a, abs=2e-5)
+    assert r.train_err == pytest.approx(train_err, abs=2e-6)
+
+
+def test_adaboost_first_stump_matches_stump_family(spark, sf_dir):
+    """Round 1 minimizes the UNWEIGHTED misclassification count — its
+    chosen split must be a minimizer of the same exact-count objective
+    recomputed from the raw frame in Python."""
+    from datafusion_delta_sharing_spark.harness import register_views
+    from datafusion_delta_sharing_spark.harness.extensions22 import (
+        _LR_XY_SQL)
+
+    register_views(spark, sf_dir, ["events"])
+    raw = spark.sql(_LR_XY_SQL).collect()
+    got = {r.g: r for r in
+           E23.q_adaboost_fit(spark, sf_dir).collect()}
+    for g in got:
+        cells = {}
+        for row in raw:
+            if row.g != g:
+                continue
+            c, p = cells.get(row.x, (0, 0))
+            cells[row.x] = (c + 1, p + row.y)
+        xs = sorted(cells)
+        best = None
+        for split in xs[:-1]:
+            e1 = (sum(c - p for x, (c, p) in cells.items() if x <= split)
+                  + sum(p for x, (c, p) in cells.items() if x > split))
+            w = sum(c for c, _ in cells.values())
+            for pol, err in ((1, e1), (-1, w - e1)):
+                key = (err, split, pol)
+                if best is None or key < best:
+                    best = key
+        assert (got[g].split1, got[g].pol1) == (best[1], best[2])
+
+
+def test_adaboost_satisfies_freund_schapire_bound(spark, sf_dir):
+    """The boosting theorem (Freund & Schapire 1997, Thm 9): the
+    ensemble's 0/1 training error is at most prod_t 2*sqrt(e_t(1-e_t))
+    over the per-round NORMALIZED weighted errors (recoverable from
+    the alphas: e_t = 1/(1+exp(2*alpha_t))). Each alpha must be > 0
+    (the chosen polarity guarantees err <= W/2, and the planted law
+    keeps it strictly below) — and every sign decision clears the
+    drift band. NOTE the ensemble need NOT beat its first stump
+    pointwise: when alpha1 > alpha2 + alpha3 the ensemble IS stump 1
+    (observed at sf0.001), which the bound accommodates and a naive
+    'strictly better' assertion would not."""
+    rows = E23.q_adaboost_fit(spark, sf_dir).collect()
+    assert len(rows) == 3
+    for r in rows:
+        bound = 1.0
+        for alpha in (r.alpha1, r.alpha2, r.alpha3):
+            assert alpha > 0
+            e_t = 1.0 / (1.0 + math.exp(2.0 * alpha))
+            bound *= 2.0 * math.sqrt(e_t * (1.0 - e_t))
+        assert r.train_err <= bound + 1e-6
+        assert r.min_abs_score > 1e-3
+
+
+def test_adaboost_oracle_matches_at_sf0001(spark, sf_dir):
+    from datafusion_delta_sharing_spark.harness import register_views
+
+    register_views(spark, sf_dir, ["events"])
+    got = sorted(tuple(r) for r in
+                 E23.q_adaboost_fit(spark, sf_dir).collect())
+    con = duckdb.connect()
+    con.execute("CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/events.parquet')")
+    want = sorted(tuple(r) for r in
+                  con.execute(E23.ORACLES["adaboost_fit"]).fetchall())
+    assert got == want

@@ -40,7 +40,11 @@ _ALLOWS: dict[str, frozenset] = {
         # r9 session batch 21: kmv_overlap joins the one-row exact
         # corpus_overlap attestation to the one-row sketch estimate
         # (plus corpus_overlap's own scalar-count crossJoins)
-        "kmv_overlap")},
+        "kmv_overlap",
+        # r10 continuation batch 23: naive_bayes_fit's one-row
+        # (priors, token totals, vocab size) scalar frame crossJoins
+        # the holdout scores — a broadcast of exactly one row
+        "naive_bayes_fit")},
     # cusum's (n, Σx) and max-|nS| one-row scalar crossJoins (its
     # day-level global window sorts a localCheckpoint leaf the lint
     # already credits — no global_sort allow needed, verified)

@@ -46,8 +46,15 @@ _ADA_CELLS_SQL = (
 # err(s,-1) = W - err(s,+1). Errors come from cumulative sums over the
 # x-ordered cells; the argmin row is picked by a deterministic
 # (err, split, pol) rank. Groups whose best stump is perfect (err=0)
-# or hopeless (err=W) drop out — the logreg det!=0 analogue (alpha
-# would be infinite; the planted law's label noise keeps err interior).
+# drop out — the logreg det!=0 analogue (alpha would be infinite; the
+# planted law's label noise keeps err interior). That drop can ONLY
+# happen at round 1, never mid-ensemble: every cell weight is strictly
+# positive (products of exp), so a round-t stump with weighted err 0
+# classifies EVERY cell correctly and would already have scored err 0
+# under round 1's unit weights — i.e. a group that survives round 1
+# survives all rounds, and no partial ensemble is ever discarded
+# (r10-continuation review asked; err=W is likewise unreachable since
+# min(err, W-err) <= W/2 by the polarity pair).
 _ADA_BEST_SQL = (
     "SELECT {g}, split, pol, err, w, "
     "       0.5 * ln((w - err) / err) AS alpha "

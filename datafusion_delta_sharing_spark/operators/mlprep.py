@@ -371,7 +371,11 @@ def stump_fit_sql(xy_sql: str, group_col: str) -> str:
 # integer.
 # ONE SQL text, both engines. The rank is capped at n_cal (k > n_cal
 # means the finite-sample interval is infinite; with alpha = 0.1 that
-# only happens for n_cal < 9, surfaced by cal_too_small = true).
+# only happens for n_cal < 9, surfaced by cal_too_small = true). A
+# group with NO calibration rows at all is the extreme of the same
+# condition: the qhat LEFT JOIN keeps it, with qhat/covered/coverage
+# NULL and cal_too_small = 1 — dropping it silently would hide
+# exactly what the flag exists to surface (r10-continuation review).
 _CONFORMAL_SQL = (
     "WITH xy AS (SELECT * FROM {src}), "
     "coef AS ("
@@ -407,18 +411,23 @@ _CONFORMAL_SQL = (
     "  WHERE rn * 10 = CASE WHEN k10 > 10 * n_cal "
     "                       THEN 10 * n_cal ELSE k10 END) "
     "SELECT xy.{g}, max(n_tr) AS n_tr, "
-    "       CAST(max(n_cal) AS BIGINT) AS n_cal, "
+    "       CAST(coalesce(max(n_cal), 0) AS BIGINT) AS n_cal, "
     "       count(*) AS n_test, round(max(q), 6) AS qhat, "
-    "       CAST(sum(CASE WHEN abs(y - (b0 + b1 * x)) <= q "
-    "                     THEN 1 ELSE 0 END) AS BIGINT) AS covered, "
-    "       round(CAST(sum(CASE WHEN abs(y - (b0 + b1 * x)) <= q "
-    "                           THEN 1 ELSE 0 END) AS DOUBLE) "
-    "             / count(*), 6) AS coverage, "
-    "       max(CASE WHEN cal_too_small THEN 1 ELSE 0 END) "
-    "           AS cal_too_small "
+    "       CASE WHEN max(q) IS NULL THEN NULL "
+    "            ELSE CAST(sum(CASE WHEN abs(y - (b0 + b1 * x)) <= q "
+    "                          THEN 1 ELSE 0 END) AS BIGINT) END "
+    "           AS covered, "
+    "       CASE WHEN max(q) IS NULL THEN NULL "
+    "            ELSE round(CAST(sum(CASE WHEN abs(y - (b0 + b1 * x)) "
+    "                                     <= q THEN 1 ELSE 0 END) "
+    "                            AS DOUBLE) / count(*), 6) END "
+    "           AS coverage, "
+    "       CASE WHEN max(q) IS NULL THEN 1 "
+    "            ELSE max(CASE WHEN cal_too_small THEN 1 ELSE 0 END) "
+    "            END AS cal_too_small "
     "FROM xy "
     "JOIN coef ON xy.{g} = coef.{g} "
-    "JOIN qhat ON xy.{g} = qhat.{g} "
+    "LEFT JOIN qhat ON xy.{g} = qhat.{g} "
     "WHERE fold >= 8 "
     "GROUP BY xy.{g}")
 

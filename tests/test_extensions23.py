@@ -53,6 +53,41 @@ def test_naive_bayes_learns_beyond_majority(spark, sf_dir):
     assert correct > majority
 
 
+def test_naive_bayes_scores_tokenless_docs(spark):
+    """A document with empty/whitespace-only text — exactly what a
+    quality filter exists to catch — must still receive a label (y=0),
+    a prior contribution, and a prior-only holdout prediction, not
+    silently vanish (the r10-continuation review's finding: labels now
+    derive from the documents table, not the token table)."""
+    from datafusion_delta_sharing_spark.operators import classify as CL
+
+    rows = [(i, "spark join hash pipeline" if i % 2 else "filler words",
+             ) for i in range(20)]
+    rows.append((24, ""))        # holdout fold (24 % 5 == 4), no tokens
+    rows.append((29, "   "))     # holdout fold, whitespace only
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = CL.naive_bayes_eval(spark, docs, "text", "doc_id").collect()
+    n_holdout_docs = sum(1 for i, _ in rows if i % 5 == 4)
+    assert sum(r.n_docs for r in out) == n_holdout_docs
+    # both token-less docs are y_true = 0 and received SOME prediction
+    assert sum(r.n_docs for r in out if r.y_true == 0) >= 2
+
+
+def test_naive_bayes_single_tokenize_pass(spark, sf_dir):
+    """The module's headline scale claim, pinned: the returned plan
+    reads the two materialized leaves — the review measured 9 FileScan
+    + 9 explode nodes in the naive all-CTE formulation, so a
+    regression back to inlined CTEs is visible as parquet scans or
+    Generate nodes in the executed plan."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from datafusion_delta_sharing_spark.operators import classify as CL
+
+    plan = (CL.naive_bayes_eval(spark, docs, "text", "doc_id")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "FileScan parquet" not in plan
+    assert "Generate explode" not in plan
+
+
 def test_naive_bayes_oracle_matches_at_sf0001(spark, sf_dir):
     got = sorted(tuple(r) for r in
                  E23.q_naive_bayes_fit(spark, sf_dir).collect())
@@ -100,6 +135,24 @@ def test_conformal_small_calibration_flags_and_caps(spark):
     # folds 6,7 hold 8 rows -> n_cal = 8 < 9
     out = ML.conformal_interval_1f(spark, xy, "g").collect()
     assert len(out) == 1 and out[0].cal_too_small == 1
+
+
+def test_conformal_empty_calibration_surfaces_not_drops(spark):
+    """A group with NO fold-6/7 rows is the extreme undersized-
+    calibration case: it must stay in the output with NULL
+    qhat/covered/coverage and cal_too_small = 1, not silently vanish
+    (the r10-continuation review's finding)."""
+    rows = [(0, i % 7, 100 + 3 * (i % 7), i,
+             [0, 1, 2, 3, 4, 5, 8, 9][i % 8])  # folds 6,7 never occur
+            for i in range(40)]
+    xy = spark.createDataFrame(
+        rows, "g long, x long, y long, id long, fold long")
+    out = ML.conformal_interval_1f(spark, xy, "g").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.cal_too_small == 1 and r.n_cal == 0
+    assert r.qhat is None and r.covered is None and r.coverage is None
+    assert r.n_test > 0
 
 
 def test_conformal_oracle_matches_at_sf0001(spark, sf_dir):
@@ -251,6 +304,25 @@ def test_adaboost_satisfies_freund_schapire_bound(spark, sf_dir):
             bound *= 2.0 * math.sqrt(e_t * (1.0 - e_t))
         assert r.train_err <= bound + 1e-6
         assert r.min_abs_score > 1e-3
+
+
+def test_adaboost_separable_drop_is_round1_only(spark):
+    """Perfectly separable data degenerates at ROUND 1 (err=0 → alpha
+    infinite → documented drop, nothing lost: no earlier stumps
+    exist). The boosting.py docstring proves a later round can never
+    newly degenerate — err_t = 0 under strictly positive weights means
+    the stump is perfect on every cell, which would already have made
+    err_1 = 0 — so the drop semantics discard no partial ensemble."""
+    rows = [(0, x, 1 if x >= 3 else 0) for x in range(6)] * 5
+    xy = spark.createDataFrame(rows, "g long, x long, y long")
+    assert B.adaboost_fit(spark, xy, "g", rounds=3).collect() == []
+    # same data plus one noise row: survives round 1, then ALL rounds
+    noisy = rows + [(0, 0, 1)]
+    xy2 = spark.createDataFrame(noisy, "g long, x long, y long")
+    out = B.adaboost_fit(spark, xy2, "g", rounds=3).collect()
+    assert len(out) == 1
+    assert all(getattr(out[0], f"alpha{i}") is not None
+               for i in (1, 2, 3))
 
 
 def test_adaboost_oracle_matches_at_sf0001(spark, sf_dir):

@@ -128,8 +128,10 @@ HEADLINE = [
     # Newton/IRLS logistic regression, Gini-optimal decision stump
     "scd2_repair", "connector_cdf_scd2", "logreg_fit", "stump_fit",
     # r10 continuation batch 23 (r11 slots): NB corpus classifier,
-    # split conformal prediction, cell-table AdaBoost
+    # split conformal prediction, cell-table AdaBoost, Poisson
+    # bootstrap CI
     "naive_bayes_fit", "conformal_interval", "adaboost_fit",
+    "bootstrap_ci",
 ]
 
 

@@ -19,6 +19,12 @@ family completion over the established planted-law frames.
   xy frame ``logreg_fit`` / ``stump_fit`` consume (one data contract,
   three learners): the whole boosting loop runs on the contingency
   cells one aggregate built — ensemble training as scan + metadata.
+* ``bootstrap_ci`` — Poisson-bootstrap 95 % CI for a per-group mean
+  (:func:`..operators.sampling.bootstrap_ci_mean`, Chamandy et al.
+  2012): B = 100 deterministic hash-derived Poisson(1) replicates,
+  exact-integer weighted sums, order-statistic percentile bounds —
+  the estimator-uncertainty complement to ``conformal_interval``'s
+  predictive band, in the same zero-double-sum bit-exactness class.
 """
 
 from __future__ import annotations
@@ -29,9 +35,16 @@ from datafusion_delta_sharing_spark.harness import (
     load_table, register_views)
 from datafusion_delta_sharing_spark.harness.extensions22 import _LR_XY_SQL
 from datafusion_delta_sharing_spark.operators import (
-    boosting as B, classify as CL, mlprep as ML)
+    boosting as B, classify as CL, mlprep as ML, sampling as SA)
 
 _ADA_ROUNDS = 3
+
+# bootstrap target: the events value column in exact integer cents
+# (functions/money.py recipe — round() is half-away-from-zero on both
+# engines), grouped like the other planted-law frames
+_BOOT_XY_SQL = ("SELECT user_id % 3 AS g, "
+                "CAST(round(value * 100) AS BIGINT) AS y, "
+                "event_id AS id FROM events")
 
 # conformal's planted regression law (the logreg/ab_test precedent —
 # synthetic columns are mutually independent, so the integer law is
@@ -81,10 +94,23 @@ def q_adaboost_fit(spark, sf_dir):
                           rounds=_ADA_ROUNDS)
 
 
+def q_bootstrap_ci(spark, sf_dir):
+    """Poisson-bootstrap 95% CI for each group's mean value (in exact
+    cents): 100 hash-derived replicates, every draw an integer
+    comparison, every replicate mean ONE division of exact integers,
+    CI bounds order statistics — bit-exact across engines with no
+    rounding leaps of faith (the conformal_interval class). The CI
+    narrows ~sqrt(10)x per SF step, visible across the test SFs."""
+    register_views(spark, sf_dir, ["events"])
+    return SA.bootstrap_ci_mean(spark, spark.sql(_BOOT_XY_SQL), "g",
+                                "id")
+
+
 QUERIES = {
     "naive_bayes_fit": q_naive_bayes_fit,
     "conformal_interval": q_conformal_interval,
     "adaboost_fit": q_adaboost_fit,
+    "bootstrap_ci": q_bootstrap_ci,
 }
 
 ORACLES = {
@@ -92,4 +118,5 @@ ORACLES = {
         "SELECT * FROM documents", "text", "doc_id"),
     "conformal_interval": ML.conformal_interval_1f_sql(_CONF_XY_SQL, "g"),
     "adaboost_fit": B.adaboost_fit_sql(_LR_XY_SQL, "g", _ADA_ROUNDS),
+    "bootstrap_ci": SA.bootstrap_ci_mean_sql(_BOOT_XY_SQL, "g", "id"),
 }

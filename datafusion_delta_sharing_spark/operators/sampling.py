@@ -10,6 +10,7 @@ exact DuckDB mirror.
 
 from __future__ import annotations
 
+import math as _math
 from functools import reduce
 
 from pyspark.sql import DataFrame, Window, functions as F
@@ -385,3 +386,118 @@ def weighted_sample_sql(source_sql: str, stratum_col: str, id_col: str,
             WHERE {weight_col} IS NOT NULL AND {weight_col} > 0
         ) WHERE r <= {n_per_stratum}
     """
+
+
+# -- Poisson bootstrap confidence intervals ------------------------------------
+
+# The distributed bootstrap (Chamandy, Muralidharan, Najmi & Naidu 2012,
+# "Estimating uncertainty for massive data streams"): instead of
+# resampling n rows WITH replacement (impossible to coordinate across
+# partitions), each row enters replicate b with multiplicity
+# w ~ Poisson(1) — for large n the replicate laws converge to the
+# classical bootstrap, and each row's draws depend only on (row id, b),
+# so the whole procedure is one scan, embarrassingly parallel, and
+# deterministic. Draws are EXACT-INTEGER arithmetic end-to-end: the
+# 60-bit uniform h = md5(id:b:salt) is compared against precomputed
+# integer thresholds floor(F(k) * 2^60) of the Poisson(1) CDF
+# (truncated at w = 7, cumulative mass deficit ~1e-5 — a DEFINED
+# sampling law, the same on every engine), weighted sums are exact
+# BIGINTs, each replicate mean is ONE double division of exact
+# integers (IEEE-exact, bit-identical), and the CI bounds are ORDER
+# STATISTICS of those bit-identical doubles with a (mean, b)
+# tie-break. Zero order-dependent double sums anywhere — the
+# conformal_interval_1f bit-exactness class.
+_BOOT_B = 100          # replicates; ranks below assume this count
+_BOOT_ALPHA = 0.05     # 95% percentile CI: ranks ceil(a/2*B), ceil((1-a/2)*B)
+_BOOT_HEX = 15         # 60-bit uniforms, the weighted_sample convention
+
+_POIS_T = []
+_acc, _term = 0.0, _math.exp(-1.0)
+for _k in range(7):
+    _acc += _term          # F(k) = e^-1 * sum_{j<=k} 1/j!
+    _POIS_T.append(_math.floor(_acc * (1 << 60)))
+    _term /= (_k + 1)
+del _acc, _term, _k
+
+_POIS_CASE = ("CASE " + " ".join(
+    f"WHEN h < {t} THEN {k}" for k, t in enumerate(_POIS_T))
+    + " ELSE 7 END")
+
+# ONE core text, both engines, over {src} = the replicate-expanded
+# (g, y, b, h) relation and {orig} = the unexpanded (g, y) relation
+# (the expansion and the hex->int conversion are the only per-engine
+# spellings, the token_rows precedent). A replicate that samples zero
+# rows (all w = 0 — probability e^-n per group, unreachable beyond toy
+# groups) drops out of the rank, surfaced by n_boot < B.
+_BOOT_CORE_SQL = (
+    "WITH draws AS ("
+    "  SELECT {g}, y, b, " + _POIS_CASE + " AS w FROM {src}), "
+    "reps AS ("
+    "  SELECT {g}, b, sum(w * y) AS swy, sum(w) AS sw "
+    "  FROM draws GROUP BY {g}, b), "
+    "means AS ("
+    "  SELECT {g}, b, CAST(swy AS DOUBLE) / sw AS m, "
+    "         row_number() OVER (PARTITION BY {g} "
+    "             ORDER BY CAST(swy AS DOUBLE) / sw, b) AS rk, "
+    "         count(*) OVER (PARTITION BY {g}) AS nb "
+    "  FROM reps WHERE sw > 0), "
+    "base AS ("
+    "  SELECT {g}, count(*) AS n, sum(y) AS sy "
+    "  FROM {orig} GROUP BY {g}) "
+    "SELECT m.{g}, CAST(f.n AS BIGINT) AS n, "
+    "       round(CAST(f.sy AS DOUBLE) / f.n, 6) AS mean, "
+    "       round(max(CASE WHEN rk = {klo} THEN m.m END), 6) AS ci_lo, "
+    "       round(max(CASE WHEN rk = {khi} THEN m.m END), 6) AS ci_hi, "
+    "       CAST(max(nb) AS BIGINT) AS n_boot "
+    "FROM means m JOIN base f ON m.{g} = f.{g} "
+    "GROUP BY m.{g}, f.n, f.sy")
+
+
+def _boot_ranks(b: int = _BOOT_B, alpha: float = _BOOT_ALPHA):
+    lo = _math.ceil(alpha / 2.0 * b)
+    hi = _math.ceil((1.0 - alpha / 2.0) * b)
+    return lo, hi
+
+
+def bootstrap_ci_mean(spark, xy: DataFrame, group_col: str, id_col: str,
+                      salt: str = "boot1") -> DataFrame:
+    """Per-group Poisson-bootstrap 95% percentile CI for the mean of an
+    exact-integer column ``y`` over a (group, y, id) frame. Returns
+    (group, n, mean, ci_lo, ci_hi, n_boot).
+
+    Scale shape: the replicate expansion multiplies rows by B = 100,
+    but partial (map-side) aggregation collapses each partition to
+    #groups x B cells before the shuffle, so the exchanged state is
+    metadata-sized; per-row cost is B md5 calls — linear, perfectly
+    parallel, the honest price of a bootstrap. The rank window runs
+    over <= B rows per group."""
+    g, klo_khi = group_col, _boot_ranks()
+    xy.createOrReplaceTempView("_boot_xy")
+    expanded = (
+        f"(SELECT {g}, y, b, "
+        f" CAST(conv(substr(md5(concat(CAST({id_col} AS STRING), ':', "
+        f"   CAST(b AS STRING), ':{salt}')), 1, {_BOOT_HEX}), 16, 10) "
+        f"   AS BIGINT) AS h "
+        f" FROM _boot_xy "
+        f" LATERAL VIEW explode(sequence(0, {_BOOT_B - 1})) t AS b)")
+    return spark.sql(_BOOT_CORE_SQL.format(
+        g=g, src=expanded, orig="_boot_xy",
+        klo=klo_khi[0], khi=klo_khi[1]))
+
+
+def bootstrap_ci_mean_sql(xy_sql: str, group_col: str, id_col: str,
+                          salt: str = "boot1") -> str:
+    """DuckDB mirror of :func:`bootstrap_ci_mean` — the IDENTICAL core
+    text; only the replicate generator and the hex->int cast are
+    engine-spelled (the kmv_sql convention)."""
+    g, (klo, khi) = group_col, _boot_ranks()
+    expanded = (
+        f"(SELECT {g}, y, t.b, "
+        f" CAST(('0x' || substr(md5(CAST({id_col} AS VARCHAR) || ':' || "
+        f"   CAST(t.b AS VARCHAR) || ':{salt}'), 1, {_BOOT_HEX})) "
+        f"   AS BIGINT) AS h "
+        f" FROM ({xy_sql}) "
+        f" CROSS JOIN (SELECT unnest(generate_series(0, {_BOOT_B - 1})) "
+        f"             AS b) t)")
+    return _BOOT_CORE_SQL.format(
+        g=g, src=expanded, orig=f"({xy_sql})", klo=klo, khi=khi)

@@ -337,3 +337,87 @@ def test_adaboost_oracle_matches_at_sf0001(spark, sf_dir):
     want = sorted(tuple(r) for r in
                   con.execute(E23.ORACLES["adaboost_fit"]).fetchall())
     assert got == want
+
+
+# -- poisson bootstrap ---------------------------------------------------------
+
+
+def _py_bootstrap(rows, b_count, klo, khi):
+    """Pure-Python mirror of bootstrap_ci_mean for ONE group: the same
+    md5-derived 60-bit integers against the same thresholds, exact
+    integer sums, one float division per replicate, order-statistic
+    bounds — every step bit-exact, so the comparison is EXACT."""
+    import hashlib
+
+    from datafusion_delta_sharing_spark.operators.sampling import (
+        _BOOT_HEX, _POIS_T)
+
+    means = []
+    for b in range(b_count):
+        swy = sw = 0
+        for rid, y in rows:
+            hx = hashlib.md5(f"{rid}:{b}:boot1".encode()).hexdigest()
+            h = int(hx[:_BOOT_HEX], 16)
+            w = next((k for k, t in enumerate(_POIS_T) if h < t), 7)
+            swy += w * y
+            sw += w
+        if sw > 0:
+            means.append((swy / sw, b))
+    means.sort()
+    n = len(rows)
+    mean = sum(y for _, y in rows) / n
+    return (n, round(mean, 6),
+            round(means[klo - 1][0], 6), round(means[khi - 1][0], 6),
+            len(means))
+
+
+def test_bootstrap_matches_python_reference_exactly(spark):
+    """40 rows, one group, B=100: the Spark row must equal the hashlib
+    mirror bit-for-bit (no approx anywhere — the operator's whole point
+    is that the bootstrap is deterministic integer arithmetic)."""
+    from datafusion_delta_sharing_spark.operators.sampling import (
+        _boot_ranks, bootstrap_ci_mean)
+
+    rows = [(i, 100 + 7 * (i % 13)) for i in range(40)]
+    xy = spark.createDataFrame([(0, y, i) for i, y in rows],
+                               "g long, y long, id long")
+    got = bootstrap_ci_mean(spark, xy, "g", "id").collect()
+    klo, khi = _boot_ranks()
+    want = _py_bootstrap(rows, 100, klo, khi)
+    assert len(got) == 1
+    r = got[0]
+    assert (r.n, r.mean, r.ci_lo, r.ci_hi, r.n_boot) == want
+
+
+def test_bootstrap_ci_brackets_the_mean(spark, sf_dir):
+    """On real group sizes the percentile CI must bracket the full-
+    sample mean (the bootstrap distribution centers on it), be ordered,
+    and keep all 100 replicates (zero-weight replicates are an e^-n
+    event)."""
+    rows = E23.q_bootstrap_ci(spark, sf_dir).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r.n_boot == 100
+        assert r.ci_lo < r.mean < r.ci_hi
+
+
+def test_bootstrap_oracle_matches_at_sf0001(spark, sf_dir):
+    got = sorted(tuple(r) for r in
+                 E23.q_bootstrap_ci(spark, sf_dir).collect())
+    con = duckdb.connect()
+    con.execute("CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/events.parquet')")
+    want = sorted(tuple(r) for r in
+                  con.execute(E23.ORACLES["bootstrap_ci"]).fetchall())
+    assert got == want
+
+
+def test_bootstrap_rank_convention():
+    """klo/khi are the ceil((a/2)B) / ceil((1-a/2)B) percentile-
+    bootstrap ranks; at B=100, a=0.05 they are 3 and 98."""
+    from datafusion_delta_sharing_spark.operators.sampling import (
+        _boot_ranks)
+
+    assert _boot_ranks() == (3, 98)
+    assert _boot_ranks(200, 0.05) == (5, 195)
+    assert _boot_ranks(1000, 0.10) == (50, 950)

@@ -397,25 +397,31 @@ def weighted_sample_sql(source_sql: str, stratum_col: str, id_col: str,
 # w ~ Poisson(1) — for large n the replicate laws converge to the
 # classical bootstrap, and each row's draws depend only on (row id, b),
 # so the whole procedure is one scan, embarrassingly parallel, and
-# deterministic. Draws are EXACT-INTEGER arithmetic end-to-end: the
-# 60-bit uniform h = md5(id:b:salt) is compared against precomputed
-# integer thresholds floor(F(k) * 2^60) of the Poisson(1) CDF
-# (truncated at w = 7, cumulative mass deficit ~1e-5 — a DEFINED
-# sampling law, the same on every engine), weighted sums are exact
-# BIGINTs, each replicate mean is ONE double division of exact
+# deterministic. Draws are EXACT-INTEGER arithmetic end-to-end: each
+# replicate's uniform is a 16-bit slice of md5(id:chunk:salt) — ONE
+# md5 serves 8 draws (32 hex chars / 4), because hashing IS the
+# operator's dominant cost (measured at sf0.1: 9.0 s for per-draw
+# md5 vs 0.6 s for the whole explode+aggregate machinery — the
+# 8-draws-per-hash layout cuts the hash budget 7.7x) — compared
+# against precomputed integer thresholds floor(F(k) * 2^16) of the
+# Poisson(1) CDF (truncated at w = 7; together with the 16-bit
+# granularity the law deviates from Poisson(1) by ~1e-5 per cell — a
+# DEFINED sampling law, the same on every engine), weighted sums are
+# exact BIGINTs, each replicate mean is ONE double division of exact
 # integers (IEEE-exact, bit-identical), and the CI bounds are ORDER
 # STATISTICS of those bit-identical doubles with a (mean, b)
 # tie-break. Zero order-dependent double sums anywhere — the
 # conformal_interval_1f bit-exactness class.
 _BOOT_B = 100          # replicates; ranks below assume this count
 _BOOT_ALPHA = 0.05     # 95% percentile CI: ranks ceil(a/2*B), ceil((1-a/2)*B)
-_BOOT_HEX = 15         # 60-bit uniforms, the weighted_sample convention
+_BOOT_PER_HASH = 8     # 16-bit draws per md5 (32 hex chars / 4)
+_BOOT_CHUNKS = -(-_BOOT_B // _BOOT_PER_HASH)   # ceil(B / 8)
 
 _POIS_T = []
 _acc, _term = 0.0, _math.exp(-1.0)
 for _k in range(7):
     _acc += _term          # F(k) = e^-1 * sum_{j<=k} 1/j!
-    _POIS_T.append(_math.floor(_acc * (1 << 60)))
+    _POIS_T.append(_math.floor(_acc * (1 << 16)))
     _term /= (_k + 1)
 del _acc, _term, _k
 
@@ -468,18 +474,37 @@ def bootstrap_ci_mean(spark, xy: DataFrame, group_col: str, id_col: str,
     Scale shape: the replicate expansion multiplies rows by B = 100,
     but partial (map-side) aggregation collapses each partition to
     #groups x B cells before the shuffle, so the exchanged state is
-    metadata-sized; per-row cost is B md5 calls — linear, perfectly
-    parallel, the honest price of a bootstrap. The rank window runs
-    over <= B rows per group."""
+    metadata-sized; per-row cost is ceil(B/8) md5 calls (each hash
+    feeds 8 draws — hashing dominates, see the header measurement) —
+    linear, perfectly parallel, the honest price of a bootstrap. The
+    rank window runs over <= B rows per group.
+
+    Fan-out parallelism: the B-fold expansion inherits the INPUT's
+    split count, so a small input (one parquet file -> one split)
+    would run the entire hash fan-out on a single task — measured at
+    sf0.1: 4.9 s single-split vs 2.4 s for TEN TIMES the data in 32
+    splits. When the input has fewer partitions than the cluster's
+    default parallelism the frame is repartitioned first (the shuffled
+    rows are the small pre-expansion input, never the fan-out); inputs
+    that already carry enough splits — any real table scan at scale —
+    skip the shuffle entirely."""
     g, klo_khi = group_col, _boot_ranks()
+    target = spark.sparkContext.defaultParallelism
+    if xy.rdd.getNumPartitions() < target:
+        xy = xy.repartition(target)
     xy.createOrReplaceTempView("_boot_xy")
     expanded = (
-        f"(SELECT {g}, y, b, "
-        f" CAST(conv(substr(md5(concat(CAST({id_col} AS STRING), ':', "
-        f"   CAST(b AS STRING), ':{salt}')), 1, {_BOOT_HEX}), 16, 10) "
-        f"   AS BIGINT) AS h "
-        f" FROM _boot_xy "
-        f" LATERAL VIEW explode(sequence(0, {_BOOT_B - 1})) t AS b)")
+        f"(SELECT {g}, y, chunk * {_BOOT_PER_HASH} + j AS b, "
+        f" CAST(conv(substr(hx, j * 4 + 1, 4), 16, 10) AS BIGINT) AS h "
+        f" FROM (SELECT {g}, y, chunk, "
+        f"   md5(concat(CAST({id_col} AS STRING), ':', "
+        f"     CAST(chunk AS STRING), ':{salt}')) AS hx "
+        f"   FROM _boot_xy "
+        f"   LATERAL VIEW explode(sequence(0, {_BOOT_CHUNKS - 1})) "
+        f"     tc AS chunk) "
+        f" LATERAL VIEW explode(sequence(0, {_BOOT_PER_HASH - 1})) "
+        f"   tj AS j "
+        f" WHERE chunk * {_BOOT_PER_HASH} + j < {_BOOT_B})")
     return spark.sql(_BOOT_CORE_SQL.format(
         g=g, src=expanded, orig="_boot_xy",
         klo=klo_khi[0], khi=klo_khi[1]))
@@ -492,12 +517,16 @@ def bootstrap_ci_mean_sql(xy_sql: str, group_col: str, id_col: str,
     engine-spelled (the kmv_sql convention)."""
     g, (klo, khi) = group_col, _boot_ranks()
     expanded = (
-        f"(SELECT {g}, y, t.b, "
-        f" CAST(('0x' || substr(md5(CAST({id_col} AS VARCHAR) || ':' || "
-        f"   CAST(t.b AS VARCHAR) || ':{salt}'), 1, {_BOOT_HEX})) "
-        f"   AS BIGINT) AS h "
-        f" FROM ({xy_sql}) "
-        f" CROSS JOIN (SELECT unnest(generate_series(0, {_BOOT_B - 1})) "
-        f"             AS b) t)")
+        f"(SELECT {g}, y, chunk * {_BOOT_PER_HASH} + tj.j AS b, "
+        f" CAST(('0x' || substr(hx, tj.j * 4 + 1, 4)) AS BIGINT) AS h "
+        f" FROM (SELECT {g}, y, tc.chunk, "
+        f"   md5(CAST({id_col} AS VARCHAR) || ':' || "
+        f"     CAST(tc.chunk AS VARCHAR) || ':{salt}') AS hx "
+        f"   FROM ({xy_sql}) "
+        f"   CROSS JOIN (SELECT unnest(generate_series(0, "
+        f"     {_BOOT_CHUNKS - 1})) AS chunk) tc) "
+        f" CROSS JOIN (SELECT unnest(generate_series(0, "
+        f"   {_BOOT_PER_HASH - 1})) AS j) tj "
+        f" WHERE chunk * {_BOOT_PER_HASH} + tj.j < {_BOOT_B})")
     return _BOOT_CORE_SQL.format(
         g=g, src=expanded, orig=f"({xy_sql})", klo=klo, khi=khi)

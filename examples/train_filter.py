@@ -13,6 +13,9 @@ same code runs on the 500-doc sample here and a 100 TB corpus:
 3. ``conformal_interval_1f`` — wrap the companion regression in a
    distribution-free 90 % prediction band whose holdout coverage is
    exact arithmetic, not an estimate.
+4. ``bootstrap_ci_mean`` — put an error bar on each group's mean with
+   the Poisson bootstrap (100 deterministic hash-derived replicates;
+   every draw an integer comparison).
 
 Run:  python examples/train_filter.py [sf_dir]
 """
@@ -29,9 +32,9 @@ from datafusion_delta_sharing_spark.harness import (  # noqa: E402
 from datafusion_delta_sharing_spark.harness.extensions22 import (  # noqa: E402
     _LR_XY_SQL)
 from datafusion_delta_sharing_spark.harness.extensions23 import (  # noqa: E402
-    _CONF_XY_SQL)
+    _BOOT_XY_SQL, _CONF_XY_SQL)
 from datafusion_delta_sharing_spark.operators import (  # noqa: E402
-    boosting as B, classify as CL, mlprep as ML)
+    boosting as B, classify as CL, mlprep as ML, sampling as SA)
 from datafusion_delta_sharing_spark.session import get_spark  # noqa: E402
 
 
@@ -66,6 +69,15 @@ def main() -> None:
         print(f"group {r.g}: y_hat +- {r.qhat:.2f} covers "
               f"{r.coverage:.1%} of {r.n_test} held-out rows "
               f"(target 90%)")
+
+    print("\n== 4. Poisson-bootstrap 95% CI on each group's mean ==")
+    boot = SA.bootstrap_ci_mean(spark, spark.sql(_BOOT_XY_SQL), "g",
+                                "id")
+    boot.show()
+    for r in boot.collect():
+        print(f"group {r.g}: mean {r.mean / 100:.2f} "
+              f"[{r.ci_lo / 100:.2f}, {r.ci_hi / 100:.2f}] "
+              f"from {r.n_boot} replicates over {r.n} rows")
 
     spark.stop()
 

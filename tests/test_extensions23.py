@@ -350,14 +350,16 @@ def _py_bootstrap(rows, b_count, klo, khi):
     import hashlib
 
     from datafusion_delta_sharing_spark.operators.sampling import (
-        _BOOT_HEX, _POIS_T)
+        _BOOT_PER_HASH, _POIS_T)
 
     means = []
     for b in range(b_count):
+        chunk, j = divmod(b, _BOOT_PER_HASH)
         swy = sw = 0
         for rid, y in rows:
-            hx = hashlib.md5(f"{rid}:{b}:boot1".encode()).hexdigest()
-            h = int(hx[:_BOOT_HEX], 16)
+            hx = hashlib.md5(
+                f"{rid}:{chunk}:boot1".encode()).hexdigest()
+            h = int(hx[j * 4:j * 4 + 4], 16)
             w = next((k for k, t in enumerate(_POIS_T) if h < t), 7)
             swy += w * y
             sw += w

@@ -430,36 +430,50 @@ _POIS_CASE = ("CASE " + " ".join(
     + " ELSE 7 END")
 
 # ONE core text, both engines, over {src} = the replicate-expanded
-# (g, y, b, h) relation and {orig} = the unexpanded (g, y) relation
-# (the expansion and the hex->int conversion are the only per-engine
-# spellings, the token_rows precedent). A replicate that samples zero
-# rows (all w = 0 — probability e^-n per group, unreachable beyond toy
-# groups) drops out of the rank, surfaced by n_boot < B.
+# (g, y, b, h) relation (the expansion and the hex->int conversion are
+# the only per-engine spellings, the token_rows precedent). The input
+# is scanned ONCE: every (group, b) replicate cell sees ALL the
+# group's rows, so the full-sample n and sum(y) ride the SAME
+# aggregate (max over b of per-cell count/sum — identical in every
+# cell) instead of a second scan, and the final step is one GROUP BY,
+# no join — a NULL group key therefore survives to the output instead
+# of vanishing through an equi-join (r10-continuation review). A
+# replicate that samples zero rows (all w = 0 — probability e^-n per
+# group, toy-group territory) drops out of the rank; the CI ranks are
+# computed FROM the surviving count nb, not hardcoded for B, via the
+# conformal modulo spelling: rank*40 = ceil(nb/40)*40 for the 2.5th
+# percentile and ceil(39*nb/40)*40 for the 97.5th (alpha = 0.05 ->
+# fortieths, exactly), so small groups get valid rank-adjusted bounds
+# and n_boot reports the survivor count.
 _BOOT_CORE_SQL = (
     "WITH draws AS ("
     "  SELECT {g}, y, b, " + _POIS_CASE + " AS w FROM {src}), "
     "reps AS ("
-    "  SELECT {g}, b, sum(w * y) AS swy, sum(w) AS sw "
+    "  SELECT {g}, b, sum(w * y) AS swy, sum(w) AS sw, "
+    "         count(*) AS nr, sum(y) AS sy "
     "  FROM draws GROUP BY {g}, b), "
     "means AS ("
-    "  SELECT {g}, b, CAST(swy AS DOUBLE) / sw AS m, "
+    "  SELECT {g}, b, nr, sy, CAST(swy AS DOUBLE) / sw AS m, "
     "         row_number() OVER (PARTITION BY {g} "
     "             ORDER BY CAST(swy AS DOUBLE) / sw, b) AS rk, "
     "         count(*) OVER (PARTITION BY {g}) AS nb "
-    "  FROM reps WHERE sw > 0), "
-    "base AS ("
-    "  SELECT {g}, count(*) AS n, sum(y) AS sy "
-    "  FROM {orig} GROUP BY {g}) "
-    "SELECT m.{g}, CAST(f.n AS BIGINT) AS n, "
-    "       round(CAST(f.sy AS DOUBLE) / f.n, 6) AS mean, "
-    "       round(max(CASE WHEN rk = {klo} THEN m.m END), 6) AS ci_lo, "
-    "       round(max(CASE WHEN rk = {khi} THEN m.m END), 6) AS ci_hi, "
+    "  FROM reps WHERE sw > 0) "
+    "SELECT {g}, CAST(max(nr) AS BIGINT) AS n, "
+    "       round(CAST(max(sy) AS DOUBLE) / max(nr), 6) AS mean, "
+    "       round(max(CASE WHEN rk * 40 = "
+    "             (nb + 39) - ((nb + 39) % 40) THEN m END), 6) "
+    "           AS ci_lo, "
+    "       round(max(CASE WHEN rk * 40 = "
+    "             (39 * nb + 39) - ((39 * nb + 39) % 40) THEN m END), "
+    "             6) AS ci_hi, "
     "       CAST(max(nb) AS BIGINT) AS n_boot "
-    "FROM means m JOIN base f ON m.{g} = f.{g} "
-    "GROUP BY m.{g}, f.n, f.sy")
+    "FROM means GROUP BY {g}")
 
 
 def _boot_ranks(b: int = _BOOT_B, alpha: float = _BOOT_ALPHA):
+    """The percentile ranks the modulo spelling above computes for a
+    survivor count of ``b`` — kept as the documented reference
+    (ceil(alpha/2*b), ceil((1-alpha/2)*b)) and used by the tests."""
     lo = _math.ceil(alpha / 2.0 * b)
     hi = _math.ceil((1.0 - alpha / 2.0) * b)
     return lo, hi
@@ -477,7 +491,9 @@ def bootstrap_ci_mean(spark, xy: DataFrame, group_col: str, id_col: str,
     metadata-sized; per-row cost is ceil(B/8) md5 calls (each hash
     feeds 8 draws — hashing dominates, see the header measurement) —
     linear, perfectly parallel, the honest price of a bootstrap. The
-    rank window runs over <= B rows per group.
+    rank window runs over <= B rows per group. Rows with NULL y are
+    excluded up front (on both engines) — inside the sums they would
+    inflate sum(w) but not sum(w*y) and silently deflate every mean.
 
     Fan-out parallelism: the B-fold expansion inherits the INPUT's
     split count, so a small input (one parquet file -> one split)
@@ -488,7 +504,8 @@ def bootstrap_ci_mean(spark, xy: DataFrame, group_col: str, id_col: str,
     rows are the small pre-expansion input, never the fan-out); inputs
     that already carry enough splits — any real table scan at scale —
     skip the shuffle entirely."""
-    g, klo_khi = group_col, _boot_ranks()
+    g = group_col
+    xy = xy.filter(F.col("y").isNotNull())
     target = spark.sparkContext.defaultParallelism
     if xy.rdd.getNumPartitions() < target:
         xy = xy.repartition(target)
@@ -505,9 +522,7 @@ def bootstrap_ci_mean(spark, xy: DataFrame, group_col: str, id_col: str,
         f" LATERAL VIEW explode(sequence(0, {_BOOT_PER_HASH - 1})) "
         f"   tj AS j "
         f" WHERE chunk * {_BOOT_PER_HASH} + j < {_BOOT_B})")
-    return spark.sql(_BOOT_CORE_SQL.format(
-        g=g, src=expanded, orig="_boot_xy",
-        klo=klo_khi[0], khi=klo_khi[1]))
+    return spark.sql(_BOOT_CORE_SQL.format(g=g, src=expanded))
 
 
 def bootstrap_ci_mean_sql(xy_sql: str, group_col: str, id_col: str,
@@ -515,18 +530,18 @@ def bootstrap_ci_mean_sql(xy_sql: str, group_col: str, id_col: str,
     """DuckDB mirror of :func:`bootstrap_ci_mean` — the IDENTICAL core
     text; only the replicate generator and the hex->int cast are
     engine-spelled (the kmv_sql convention)."""
-    g, (klo, khi) = group_col, _boot_ranks()
+    g = group_col
+    filtered = f"(SELECT * FROM ({xy_sql}) WHERE y IS NOT NULL)"
     expanded = (
         f"(SELECT {g}, y, chunk * {_BOOT_PER_HASH} + tj.j AS b, "
         f" CAST(('0x' || substr(hx, tj.j * 4 + 1, 4)) AS BIGINT) AS h "
         f" FROM (SELECT {g}, y, tc.chunk, "
         f"   md5(CAST({id_col} AS VARCHAR) || ':' || "
         f"     CAST(tc.chunk AS VARCHAR) || ':{salt}') AS hx "
-        f"   FROM ({xy_sql}) "
+        f"   FROM {filtered} "
         f"   CROSS JOIN (SELECT unnest(generate_series(0, "
         f"     {_BOOT_CHUNKS - 1})) AS chunk) tc) "
         f" CROSS JOIN (SELECT unnest(generate_series(0, "
         f"   {_BOOT_PER_HASH - 1})) AS j) tj "
         f" WHERE chunk * {_BOOT_PER_HASH} + tj.j < {_BOOT_B})")
-    return _BOOT_CORE_SQL.format(
-        g=g, src=expanded, orig=f"({xy_sql})", klo=klo, khi=khi)
+    return _BOOT_CORE_SQL.format(g=g, src=expanded)

@@ -342,15 +342,27 @@ def test_adaboost_oracle_matches_at_sf0001(spark, sf_dir):
 # -- poisson bootstrap ---------------------------------------------------------
 
 
-def _py_bootstrap(rows, b_count, klo, khi):
+def _round6(x):
+    """Spark/DuckDB round(x, 6): HALF_UP on the shortest decimal
+    representation (BigDecimal.valueOf semantics) — Python's round()
+    is half-to-even on the exact binary value and can differ on
+    6-decimal midpoints, so the EXACT mirror must not use it."""
+    import decimal
+
+    return float(decimal.Decimal(repr(x)).quantize(
+        decimal.Decimal("1e-6"), rounding=decimal.ROUND_HALF_UP))
+
+
+def _py_bootstrap(rows, b_count):
     """Pure-Python mirror of bootstrap_ci_mean for ONE group: the same
-    md5-derived 60-bit integers against the same thresholds, exact
-    integer sums, one float division per replicate, order-statistic
-    bounds — every step bit-exact, so the comparison is EXACT."""
+    16-bit md5-slice draws against the same integer thresholds, exact
+    integer sums, one float division per replicate, rank-from-survivor
+    order-statistic bounds — every step bit-exact, so the comparison
+    is EXACT."""
     import hashlib
 
     from datafusion_delta_sharing_spark.operators.sampling import (
-        _BOOT_PER_HASH, _POIS_T)
+        _BOOT_PER_HASH, _POIS_T, _boot_ranks)
 
     means = []
     for b in range(b_count):
@@ -366,10 +378,11 @@ def _py_bootstrap(rows, b_count, klo, khi):
         if sw > 0:
             means.append((swy / sw, b))
     means.sort()
+    klo, khi = _boot_ranks(len(means))
     n = len(rows)
     mean = sum(y for _, y in rows) / n
-    return (n, round(mean, 6),
-            round(means[klo - 1][0], 6), round(means[khi - 1][0], 6),
+    return (n, _round6(mean),
+            _round6(means[klo - 1][0]), _round6(means[khi - 1][0]),
             len(means))
 
 
@@ -378,17 +391,39 @@ def test_bootstrap_matches_python_reference_exactly(spark):
     mirror bit-for-bit (no approx anywhere — the operator's whole point
     is that the bootstrap is deterministic integer arithmetic)."""
     from datafusion_delta_sharing_spark.operators.sampling import (
-        _boot_ranks, bootstrap_ci_mean)
+        bootstrap_ci_mean)
 
     rows = [(i, 100 + 7 * (i % 13)) for i in range(40)]
     xy = spark.createDataFrame([(0, y, i) for i, y in rows],
                                "g long, y long, id long")
     got = bootstrap_ci_mean(spark, xy, "g", "id").collect()
-    klo, khi = _boot_ranks()
-    want = _py_bootstrap(rows, 100, klo, khi)
+    want = _py_bootstrap(rows, 100)
     assert len(got) == 1
     r = got[0]
     assert (r.n, r.mean, r.ci_lo, r.ci_hi, r.n_boot) == want
+
+
+def test_bootstrap_tiny_group_gets_rank_adjusted_bounds(spark):
+    """A 1-row group loses ~e^-1 of its replicates to all-zero weights
+    (sw = 0); the CI ranks are computed FROM the survivor count, so
+    the bounds exist (both equal the single y) instead of ci_hi
+    landing on a rank that no longer exists — and NULL-y rows are
+    excluded rather than deflating the mean (r10-continuation
+    review)."""
+    from datafusion_delta_sharing_spark.operators.sampling import (
+        bootstrap_ci_mean)
+
+    xy = spark.createDataFrame(
+        [(0, 500, 1), (0, None, 2), (1, 300, 3)],
+        "g long, y long, id long")
+    got = {r.g: r for r in
+           bootstrap_ci_mean(spark, xy, "g", "id").collect()}
+    assert set(got) == {0, 1}
+    for g, y in ((0, 500.0), (1, 300.0)):
+        r = got[g]
+        assert r.n == 1 and r.mean == y          # NULL y not counted
+        assert r.ci_lo == y and r.ci_hi == y     # bounds exist
+        assert 0 < r.n_boot < 100                # survivors reported
 
 
 def test_bootstrap_ci_brackets_the_mean(spark, sf_dir):

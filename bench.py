@@ -251,6 +251,14 @@ def main() -> None:
     load_before = os.getloadavg()
     calib_before = _calibrate(spark)
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    # SPARK_GRAFT_BENCH_ONLY="q1,q2": time just those HEADLINE queries —
+    # for targeted iteration and for re-measuring a block the box's steal
+    # storms contaminated, without a full-suite exposure window. Subset
+    # runs never write the round artifacts (see the writes below), so a
+    # partial map can't clobber the archived full map.
+    only_env = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
+    only = {q.strip() for q in only_env.split(",") if q.strip()}
+    bench_names = [n for n in HEADLINE if not only or n in only]
     runs: dict[str, list[float]] = {}
     timings: dict[str, float] = {}  # medians — the headline numbers
     # VERDICT r7 #2: per-streaming-query compute vs trigger-wait split.
@@ -261,7 +269,7 @@ def main() -> None:
     from datafusion_delta_sharing_spark.streaming import progress as PROG
 
     stream_split: dict[str, dict] = {}
-    for name in HEADLINE:
+    for name in bench_names:
         fn = queries[name]
         samples = []
         for _ in range(n_runs):
@@ -380,9 +388,10 @@ def main() -> None:
     # a file FIRST — the repo then carries the numbers regardless of what
     # happens to stdout downstream.
     root = Path(__file__).resolve().parent
-    with open(root / "BENCH_LATEST.json", "w") as fh:
-        json.dump(doc, fh, indent=1)
-        fh.write("\n")
+    if not only:
+        with open(root / "BENCH_LATEST.json", "w") as fh:
+            json.dump(doc, fh, indent=1)
+            fh.write("\n")
     # VERDICT r9 #5: archive the FULL per-query map per round —
     # BENCH_r{N}.json keeps only the compact stdout summary (top-3 +
     # worst-3), and BENCH_LATEST.json is overwritten every run, so
@@ -395,7 +404,7 @@ def main() -> None:
     # the label explicitly with SPARK_GRAFT_BENCH_ROUND. Only
     # driver-shaped runs archive (the default SF), so sf0.01 iteration
     # loops don't clobber the round's sf0.1 record.
-    if sf_val == 0.1:
+    if sf_val == 0.1 and not only:
         import glob as _glob
         import re as _re
 
@@ -445,13 +454,16 @@ def main() -> None:
         "wall_value": total,           # sum of wall medians (old headline)
         "stream_wait_s": round(total - total_c, 3),
         "unit": "sec",
-        "queries": slowest,            # 3 slowest medians (full map: artifact)
+        # subset runs (SPARK_GRAFT_BENCH_ONLY) write no artifact, so the
+        # stdout line carries their complete map — a handful of queries
+        # stays far under the 2,000-char tail-truncation bound
+        "queries": timings_c if only else slowest,
         "n_queries": len(timings),
         "sf": sf_val,
         "worst3_vs_prev": worst_ratios,
         "prev_round": prev["round"],
         "calibration_ratio_jvm": calib_ratio,
-        "full_artifact": "BENCH_LATEST.json",
+        "full_artifact": None if only else "BENCH_LATEST.json",
     }
     line = json.dumps(compact)
     assert len(line) < 2000, f"compact bench summary grew to {len(line)}"

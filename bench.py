@@ -135,6 +135,23 @@ HEADLINE = [
 ]
 
 
+def subset_names(headline, env_value):
+    """Resolve SPARK_GRAFT_BENCH_ONLY into the query list to time.
+
+    Returns (names, subset_active). Unknown names RAISE instead of
+    silently timing nothing — a typo'd filter that quietly produced an
+    empty 0.0 s "suite" would read as a 100x speedup to any downstream
+    comparison. Subset runs never write the round artifacts (guarded at
+    the write sites in main), so a partial map can't clobber the
+    archived full map."""
+    only = {q.strip() for q in (env_value or "").split(",") if q.strip()}
+    unknown = sorted(only - set(headline))
+    if unknown:
+        raise ValueError(
+            f"SPARK_GRAFT_BENCH_ONLY names not in HEADLINE: {unknown}")
+    return [n for n in headline if not only or n in only], bool(only)
+
+
 def _previous_bench() -> dict:
     """Newest PARSABLE BENCH_r{N}.json in the repo root (per-query deltas;
     VERDICT r2 #9 asked for the r(N)/r(N-1) ratio to live in the artifact).
@@ -256,9 +273,8 @@ def main() -> None:
     # storms contaminated, without a full-suite exposure window. Subset
     # runs never write the round artifacts (see the writes below), so a
     # partial map can't clobber the archived full map.
-    only_env = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
-    only = {q.strip() for q in only_env.split(",") if q.strip()}
-    bench_names = [n for n in HEADLINE if not only or n in only]
+    bench_names, only = subset_names(
+        HEADLINE, os.environ.get("SPARK_GRAFT_BENCH_ONLY", ""))
     runs: dict[str, list[float]] = {}
     timings: dict[str, float] = {}  # medians — the headline numbers
     # VERDICT r7 #2: per-streaming-query compute vs trigger-wait split.

@@ -417,6 +417,22 @@ def test_bench_headline_resolves_in_registry():
     missing = [q for q in headline if q not in registry]
     assert not missing, f"HEADLINE names not in registry: {missing}"
 
+    # the SPARK_GRAFT_BENCH_ONLY contract: no filter = full HEADLINE in
+    # order with subset_active False (driver-shaped runs byte-identical);
+    # a filter selects in HEADLINE order and flags subset_active (main
+    # gates every artifact write on it); a typo'd name raises instead of
+    # silently timing an empty suite.
+    full, active = bench.subset_names(headline, "")
+    assert full == headline and active is False
+    pick = [headline[3], headline[0]]
+    sub, active = bench.subset_names(headline, f" {pick[0]} , {pick[1]} ")
+    assert sub == [headline[0], headline[3]] and active is True
+    try:
+        bench.subset_names(headline, f"{headline[0]},not_a_query")
+        raise AssertionError("unknown SPARK_GRAFT_BENCH_ONLY name accepted")
+    except ValueError as e:
+        assert "not_a_query" in str(e)
+
 
 def test_connector_cdf_scd2_maintains_intervals(spark):
     """VERDICT r9 #4: all three CDC kinds from the real /changes

@@ -155,6 +155,79 @@ def test_conformal_empty_calibration_surfaces_not_drops(spark):
     assert r.n_test > 0
 
 
+def _py_conformal(rows):
+    """Pure-Python mirror of the split-conformal SQL over integer rows
+    (g, x, y, id, fold). The OLS sums are exact integers, so replicating
+    the SQL's exact double-expression shapes (division/multiplication
+    order) makes b0/b1 — and every score — bit-identical, not merely
+    close; the only tolerance needed downstream is the output's
+    round(·, 6) (SQL HALF_UP vs Python bankers)."""
+    by_g = {}
+    for g, x, y, i, fold in rows:
+        by_g.setdefault(g, []).append((x, y, i, fold))
+    out = {}
+    for g, rs in by_g.items():
+        tr = [(x, y) for x, y, _, f in rs if f <= 5]
+        n_tr = len(tr)
+        sx = sum(x for x, _ in tr)
+        sy = sum(y for _, y in tr)
+        sxx = sum(x * x for x, _ in tr)
+        sxy = sum(x * y for x, y in tr)
+        det = float(n_tr) * sxx - float(sx) * sx
+        if det == 0:
+            continue  # WHERE det != 0: no coef row, inner join drops g
+        b1 = (float(n_tr) * sxy - float(sx) * sy) / det
+        b0 = (sy - b1 * sx) / n_tr
+        cal = sorted((abs(y - (b0 + b1 * x)), i)
+                     for x, y, i, f in rs if f in (6, 7))
+        n_cal = len(cal)
+        q = too_small = None
+        if n_cal:
+            k = 9 * (n_cal + 1) + 9
+            k10 = k - k % 10
+            too_small = k10 > 10 * n_cal
+            q = cal[min(k10, 10 * n_cal) // 10 - 1][0]
+        test = [(x, y) for x, y, _, f in rs if f >= 8]
+        if not test:
+            continue  # FROM xy WHERE fold >= 8: no output row
+        if q is None:
+            out[g] = (n_tr, 0, len(test), None, None, None, 1)
+        else:
+            cov = sum(1 for x, y in test if abs(y - (b0 + b1 * x)) <= q)
+            out[g] = (n_tr, n_cal, len(test), q, cov,
+                      cov / len(test), int(too_small))
+    return out
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 6), st.integers(0, 9),
+              st.integers(0, 9)),
+    min_size=1, max_size=40))
+def test_conformal_matches_python_reference(spark, tuples_list):
+    """Arbitrary tiny frames (groups x in [0,6], y in [0,9], folds from
+    the row index) must reproduce the mirror exactly: same surviving
+    group set (det=0 and test-less groups dropped the same way), exact
+    integer columns, bit-identical coverage counts, and qhat/coverage
+    within the output rounding."""
+    rows = [(g, x, y, i, f) for i, (g, x, y, f) in enumerate(tuples_list)]
+    want = _py_conformal(rows)
+    xy = spark.createDataFrame(
+        rows, "g long, x long, y long, id long, fold long")
+    got = {r.g: r for r in ML.conformal_interval_1f(spark, xy, "g").collect()}
+    assert set(got) == set(want)
+    for g, (n_tr, n_cal, n_test, q, cov, coverage, flag) in want.items():
+        r = got[g]
+        assert (r.n_tr, r.n_cal, r.n_test, r.cal_too_small) == (
+            n_tr, n_cal, n_test, flag)
+        if q is None:
+            assert r.qhat is None and r.covered is None and r.coverage is None
+        else:
+            assert r.qhat == pytest.approx(q, abs=1e-6)
+            assert r.covered == cov
+            assert r.coverage == pytest.approx(coverage, abs=1e-6)
+
+
 def test_conformal_oracle_matches_at_sf0001(spark, sf_dir):
     got = sorted(tuple(r) for r in
                  E23.q_conformal_interval(spark, sf_dir).collect())
@@ -401,6 +474,34 @@ def test_bootstrap_matches_python_reference_exactly(spark):
     assert len(got) == 1
     r = got[0]
     assert (r.n, r.mean, r.ci_lo, r.ci_hi, r.n_boot) == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(
+    st.tuples(st.integers(0, 2), st.integers(-50, 950)),
+    min_size=1, max_size=30))
+def test_bootstrap_matches_python_reference_on_arbitrary_frames(
+        spark, gy_list):
+    """The fixed-input mirror test pins one 40-row frame; this one runs
+    the same EXACT (no approx) comparison over arbitrary tiny frames —
+    multiple groups, negative y, singleton groups whose replicates can
+    die to all-zero weights. Row ids are the enumeration index, so
+    groups share the hash stream exactly as a real scan would."""
+    from datafusion_delta_sharing_spark.operators.sampling import (
+        bootstrap_ci_mean)
+
+    by_g = {}
+    for i, (g, y) in enumerate(gy_list):
+        by_g.setdefault(g, []).append((i, y))
+    xy = spark.createDataFrame(
+        [(g, y, i) for i, (g, y) in enumerate(gy_list)],
+        "g long, y long, id long")
+    got = {r.g: r for r in bootstrap_ci_mean(spark, xy, "g", "id").collect()}
+    assert set(got) == set(by_g)
+    for g, rows in by_g.items():
+        r = got[g]
+        assert (r.n, r.mean, r.ci_lo, r.ci_hi, r.n_boot) == \
+            _py_bootstrap(rows, 100)
 
 
 def test_bootstrap_tiny_group_gets_rank_adjusted_bounds(spark):

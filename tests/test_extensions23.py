@@ -25,6 +25,86 @@ from datafusion_delta_sharing_spark.operators import mlprep as ML
 # -- naive bayes ---------------------------------------------------------------
 
 
+def _py_naive_bayes(doc_words):
+    """Pure-Python mirror of naive_bayes_eval over (id -> word list):
+    same planted all-of-concept labels, id%5 folds, Laplace-smoothed
+    multinomial likelihoods, prior-only fallback for holdout docs with
+    no known token. Returns the (y_true, y_pred) -> [n, margins]
+    confusion, or "ambiguous" when a holdout |log-odds| sits within
+    summation-order drift of zero (the adaboost-mirror convention: the
+    cross-ENGINE identical-text contract is the oracle tests' job), or
+    "degenerate" when a train class is empty / the vocabulary is empty
+    (ln(0)/NULL scalars — outside the operator's corpus contract)."""
+    concept = {"spark", "join", "hash"}
+    labels = {i: (1 if concept <= set(ws) else 0, i % 5)
+              for i, ws in doc_words.items()}
+    train = {i for i, (_, f) in labels.items() if f < 4}
+    n1 = sum(1 for i in train if labels[i][0] == 1)
+    n0 = len(train) - n1
+    vocab = {}
+    for i in train:
+        for w in doc_words[i]:
+            c1, c0 = vocab.get(w, (0, 0))
+            vocab[w] = ((c1 + 1, c0) if labels[i][0] == 1
+                        else (c1, c0 + 1))
+    if not vocab or n1 == 0 or n0 == 0:
+        return "degenerate"
+    t1 = sum(c1 for c1, _ in vocab.values())
+    t0 = sum(c0 for _, c0 in vocab.values())
+    v = len(vocab)
+    conf = {}
+    for i, (y, f) in labels.items():
+        if f != 4:
+            continue
+        known = [w for w in doc_words[i] if w in vocab]
+        s1 = math.log(n1) - math.log(n1 + n0)
+        s0 = math.log(n0) - math.log(n1 + n0)
+        if known:
+            s1 += (sum(math.log(vocab[w][0] + 1) for w in known)
+                   - len(known) * math.log(t1 + v))
+            s0 += (sum(math.log(vocab[w][1] + 1) for w in known)
+                   - len(known) * math.log(t0 + v))
+        diff = s1 - s0
+        if abs(diff) < 1e-9:
+            return "ambiguous"
+        key = (y, 1 if diff > 0 else 0)
+        conf.setdefault(key, []).append(abs(diff))
+    return conf
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(
+    st.lists(st.sampled_from(
+        ["spark", "join", "hash", "alpha", "beta", "gamma"]),
+        min_size=0, max_size=8),
+    min_size=5, max_size=25))
+def test_naive_bayes_matches_python_reference(spark, word_lists):
+    """Arbitrary tiny corpora (including empty documents — the junk a
+    quality filter exists to catch) must reproduce the mirror's
+    confusion counts exactly and its margins to the output rounding."""
+    doc_words = dict(enumerate(word_lists))
+    want = _py_naive_bayes(doc_words)
+    if want in ("ambiguous", "degenerate"):
+        return
+    if not any(i % 5 == 4 for i in doc_words):
+        return  # no holdout: zero output rows both sides, nothing to pin
+    docs = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in doc_words.items()],
+        "doc_id long, text string")
+    from datafusion_delta_sharing_spark.operators.classify import (
+        naive_bayes_eval)
+
+    got = {(r.y_true, r.y_pred): r
+           for r in naive_bayes_eval(spark, docs, "text", "doc_id").collect()}
+    assert set(got) == set(want)
+    for key, margins in want.items():
+        r = got[key]
+        assert r.n_docs == len(margins)
+        assert r.min_margin == pytest.approx(min(margins), abs=2e-4)
+        assert r.avg_margin == pytest.approx(
+            sum(margins) / len(margins), abs=2e-4)
+
+
 def test_naive_bayes_confusion_covers_holdout(spark, sf_dir):
     rows = E23.q_naive_bayes_fit(spark, sf_dir).collect()
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")

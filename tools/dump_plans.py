@@ -146,7 +146,49 @@ SHOWCASE = [
      "windows (the sketches) and the groupBy(sh) membership flags "
      "(the exact attestation) — no corpus-vs-corpus equi-join; the "
      "estimate itself is a 2x256-row combine"),
+    ("logreg_fit",
+     "bounded Newton/IRLS logistic regression: each of the 3 rounds is "
+     "one scan-shaped hash aggregate of the fixed 3x3 XtWX/XtWz sums "
+     "with the current coefficients re-entering as a #groups-row "
+     "broadcast join — the returned plan reads the final round's "
+     "aggregate; no per-iteration raw-row state"),
+    ("stump_fit",
+     "exact Gini-optimal decision stump: one aggregate reduces the "
+     "scan to the 16-bucket-per-group (bucket, n, pos) table; every "
+     "candidate split is a cumulative window over those buckets — the "
+     "exhaustive search never re-touches raw rows"),
+    ("naive_bayes_fit",
+     "multinomial NB train+eval: the corpus is tokenized ONCE into "
+     "checkpointed (id, token) / (id, y, fold) leaves (Catalyst "
+     "inlines repeated CTEs — the naive form re-scanned 9x), then one "
+     "label aggregate, one (token, class) vocabulary aggregate, and "
+     "one holdout scoring equi-join; priors/token totals ride a "
+     "one-row broadcast"),
+    ("conformal_interval",
+     "split conformal: one exact-integer OLS hash aggregate, a "
+     "broadcastable #groups-row coefficient join, ONE rank window "
+     "over the calibration fold only (pure-integer rank, no "
+     "division), and an exact filtered coverage count — nothing "
+     "super-linear, no global sort"),
+    ("adaboost_fit",
+     "discrete AdaBoost over exhaustive stumps: ONE aggregate builds "
+     "the (group, x, y) contingency cells and ALL boosting rounds run "
+     "on that <=48-row cell table via cumulative windows — instance "
+     "weights are constant within a cell, so raw rows are never "
+     "re-touched after the first aggregate"),
+    ("bootstrap_ci",
+     "Poisson bootstrap: one scan (repartitioned pre-expansion when "
+     "under-split) explodes B=100 replicate literals per row — each "
+     "md5 feeds EIGHT 16-bit draws — into ONE (group, replicate) hash "
+     "aggregate carrying the full-sample n/sum in the same pass; CI "
+     "bounds are order statistics ranked from the survivor count"),
 ]
+# scd2_repair / connector_cdf_scd2 are deliberately absent: their
+# registry callables run the refuse->repair->redeliver / CDC-ingest
+# cycle EAGERLY and return the final state read, so the dumped plan
+# would show a parquet scan of the state dir, not the repair/merge
+# shape — that shape is pinned by the streaming tests and documented
+# in COVERAGE.md instead.
 
 
 def main() -> None:

@@ -169,27 +169,42 @@ def _previous_bench() -> dict:
         if m:
             rounds.append((int(m.group(1)), path))
     for n, path in sorted(rounds, reverse=True):
-        try:
-            with open(path) as fh:
-                doc = json.load(fh)
-        except (OSError, json.JSONDecodeError):
-            continue
-        if not isinstance(doc, dict):
-            continue
-        parsed = doc.get("parsed", doc)
-        if parsed is None:
-            try:  # salvage: the raw stdout tail may still be the JSON
-                parsed = json.loads(doc.get("tail", ""))
-            except (TypeError, json.JSONDecodeError):
+        # Prefer the round's FULL per-query archive (VERDICT r9 #5):
+        # r7+ driver stubs keep only the top-3 COMPUTE-SUBSTITUTED
+        # queries, so dividing this run's wall medians by them inflated
+        # streaming deltas by the trigger wait counted in the numerator
+        # only. The FULL archive is wall medians — like-for-like.
+        full = Path(path).with_name(f"BENCH_FULL_r{n:02d}.json")
+        for cand in ([full] if full.exists() else []) + [Path(path)]:
+            try:
+                with open(cand) as fh:
+                    doc = json.load(fh)
+            except (OSError, json.JSONDecodeError):
                 continue
-        if not isinstance(parsed, dict) or not parsed.get("queries"):
-            continue
-        # r5+ artifacts carry medians in "queries" (and raw runs); r1-r4
-        # carried best-of-3 — comparable only with a basis flag
-        basis = "median" if parsed.get("runs") else "best"
-        return {"round": n, "sf": parsed.get("sf"),
-                "queries": parsed["queries"], "basis": basis}
-    return {"round": -1, "sf": None, "queries": {}, "basis": "best"}
+            if not isinstance(doc, dict):
+                continue
+            parsed = doc.get("parsed", doc)
+            if parsed is None:
+                try:  # salvage: the raw stdout tail may still be the JSON
+                    parsed = json.loads(doc.get("tail", ""))
+                except (TypeError, json.JSONDecodeError):
+                    continue
+            if not isinstance(parsed, dict) or not parsed.get("queries"):
+                continue
+            # r7+ compact stubs carry only the top-3 queries with the
+            # stream segment counted at COMPUTE time — usable, but the
+            # caller must divide its own compute-substituted numbers by
+            # them, not wall medians (flagged via "substituted")
+            n_q = parsed.get("n_queries")
+            substituted = isinstance(n_q, int) and len(parsed["queries"]) < n_q
+            # r5+ artifacts carry medians in "queries" (and raw runs);
+            # r1-r4 carried best-of-3 — comparable only with a basis flag
+            basis = "median" if (parsed.get("runs") or substituted) else "best"
+            return {"round": n, "sf": parsed.get("sf"),
+                    "queries": parsed["queries"], "basis": basis,
+                    "substituted": substituted}
+    return {"round": -1, "sf": None, "queries": {}, "basis": "best",
+            "substituted": False}
 
 
 def _calibrate(spark) -> dict:
@@ -327,7 +342,19 @@ def main() -> None:
     except ValueError:
         sf_val = sf
     same_sf = prev["sf"] == sf_val  # ratios across SFs are meaningless
-    deltas = {name: round(timings[name] / prev["queries"][name], 3)
+    # streaming queries counted at micro-batch compute time (wall -
+    # stream segment + compute) — built here because delta numerators
+    # must match the prev artifact's basis: an r7+ compact stub stores
+    # compute-substituted values, so dividing a WALL median by it
+    # inflated streaming deltas by the trigger wait counted in the
+    # numerator only (r10-continuation review)
+    timings_c = {
+        n: (round(t - stream_split[n]["stream_wall"]
+                  + stream_split[n]["compute"], 3)
+            if n in stream_split else t)
+        for n, t in timings.items()}
+    delta_num = timings_c if prev.get("substituted") else timings
+    deltas = {name: round(delta_num[name] / prev["queries"][name], 3)
               for name in timings
               if same_sf and prev["queries"].get(name)}
 
@@ -355,6 +382,9 @@ def main() -> None:
         "stream_seconds": stream_split,
         "prev_round": prev["round"],
         "prev_basis": prev["basis"],   # "best" for r<=4 artifacts
+        # True when prev was an r7+ compact stub: its values (and this
+        # run's delta numerators) are compute-substituted, not wall
+        "prev_substituted": prev.get("substituted", False),
         "sf": sf_val,
         # VERDICT r3 #6: the near-dup workload is pinned by these
         # constants; a delta_vs_prev on the dedup/jaccard queries is
@@ -448,16 +478,11 @@ def main() -> None:
     # the calibration drift — so the driver's tail always captures
     # something machine-readable; the complete artifact is the line
     # above + BENCH_LATEST.json in-repo.
-    # compute-substituted timings (VERDICT r7 #2): a streaming query's
-    # STREAM SEGMENT is counted at micro-batch compute time (wall -
-    # stream_wall + compute) — the compact line's headline number can no
-    # longer be inflated 5x by trigger scheduling waits on a loaded box,
-    # while batch work around the stream (hybrid queries) stays counted
-    timings_c = {
-        n: (round(t - stream_split[n]["stream_wall"]
-                  + stream_split[n]["compute"], 3)
-            if n in stream_split else t)
-        for n, t in timings.items()}
+    # timings_c (VERDICT r7 #2, built above with the deltas): the
+    # compact line's headline number counts stream segments at compute
+    # time, so it can no longer be inflated 5x by trigger scheduling
+    # waits on a loaded box, while batch work around the stream (hybrid
+    # queries) stays counted
     total_c = round(sum(timings_c.values()), 3)
     slowest = dict(sorted(timings_c.items(), key=lambda kv: -kv[1])[:3])
     worst_ratios = dict(sorted(deltas.items(), key=lambda kv: -kv[1])[:3])
@@ -482,7 +507,12 @@ def main() -> None:
         "full_artifact": None if only else "BENCH_LATEST.json",
     }
     line = json.dumps(compact)
-    assert len(line) < 2000, f"compact bench summary grew to {len(line)}"
+    # the 2,000-char bound protects the DRIVER's stdout tail; a subset
+    # run's full map legitimately exceeds it for large selections, and
+    # dying on the assert after the timed suite completed would lose
+    # every sample (reviewed)
+    if not only:
+        assert len(line) < 2000, f"compact bench summary grew to {len(line)}"
     print(line)
     spark.stop()
 

@@ -285,8 +285,9 @@ def _py_conformal(rows):
               st.integers(0, 9)),
     min_size=1, max_size=40))
 def test_conformal_matches_python_reference(spark, tuples_list):
-    """Arbitrary tiny frames (groups x in [0,6], y in [0,9], folds from
-    the row index) must reproduce the mirror exactly: same surviving
+    """Arbitrary tiny frames (groups x in [0,6], y in [0,9], folds
+    drawn per row in [0,9]; ids are the row index) must reproduce the
+    mirror exactly: same surviving
     group set (det=0 and test-less groups dropped the same way), exact
     integer columns, bit-identical coverage counts, and qhat/coverage
     within the output rounding."""

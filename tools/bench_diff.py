@@ -26,13 +26,30 @@ import sys
 def _load(path: str) -> dict:
     with open(path) as f:
         d = json.load(f)
-    # round stubs wrap the real payload under 'parsed'
+    # round stubs wrap the real payload under 'parsed' — null when that
+    # round's stdout tail-truncated (BENCH_r04-06.json are exactly this)
     if "queries" not in d and "parsed" in d:
         d = d["parsed"]
+        if d is None:
+            raise SystemExit(
+                f"{path}: parsed is null (truncated-stdout round) — "
+                "use that round's BENCH_FULL_rNN.json archive instead"
+            )
     if "queries" not in d or not isinstance(d["queries"], dict):
         raise SystemExit(
             f"{path}: no per-query map (headline-only artifact?) — "
             "use BENCH_FULL_rNN.json or BENCH_LATEST.json"
+        )
+    # the compact stdout doc carries only the 3 slowest queries, and its
+    # values are compute-substituted (trigger wait removed) — comparing
+    # it against a full wall-median map is a 3-query apples-to-oranges
+    # ratio presented as the round comparison; refuse it
+    n_q = d.get("n_queries")
+    if isinstance(n_q, int) and len(d["queries"]) < n_q:
+        raise SystemExit(
+            f"{path}: compact summary ({len(d['queries'])} of {n_q} "
+            "queries, compute-substituted) — use the round's "
+            "BENCH_FULL_rNN.json archive or BENCH_LATEST.json"
         )
     return d
 
@@ -81,11 +98,15 @@ def main() -> None:
         ((nq[k] / oq[k] if oq[k] else float("inf"), k) for k in common),
         reverse=True,
     )
-    print(f"\nworst {top_n} regressions (ratio, old s -> new s):")
-    for r, k in ratios[:top_n]:
+    # split the one sorted list so a query can never print as BOTH a
+    # regression and an improvement when common < 2*top_n
+    worst = ratios[:top_n]
+    best = ratios[top_n:][-top_n:][::-1]
+    print(f"\nworst {len(worst)} regressions (ratio, old s -> new s):")
+    for r, k in worst:
         print(f"  {r:6.2f}x  {oq[k]:7.3f} -> {nq[k]:7.3f}  {k}")
-    print(f"\nbest {top_n} improvements:")
-    for r, k in ratios[-top_n:][::-1]:
+    print(f"\nbest {len(best)} improvements:")
+    for r, k in best:
         print(f"  {r:6.2f}x  {oq[k]:7.3f} -> {nq[k]:7.3f}  {k}")
 
 

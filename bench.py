@@ -152,19 +152,21 @@ def subset_names(headline, env_value):
     return [n for n in headline if not only or n in only], bool(only)
 
 
-def _previous_bench() -> dict:
+def _previous_bench(root=None) -> dict:
     """Newest PARSABLE BENCH_r{N}.json in the repo root (per-query deltas;
     VERDICT r2 #9 asked for the r(N)/r(N-1) ratio to live in the artifact).
 
     The driver nests the bench stdout JSON under "parsed" — which is null
     when that round's stdout did not parse (r4: progress-bar text glued to
     the JSON line left only a truncated "tail"). Walk rounds newest-first
-    until one yields usable per-query numbers."""
+    until one yields usable per-query numbers. ``root`` exists for tests;
+    production runs read the repo root."""
     import glob
     import re
 
+    root = Path(root) if root else Path(__file__).resolve().parent
     rounds: list[tuple[int, str]] = []
-    for path in glob.glob(str(Path(__file__).resolve().parent / "BENCH_r*.json")):
+    for path in glob.glob(str(root / "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", path)
         if m:
             rounds.append((int(m.group(1)), path))

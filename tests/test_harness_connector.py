@@ -434,6 +434,56 @@ def test_bench_headline_resolves_in_registry():
         assert "not_a_query" in str(e)
 
 
+def test_previous_bench_prefers_full_archives(tmp_path):
+    """The prev-round lookup behind delta_vs_prev, pinned after two
+    review rounds: a round's FULL archive (wall medians) beats its
+    compact stub; a compact stub alone is used but FLAGGED substituted
+    (so main divides compute-substituted numerators by it); parsed:null
+    rounds salvage the stdout tail or are skipped."""
+    import json as _json
+    import pathlib
+    import sys
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    sys.path.insert(0, str(repo))
+    try:
+        import bench
+    finally:
+        while str(repo) in sys.path:
+            sys.path.remove(str(repo))
+
+    full_map = {"a": 1.0, "b": 2.0, "c": 3.0, "d": 4.0}
+    compact = {"parsed": {"sf": 0.1, "n_queries": 4,
+                          "queries": {"a": 0.9, "b": 1.8, "c": 2.7}}}
+
+    # compact stub only -> used, substituted flagged
+    (tmp_path / "BENCH_r07.json").write_text(_json.dumps(compact))
+    p = bench._previous_bench(tmp_path)
+    assert (p["round"], p["substituted"]) == (7, True)
+    assert len(p["queries"]) == 3
+
+    # FULL archive for the same round -> preferred, wall medians
+    (tmp_path / "BENCH_FULL_r07.json").write_text(_json.dumps(
+        {"sf": 0.1, "n_queries": 4, "queries": full_map,
+         "runs": {k: [v] for k, v in full_map.items()}}))
+    p = bench._previous_bench(tmp_path)
+    assert (p["round"], p["substituted"], p["basis"]) == (7, False, "median")
+    assert p["queries"] == full_map
+
+    # a newer parsed:null round without a tail is skipped, not crashed
+    (tmp_path / "BENCH_r08.json").write_text(_json.dumps(
+        {"parsed": None, "tail": "not json"}))
+    p = bench._previous_bench(tmp_path)
+    assert p["round"] == 7
+
+    # ...but a salvageable tail wins as the newest round
+    (tmp_path / "BENCH_r09.json").write_text(_json.dumps(
+        {"parsed": None,
+         "tail": _json.dumps({"sf": 0.1, "queries": {"a": 1.1}})}))
+    p = bench._previous_bench(tmp_path)
+    assert (p["round"], p["substituted"]) == (9, False)
+
+
 def test_connector_cdf_scd2_maintains_intervals(spark):
     """VERDICT r9 #4: all three CDC kinds from the real /changes
     protocol maintain a segment-tracking SCD2 dimension. The v3 remove

@@ -267,6 +267,16 @@ def _bpe_train(docs: DataFrame, text_col: str,
     connected_components pattern) so round N's plan doesn't re-derive
     rounds 1..N-1.
 
+    The per-round argmax is ``collect()``-ed (ONE row — bounded driver
+    state by construction) and the rewrite uses it as LITERALS: the r10
+    optimization pass replaced the old per-round
+    ``localCheckpoint(best)`` + ``crossJoin(broadcast(best))`` with
+    this, dropping a checkpoint job and a broadcast build per round
+    (8 fewer Spark jobs at k=8: 38 -> 30 for the encode query) and
+    making the merge table a driver-built literal frame instead of a
+    k-way union of one-row scans. Values are bit-identical (the argmax
+    order is total), verified by the unchanged oracles/property tests.
+
     Words are held as a separator-joined symbol STRING and the rewrite is
     a left-to-right fold (``aggregate``): merge the tail symbol with the
     incoming one when they equal the round's pair — the standard
@@ -293,9 +303,16 @@ def _bpe_train(docs: DataFrame, text_col: str,
         F.array_join(F.split(guarded, ""), sep).alias("syms"),
         "n").localCheckpoint(eager=True)
 
-    merges = None
+    merge_rows: list[tuple] = []
+    exhausted = False
     for step in range(1, k + 1):
         syms_list = F.split(F.col("syms"), "\\" + sep)
+        if exhausted:
+            # parity with the pre-r10 crossJoin form: once a round finds
+            # no pair (best empty), the old crossJoin(empty) emptied the
+            # vocabulary for every later round — replicate that exactly
+            vocab = vocab.filter(F.lit(False))
+            continue
         pairs = (vocab
                  .filter(F.size(syms_list) >= 2)
                  .select(F.explode(F.transform(
@@ -308,27 +325,28 @@ def _bpe_train(docs: DataFrame, text_col: str,
         best = (pairs.groupBy("a", "b")
                 .agg(F.sum("n").cast("bigint").alias("cnt"))
                 .orderBy(F.desc("cnt"), "a", "b").limit(1)
-                .localCheckpoint(eager=True))
-        row = best.select(
-            F.lit(step).alias("step"),
-            F.col("a").alias("left_sym"), F.col("b").alias("right_sym"),
-            F.concat("a", "b").alias("merged"),
-            F.col("cnt").alias("pair_count"))
-        merges = row if merges is None else merges.unionByName(row)
+                .collect())  # ONE row — bounded driver state
+        if not best:
+            exhausted = True
+            vocab = vocab.filter(F.lit(False))
+            continue
+        r = best[0]
+        merge_rows.append((step, r.a, r.b, r.a + r.b, r.cnt))
+        a_lit, b_lit = F.lit(r.a), F.lit(r.b)
 
         tail_re = "([^\\" + sep + "]+)$"  # sep escaped for the char class
 
         def _fold(acc, s):
-            tail_is_a = F.regexp_extract(acc, tail_re, 1) == F.col("a")
-            return (F.when(tail_is_a & (s == F.col("b")),
+            tail_is_a = F.regexp_extract(acc, tail_re, 1) == a_lit
+            return (F.when(tail_is_a & (s == b_lit),
                            F.concat(
                                F.substr(acc, F.lit(1),
                                         F.length(acc)
-                                        - F.length(F.col("a"))),
-                               F.col("a"), F.col("b")))
+                                        - F.length(a_lit)),
+                               a_lit, b_lit))
                     .otherwise(F.concat(acc, F.lit(sep), s)))
 
-        vocab = (vocab.crossJoin(F.broadcast(best))
+        vocab = (vocab
                  .select("word",
                          F.aggregate(
                              F.slice(syms_list, 2,
@@ -338,6 +356,10 @@ def _bpe_train(docs: DataFrame, text_col: str,
                          .alias("syms"),
                          "n")
                  .localCheckpoint(eager=True))
+    merges = docs.sparkSession.createDataFrame(
+        merge_rows,
+        "step int, left_sym string, right_sym string, "
+        "merged string, pair_count bigint")
     return merges, vocab
 
 

@@ -61,7 +61,13 @@ def degree_cut(edges: DataFrame, max_degree: int,
 def triangle_count(edges: DataFrame) -> DataFrame:
     """One row (n_edges, n_wedges, n_triangles) for an ordered (a < b)
     edge list. Wedges a<b<c from edges (a,b)+(b,c); triangles close the
-    wedge with (a,c). Two shuffles on vertex keys."""
+    wedge with (a,c). Two shuffles on vertex keys.
+
+    Deliberately NOT checkpointed (r10 optimization pass): the edge
+    list's four references share one exchange at runtime (measured —
+    an explicit localCheckpoint ran ~20% slower by adding a job and a
+    materialization barrier), and the wedge table is the quadratic
+    intermediate that must never be materialized."""
     e1 = edges.select(F.col("a").alias("x"), F.col("b").alias("y"))
     e2 = edges.select(F.col("a").alias("y"), F.col("b").alias("z"))
     wedges = e1.join(e2, "y").select("x", "y", "z")
@@ -85,12 +91,23 @@ def pagerank_int(edges: DataFrame, iterations: int = 3,
     Scale shape: each round is one join edge⋈rank on the source vertex
     and one groupBy on the destination — the classic distributed PageRank
     exchange. Unrolled ``iterations`` times; for long chains insert
-    localCheckpoint like dedup.connected_components."""
+    localCheckpoint like dedup.connected_components.
+
+    The adjacency, degree and vertex tables are ``localCheckpoint``-ed
+    ONCE up front (r10 optimization): they are loop constants referenced
+    in every round, and the lazy form re-derived the edge list — for the
+    co-occurrence queries a per-group self-join — once per reference
+    (the unrolled 3-round plan carried ~90 Exchanges and re-planned the
+    edge subtree ~10x; materializing the three constants collapses it
+    to the per-round join/agg exchanges only)."""
     de = (edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
           .unionAll(edges.select(F.col("b").alias("src"),
-                                 F.col("a").alias("dst"))))
-    deg = de.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    verts = de.select(F.col("src").alias("v")).distinct()
+                                 F.col("a").alias("dst")))
+          ).localCheckpoint(eager=True)
+    deg = (de.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+           .localCheckpoint(eager=True))
+    verts = (de.select(F.col("src").alias("v")).distinct()
+             .localCheckpoint(eager=True))
     base = (15 * scale) // 100
     rank = verts.withColumn("rank", F.lit(scale).cast("long"))
     for _ in range(iterations):
@@ -237,9 +254,13 @@ def bfs_hop_counts(edges: DataFrame, seeds: DataFrame,
     """
     if max_hops < 0:
         raise ValueError(f"max_hops must be >= 0, got {max_hops}")
+    # loop constant, referenced every hop: materialize once instead of
+    # re-deriving the edge list per round (r10 optimization — see
+    # pagerank_int)
     adj = (edges.select(F.col("a").alias("v"), F.col("b").alias("w"))
            .unionAll(edges.select(F.col("b").alias("v"),
-                                  F.col("a").alias("w"))))
+                                  F.col("a").alias("w")))
+           ).localCheckpoint(eager=True)
     frontier = seeds.select("v").distinct().localCheckpoint(eager=True)
     visited = frontier.withColumn("hops", F.lit(0))
     for h in range(1, max_hops + 1):
@@ -277,10 +298,14 @@ def bellman_ford_dists(edges: DataFrame, seeds: DataFrame,
     """
     if max_hops < 0:
         raise ValueError(f"max_hops must be >= 0, got {max_hops}")
+    # loop constant, referenced every hop: materialize once instead of
+    # re-deriving the (weighted) edge list per round (r10 optimization —
+    # see pagerank_int)
     adj = (edges.select(F.col("a").alias("src"), F.col("b").alias("dst"),
                         F.col("cost"))
            .unionAll(edges.select(F.col("b").alias("src"),
-                                  F.col("a").alias("dst"), F.col("cost"))))
+                                  F.col("a").alias("dst"), F.col("cost")))
+           ).localCheckpoint(eager=True)
     dist = (seeds.select("v").distinct()
             .withColumn("d", F.lit(0).cast("long"))
             .localCheckpoint(eager=True))
@@ -355,10 +380,15 @@ def label_propagation(edges: DataFrame, rounds: int) -> DataFrame:
 
     if rounds < 0:
         raise ValueError(f"rounds must be >= 0, got {rounds}")
+    # loop constants, referenced every round: materialize once instead
+    # of re-deriving the edge list per round (r10 optimization — see
+    # pagerank_int)
     adj = (edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
            .unionAll(edges.select(F.col("b").alias("src"),
-                                  F.col("a").alias("dst"))))
-    verts = adj.select(F.col("src").alias("v")).distinct()
+                                  F.col("a").alias("dst")))
+           ).localCheckpoint(eager=True)
+    verts = (adj.select(F.col("src").alias("v")).distinct()
+             .localCheckpoint(eager=True))
     labels = (verts.withColumn("label", F.col("v"))
               .localCheckpoint(eager=True))
     pick_w = W.partitionBy("v").orderBy(F.desc("cnt"), F.asc("label"))

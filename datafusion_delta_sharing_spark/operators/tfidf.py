@@ -298,10 +298,14 @@ def _bpe_train(docs: DataFrame, text_col: str,
             "bpe_apply_merges: a token contains the symbol separator "
             f"{sep!r}; pick a different separator for this corpus")),
     ).otherwise(F.col("word"))
+    # lazy checkpoints throughout the loop (r10): round N's argmax
+    # collect is the first action on round N-1's vocab and materializes
+    # it then — and the FINAL round's vocab is never materialized when
+    # the caller only wants the merge table (bpe_apply_merges)
     vocab = freq.select(
         "word",
         F.array_join(F.split(guarded, ""), sep).alias("syms"),
-        "n").localCheckpoint(eager=True)
+        "n").localCheckpoint(eager=False)
 
     merge_rows: list[tuple] = []
     exhausted = False
@@ -355,7 +359,7 @@ def _bpe_train(docs: DataFrame, text_col: str,
                              F.element_at(syms_list, 1), _fold)
                          .alias("syms"),
                          "n")
-                 .localCheckpoint(eager=True))
+                 .localCheckpoint(eager=False))
     merges = docs.sparkSession.createDataFrame(
         merge_rows,
         "step int, left_sym string, right_sym string, "

@@ -101,7 +101,9 @@ def minhash_dedup_sink(spark: SparkSession, state_dir: str,
             return
         signed = minhash_signature(
             batch_df, text_col, id_col, num_hashes, k
-        ).localCheckpoint(eager=True)  # reused for buckets AND shingles
+            # lazy: the flags checkpoint below is the first action and
+            # materializes it; reused for buckets AND shingles (r10)
+        ).localCheckpoint(eager=False)
         buckets = minhash_band_buckets(signed, num_hashes, bands)
         batch_sh = signed.select("id", "shingles")
         idx_bands = spark.read.schema(_BANDS_SCHEMA).parquet(bands_dir)
@@ -117,10 +119,12 @@ def minhash_dedup_sink(spark: SparkSession, state_dir: str,
                 .dropDuplicates(["id_a", "id_b"]))
         sh_map = idx_sh.unionByName(batch_sh)
         verified = verify_jaccard_pairs(cand, sh_map, threshold)
-        # the later-arriving/larger id is the duplicate; localCheckpoint
-        # severs lineage before the appends below extend the dirs it reads
+        # the later-arriving/larger id is the duplicate; the (lazy, r10)
+        # localCheckpoint severs the logical lineage before the appends
+        # below extend the dirs it reads — the flags write materializes
+        # it, and runs to completion before either append starts
         flags = (verified.select(F.col("id_b").alias("doc_id"))
-                 .distinct().localCheckpoint(eager=True))
+                 .distinct().localCheckpoint(eager=False))
         flags.write.mode("append").parquet(flags_dir)
         buckets.write.mode("append").parquet(bands_dir)
         batch_sh.write.mode("append").parquet(shingles_dir)

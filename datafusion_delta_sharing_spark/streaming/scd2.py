@@ -129,7 +129,11 @@ def scd2_upsert_sink(spark: SparkSession, state_dir: str,
                   .withColumn("bucket",
                               F.pmod("user_id", F.lit(n_buckets))
                               .cast("bigint"))
-                  ).localCheckpoint()
+                  # lazy: the touched-buckets collect right below is the
+                  # first action and materializes the checkpoint as a
+                  # side effect — same reuse, one fewer job per batch
+                  # (r10 optimization)
+                  ).localCheckpoint(eager=False)
         touched = [r.bucket for r in
                    events.select("bucket").distinct().collect()]
         refuse_null_buckets(touched, batch_id)
@@ -220,7 +224,13 @@ def scd2_upsert_sink(spark: SparkSession, state_dir: str,
                                    batch_id, run_id)
         merged = (data.select(*my_stamps.columns)
                   .unionByName(other_stamps).unionByName(my_stamps))
-        merged = merged.localCheckpoint()  # sever lineage to state_dir
+        # lazy checkpoint still severs the LOGICAL lineage to state_dir
+        # immediately (the returned frame is a checkpoint scan, so the
+        # write's plan never reads the directory it overwrites); the
+        # physical read of the old state happens inside the write job's
+        # tasks, which complete before dynamic-overwrite commit replaces
+        # any partition — one fewer job per batch (r10 optimization)
+        merged = merged.localCheckpoint(eager=False)
         (merged.write.mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")
          .partitionBy("bucket").parquet(state_dir))
@@ -306,7 +316,9 @@ def repair_entities(spark: SparkSession, state_dir: str,
                        "event_id")
                .withColumn("last_batch", F.lit(None).cast("bigint"))
                .withColumn("last_run", F.lit(None).cast("string"))
-               ).localCheckpoint()  # sever lineage before the overwrite
+               # lazy (r10): the count right below materializes it,
+               # severing lineage before the overwrite — one fewer job
+               ).localCheckpoint(eager=False)
     n_rebuilt = rebuilt.count()
     touched = [r.bucket for r in
                rebuilt.select("bucket").distinct().collect()]
@@ -317,8 +329,10 @@ def repair_entities(spark: SparkSession, state_dir: str,
     keep = current.filter(
         F.col("user_id").isNull()        # every stamp row, verbatim
         | ~F.col("user_id").isin(entities))
+    # lazy (r10): same overwrite-cycle reasoning as the sink's merge —
+    # the checkpoint scan replaces state_dir in the write's logical plan
     merged = (keep.unionByName(rebuilt.select(*keep.columns))
-              .localCheckpoint())
+              .localCheckpoint(eager=False))
     (merged.write.mode("overwrite")
      .option("partitionOverwriteMode", "dynamic")
      .partitionBy("bucket").parquet(state_dir))
@@ -372,7 +386,9 @@ def stage_time_slices(spark: SparkSession, sf_dir: str,
                               Window.orderBy(
                                   F.asc_nulls_last("ts"),
                                   F.asc_nulls_last("event_id"))))
-              ).localCheckpoint()  # bounded by user_bound; reused n times
+              # lazy: the first slice write materializes it; bounded by
+              # user_bound; reused n times (r10: one fewer job)
+              ).localCheckpoint(eager=False)
     import glob as _glob
 
     stamped: set[str] = set()

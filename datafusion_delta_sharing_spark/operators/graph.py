@@ -103,11 +103,11 @@ def pagerank_int(edges: DataFrame, iterations: int = 3,
     de = (edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
           .unionAll(edges.select(F.col("b").alias("src"),
                                  F.col("a").alias("dst")))
-          ).localCheckpoint(eager=True)
+          ).localCheckpoint(eager=False)
     deg = (de.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-           .localCheckpoint(eager=True))
+           .localCheckpoint(eager=False))
     verts = (de.select(F.col("src").alias("v")).distinct()
-             .localCheckpoint(eager=True))
+             .localCheckpoint(eager=False))
     base = (15 * scale) // 100
     rank = verts.withColumn("rank", F.lit(scale).cast("long"))
     for _ in range(iterations):
@@ -260,14 +260,14 @@ def bfs_hop_counts(edges: DataFrame, seeds: DataFrame,
     adj = (edges.select(F.col("a").alias("v"), F.col("b").alias("w"))
            .unionAll(edges.select(F.col("b").alias("v"),
                                   F.col("a").alias("w")))
-           ).localCheckpoint(eager=True)
-    frontier = seeds.select("v").distinct().localCheckpoint(eager=True)
+           ).localCheckpoint(eager=False)
+    frontier = seeds.select("v").distinct().localCheckpoint(eager=False)
     visited = frontier.withColumn("hops", F.lit(0))
     for h in range(1, max_hops + 1):
         nxt = (frontier.join(adj, "v")
                .select(F.col("w").alias("v")).distinct()
                .join(visited.select("v"), "v", "left_anti")
-               .localCheckpoint(eager=True))
+               .localCheckpoint(eager=False))
         visited = visited.unionByName(nxt.withColumn("hops", F.lit(h)))
         frontier = nxt
     return (visited.groupBy("hops")
@@ -305,10 +305,10 @@ def bellman_ford_dists(edges: DataFrame, seeds: DataFrame,
                         F.col("cost"))
            .unionAll(edges.select(F.col("b").alias("src"),
                                   F.col("a").alias("dst"), F.col("cost")))
-           ).localCheckpoint(eager=True)
+           ).localCheckpoint(eager=False)
     dist = (seeds.select("v").distinct()
             .withColumn("d", F.lit(0).cast("long"))
-            .localCheckpoint(eager=True))
+            .localCheckpoint(eager=False))
     frontier = dist
     for _ in range(max_hops):
         cand = (frontier.join(adj, frontier.v == adj.src)
@@ -319,7 +319,7 @@ def bellman_ford_dists(edges: DataFrame, seeds: DataFrame,
                   .select("v", F.col("d").alias("od"),
                           F.least(F.coalesce("d", "nd"),
                                   F.coalesce("nd", "d")).alias("d"))
-                  .localCheckpoint(eager=True))
+                  .localCheckpoint(eager=False))
         dist = merged.select("v", "d")
         frontier = (merged.filter(F.col("od").isNull()
                                   | (F.col("d") < F.col("od")))
@@ -386,11 +386,11 @@ def label_propagation(edges: DataFrame, rounds: int) -> DataFrame:
     adj = (edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
            .unionAll(edges.select(F.col("b").alias("src"),
                                   F.col("a").alias("dst")))
-           ).localCheckpoint(eager=True)
+           ).localCheckpoint(eager=False)
     verts = (adj.select(F.col("src").alias("v")).distinct()
-             .localCheckpoint(eager=True))
+             .localCheckpoint(eager=False))
     labels = (verts.withColumn("label", F.col("v"))
-              .localCheckpoint(eager=True))
+              .localCheckpoint(eager=False))
     pick_w = W.partitionBy("v").orderBy(F.desc("cnt"), F.asc("label"))
     for _ in range(rounds):
         nb = (adj.join(labels.withColumnRenamed("v", "src"), "src")
@@ -401,7 +401,7 @@ def label_propagation(edges: DataFrame, rounds: int) -> DataFrame:
         # left join + coalesce: an isolated vertex keeps its own label
         labels = (verts.join(top, "v", "left")
                   .select("v", F.coalesce("label", "v").alias("label"))
-                  .localCheckpoint(eager=True))
+                  .localCheckpoint(eager=False))
     return labels
 
 
@@ -483,7 +483,7 @@ def kcore(edges: DataFrame, k: int, max_rounds: int) -> DataFrame:
     if k < 1 or max_rounds < 1:
         raise ValueError(f"k and max_rounds must be >= 1, got "
                          f"{k}/{max_rounds}")
-    cur = edges.localCheckpoint(eager=True)
+    cur = edges.localCheckpoint(eager=False)
     prev = cur
     for _ in range(max_rounds):
         keep = (vertex_degrees(cur).filter(F.col("d") >= k)
@@ -491,7 +491,7 @@ def kcore(edges: DataFrame, k: int, max_rounds: int) -> DataFrame:
         prev = cur
         cur = (cur.join(keep.withColumnRenamed("v", "a"), "a")
                .join(keep.withColumnRenamed("v", "b"), "b")
-               .select("a", "b").localCheckpoint(eager=True))
+               .select("a", "b").localCheckpoint(eager=False))
     verts = (cur.select(F.col("a").alias("v"))
              .unionAll(cur.select(F.col("b").alias("v")))
              .distinct().agg(F.count(F.lit(1)).alias("n_core_vertices")))

@@ -201,7 +201,7 @@ def _pct_freq_df(spark, sf_dir):
     register_views(spark, sf_dir, ["events"])
     return spark.sql(
         f"WITH {_PCT_FREQ_CTES} SELECT g, v, cnt FROM freq"
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
 
 
 def _pct_approx_ok(spark, sf_dir, corrupt_cents: int = 0, freq=None):

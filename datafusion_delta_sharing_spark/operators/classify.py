@@ -130,12 +130,12 @@ def naive_bayes_eval(spark, docs: DataFrame, text_col: str,
     drift. The token table and the label table are localCheckpoint-ed
     so the corpus is scanned/tokenized once, not once per CTE
     reference (module docstring)."""
-    toks = token_rows(docs, text_col, id_col).localCheckpoint()
+    toks = token_rows(docs, text_col, id_col).localCheckpoint(eager=False)
     toks.createOrReplaceTempView("_nb_toks")
     docs.select(id_col).createOrReplaceTempView("_nb_docs")
     labels = spark.sql(_NB_LABELS_SQL.format(
         src="_nb_toks", docs="_nb_docs", id=id_col,
-        concept=_concept_in(), k=len(_CONCEPT))).localCheckpoint()
+        concept=_concept_in(), k=len(_CONCEPT))).localCheckpoint(eager=False)
     labels.createOrReplaceTempView("_nb_labels")
     return spark.sql(_NB_SQL.format(src="_nb_toks", labels="_nb_labels",
                                     id=id_col))

@@ -429,7 +429,7 @@ def connected_components(vertices: DataFrame, pairs: DataFrame,
         # checkpoint FIRST, then derive both the changed-count and the
         # next labels from the materialized frame: counting on the lazy
         # plan executed the whole iteration join twice per round
-        merged = labels.join(proposals, "id").localCheckpoint(eager=True)
+        merged = labels.join(proposals, "id").localCheckpoint(eager=False)
         changed = merged.filter(
             F.col("component") != F.col("new_component")).limit(1).count()
         labels = merged.select("id",

@@ -113,7 +113,7 @@ def heavy_hitters(df: DataFrame, value_col: str, min_frac: float,
     # the candidate set and n from it does not re-scan the column
     cand_counts = src.mapInPandas(
         _misra_gries_partition(value_col, capacity),
-        schema=f"`{value_col}` {vtype}, _n_part bigint").localCheckpoint()
+        schema=f"`{value_col}` {vtype}, _n_part bigint").localCheckpoint(eager=False)
     candidates = (cand_counts.filter(F.col("_n_part").isNull())
                   .select(value_col).distinct())
     total = cand_counts.agg(
@@ -543,7 +543,7 @@ def cm_probe(spark, sketch: DataFrame, raw: DataFrame, key_col: str,
     # the sketch is depth*width-bounded by construction; materializing
     # it once serves both the lookup join and the N derivation below
     # without re-running the sketch aggregate (and its raw scan) twice
-    sketch = sketch.localCheckpoint(eager=True)
+    sketch = sketch.localCheckpoint(eager=True)  # eager on purpose (r10): the probe join and the N aggregate consume it in PARALLEL subtrees of one job; lazy measured a consistent small penalty from concurrent duplicate materialization
     probes = spark.createDataFrame(
         [(int(k),) for k in probe_keys], f"{key_col} bigint")
     if not 1 <= depth <= _CM_MAX_DEPTH:

@@ -437,7 +437,7 @@ def acf(spark, series: DataFrame, day_col: str, x_col: str,
     # materializing it once stops Spark re-deriving the raw-table
     # aggregate for the three consumers below (pair left/right sides
     # and the scalars row) — 1 raw scan instead of 3
-    series = series.localCheckpoint(eager=True)
+    series = series.localCheckpoint(eager=False)
     lags = F.explode(
         F.array([F.lit(i) for i in range(max_lag + 1)])).alias("l")
     left = series.select(F.col(day_col).alias("d0"),
@@ -566,7 +566,7 @@ def seasonal_decompose(spark, series: DataFrame, day_col: str,
     # the tail's two window passes don't re-derive the raw-table scan
     (series.select(F.col(day_col).alias("day"),
                    F.col(x_col).alias("x"))
-     .localCheckpoint(eager=True)
+     .localCheckpoint(eager=False)
      .createOrReplaceTempView("_seas_series"))
     return spark.sql(_seasonal_tail_sql("_seas_series", period))
 
@@ -626,7 +626,7 @@ def cusum_deviation(spark, series: DataFrame, day_col: str,
     # materialized once: the tail references the series four times
     (series.select(F.col(day_col).alias("day"),
                    F.col(x_col).alias("x"))
-     .localCheckpoint(eager=True)
+     .localCheckpoint(eager=False)
      .createOrReplaceTempView("_cusum_series"))
     spark.sql("""
         SELECT day, x,

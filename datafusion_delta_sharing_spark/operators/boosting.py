@@ -161,19 +161,31 @@ def adaboost_fit(spark, xy: DataFrame, group_col: str,
     cells.createOrReplaceTempView("_ada_c0")
     cells_view = "_ada_c0"
     bests: list[str] = []
-    for t in range(1, rounds + 1):
-        best = spark.sql(_ADA_BEST_SQL.format(g=g, src=cells_view))
-        best = spark.createDataFrame(best.collect(), best.schema)
-        bv = f"_ada_b{t}"
-        best.createOrReplaceTempView(bv)
-        bests.append(bv)
-        if t < rounds:
-            nxt = spark.sql(_ADA_REWEIGHT_SQL.format(
-                g=g, cells=cells_view, best=bv))
-            nxt = spark.createDataFrame(nxt.collect(), nxt.schema)
-            cv = f"_ada_c{t}"
-            nxt.createOrReplaceTempView(cv)
-            cells_view = cv
+    # AQE off for the round loop ONLY (r10 optimization): every frame in
+    # it is the driver-pinned contingency table — bounded by CONTRACT at
+    # #groups × #buckets rows, never data-sized, at any SF — and AQE's
+    # per-stage re-planning turned each tiny window query into 3-4 jobs
+    # (23 -> 15 whole-app jobs at rounds=3, values bit-equal). The raw
+    # cells aggregate above and the returned final plan execute OUTSIDE
+    # this scope with AQE untouched.
+    saved_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        for t in range(1, rounds + 1):
+            best = spark.sql(_ADA_BEST_SQL.format(g=g, src=cells_view))
+            best = spark.createDataFrame(best.collect(), best.schema)
+            bv = f"_ada_b{t}"
+            best.createOrReplaceTempView(bv)
+            bests.append(bv)
+            if t < rounds:
+                nxt = spark.sql(_ADA_REWEIGHT_SQL.format(
+                    g=g, cells=cells_view, best=bv))
+                nxt = spark.createDataFrame(nxt.collect(), nxt.schema)
+                cv = f"_ada_c{t}"
+                nxt.createOrReplaceTempView(cv)
+                cells_view = cv
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", saved_aqe)
     return spark.sql(_final_sql(g, "_ada_c0", bests))
 
 

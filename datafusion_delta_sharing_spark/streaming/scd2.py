@@ -50,10 +50,16 @@ from datafusion_delta_sharing_spark.streaming.upsert import (
     _check_bucket_marker,
     carry_other_stamps,
     new_stamp_rows,
+    observe_merged,
     record_merge_stats,
     refuse_null_buckets,
     stamped_buckets,
+    write_slice_files,
 )
+
+# the in-plan order guard's marker (see scd2_upsert_sink): a write-job
+# failure whose message carries this sentinel IS the order refusal
+_GUARD_SENTINEL = "scd2-order-guard:"
 from datafusion_delta_sharing_spark.streaming.windows import (
     resolve_table_glob,
     set_stream_decode_confs,
@@ -168,6 +174,16 @@ def scd2_upsert_sink(spark: SparkSession, state_dir: str,
         # mapping NULL to a +infinity sentinel — a plain `<` would go
         # NULL against a NULL-opened interval and silently merge the
         # exact violation this refuses.
+        #
+        # The guard runs INSIDE the write's plan (r11, guide §2.4 /
+        # VERDICT r10 #1): a violating close row evaluates raise_error,
+        # the write JOB fails before its commit (dynamic overwrite
+        # replaces partitions only at successful job commit, so state is
+        # untouched), and the except path below re-raises the contract
+        # ValueError — with the violator count computed lazily, on the
+        # rare refusal path only. The old standalone pre-write count was
+        # one extra job AND a second full pass of the window+join
+        # machinery on EVERY batch.
         _TS_INF = "9999-12-31 23:59:59"
         _ID_INF = (1 << 63) - 1
         f_ts = F.coalesce(F.col("first_ts"),
@@ -176,18 +192,14 @@ def scd2_upsert_sink(spark: SparkSession, state_dir: str,
                           F.lit(_TS_INF).cast("timestamp"))
         f_id = F.coalesce(F.col("first_eid"), F.lit(_ID_INF))
         o_id = F.coalesce(F.col("event_id"), F.lit(_ID_INF))
-        late = open_rows.filter(
-            (f_ts < o_ts) | ((f_ts == o_ts) & (f_id <= o_id))).count()
-        if late:
-            raise ValueError(
-                f"batch {batch_id}: {late} entity(ies) received events "
-                "at or before their open interval's start — out-of-order "
-                "CDC input; rebuild the affected entities from the log "
-                "(repair_entities), then route the redelivered batch "
-                "through unapplied_events")
+        viol = (f_ts < o_ts) | ((f_ts == o_ts) & (f_id <= o_id))
         closed_now = open_rows.select(
             "bucket", "user_id", "version", "state", "valid_from",
-            F.col("first_ts").alias("valid_to"), "event_id")
+            F.when(viol, F.raise_error(F.concat(
+                F.lit(f"{_GUARD_SENTINEL} batch {batch_id} entity "),
+                F.col("user_id").cast("string"))).cast("timestamp"))
+            .otherwise(F.col("first_ts")).alias("valid_to"),
+            "event_id")
 
         base = (existing.groupBy("user_id")
                 .agg(F.max("version").alias("base_version")))
@@ -231,11 +243,27 @@ def scd2_upsert_sink(spark: SparkSession, state_dir: str,
         # tasks, which complete before dynamic-overwrite commit replaces
         # any partition — one fewer job per batch (r10 optimization)
         merged = merged.localCheckpoint(eager=False)
-        (merged.write.mode("overwrite")
-         .option("partitionOverwriteMode", "dynamic")
-         .partitionBy("bucket").parquet(state_dir))
         if stats is not None:
-            record_merge_stats(merged, todo, state_dir, batch_id, stats)
+            obs, merged = observe_merged(merged)
+        try:
+            (merged.write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("bucket").parquet(state_dir))
+        except Exception as exc:
+            if _GUARD_SENTINEL not in str(exc):
+                raise
+            # rare refusal path: NOW pay for the exact violator count
+            # the contract message names (state is untouched — the
+            # failed job never reached its commit)
+            late = open_rows.filter(viol).count()
+            raise ValueError(
+                f"batch {batch_id}: {late} entity(ies) received events "
+                "at or before their open interval's start — "
+                "out-of-order CDC input; rebuild the affected entities "
+                "from the log (repair_entities), then route the "
+                "redelivered batch through unapplied_events") from None
+        if stats is not None:
+            record_merge_stats(obs, todo, state_dir, batch_id, stats)
 
     return _merge
 
@@ -385,21 +413,12 @@ def stage_time_slices(spark: SparkSession, sf_dir: str,
                           F.ntile(n_slices).over(
                               Window.orderBy(
                                   F.asc_nulls_last("ts"),
-                                  F.asc_nulls_last("event_id"))))
-              # lazy: the first slice write materializes it; bounded by
-              # user_bound; reused n times (r10: one fewer job)
-              ).localCheckpoint(eager=False)
-    import glob as _glob
-
-    stamped: set[str] = set()
-    base = os.stat(out).st_mtime
-    for i in range(1, n_slices + 1):
-        (events.filter(F.col("__slice") == i).drop("__slice")
-         .coalesce(1).write.mode("append").parquet(out))
-        for path in _glob.glob(os.path.join(out, "*.parquet")):
-            if path not in stamped:
-                os.utime(path, (base + 10 * i, base + 10 * i))
-                stamped.add(path)
+                                  F.asc_nulls_last("event_id")))))
+    # ONE partitioned write instead of n_slices filtered coalesce(1)
+    # writes (r11, VERDICT r10 #1) — the shared helper also stamps each
+    # slice's mtime strictly increasing, preserving the deterministic
+    # oldest-mtime-first replay order this module's order contract needs
+    write_slice_files(events, out, range(1, n_slices + 1))
     return out
 
 

@@ -107,7 +107,13 @@ def stamped_buckets(current: DataFrame, run_id: str,
     """Buckets already stamped by (this run, >= this batch): committed
     before a crash — skip, don't double-merge. Stamps from OTHER runs
     never count: a new query's batch ids restart at 0 and its data is
-    real, not a replay."""
+    real, not a replay.
+
+    Kept as ONE tiny driver collect per batch on purpose (r11): folding
+    the skip into the write plan as an anti-join was measured to spawn
+    one BroadcastExchange JOB per reference (3-4 per batch) — more jobs
+    than the probe it replaced. The probe scans only the touched
+    buckets' stamp rows."""
     return {r.bucket for r in current
             .filter(F.col("user_id").isNull()
                     & (F.col("last_run") == run_id)
@@ -136,15 +142,31 @@ def new_stamp_rows(spark: SparkSession, schema: str, todo: list,
     return spark.createDataFrame(rows, schema)
 
 
-def record_merge_stats(merged: DataFrame, todo: list, state_dir: str,
-                       batch_id: int, stats: list) -> None:
-    """Per-batch MERGE-volume accounting (VERDICT r8 #3): one tiny job
-    over the already-checkpointed merge output plus a driver-side walk
-    of the rewritten bucket dirs — negligible next to the write it
-    measures."""
-    kinds = {bool(r["is_stamp"]): r["count"] for r in
-             merged.groupBy(F.col("user_id").isNull()
-                            .alias("is_stamp")).count().collect()}
+def observe_merged(merged: DataFrame):
+    """Attach the MERGE-volume metrics (VERDICT r8 #3) to the write's own
+    plan via ``observe()`` instead of a separate groupBy-collect job per
+    batch (r11 optimization, guide §2.4 / VERDICT r10 #1): the write
+    computes every merged row anyway, so the stamp/data split rides
+    along for free. Returns (observation, observed_frame) — pass the
+    frame to the write, then hand the observation to
+    :func:`record_merge_stats` AFTER the write returns."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    return obs, merged.observe(
+        obs,
+        F.count(F.when(F.col("user_id").isNull(), 1)).alias("stamp_rows"),
+        F.count(F.when(F.col("user_id").isNotNull(), 1))
+        .alias("data_rows"))
+
+
+def record_merge_stats(obs, todo: list, state_dir: str, batch_id: int,
+                       stats: list) -> None:
+    """Per-batch MERGE-volume accounting (VERDICT r8 #3): the
+    :func:`observe_merged` metrics (collected by the write job itself —
+    zero extra jobs) plus a driver-side walk of the rewritten bucket
+    dirs — negligible next to the write it measures."""
+    m = obs.get
     rewrite_bytes = 0
     for b in todo:
         bdir = os.path.join(state_dir, f"bucket={b}")
@@ -154,8 +176,8 @@ def record_merge_stats(merged: DataFrame, todo: list, state_dir: str,
                 for f in files if f.endswith(".parquet"))
     stats.append({"batch_id": int(batch_id),
                   "buckets": len(todo),
-                  "data_rows": int(kinds.get(False, 0)),
-                  "stamp_rows": int(kinds.get(True, 0)),
+                  "data_rows": int(m["data_rows"]),
+                  "stamp_rows": int(m["stamp_rows"]),
                   "rewrite_bytes": int(rewrite_bytes)})
 
 
@@ -257,15 +279,18 @@ def upsert_totals_sink(spark: SparkSession, state_dir: str,
         # during the write job and dynamic-overwrite commit only
         # replaces partitions after they finish — one fewer job/batch
         merged = merged.localCheckpoint(eager=False)
+        if stats is not None:
+            obs, merged = observe_merged(merged)
         # dynamic overwrite: only partitions present in `merged` (= the
-        # todo buckets) are replaced; the rest of the state is untouched.
-        # Scoped per write — leaking 'dynamic' into the session would
-        # silently change every later partitioned overwrite's semantics
+        # todo buckets) are replaced; the rest of the state is
+        # untouched. Scoped per write — leaking 'dynamic' into the
+        # session would silently change every later partitioned
+        # overwrite's semantics
         (merged.write.mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")
          .partitionBy("bucket").parquet(state_dir))
         if stats is not None:
-            record_merge_stats(merged, todo, state_dir, batch_id, stats)
+            record_merge_stats(obs, todo, state_dir, batch_id, stats)
 
     return _merge
 
@@ -345,16 +370,50 @@ def stage_event_slices(spark: SparkSession, sf_dir: str,
 
     src_path, src_glob = resolve_table_glob(sf_dir, "events.parquet")
     events = spark.read.option(
-        "pathGlobFilter", src_glob).parquet(src_path).cache()
-    try:
-        # cached: the per-slice filters re-read the table otherwise —
-        # n_slices full scans for a staging step (r5 review)
-        for i in range(n_slices):
-            (events.filter(F.pmod("event_id", F.lit(n_slices)) == i)
-             .coalesce(1).write.mode("append").parquet(out))
-    finally:
-        events.unpersist()
+        "pathGlobFilter", src_glob).parquet(src_path)
+    # ONE partitioned write instead of n_slices filtered coalesce(1)
+    # writes (r11, VERDICT r10 #1): repartition by the slice key puts
+    # each slice wholly in one task, so partitionBy yields exactly one
+    # file per slice in one job — then hoist the files to the top level
+    # (the file stream globs *.parquet there) with a deterministic
+    # per-slice mtime so the replay order is slice order, not a
+    # same-millisecond name race
+    write_slice_files(
+        events.withColumn("__slice",
+                          F.pmod("event_id", F.lit(n_slices))
+                          .cast("int")),
+        out, range(n_slices))
     return out
+
+
+def write_slice_files(sliced: DataFrame, out: str, slice_ids) -> None:
+    """Write a ``__slice``-labelled frame as one top-level parquet file
+    per slice in ONE Spark job: repartition on the slice key (each slice
+    lands wholly in one task; a hash collision just means one task
+    writes two files, still one per partition value), partitionBy-write,
+    then move each ``__slice=i/part-*.parquet`` up as ``slice-i.parquet``
+    with a strictly increasing mtime (FileStreamSource replays
+    oldest-mtime-first and tie-breaks on RANDOM part names — r9 review)."""
+    import glob as _glob
+    import shutil
+
+    slice_ids = list(slice_ids)
+    (sliced.repartition(len(slice_ids), "__slice")
+     .write.mode("overwrite").partitionBy("__slice").parquet(out))
+    base = os.stat(out).st_mtime
+    for rank, i in enumerate(slice_ids, start=1):
+        sdir = os.path.join(out, f"__slice={i}")
+        parts = _glob.glob(os.path.join(sdir, "*.parquet"))
+        for j, path in enumerate(sorted(parts)):
+            dest = os.path.join(out, f"slice-{i}-{j}.parquet")
+            shutil.move(path, dest)
+            os.utime(dest, (base + 10 * rank, base + 10 * rank))
+        shutil.rmtree(sdir, ignore_errors=True)
+    # the marker would otherwise glob-match nothing, but keep the dir
+    # clean for the schema-inferring readers some tests use
+    success = os.path.join(out, "_SUCCESS")
+    if os.path.exists(success):
+        os.remove(success)
 
 
 def stream_upsert_totals(spark: SparkSession, sf_dir: str,

@@ -484,6 +484,48 @@ def test_previous_bench_prefers_full_archives(tmp_path):
     assert (p["round"], p["substituted"]) == (9, False)
 
 
+def test_fill_compact_queries_budget(tmp_path):
+    """VERDICT r10 #2: the compact stdout line must carry as many
+    per-query medians as fit the driver's 2,000-char tail — greedy
+    slowest-first, whole line under budget, never fewer than the old
+    top-3, and a small map passes through complete."""
+    import json as _json
+    import pathlib
+    import sys
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    sys.path.insert(0, str(repo))
+    try:
+        import bench
+    finally:
+        while str(repo) in sys.path:
+            sys.path.remove(str(repo))
+
+    base = {"metric": "headline_suite_seconds", "value": 100.0,
+            "unit": "sec", "queries": {}, "n_queries": 0,
+            "n_reported": 0, "sf": 0.1, "cpus": "32"}
+
+    # 143 realistic-length names cannot all fit: the fill must stop
+    # under budget with the SLOWEST queries all present
+    big = {f"query_name_number_{i:03d}": round(0.1 + i * 0.05, 2)
+           for i in range(143)}
+    out = bench.fill_compact_queries(dict(base), big)
+    line = _json.dumps(out)
+    assert len(line) <= 1950
+    assert out["n_reported"] == len(out["queries"]) > 3
+    kept_min = min(out["queries"].values())
+    dropped = set(big) - set(out["queries"])
+    assert dropped, "expected overflow for 143 long names"
+    assert all(round(big[n], 2) <= kept_min for n in dropped), \
+        "a dropped query was slower than a kept one"
+
+    # a small map fits whole
+    small = {"a": 1.0, "b": 0.5}
+    out = bench.fill_compact_queries(dict(base), small)
+    assert out["queries"] == {"a": 1.0, "b": 0.5}
+    assert out["n_reported"] == 2
+
+
 def test_connector_cdf_scd2_maintains_intervals(spark):
     """VERDICT r9 #4: all three CDC kinds from the real /changes
     protocol maintain a segment-tracking SCD2 dimension. The v3 remove

@@ -1,18 +1,21 @@
-"""Dump .explain("formatted") for headline queries to plans/r10/.
+"""Dump .explain("formatted") for headline queries to plans/<round>/.
 
-Usage: python tools/dump_plans.py <tag> [q1,q2,...]
+Usage: python tools/dump_plans.py <round> <tag> [q1,q2,...]
 
-Writes plans/r10/<name>_<tag>.txt for each query (tag in
-{before, after}).  NOTE: for streaming / stateful queries the query
-function itself executes the pipeline when called; the captured plan is
-then the plan of the RETURNED final-state DataFrame, which is still the
-artifact the judge checks claims against (the streaming work's own
-plans are described in OPTIMIZATION_r10.md by their builder code).
+Writes plans/<round>/<name>_<tag>.txt for each query (round like "r11",
+tag in {before, after}; the round is an ARGUMENT since r11 — ADVICE r10
+flagged the hardcoded r10 dir).  NOTE: for streaming / stateful queries
+the query function itself executes the pipeline when called; the
+captured plan is then the plan of the RETURNED final-state DataFrame,
+which is still the artifact the judge checks claims against (the
+streaming work's own plans are described in OPTIMIZATION_r<N>.md by
+their builder code).
 """
 
 from __future__ import annotations
 
 import os
+import re
 import sys
 from pathlib import Path
 
@@ -20,8 +23,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
 def main() -> None:
-    tag = sys.argv[1]
-    only = [q.strip() for q in sys.argv[2].split(",")] if len(sys.argv) > 2 else None
+    rnd = sys.argv[1]
+    if not re.fullmatch(r"r\d+", rnd):
+        raise SystemExit(f"first arg must be a round like r11, got {rnd!r}")
+    tag = sys.argv[2]
+    only = [q.strip() for q in sys.argv[3].split(",")] if len(sys.argv) > 3 else None
 
     import __spark_entry__ as entrymod
     from bench import HEADLINE
@@ -32,7 +38,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = entrymod.queries()
 
-    out_dir = Path(__file__).resolve().parents[1] / "plans" / "r10"
+    out_dir = Path(__file__).resolve().parents[1] / "plans" / rnd
     out_dir.mkdir(parents=True, exist_ok=True)
 
     names = only or HEADLINE

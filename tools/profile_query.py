@@ -43,33 +43,37 @@ def main() -> None:
         jobs = st.getJobIdsForGroup(None)
         return set(jobs)
 
+    # AppStatusStore sees EVERY job regardless of job group — streaming
+    # queries run their micro-batch jobs under the stream's own group,
+    # which getJobIdsForGroup(None) misses (r11 fix: the old per-group
+    # diff undercounted foreachBatch sinks by the whole stream)
+    store = sc._jsc.sc().statusStore()  # core AppStatusStore, not the SQL one
+    _no_filter = spark._jvm.java.util.ArrayList()  # empty = all statuses
+
+    def _counts():
+        jobs = store.jobsList(_no_filter)
+        n_jobs = jobs.size()
+        n_tasks = 0
+        n_stages = 0
+        for i in range(n_jobs):
+            jd = jobs.apply(i)
+            n_tasks += jd.numTasks()
+            n_stages += jd.stageIds().size()
+        return n_jobs, n_stages, n_tasks
+
     for name in names:
         fn = queries[name]
         for run in range(n_runs):
-            tracker = sc.statusTracker()
-            before_jobs = set(tracker.getJobIdsForGroup(None))
+            j0, s0, t0n = _counts()
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             t_build = time.perf_counter() - t0
             df.write.format("noop").mode("overwrite").save()
             t_total = time.perf_counter() - t0
-            tracker = sc.statusTracker()
-            after_jobs = set(tracker.getJobIdsForGroup(None))
-            new_jobs = sorted(after_jobs - before_jobs)
-            n_stages = 0
-            n_tasks = 0
-            for j in new_jobs:
-                ji = tracker.getJobInfo(j)
-                if ji is None:
-                    continue
-                for s in ji.stageIds:
-                    si = tracker.getStageInfo(s)
-                    if si is not None:
-                        n_stages += 1
-                        n_tasks += si.numTasks
+            j1, s1, t1n = _counts()
             print(f"{name} run{run}: total={t_total:.3f}s "
-                  f"build={t_build:.3f}s jobs={len(new_jobs)} "
-                  f"stages={n_stages} tasks={n_tasks}")
+                  f"build={t_build:.3f}s jobs={j1 - j0} "
+                  f"stages={s1 - s0} tasks={t1n - t0n}")
     spark.stop()
 
 

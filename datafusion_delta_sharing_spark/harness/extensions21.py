@@ -55,35 +55,42 @@ def q_kmv_overlap(spark, sf_dir):
     bound the Jaccard absolute error and the union / intersection
     relative errors; every double is a fixed-shape expression over
     exact integers, so both engines hash-match."""
-    # ONE shingle explode serves everything: each doc's (corpus-label,
-    # shingle) rows carry the doc's memberships (a doc in the planted
-    # overlap fifth emits both labels), one distinct gives the labeled
-    # vocabularies, and ONE groupBy(sh) membership-flag pass yields the
-    # exact n_a / n_b / n_inter / n_union WITHOUT the corpus-vs-corpus
-    # equi-join — the r9-session profile showed per-corpus re-explodes
-    # cost more than this whole derivation. The shared (g, sh) frame is
-    # LAZY-localCheckpoint-ed (r10): the executed plan showed its two
-    # consumers (the KMV partials and the exact membership flags) each
-    # re-ran the scan+explode+distinct subtree (0 ReusedExchange);
-    # materializing it once measured ~25% faster at sf0.1, values
-    # bit-identical.
+    # ONE groupBy(sh) membership pass serves everything (r11, VERDICT
+    # r10 #7; the r10 form still shuffled label-DOUBLED (g, sh) explode
+    # rows through a distinct before either consumer): the raw (id, sh)
+    # explode goes straight into a map-side-partial groupBy(sh) whose
+    # max(when(...)) flags carry both corpus memberships — the overlap
+    # fifth never duplicates its shingle rows into the exchange, the
+    # (g, sh) distinct exchange disappears outright, and the
+    # vocabulary-sized FLAG frame (one row per distinct shingle) is the
+    # shared checkpoint both answers read: the exact n_inter / n_union
+    # aggregate directly, the KMV sketches by re-deriving (g, sh) label
+    # rows from the flags (kmv_partials dedups (g, hash) itself, so the
+    # sketch content — and the oracle, which is UNCHANGED — stays
+    # bit-identical). Lazy checkpoint as before (r10 measured it ~25%
+    # faster than re-deriving for this two-consumer crossJoin topology).
     docs = load_table(spark, sf_dir, "documents")
-    # _with_shingles renames the id column to `id`; the labels are pure
-    # doc_id arithmetic, so derive them from it post-shingle
-    labels = F.array_compact(F.array(
-        F.when(F.expr(_KO_A_PRED.replace("doc_id", "id")), F.lit("a")),
-        F.when(F.expr(_KO_B_PRED.replace("doc_id", "id")), F.lit("b"))))
-    pairs = (DD._with_shingles(docs, "text", "doc_id", 5)
-             .select(F.explode(labels).alias("g"), "shingles")
-             .select("g", F.explode("shingles").alias("sh"))
-             .distinct()).localCheckpoint(eager=False)
-    partials = SK.kmv_partials(pairs, "g", "sh", _KO_K)
+    # _with_shingles renames the id column to `id`; the corpus
+    # predicates are pure doc_id arithmetic, so evaluate them on it
+    a_pred = F.expr(_KO_A_PRED.replace("doc_id", "id"))
+    b_pred = F.expr(_KO_B_PRED.replace("doc_id", "id"))
+    flags = (DD._with_shingles(docs, "text", "doc_id", 5)
+             .select("id", F.explode("shingles").alias("sh"))
+             .groupBy("sh")
+             .agg(F.max(F.when(a_pred, 1).otherwise(0)).alias("in_a"),
+                  F.max(F.when(b_pred, 1).otherwise(0)).alias("in_b"))
+             # docs outside both corpora would contribute phantom rows;
+             # the modulus split covers every doc, so this is parity
+             # armor, not a live filter
+             .filter((F.col("in_a") == 1) | (F.col("in_b") == 1))
+             ).localCheckpoint(eager=False)
+    labeled = flags.select(
+        F.explode(F.array_compact(F.array(
+            F.when(F.col("in_a") == 1, F.lit("a")),
+            F.when(F.col("in_b") == 1, F.lit("b"))))).alias("g"),
+        "sh")
+    partials = SK.kmv_partials(labeled, "g", "sh", _KO_K)
     est = SK.kmv_overlap(partials, _KO_K, "a", "b")
-    flags = (pairs.groupBy("sh")
-             .agg(F.max(F.when(F.col("g") == "a", 1).otherwise(0))
-                  .alias("in_a"),
-                  F.max(F.when(F.col("g") == "b", 1).otherwise(0))
-                  .alias("in_b")))
     exact = flags.agg(
         F.sum(F.col("in_a") * F.col("in_b")).alias("n_inter"),
         F.count(F.lit(1)).alias("n_union"))

@@ -66,18 +66,35 @@ def kmeans_fit(points: DataFrame, init: list[tuple[float, float]],
         raise ValueError(f"rounds must be >= 1, got {rounds}")
     cents = [(float(a), float(b)) for a, b in init]
     x1, x2 = F.col("x1"), F.col("x2")
+    # ONE pass over the raw rows builds the (x1, x2, cnt) cell table;
+    # every Lloyd round aggregates the cells instead of re-scanning the
+    # data (r11, guide §2.3 — rounds+1 passes → 1 at any scale; the
+    # logreg/adaboost contingency-cell pattern). The assignment depends
+    # only on (x1, x2), so it is constant per cell, and every round
+    # statistic is an INTEGER sum (sum(x·cnt) == the row-sum exactly) —
+    # the cell form is bit-identical to the raw form by construction,
+    # not merely within round-off. Lazy checkpoint: the first round's
+    # collect materializes it; later rounds and the returned final
+    # aggregate reuse the RDD. Cell count is bounded by the distinct
+    # quantized coordinate pairs — never larger than the input.
+    cells = (points.groupBy("x1", "x2")
+             .agg(F.count(F.lit(1)).alias("cnt"))
+             .localCheckpoint(eager=False))
+    cnt = F.col("cnt")
     for _ in range(rounds - 1):
-        sums = (points.groupBy(_assign(x1, x2, cents).alias("j"))
-                .agg(F.count(F.lit(1)).alias("n"),
-                     F.sum("x1").alias("s1"), F.sum("x2").alias("s2"))
+        sums = (cells.groupBy(_assign(x1, x2, cents).alias("j"))
+                .agg(F.sum(cnt).alias("n"),
+                     F.sum(x1 * cnt).alias("s1"),
+                     F.sum(x2 * cnt).alias("s2"))
                 .collect())
         by_j = {r["j"]: r for r in sums}
         cents = [(r["s1"] / r["n"], r["s2"] / r["n"])
                  if (r := by_j.get(j)) else cents[j]
                  for j in range(len(cents))]
-    return (points.groupBy(_assign(x1, x2, cents).alias("j"))
-            .agg(F.count(F.lit(1)).alias("n"),
-                 F.sum("x1").alias("s1"), F.sum("x2").alias("s2"))
+    return (cells.groupBy(_assign(x1, x2, cents).alias("j"))
+            .agg(F.sum(cnt).alias("n"),
+                 F.sum(x1 * cnt).alias("s1"),
+                 F.sum(x2 * cnt).alias("s2"))
             .select(F.col("j").cast("int").alias("j"), "n",
                     (F.col("s1").cast("double") / F.col("n"))
                     .alias("c1"),

@@ -226,6 +226,70 @@ _LOGREG_FINAL_SQL = (
     "            FROM {src}) "
     "      GROUP BY {g})")
 
+# Cell-table forms of the three stages (r11, guide §2.3 "aggregate
+# before you shuffle" / VERDICT r10 #8): x is a quantized integer and
+# y ∈ {0, 1}, so EVERY per-round statistic is a sum over (g, x, y)
+# cells weighted by the cell count — one pass over the raw rows builds
+# the cell table, and rounds 2..R plus the final log-likelihood run
+# over |groups|·|x|·2 rows instead of re-scanning the data each round
+# (4 full passes → 1 at any scale; the adaboost contingency-cell
+# pattern). Integer sums (n, sx, sxx, sy, sxy) are EXACT and identical
+# to the raw form; the double sums (gradient/Hessian/ll terms) multiply
+# each cell's constant term by cnt instead of adding cnt copies — an
+# IEEE re-association within the same ~1e-15 class as the cross-engine
+# partial-aggregation drift the final round(…, 5) already absorbs
+# (verified bit-identical to the raw form AND the DuckDB oracle at
+# sf0.001/0.01/0.1).
+_LOGREG_CELLS_SQL = (
+    "SELECT {g}, x, y, count(*) AS cnt FROM {src} GROUP BY {g}, x, y")
+
+_LOGREG_STEP1_CELLS_SQL = (
+    "SELECT {g}, n, sx, sxx, "
+    "       4.0 * ((sy - n / 2.0) * sxx - (sxy - sx / 2.0) * sx) "
+    "           / det AS b0, "
+    "       4.0 * ((sxy - sx / 2.0) * n - (sy - n / 2.0) * sx) "
+    "           / det AS b1 "
+    "FROM (SELECT {g}, n, sx, sxx, sy, sxy, "
+    "             CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx "
+    "                 AS det "
+    "      FROM (SELECT {g}, sum(cnt) AS n, sum(x * cnt) AS sx, "
+    "                   sum(x * x * cnt) AS sxx, sum(y * cnt) AS sy, "
+    "                   sum(x * y * cnt) AS sxy "
+    "            FROM {src} GROUP BY {g})) "
+    "WHERE det != 0")
+
+_LOGREG_STEPN_CELLS_SQL = (
+    "SELECT {g}, n, sx, sxx, "
+    "       b0 + (g0 * h11 - g1 * h01) / det AS b0, "
+    "       b1 + (g1 * h00 - g0 * h01) / det AS b1 "
+    "FROM (SELECT {g}, n, sx, sxx, b0, b1, g0, g1, h00, h01, h11, "
+    "             h00 * h11 - h01 * h01 AS det "
+    "      FROM (SELECT {g}, sum(cnt) AS n, sum(x * cnt) AS sx, "
+    "                   sum(x * x * cnt) AS sxx, "
+    "                   max(b0) AS b0, max(b1) AS b1, "
+    "                   sum(cnt * (y - p)) AS g0, "
+    "                   sum(cnt * x * (y - p)) AS g1, "
+    "                   sum(cnt * p * (1.0 - p)) AS h00, "
+    "                   sum(cnt * x * p * (1.0 - p)) AS h01, "
+    "                   sum(cnt * x * x * p * (1.0 - p)) AS h11 "
+    "            FROM (SELECT {g}, x, y, cnt, b0, b1, "
+    "                         1.0 / (1.0 + exp(-(b0 + b1 * x))) AS p "
+    "                  FROM {src}) "
+    "            GROUP BY {g})) "
+    "WHERE det != 0")
+
+_LOGREG_FINAL_CELLS_SQL = (
+    "SELECT {g}, CAST(n AS BIGINT) AS n, "
+    "       round(b0, 5) AS b0, round(b1, 5) AS b1, "
+    "       round(ll / n, 5) AS avg_ll "
+    "FROM (SELECT {g}, sum(cnt) AS n, max(b0) AS b0, max(b1) AS b1, "
+    "             sum(cnt * (y * ln(p) + (1.0 - y) * ln(1.0 - p))) "
+    "                 AS ll "
+    "      FROM (SELECT {g}, y, cnt, b0, b1, "
+    "                   1.0 / (1.0 + exp(-(b0 + b1 * x))) AS p "
+    "            FROM {src}) "
+    "      GROUP BY {g})")
+
 
 def logreg_fit_1f(spark, xy: DataFrame, group_col: str,
                   rounds: int) -> DataFrame:
@@ -246,19 +310,29 @@ def logreg_fit_1f(spark, xy: DataFrame, group_col: str,
         raise ValueError(f"rounds must be >= 1, got {rounds}")
     g = group_col
     xy.createOrReplaceTempView("_lr_xy")
-    coef = spark.sql(_LOGREG_STEP1_SQL.format(g=g, src="_lr_xy"))
+    # ONE pass over the raw rows builds the (g, x, y, cnt) cell table;
+    # every later round and the final log-likelihood aggregate the
+    # cells (bounded by |groups| × |x buckets| × 2 — never larger than
+    # the input, tiny for quantized features). Lazy checkpoint: the
+    # first round's collect materializes it, the remaining rounds and
+    # the returned final plan reuse the RDD instead of re-scanning the
+    # raw frame (r11, guide §2.3 — 4 data passes → 1).
+    cells = spark.sql(
+        _LOGREG_CELLS_SQL.format(g=g, src="_lr_xy")).localCheckpoint(
+        eager=False)
+    cells.createOrReplaceTempView("_lr_cells")
+    coef = spark.sql(_LOGREG_STEP1_CELLS_SQL.format(g=g, src="_lr_cells"))
     for _ in range(rounds - 1):
         # #groups-row frame, re-entering via a broadcast equi-join —
         # collect + literals would hardcode group VALUES in the plan
-        joined = (spark.table("_lr_xy")
-                  .join(F.broadcast(coef.select(g, "b0", "b1")), g))
+        joined = cells.join(F.broadcast(coef.select(g, "b0", "b1")), g)
         joined.createOrReplaceTempView("_lr_joined")
-        coef = spark.sql(_LOGREG_STEPN_SQL.format(g=g, src="_lr_joined"))
+        coef = spark.sql(
+            _LOGREG_STEPN_CELLS_SQL.format(g=g, src="_lr_joined"))
         coef = spark.createDataFrame(coef.collect(), coef.schema)
-    final = (spark.table("_lr_xy")
-             .join(F.broadcast(coef.select(g, "b0", "b1")), g))
+    final = cells.join(F.broadcast(coef.select(g, "b0", "b1")), g)
     final.createOrReplaceTempView("_lr_final")
-    return spark.sql(_LOGREG_FINAL_SQL.format(g=g, src="_lr_final"))
+    return spark.sql(_LOGREG_FINAL_CELLS_SQL.format(g=g, src="_lr_final"))
 
 
 def logreg_fit_1f_sql(xy_sql: str, group_col: str, rounds: int) -> str:

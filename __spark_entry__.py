@@ -55,35 +55,37 @@ _MODULE_ORDER = ("connector", "extensions", "extensions2", "extensions3",
                  "tierb7", "tierb8", "tierb9", "tierb")
 
 _WINDOW = (
-    # --- 10 mandatory NEW r10 capabilities (WINDOW_PLAN.json r10_new):
-    # the r8-session extensions19/20 wave (experimentation: ab_test,
-    # gains_lift; attribution + MDM survivorship) and r8-session
-    # clustering/timeseries batch (kmeans_fit, kcore,
-    # seasonal_decompose, cusum_changepoint), plus the two r9-session
-    # additions (kmv_overlap — Beyer KMV set algebra, VERDICT r8 #4;
-    # stream_scd2_upsert — incremental CDC->SCD2, VERDICT r8 #5), each
-    # now taking the driver row the freeze test reserved:
-    "kmeans_fit", "kcore", "seasonal_decompose", "cusum_changepoint",
-    "ab_test", "gains_lift", "attribution", "survivorship",
-    "kmv_overlap", "stream_scd2_upsert",
-    # --- the 10-row r9_spill: the last r4-latest rows, deferred by the
-    # r9 window and pre-committed to lead r10 (after these seat, no
-    # driver row predates r5):
-    "table_profile", "tfidf_top", "tpch_q16", "tpch_q20", "train_split",
-    "triangles", "twap", "vocab_topk", "weighted_mixture", "winsorize",
-    # --- 30 oldest-provenance refreshes: the alphabetical head of the
-    # 46 r5-latest rows. The 16 that do not fit
-    # (r10_planned.r10_spill: random_projection ... zorder_stats) lead
-    # r11_planned, which retires the r5 tail entirely.
-    "ann_ivf_topk", "ann_lsh_topk", "approx_count_distinct", "array_hof",
-    "audio_pipeline", "bigram_logprob", "bitwise_funcs", "bloom_join",
-    "connector_cdf_apply", "connector_datasource", "connector_flagship",
-    "connector_partitioned", "containment_pairs", "dedup_incremental",
-    "dedup_minhash", "dedup_simhash", "embedding_covariance",
-    "embedding_neardup", "exact_percentiles", "freq_moments",
-    "image_pipeline", "incremental_agg", "kfold_split", "line_dedup",
-    "listagg_ordered", "mad_outliers", "mask_funcs",
-    "ngram_jaccard_prefix", "pad_case_funcs", "pipeline_e2e",
+    # --- r11 window (WINDOW_PLAN.json r11_window; executed r11_planned
+    # modulo the VERDICT r10 #9 supersession the plan's own note
+    # allows). 8 mandatory r11_new capabilities first (the r10-session
+    # SCD2-repair/CDC-dimension pair and the ML-fit batch):
+    "connector_cdf_scd2", "scd2_repair", "logreg_fit", "stump_fit",
+    "naive_bayes_fit", "conformal_interval", "adaboost_fit",
+    "bootstrap_ci",
+    # --- ALL 16 r5-latest rows (r10_planned.r10_spill, a one-round
+    # deferral): after a green r11 no driver row predates r6.
+    "random_projection", "rolling_median", "stream_upsert",
+    "table_profile_approx", "time_spine", "token_budget",
+    "token_entropy", "triangles_degcut", "trig_funcs", "try_arith",
+    "udaf_grouped_agg", "unigram_logprob", "url_funcs", "variant_funcs",
+    "window_distribution", "zorder_stats",
+    # --- 13 of the 26 planned r6-latest refreshes (alphabetical head;
+    # bpe_pair_counts / heavy_hitters / arrow_grouped_map retained out
+    # of order because their paths were optimization-touched). The 13
+    # displaced rows join r11_spill to lead r12_planned.
+    "agg_corr", "agg_having", "agg_stats", "array_funcs",
+    "arrow_grouped_map", "bm25_topk", "bpe_pair_counts", "conditional",
+    "connector_catalog_sql", "connector_dv_apply",
+    "connector_time_travel_diff", "count_distinct", "heavy_hitters",
+    # --- 13 INJECTED slots (VERDICT r10 #9): queries whose EXECUTION
+    # changed in the r10/r11 optimization passes without a driver row
+    # on the new path — the r10 graph/BPE/sketch/timeseries rewrites
+    # and the r11 streaming/kmv/kmeans rewrites re-attest under the
+    # driver's own oracle, not just the session sweeps.
+    "stream_scd2_upsert", "stream_minhash_dedup", "kmv_overlap",
+    "kmeans_fit", "pagerank", "bfs_hops", "shortest_paths",
+    "label_propagation", "count_min", "acf_lags", "bpe_merge_steps",
+    "bpe_encode_lens", "percentile_rollup",
 )
 
 

@@ -209,6 +209,17 @@ def _previous_bench(root=None) -> dict:
             "substituted": False}
 
 
+def release_query_state(spark) -> None:
+    """Drop every SQL-cached frame a finished query left behind
+    (VERDICT r10 #5 — §5 cache hygiene). The operators deliberately
+    leave their shared intermediates cached because the frames they
+    return are lazy; once the runner has executed the final action the
+    cache is dead weight for every later query. localCheckpoint RDDs
+    are NOT touched — the ContextCleaner reclaims those when the frames
+    are garbage-collected."""
+    spark.catalog.clearCache()
+
+
 def fill_compact_queries(compact: dict, timings: dict,
                          budget: int = 1950) -> dict:
     """Fill ``compact["queries"]`` greedily, slowest query first, until
@@ -337,6 +348,16 @@ def main() -> None:
             samples.append(round(time.perf_counter() - start, 3))
         runs[name] = samples
         timings[name] = round(statistics.median(samples), 3)
+        # §5 cache hygiene (VERDICT r10 #5): operators cache shared
+        # intermediates (posting lists, signatures) and return LAZY
+        # frames, so they cannot unpersist without killing the reuse
+        # the cache exists for — ownership of cleanup sits with the
+        # runner once a query's last action finished. Clear between
+        # queries, OUTSIDE the timed region: cached frames no longer
+        # accumulate executor memory across the suite (dedup_minhash's
+        # posts cache was the named leak). Within one query's n_runs
+        # the cache still works exactly as before.
+        release_query_state(spark)
         stream_runs = PROG.take(name)
         if stream_runs:
             compute = round(statistics.median(

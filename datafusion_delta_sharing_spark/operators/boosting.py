@@ -167,7 +167,11 @@ def adaboost_fit(spark, xy: DataFrame, group_col: str,
     # per-stage re-planning turned each tiny window query into 3-4 jobs
     # (23 -> 15 whole-app jobs at rounds=3, values bit-equal). The raw
     # cells aggregate above and the returned final plan execute OUTSIDE
-    # this scope with AQE untouched.
+    # this scope with AQE untouched. ASSUMES single-threaded driver use
+    # (ADVICE r10): the conf is session-global, so a query planned
+    # concurrently on this SparkSession during the loop would silently
+    # lose AQE — the harness is single-threaded by construction; scope
+    # the override to a cloned session if that ever changes.
     saved_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     try:
         spark.conf.set("spark.sql.adaptive.enabled", "false")

@@ -108,12 +108,21 @@ def gram_matrix_pandas(emb: DataFrame, vec_col: str,
     aggregate merges partials; output schema and values equal
     :func:`embedding_covariance` exactly (property-tested at d=16, smoke
     at d=512), because the quantization makes each partial integral.
+
+    Preconditions (ADVICE r10): every non-empty vector must have the
+    SAME dimension — ragged input raises a ValueError naming the two
+    lengths (the join path would instead score per-pair n_vecs, a
+    different statistic); and vector ids must be unique upstream — a
+    duplicated id contributes one outer product per copy here but
+    cross-matched pairs in the join path, so the two paths only agree
+    on id-deduplicated input (embeddings tables are, by contract).
     """
     import pandas as pd
 
     def _partials(batches):
         import numpy as np
 
+        dim_seen = None
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -123,6 +132,16 @@ def gram_matrix_pandas(emb: DataFrame, vec_col: str,
             pdf = pdf[keep]
             if pdf.empty:
                 continue
+            lens = {len(v) for v in pdf[vec_col]}
+            if dim_seen is not None:
+                lens.add(dim_seen)
+            if len(lens) > 1:
+                raise ValueError(
+                    f"gram_matrix_pandas needs uniform vector "
+                    f"dimensions; saw lengths {sorted(lens)[:2]} in one "
+                    "task — ragged embeddings must be filtered or "
+                    "padded upstream")
+            dim_seen = next(iter(lens))
             x = np.stack(pdf[vec_col].to_numpy()).astype("float64") * scale
             # half-AWAY-from-zero to match F.round / DuckDB round —
             # np.rint is half-to-EVEN and diverges on dyadic components

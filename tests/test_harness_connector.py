@@ -287,11 +287,11 @@ def test_window_plan_covers_registry():
     assert len(set(window)) == len(window), "duplicate window entries"
     missing = [q for q in window if q not in registry]
     assert not missing, f"window names not in registry: {missing}"
-    mandatory = set(plan["r10_new"]["queries"])
+    mandatory = set(plan["r11_new"]["queries"])
     dropped = mandatory - set(window)
-    assert not dropped, f"mandatory r10 slots missing from window: {dropped}"
-    assert window == plan["r10_window"], (
-        "_WINDOW and WINDOW_PLAN.json r10_window diverged")
+    assert not dropped, f"mandatory r11 slots missing from window: {dropped}"
+    assert window == plan["r11_window"], (
+        "_WINDOW and WINDOW_PLAN.json r11_window diverged")
 
     assert len(registry) == plan["registry_size"], (
         f"registry grew to {len(registry)} without a WINDOW_PLAN update "
@@ -309,7 +309,7 @@ def test_window_plan_covers_registry():
     # that plan exists, so the deferral stays concretely scheduled.
     import re as _re
 
-    _CURRENT_ROUND = 10
+    _CURRENT_ROUND = 11
     next_new = set()
     for key, val in plan.items():
         mm = _re.fullmatch(r"r(\d+)_new", key)
@@ -320,7 +320,7 @@ def test_window_plan_covers_registry():
             continue
         assert n <= _CURRENT_ROUND + 2, (
             f"{key} defers new queries beyond the next two rounds "
-            f"(ADVICE r8: bound the deferral horizon)")
+            f"(ADVICE r8: bound the deferral horizon)")  # N in {12, 13}
         slot_queries = set(val.get("queries", []))
         planned = plan.get(f"r{n}_planned")
         if isinstance(planned, dict):
@@ -347,33 +347,37 @@ def test_window_plan_covers_registry():
     assert set(plan["r8_window"]) <= r8_rows, "r8 driver rows not folded"
     r9_rows = {q for q, rounds in plan["provenance"].items() if "r9" in rounds}
     assert set(plan["r9_window"]) <= r9_rows, "r9 driver rows not folded"
-    # the r10 rotation's reason to exist: after folding the 50/50-green
-    # r9 rows nothing r3-or-older may remain anywhere, every r4-latest
-    # row (the 10-row r9_spill) must SIT IN this window (their deferral
-    # was a one-round commitment, not renewable), and every r5-latest
-    # row must either sit in this window (the alphabetical 30) or in the
-    # pre-committed spill set that leads r11 (the other 16). Round keys
-    # are parsed numerically, not looked up in a hardcoded list —
-    # folding the r10 (or any later) driver rows into provenance must
-    # not crash the freeze test itself (r8 review)
+    r10_rows = {q for q, rounds in plan["provenance"].items()
+                if "r10" in rounds}
+    assert set(plan["r10_window"]) <= r10_rows, "r10 driver rows not folded"
+    # the r11 rotation's reason to exist: after folding the 50/50-green
+    # r10 rows nothing r4-or-older may remain anywhere, every r5-latest
+    # row (the 16-row r10_spill) must SIT IN this window (their deferral
+    # was a one-round commitment, not renewable), and every r6-latest
+    # row must either sit in this window or in the pre-committed list
+    # that leads r12 (r12_planned.queries = the 13 displaced refreshes +
+    # the 24-row r11_spill). Round keys are parsed numerically, not
+    # looked up in a hardcoded list — folding the r11 (or any later)
+    # driver rows into provenance must not crash the freeze test itself
+    # (r8 review)
     def _latest(rounds: dict) -> int:
         return max(int(r[1:]) for r in rounds)
 
     stale = {q for q, rounds in plan["provenance"].items()
-             if _latest(rounds) <= 3}
-    assert not stale, f"pre-r4 driver rows left unrefreshed: {stale}"
-    r4_latest = {q for q, rounds in plan["provenance"].items()
-                 if _latest(rounds) == 4}
-    unseated4 = r4_latest - set(window)
-    assert not unseated4, (
-        f"r4-latest rows (the r9_spill one-round deferral) missing from "
-        f"the r10 window: {unseated4}")
+             if _latest(rounds) <= 4}
+    assert not stale, f"pre-r5 driver rows left unrefreshed: {stale}"
     r5_latest = {q for q, rounds in plan["provenance"].items()
                  if _latest(rounds) == 5}
-    spill = set(plan["r10_planned"]["r10_spill"])
-    unseated = r5_latest - set(window) - spill
+    unseated5 = r5_latest - set(window)
+    assert not unseated5, (
+        f"r5-latest rows (the r10_spill one-round deferral) missing from "
+        f"the r11 window: {unseated5}")
+    r6_latest = {q for q, rounds in plan["provenance"].items()
+                 if _latest(rounds) == 6}
+    r12_lead = set(plan["r12_planned"]["queries"])
+    unseated = r6_latest - set(window) - r12_lead
     assert not unseated, (
-        f"r5-latest rows missing both a refresh slot and a spill "
+        f"r6-latest rows missing both a refresh slot and a spill "
         f"commitment: {unseated}")
 
     # forward plan hygiene: every r*_planned entry must resolve — a
@@ -524,6 +528,32 @@ def test_fill_compact_queries_budget(tmp_path):
     out = bench.fill_compact_queries(dict(base), small)
     assert out["queries"] == {"a": 1.0, "b": 0.5}
     assert out["n_reported"] == 2
+
+
+def test_release_query_state_clears_sql_cache(spark):
+    """VERDICT r10 #5: operators leave shared intermediates cached (the
+    returned frames are lazy, so THEY cannot unpersist); the bench's
+    between-queries hygiene hook must empty the SQL cache so persisted
+    frames stop accumulating across the suite."""
+    import pathlib
+    import sys
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    sys.path.insert(0, str(repo))
+    try:
+        import bench
+    finally:
+        while str(repo) in sys.path:
+            sys.path.remove(str(repo))
+
+    from pyspark.sql import functions as SF
+
+    df = spark.range(1000).withColumn("k", SF.col("id") % 7).cache()
+    assert df.count() == 1000  # populate the cache
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    assert not cm.isEmpty(), "cache() + action should populate the cache"
+    bench.release_query_state(spark)
+    assert cm.isEmpty(), "release_query_state must clear the SQL cache"
 
 
 def test_connector_cdf_scd2_maintains_intervals(spark):

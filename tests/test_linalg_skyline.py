@@ -203,6 +203,45 @@ def test_upsert_merge_is_replay_idempotent(spark, sf_dir, tmp_path):
         assert thrice[uid] == (2 * cents, 2 * n)
 
 
+def test_upsert_overwrite_reads_its_own_state_dir(spark, sf_dir, tmp_path):
+    """ADVICE r10 pin: the pre-write localCheckpoint is LAZY, so the
+    write job's own tasks physically read the old state files while the
+    dynamic partition overwrite replaces those directories at commit —
+    the safety is the committer deleting old files only at job commit,
+    AFTER every reading task finished. Pin that cycle explicitly: the
+    second merge rewrites ONLY bucket dirs that already exist on disk
+    (asserted), reads them inside its own write job, and the result is
+    the exact two-batch sum — a committer or mode change that breaks
+    the read-during-overwrite window fails this test loudly."""
+    import os
+
+    from datafusion_delta_sharing_spark.streaming import upsert as UP
+
+    state = str(tmp_path / "state")
+    merge = UP.upsert_totals_sink(spark, state, n_buckets=4,
+                                  run_id="ckpt-cycle")
+    batch = (load_table(spark, sf_dir, "events")
+             .select("user_id", "value").limit(500).localCheckpoint())
+
+    merge(batch, 0)
+    first = {r.user_id: (r.total_cents, r.n_events)
+             for r in UP.state_totals(spark, state).collect()}
+    assert first
+    buckets_on_disk = {d for d in os.listdir(state)
+                       if d.startswith("bucket=")}
+    assert buckets_on_disk, "batch 0 must have written bucket dirs"
+
+    # batch 1 touches the SAME buckets: every directory the write reads
+    # is a directory its commit will replace
+    merge(batch, 1)
+    after = {d for d in os.listdir(state) if d.startswith("bucket=")}
+    assert after == buckets_on_disk
+    second = {r.user_id: (r.total_cents, r.n_events)
+              for r in UP.state_totals(spark, state).collect()}
+    for uid, (cents, n) in first.items():
+        assert second[uid] == (2 * cents, 2 * n)
+
+
 def test_upsert_new_run_over_existing_state_merges(spark, sf_dir, tmp_path):
     """r5 review fix: batch ids only mean 'already applied' within one run
     (checkpoint lineage). A NEW query pointed at existing state restarts

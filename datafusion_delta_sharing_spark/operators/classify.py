@@ -64,32 +64,24 @@ _NB_LABELS_SQL = (
     "           FROM {src} GROUP BY {id}) t "
     "ON d.{id} = t.{id}")
 
-# ONE SQL text per stage, both engines. {src} is the (id, token)
-# relation, {labels} the (id, y, fold) relation — BOTH materialized
-# leaves on the Spark side (see module docstring). Folds: id % 5 < 4
-# trains, fold 4 is the holdout. Unknown holdout tokens (absent from
-# the training vocabulary) are dropped — the standard multinomial-NB
+# ONE SQL text, both engines. {src} is the (id, token) relation,
+# {labels} the (id, y, fold) relation — BOTH materialized leaves on
+# the Spark side (see module docstring). Folds: id % 5 < 4 trains,
+# fold 4 is the holdout. Unknown holdout tokens (absent from the
+# training vocabulary) are dropped — the standard multinomial-NB
 # choice; a holdout doc with NO known token falls back to the
 # prior-only score through the LEFT JOIN's coalesce.
-#
-# The vocabulary stage is its OWN text since r11: as a CTE it was
-# referenced twice (scal + doc_lik) and Catalyst INLINES CTEs, so the
-# train-fold join+aggregate — a data-sized pass — executed twice per
-# run (the same measurement that got toks/labels materialized). The
-# Spark side now materializes {vocab} once (lazy localCheckpoint); the
-# DuckDB oracle composes the SAME texts back into one statement.
-_NB_VOCAB_SQL = (
-    "SELECT token, "
-    "       sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS c1, "
-    "       sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS c0 "
-    "FROM (SELECT t.token, l.y FROM {src} t "
-    "      JOIN {labels} l ON t.{id} = l.{id} WHERE l.fold < 4) "
-    "GROUP BY token")
-
 _NB_SQL = (
     "WITH toks AS (SELECT * FROM {src}), "
     "labels AS (SELECT * FROM {labels}), "
-    "vocab AS (SELECT * FROM {vocab}), "
+    "train_tok AS ("
+    "  SELECT t.token, l.y FROM toks t "
+    "  JOIN labels l ON t.{id} = l.{id} WHERE l.fold < 4), "
+    "vocab AS ("
+    "  SELECT token, "
+    "         sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS c1, "
+    "         sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS c0 "
+    "  FROM train_tok GROUP BY token), "
     "scal AS ("
     "  SELECT sum(c1) AS t1, sum(c0) AS t0, count(*) AS v, "
     "         (SELECT sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) "
@@ -145,12 +137,8 @@ def naive_bayes_eval(spark, docs: DataFrame, text_col: str,
         src="_nb_toks", docs="_nb_docs", id=id_col,
         concept=_concept_in(), k=len(_CONCEPT))).localCheckpoint(eager=False)
     labels.createOrReplaceTempView("_nb_labels")
-    vocab = spark.sql(_NB_VOCAB_SQL.format(
-        src="_nb_toks", labels="_nb_labels",
-        id=id_col)).localCheckpoint(eager=False)
-    vocab.createOrReplaceTempView("_nb_vocab")
     return spark.sql(_NB_SQL.format(src="_nb_toks", labels="_nb_labels",
-                                    vocab="_nb_vocab", id=id_col))
+                                    id=id_col))
 
 
 def naive_bayes_eval_sql(source_sql: str, text_col: str,
@@ -163,10 +151,7 @@ def naive_bayes_eval_sql(source_sql: str, text_col: str,
     labels = "(" + _NB_LABELS_SQL.format(
         src=toks, docs=f"(SELECT {id_col} FROM ({source_sql}))",
         id=id_col, concept=_concept_in(), k=len(_CONCEPT)) + ")"
-    vocab = "(" + _NB_VOCAB_SQL.format(src=toks, labels=labels,
-                                       id=id_col) + ")"
-    return _NB_SQL.format(src=toks, labels=labels, vocab=vocab,
-                          id=id_col)
+    return _NB_SQL.format(src=toks, labels=labels, id=id_col)
 
 
 def _concept_in() -> str:

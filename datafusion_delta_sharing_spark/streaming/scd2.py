@@ -23,8 +23,8 @@ the cross-batch tie-break is exactly the batch window's
 Order contract: per entity, events must arrive in (ts, event_id) order
 ACROSS batches (the CDC log order — within a batch any order is fine,
 the merge sorts). An out-of-order event would silently corrupt version
-history, so the merge REFUSES loudly instead (ValueError naming the
-count). Recovery is implemented: :func:`repair_entities` batch-rebuilds
+history, so the merge REFUSES loudly instead (ValueError naming a
+violating entity). Recovery is implemented: :func:`repair_entities` batch-rebuilds
 ONLY the affected entities' intervals from the full log (the same
 window recipe as ``scd2_intervals``) and merges them back through the
 touched-bucket overwrite, and :func:`unapplied_events` routes the
@@ -252,16 +252,20 @@ def scd2_upsert_sink(spark: SparkSession, state_dir: str,
         except Exception as exc:
             if _GUARD_SENTINEL not in str(exc):
                 raise
-            # rare refusal path: NOW pay for the exact violator count
-            # the contract message names (state is untouched — the
-            # failed job never reached its commit)
-            late = open_rows.filter(viol).count()
+            # rare refusal path (state is untouched — the failed job
+            # never reached its commit). The sentinel message carries
+            # the first violating entity id; the full violator SET is
+            # derivable via repair tooling, so no extra count pass runs
+            # here (measured ~0.5 s/refusal at sf0.1 for a number only
+            # the error text used)
+            detail = str(exc).split(_GUARD_SENTINEL, 1)[1].split("\n")[0]
             raise ValueError(
-                f"batch {batch_id}: {late} entity(ies) received events "
-                "at or before their open interval's start — "
-                "out-of-order CDC input; rebuild the affected entities "
-                "from the log (repair_entities), then route the "
-                "redelivered batch through unapplied_events") from None
+                f"batch {batch_id}: entity(ies) received events at or "
+                f"before their open interval's start (first violator:"
+                f"{detail}) — out-of-order CDC input; rebuild the "
+                "affected entities from the log (repair_entities), then "
+                "route the redelivered batch through unapplied_events"
+            ) from None
         if stats is not None:
             record_merge_stats(obs, todo, state_dir, batch_id, stats)
 

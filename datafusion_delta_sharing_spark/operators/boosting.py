@@ -173,8 +173,20 @@ def adaboost_fit(spark, xy: DataFrame, group_col: str,
     # lose AQE — the harness is single-threaded by construction; scope
     # the override to a cloned session if that ever changes.
     saved_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    # With AQE off, every loop shuffle falls back to the session's
+    # static spark.sql.shuffle.partitions (= the core count) — 32-way
+    # exchanges of a 48-row frame, ~650 whole-app tasks of pure
+    # dispatch. The frames are contract-bounded (the SAME argument that
+    # justifies the AQE scope, size-invariant at any SF), so pin the
+    # loop's shuffles to ONE partition (r11; measured whole-app tasks
+    # 652→497 — the rest sit in the data-sized cells aggregate and the
+    # AQE-on final plan outside this scope — wall 4.4→3.9-4.2 s at equal
+    # weather, values bit-equal, oracle green at 3 SFs). Same
+    # single-threaded-session caveat as above.
+    saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.shuffle.partitions", "1")
         for t in range(1, rounds + 1):
             best = spark.sql(_ADA_BEST_SQL.format(g=g, src=cells_view))
             best = spark.createDataFrame(best.collect(), best.schema)
@@ -190,6 +202,7 @@ def adaboost_fit(spark, xy: DataFrame, group_col: str,
                 cells_view = cv
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", saved_aqe)
+        spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
     return spark.sql(_final_sql(g, "_ada_c0", bests))
 
 

@@ -53,7 +53,7 @@ from datafusion_delta_sharing_spark.streaming.upsert import (
     observe_merged,
     record_merge_stats,
     refuse_null_buckets,
-    stamped_buckets,
+    ReplayGuard,
     write_slice_files,
 )
 
@@ -128,6 +128,7 @@ def scd2_upsert_sink(spark: SparkSession, state_dir: str,
     # so `existing` misses their history — versions restart at 1 and
     # the old open interval never closes, silently
     _check_bucket_marker(state_dir, n_buckets)
+    guard = ReplayGuard()
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         events = (batch_df
@@ -147,7 +148,7 @@ def scd2_upsert_sink(spark: SparkSession, state_dir: str,
             return
         current = _dim_df(spark, state_dir).filter(
             F.col("bucket").isin(touched))
-        done = stamped_buckets(current, run_id, batch_id)
+        done = guard.done_buckets(current, run_id, batch_id, touched)
         todo = [b for b in touched if b not in done]
         if not todo:
             return
@@ -266,6 +267,7 @@ def scd2_upsert_sink(spark: SparkSession, state_dir: str,
                 "affected entities from the log (repair_entities), then "
                 "route the redelivered batch through unapplied_events"
             ) from None
+        guard.record(todo, batch_id)
         if stats is not None:
             record_merge_stats(obs, todo, state_dir, batch_id, stats)
 

@@ -121,6 +121,44 @@ def stamped_buckets(current: DataFrame, run_id: str,
             .select("bucket").distinct().collect()}
 
 
+class ReplayGuard:
+    """Driver-side memo that answers "which touched buckets are already
+    stamped by (this run, >= this batch)?" with ZERO jobs after the
+    first batch (r11, guide §2.4).
+
+    Soundness: stamps for run_id can only be written by a sink
+    incarnation of THAT run. The FIRST batch this incarnation processes
+    is the only one that can meet stamps it did not write itself — the
+    streaming engine restarts at the first uncommitted batch, so a
+    crash-replay arrives as this incarnation's first call and the
+    one-time probe covers exactly its touched buckets. Every later
+    batch can only be pre-stamped by THIS incarnation's own writes,
+    which the memo records; batch ids are monotone within a run, so a
+    bucket stamped at batch K can never block a batch > K it did not
+    see. Replays WITHIN one incarnation (a caller re-invoking the same
+    batch id, as the replay tests do) hit the memo directly."""
+
+    def __init__(self) -> None:
+        self._seen: dict = {}   # bucket -> highest batch_id stamped here
+        self._primed = False
+
+    def done_buckets(self, current: DataFrame, run_id: str,
+                     batch_id: int, touched: list) -> set:
+        done = {b for b in touched
+                if self._seen.get(b, -1) >= batch_id}
+        if not self._primed:
+            done |= stamped_buckets(current, run_id, batch_id)
+            self._primed = True
+        return done
+
+    def record(self, todo: list, batch_id: int) -> None:
+        """Call AFTER the write committed — a failed write wrote no
+        stamps, so it must not poison the memo."""
+        for b in todo:
+            if batch_id > self._seen.get(b, -1):
+                self._seen[b] = batch_id
+
+
 def carry_other_stamps(current: DataFrame, in_todo,
                        run_id: str) -> DataFrame:
     """Every OTHER run's stamps carry forward untouched: if the stamp
@@ -223,6 +261,7 @@ def upsert_totals_sink(spark: SparkSession, state_dir: str,
             "discarded as phantom replays")
     os.makedirs(state_dir, exist_ok=True)
     _check_bucket_marker(state_dir, n_buckets)
+    guard = ReplayGuard()
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         updates = (
@@ -245,7 +284,7 @@ def upsert_totals_sink(spark: SparkSession, state_dir: str,
             return
         current = _state_df(spark, state_dir).filter(
             F.col("bucket").isin(touched))
-        done = stamped_buckets(current, run_id, batch_id)
+        done = guard.done_buckets(current, run_id, batch_id, touched)
         todo = [b for b in touched if b not in done]
         if not todo:
             return
@@ -289,6 +328,7 @@ def upsert_totals_sink(spark: SparkSession, state_dir: str,
         (merged.write.mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")
          .partitionBy("bucket").parquet(state_dir))
+        guard.record(todo, batch_id)
         if stats is not None:
             record_merge_stats(obs, todo, state_dir, batch_id, stats)
 
